@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 gate: run graft.Verify at a given SF,
+then compare each query's parquet output against DuckDB running the paired
+oracle SQL on the same tables. Not part of the engine — dev tooling only.
+
+Usage: python3 scripts/check_oracle.py [sfdir] [outdir] [--skip-verify]
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(os.path.join(sfdir, "*.parquet")):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+results = {}
+for name, sql in sorted(oracle.items()):
+    rd = os.path.join(outdir, name)
+    if not os.path.isdir(rd):
+        results[name] = "MISSING_SPARK_OUTPUT"
+        continue
+    try:
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{rd}/*.parquet')").fetchdf()
+        want = con.execute(sql).fetchdf()
+    except Exception as e:
+        results[name] = f"ERROR: {e}"
+        continue
+    # driver sorts columns by name before hashing values
+    got = got.reindex(sorted(got.columns), axis=1)
+    want = want.reindex(sorted(want.columns), axis=1)
+    if list(got.columns) != list(want.columns):
+        results[name] = f"SCHEMA: spark={list(got.columns)} oracle={list(want.columns)}"
+        continue
+    if len(got) != len(want):
+        results[name] = f"ROWS: spark={len(got)} oracle={len(want)}"
+        continue
+    # normalize for comparison: sort rows, stringify
+    def norm(df):
+        df = df.copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    g, w = norm(got), norm(want)
+    bad = []
+    for c in g.columns:
+        gc, wc = g[c], w[c]
+        try:
+            if str(gc.dtype).startswith("float") or str(wc.dtype).startswith("float"):
+                import numpy as np
+                eq = ((gc.isna() & wc.isna()) | (np.isclose(gc.fillna(0), wc.fillna(0), rtol=0, atol=1e-9) & ~(gc.isna() ^ wc.isna()))).all()
+            else:
+                eq = gc.astype(str).equals(wc.astype(str))
+        except Exception as e:
+            eq = False
+        if not eq:
+            bad.append(c)
+    if bad:
+        results[name] = f"VALUES: cols {bad}"
+        ex = []
+        for c in bad[:2]:
+            diff = (g[c].astype(str) != w[c].astype(str))
+            idx = diff[diff].index[:3]
+            ex.append({c: [(str(g[c][i]), str(w[c][i])) for i in idx]})
+        results[name] += f" examples {ex}"
+    else:
+        results[name] = "OK"
+
+n_ok = sum(1 for v in results.values() if v == "OK")
+for k, v in sorted(results.items()):
+    print(("PASS " if v == "OK" else "FAIL ") + k + ("" if v == "OK" else "  " + str(v)[:300]))
+print(f"\n{n_ok}/{len(results)} oracle-checked queries match")
+# also report queries with no oracle (rows-only)
+all_q = set(os.path.basename(p) for p in glob.glob(os.path.join(outdir, "*")) if os.path.isdir(p))
+no_oracle = all_q - set(oracle)
+if no_oracle:
+    print("rows-only (no oracle):", sorted(no_oracle))
+sys.exit(0 if n_ok == len(results) else 1)

@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see SURVEY.md §7 and the builder prompt.
+  *
+  * `queries` is the full operator inventory of SURVEY.md §2, each entry a
+  * named `(SparkSession, sfDir) => DataFrame`; `oracleSql` pairs each
+  * SQL-expressible query with ANSI SQL the driver runs in DuckDB over the
+  * same parquet tables. Queries without an oracle entry (hash-based sketches,
+  * approx aggregates) get the driver's weaker rows-only check and are covered
+  * by ScalaTest instead.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Flagship.report(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ops.Relational.queries ++
+      ops.Scalars.queries ++
+      ops.Joins.queries ++
+      ops.Windows.queries
+
+  def oracleSql: Map[String, String] =
+    ops.Relational.oracles ++
+      ops.Scalars.oracles ++
+      ops.Joins.oracles ++
+      ops.Windows.oracles
 }

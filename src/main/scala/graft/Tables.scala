@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loader over the driver testdata layout
+  * (`<dir>/<name>.parquet`, see TESTDATA.md).
+  *
+  * Scale note: plain `spark.read.parquet` keeps the scan declarative so
+  * Catalyst pushes filters/projections into the parquet reader
+  * (`PushedFilters`/`ReadSchema`); at 100 TB the same call works over a
+  * partitioned directory tree and gets partition pruning for free.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
+  def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. Read nanos as a long (legacy conf) and convert
+    * to a µs TimestampType with integer division — the values carry µs
+    * resolution, so the truncation is lossless and matches DuckDB's µs read.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

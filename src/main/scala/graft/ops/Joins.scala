@@ -1,0 +1,142 @@
+package graft.ops
+
+import graft.Q
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY.md §2.C). The reference has zero joins in code — its
+  * UNION-ALL+pivot substitutes for a 9-way self-join (box_office_data.sql) —
+  * but enrichment joins are implied by the genre/season dashboards
+  * (README.md:205-220) and the "new entry" flag is semantically an anti-join
+  * of today's codes against yesterday's (daily_csv_pipeline.py:72).
+  *
+  * Scale posture:
+  *  - dimension tables (region/nation/supplier here; movie metadata in the
+  *    reference's domain) are explicitly `broadcast()` — no shuffle of the
+  *    fact side, the join rides inside the scan stage;
+  *  - fact⋈fact goes shuffle/sort-merge (`hint("merge")`), the strategy that
+  *    scales to 100 TB with AQE skew-split enabled;
+  *  - the range join keys on an equality (user_id) first so it planned as a
+  *    sort-merge join with a residual range filter, not a cartesian product.
+  */
+object Joins {
+
+  val queries: Map[String, Q] = Map(
+    // C1 broadcast: fact × 3 broadcast dims, revenue per region.
+    "join_broadcast" -> ((s, d) => {
+      val li = lineitem(s, d); val sup = supplier(s, d)
+      val n = nation(s, d); val r = region(s, d)
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name")
+    }),
+
+    // C1 sort-merge: lineitem⋈orders⋈customer⋈nation, revenue by nation/year.
+    "join_sortmerge" -> ((s, d) => {
+      val li = lineitem(s, d); val o = orders(s, d)
+      val c = customer(s, d); val n = nation(s, d)
+      li.hint("merge")
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("order_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("n_name", "order_year")
+    }),
+
+    // C2 left outer: order count per customer including zero-order customers.
+    "join_left" -> ((s, d) => {
+      val c = customer(s, d); val o = orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy("c_custkey")
+    }),
+
+    // C2 semi: customers with at least one urgent order (EXISTS).
+    "join_semi" -> ((s, d) => {
+      val c = customer(s, d)
+      val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // C2 anti: customers with no orders at all (NOT EXISTS) — the reference's
+    // "new entry" detection shape.
+    "join_anti" -> ((s, d) => {
+      val c = customer(s, d); val o = orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Range/theta join: for each error event, clicks by the same user in the
+    // preceding 10 minutes (as-of/day-over-day comparison pattern, csv:72-74).
+    // ts is ms-truncated on both sides: the parquet carries nanoseconds and
+    // Spark reads µs while DuckDB reads ns, so sub-ms must not decide matches.
+    "join_range" -> ((s, d) => {
+      val e = events(s, d)
+        .withColumn("tsm", date_trunc("MILLISECOND", col("ts")))
+      val err = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id").as("u"),
+          col("tsm").as("err_ts"))
+      val clk = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("u2"), col("tsm").as("clk_ts"))
+      err.join(clk,
+          col("u") === col("u2") &&
+            col("clk_ts") >= col("err_ts") - expr("interval 10 minutes") &&
+            col("clk_ts") < col("err_ts"),
+          "left_outer")
+        .groupBy("err_id")
+        .agg(count(col("clk_ts")).as("n_prior_clicks"))
+        .orderBy("err_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_broadcast" ->
+      """SELECT r_name, round(SUM(l_extendedprice * (1 - l_discount)),2) AS revenue,
+        |COUNT(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_sortmerge" ->
+      """SELECT n_name, year(o_orderdate) AS order_year,
+        |round(SUM(l_extendedprice * (1 - l_discount)),2) AS revenue, COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |round(SUM(o_totalprice),2) AS sum_price
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority='1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_range" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |date_trunc('milliseconds', ts) AS tsm FROM events)
+        |SELECT a.event_id AS err_id, COUNT(b.tsm) AS n_prior_clicks
+        |FROM e a LEFT JOIN e b ON b.user_id = a.user_id AND b.event_type = 'click'
+        |AND b.tsm >= a.tsm - INTERVAL 10 MINUTE AND b.tsm < a.tsm
+        |WHERE a.event_type = 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

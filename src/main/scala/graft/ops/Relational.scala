@@ -1,0 +1,339 @@
+package graft.ops
+
+import graft.Q
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Core relational operators: scans, projections, filters, aggregations,
+  * set operations, sorts (SURVEY.md §2.A/B/D/E/G).
+  *
+  * Reference semantics re-expressed Spark-first:
+  *  - projections/renames: `daily_parquet_pipeline.py:52-73` (bulk rename),
+  *    `:39-40` (literal columns)
+  *  - filters: `daily_csv_pipeline.py:128-147` (NOT NULL DDL),
+  *    `dbt_dags.py:12-20` (last-9-days window → `BETWEEN` predicate)
+  *  - aggregations: `box_office_showrange.sql:6-29` (GROUP BY + SUM, and the
+  *    hand-written partial→final two-phase re-aggregation),
+  *    `box_office_data.sql:20-31` (MAX(CASE WHEN) manual pivot)
+  *  - set ops: `box_office_data.sql:2-17` (Jinja-generated N-way UNION ALL)
+  *  - sorts/top-k: `box_office_data.sql:32` (ORDER BY title, code);
+  *    README.md:174-177 (daily top-10 chart)
+  *
+  * Every query ends in a total order so the driver's hash compare is
+  * deterministic; float aggregates are rounded because summation order
+  * differs across engines. Scale posture: all aggregations are plain
+  * `groupBy` (Catalyst plans partial→shuffle→final hash aggregation with
+  * map-side combine); no `collect()` anywhere; filters/projections sit
+  * directly on the scan so they push into parquet.
+  */
+object Relational {
+
+  val queries: Map[String, Q] = Map(
+    // ---- scans / sources (A4, A6) ----
+    "scan_parquet" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_shipdate"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // CSV dialect round-trip (daily_csv_pipeline.py:53-62 writer, :164-169
+    // COPY reader options; proper quoting vs the reference's naive split,
+    // SURVEY §3.3). Writes a temp CSV then re-reads with an explicit schema.
+    "csv_roundtrip" -> ((s, d) => {
+      val out = "/tmp/graft_csv_rt_" + Integer.toHexString(d.hashCode)
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_shipdate").cast("date").as("l_shipdate"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema("l_orderkey BIGINT, l_linenumber INT, l_returnflag STRING, " +
+          "l_quantity DOUBLE, l_shipdate DATE")
+        .csv(out)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // JSON field extraction (A2/H10: API payload navigation,
+    // daily_csv_pipeline.py:36-51; here over events.props JSON strings).
+    "json_extract" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    // ---- projections (B1-B4) ----
+    "project_rename" -> ((s, d) =>
+      lineitem(s, d)
+        .withColumnsRenamed(Map(
+          "l_orderkey" -> "order_id", "l_linenumber" -> "line_no",
+          "l_quantity" -> "qty", "l_extendedprice" -> "price"))
+        .select("order_id", "line_no", "qty", "price")
+        .orderBy("order_id", "line_no")),
+
+    "project_lit" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          lit("daily_box_office").as("box_office_type"),
+          to_date(lit("2025-01-23")).as("show_range"))
+        .orderBy("o_orderkey")),
+
+    // ---- filters (B6-B8) ----
+    "filter_notnull" -> ((s, d) =>
+      lineitem(s, d)
+        .na.drop(Seq("l_returnflag", "l_quantity", "l_shipdate"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "filter_range" -> ((s, d) =>
+      orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    "filter_eq" -> ((s, d) =>
+      orders(s, d)
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    // ---- aggregations (D1-D8) ----
+    // Float SUMs accumulate as decimal (exactSum) everywhere: double addition
+    // is order-dependent across partitions, so a rounded double sum can flip
+    // its last digit between engines/runs; the decimal quantum is exact.
+    "agg_sum_groupby" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity"), 4).as("sum_qty"),
+          dsum(col("l_extendedprice"), 4).as("sum_price"),
+          round(exactSum(col("l_discount")).cast("double") / count(lit(1)), 6)
+            .as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // The reference's hand-written two-phase aggregate
+    // (box_office_showrange.sql:6-15 partial per table, :20-29 final over the
+    // union) — spelled logically as two groupBys; physically Spark already
+    // plans partial→Exchange→final, so at scale the extra level is free.
+    "agg_partial_final" -> ((s, d) => {
+      val partial = lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(exactSum(col("l_quantity")).as("psum_qty"), count(lit(1)).as("pn"))
+      partial.groupBy("l_returnflag")
+        .agg(round(sum("psum_qty"), 4).cast("double").as("sum_qty"),
+          sum("pn").as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Long-to-wide pivot (box_office_data.sql:20-31) via built-in pivot with
+    // explicit value list (no extra distinct-values job at scale).
+    "agg_pivot" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum(col("l_quantity"), 4))
+        .orderBy("l_linestatus")),
+
+    // Same pivot spelled exactly as the reference writes it: MAX(CASE WHEN).
+    "agg_max_case" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(
+          max(when(col("l_returnflag") === "A", col("l_quantity"))).as("a_max_qty"),
+          max(when(col("l_returnflag") === "N", col("l_quantity"))).as("n_max_qty"),
+          max(when(col("l_returnflag") === "R", col("l_quantity"))).as("r_max_qty"))
+        .orderBy("l_linestatus")),
+
+    // Staging-layer dedup (README.md:88 중복 제거): key-projected so the kept
+    // row is deterministic.
+    "dedup" -> ((s, d) =>
+      orders(s, d)
+        .select("o_custkey", "o_orderstatus")
+        .dropDuplicates("o_custkey", "o_orderstatus")
+        .orderBy("o_custkey", "o_orderstatus")),
+
+    // Day-of-week average sales (README.md:188-191).
+    "agg_avg_dow" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "EEEE").as("dow"))
+        .agg(round(exactSum(col("o_totalprice")).cast("double") / count(lit(1)), 4)
+          .as("avg_price"), count(lit(1)).as("n"))
+        .orderBy("dow")),
+
+    // Correlation scatter inputs (README.md:164-172).
+    "agg_corr" -> ((s, d) =>
+      lineitem(s, d)
+        .agg(round(corr("l_quantity", "l_extendedprice"), 4).as("qty_price_corr"),
+          round(corr("l_discount", "l_tax"), 4).as("disc_tax_corr"))),
+
+    "agg_count_distinct" -> ((s, d) =>
+      orders(s, d)
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          countDistinct(col("o_orderstatus")).as("n_status"))),
+
+    // HLL sketch variant for the 100 TB path (D7); no DuckDB oracle (sketch
+    // implementations differ) — driver records rows-only.
+    "agg_approx_distinct" -> ((s, d) =>
+      orders(s, d)
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"),
+          approx_count_distinct(col("o_orderkey")).as("approx_orders"))),
+
+    // Per-genre AND per-season AND overall totals in one view
+    // (README.md:212-215) → rollup.
+    "agg_rollup" -> ((s, d) => {
+      val o = orders(s, d); val c = customer(s, d); val n = nation(s, d)
+      // project down to the three needed columns straight after the joins —
+      // sidesteps Spark's dataset-id ambiguity check on rollup over a
+      // multi-join, and is the right shape anyway (manual column pruning).
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(col("n_name"), col("o_orderpriority"), col("o_totalprice"))
+        .rollup("n_name", "o_orderpriority")
+        .agg(dsum(col("o_totalprice"), 2).as("sum_price"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("o_orderpriority"))
+    }),
+
+    // ---- set operations (E1-E2) ----
+    // N-way UNION ALL, the reference's consolidation shape
+    // (box_office_data.sql:2-17): one branch per partition value, reduced
+    // with unionByName (names normalized first, B4).
+    "union_all" -> ((s, d) => {
+      val o = orders(s, d)
+      Seq("F", "O", "P")
+        .map(st => o.filter(col("o_orderstatus") === st)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+        .reduce(_ unionByName _)
+        .orderBy("o_orderkey")
+    }),
+
+    "set_intersect" -> ((s, d) =>
+      customer(s, d).select(col("c_custkey").as("custkey"))
+        .intersect(orders(s, d).select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")),
+
+    "set_except" -> ((s, d) =>
+      customer(s, d).select(col("c_custkey").as("custkey"))
+        .except(orders(s, d).select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")),
+
+    // ---- sorts / top-k (S1-S3) ----
+    "sort_multikey" -> ((s, d) =>
+      customer(s, d)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .orderBy(col("c_mktsegment").asc, col("c_acctbal").desc, col("c_custkey").asc)),
+
+    // orderBy+limit plans as TakeOrderedAndProject: per-partition top-k then a
+    // single-driver merge of k×partitions rows — no global sort at 100 TB.
+    "topk" -> ((s, d) =>
+      orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    "limit_n" -> ((s, d) =>
+      lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "csv_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |CAST(l_shipdate AS DATE) AS l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "json_extract" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "project_rename" ->
+      """SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+        |l_quantity AS qty, l_extendedprice AS price
+        |FROM lineitem ORDER BY order_id, line_no""".stripMargin,
+    "project_lit" ->
+      """SELECT o_orderkey, 'daily_box_office' AS box_office_type,
+        |DATE '2025-01-23' AS show_range
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "filter_notnull" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+        |WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL AND l_shipdate IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "filter_range" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
+    "filter_eq" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT','2-HIGH')
+        |ORDER BY o_orderkey""".stripMargin,
+    "agg_sum_groupby" ->
+      """SELECT l_returnflag, l_linestatus, round(SUM(l_quantity),4) AS sum_qty,
+        |round(SUM(l_extendedprice),4) AS sum_price, round(AVG(l_discount),6) AS avg_disc,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "agg_partial_final" ->
+      """SELECT l_returnflag, round(SUM(l_quantity),4) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_pivot" ->
+      """SELECT l_linestatus,
+        |round(SUM(CASE WHEN l_returnflag='A' THEN l_quantity END),4) AS "A",
+        |round(SUM(CASE WHEN l_returnflag='N' THEN l_quantity END),4) AS "N",
+        |round(SUM(CASE WHEN l_returnflag='R' THEN l_quantity END),4) AS "R"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_max_case" ->
+      """SELECT l_linestatus,
+        |MAX(CASE WHEN l_returnflag='A' THEN l_quantity END) AS a_max_qty,
+        |MAX(CASE WHEN l_returnflag='N' THEN l_quantity END) AS n_max_qty,
+        |MAX(CASE WHEN l_returnflag='R' THEN l_quantity END) AS r_max_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup" ->
+      """SELECT DISTINCT o_custkey, o_orderstatus FROM orders
+        |ORDER BY o_custkey, o_orderstatus""".stripMargin,
+    "agg_avg_dow" ->
+      """SELECT dayname(o_orderdate) AS dow, round(AVG(o_totalprice),4) AS avg_price,
+        |COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_corr" ->
+      """SELECT round(corr(l_quantity, l_extendedprice),4) AS qty_price_corr,
+        |round(corr(l_discount, l_tax),4) AS disc_tax_corr
+        |FROM lineitem""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS n_cust,
+        |COUNT(DISTINCT o_orderpriority) AS n_prio,
+        |COUNT(DISTINCT o_orderstatus) AS n_status
+        |FROM orders""".stripMargin,
+    "agg_rollup" ->
+      """SELECT n_name, o_orderpriority, round(SUM(o_totalprice),2) AS sum_price,
+        |COUNT(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, o_orderpriority)
+        |ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "union_all" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus='F'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus='O'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus='P'
+        |ORDER BY o_orderkey""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |INTERSECT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin,
+    "set_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin,
+    "sort_multikey" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+        |ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin,
+    "topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "limit_n" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin
+  )
+}

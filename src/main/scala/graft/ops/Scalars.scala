@@ -1,0 +1,147 @@
+package graft.ops
+
+import graft.Q
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Scalar function surface (SURVEY.md §2.H): string split, date
+  * parse/format/arithmetic, casts, replace/concat, CASE bucketing.
+  *
+  * Reference semantics:
+  *  - H1 split: `showRange "A~B" → first date` (daily_csv_pipeline.py:100-102,
+  *    daily_parquet_pipeline.py:80)
+  *  - H2/H3 parse/format: `pd.to_datetime(...,'%Y%m%d')`
+  *    (daily_parquet_pipeline.py:75-80), `strftime("%Y%m%d")` (csv:192)
+  *  - H4 date arithmetic + K6 date-list generation: `now()-timedelta(1)`,
+  *    9-day range (dbt_dags.py:13-17)
+  *  - H5 casts: `astype('datetime64[ns]')` (parquet:90-93)
+  *  - H6/H7 replace/concat: Jinja `replace('_box_office','')`
+  *    (box_office_data.sql:10-13), f-string table names (csv:193-195)
+  *  - H9 season bucketing: README.md:205-220
+  *
+  * All functions are built-in `org.apache.spark.sql.functions` — codegen'd
+  * inside WholeStageCodegen, no UDFs in the hot path.
+  */
+object Scalars {
+
+  val queries: Map[String, Q] = Map(
+    // H1: split + element access, including the exact "A~B" range shape.
+    "str_split" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          split(col("o_orderpriority"), "-").getItem(0).as("prio_num"),
+          split(col("o_orderpriority"), "-").getItem(1).as("prio_name"),
+          split(concat(date_format(col("o_orderdate"), "yyyyMMdd"), lit("~"),
+            date_format(col("o_orderdate"), "yyyyMMdd")), "~")
+            .getItem(0).as("range_first"))
+        .orderBy("o_orderkey")),
+
+    // H2: yyyyMMdd string → DATE (round-trip through the reference's format).
+    "date_parse" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          to_date(date_format(col("o_orderdate"), "yyyyMMdd"), "yyyyMMdd").as("d"))
+        .orderBy("o_orderkey")),
+
+    // H3: DATE → formatted strings.
+    "date_format_q" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyyMMdd").as("d8"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .orderBy("o_orderkey")),
+
+    // H4 + K6 + H7: generate the dbt date list (yesterday-8 … yesterday,
+    // dbt_dags.py:13-17) fully in-plan — sequence + explode, then the
+    // f-string table name (csv:193-195). Constant-folded by Catalyst.
+    "date_seq" -> ((s, _) =>
+      s.range(1)
+        .select(explode(sequence(
+          to_date(lit("2025-01-07")), to_date(lit("2025-01-15")),
+          expr("interval 1 day"))).as("d"))
+        .select(col("d"),
+          concat(date_format(col("d"), "yyyyMMdd"), lit("_box_office")).as("table_name"))
+        .orderBy("d")),
+
+    // H5: cast matrix. Note double→int uses floor() first: Spark truncates
+    // toward zero while DuckDB rounds, so the portable spelling is explicit.
+    "cast_types" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_quantity")).cast("int").as("qty_int"),
+          col("l_shipdate").cast("date").as("ship_d"),
+          col("l_orderkey").cast("string").as("key_str"),
+          col("l_linenumber").cast("double").as("line_d"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // H6: replace (regexp_replace replaces all occurrences, like Jinja's).
+    "str_replace" -> ((s, d) =>
+      customer(s, d)
+        .select(col("c_custkey"),
+          regexp_replace(col("c_name"), "Customer#", "C#").as("short_name"),
+          regexp_replace(col("c_mktsegment"), "[AEIOU]", "_").as("devoweled"))
+        .orderBy("c_custkey")),
+
+    // H7: concat + printf-style templating.
+    "str_concat" -> ((s, d) =>
+      customer(s, d)
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit("|"), col("c_mktsegment")).as("tagged"),
+          format_string("cust_%07d", col("c_custkey")).as("padded"))
+        .orderBy("c_custkey")),
+
+    // H9: season bucketing CASE expression + aggregate (README.md:205-215).
+    "case_season" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(
+          when(month(col("o_orderdate")).isin(12, 1, 2), "winter")
+            .when(month(col("o_orderdate")).isin(3, 4, 5), "spring")
+            .when(month(col("o_orderdate")).isin(6, 7, 8), "summer")
+            .otherwise("fall").as("season"))
+        .agg(round(sum("o_totalprice"), 2).as("sum_price"), count(lit(1)).as("n"))
+        .orderBy("season"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "str_split" ->
+      """SELECT o_orderkey,
+        |string_split(o_orderpriority,'-')[1] AS prio_num,
+        |string_split(o_orderpriority,'-')[2] AS prio_name,
+        |string_split(strftime(o_orderdate,'%Y%m%d') || '~' || strftime(o_orderdate,'%Y%m%d'),'~')[1] AS range_first
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "date_parse" ->
+      """SELECT o_orderkey, CAST(strptime(strftime(o_orderdate,'%Y%m%d'),'%Y%m%d') AS DATE) AS d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "date_format_q" ->
+      """SELECT o_orderkey, strftime(o_orderdate,'%Y%m%d') AS d8,
+        |strftime(o_orderdate,'%Y-%m') AS ym
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "date_seq" ->
+      """SELECT CAST(u AS DATE) AS d, strftime(u,'%Y%m%d') || '_box_office' AS table_name
+        |FROM (SELECT unnest(generate_series(DATE '2025-01-07', DATE '2025-01-15', INTERVAL 1 DAY)) AS u)
+        |ORDER BY d""".stripMargin,
+    "cast_types" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(floor(l_quantity) AS INTEGER) AS qty_int,
+        |CAST(l_shipdate AS DATE) AS ship_d,
+        |CAST(l_orderkey AS VARCHAR) AS key_str,
+        |CAST(l_linenumber AS DOUBLE) AS line_d
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "str_replace" ->
+      """SELECT c_custkey,
+        |regexp_replace(c_name, 'Customer#', 'C#', 'g') AS short_name,
+        |regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS devoweled
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "str_concat" ->
+      """SELECT c_custkey, c_name || '|' || c_mktsegment AS tagged,
+        |printf('cust_%07d', c_custkey) AS padded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "case_season" ->
+      """SELECT CASE WHEN month(o_orderdate) IN (12,1,2) THEN 'winter'
+        |WHEN month(o_orderdate) IN (3,4,5) THEN 'spring'
+        |WHEN month(o_orderdate) IN (6,7,8) THEN 'summer'
+        |ELSE 'fall' END AS season,
+        |round(SUM(o_totalprice),2) AS sum_price, COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,135 @@
+package graft.ops
+
+import graft.Q
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface (SURVEY.md §2.F). The reference's stored columns
+  * are materialized window outputs computed upstream by KOFIC: `*Inten` ≅
+  * lag deltas, `*Acc` ≅ running sums, `rank` ≅ rank(), `rankOldAndNew` ≅
+  * "lag is null" (daily_csv_pipeline.py:72-74; DDL csv:128-143). Our engine
+  * derives all of them from the long-format fact table.
+  *
+  * Scale posture: every window partitions by a high-cardinality key
+  * (customer), so state is distributed; the single global window in
+  * `win_trailing7` operates on an already-reduced daily aggregate (≤ a few
+  * thousand rows at any scale), never on raw facts.
+  */
+object Windows {
+
+  private def byCust = Window.partitionBy("o_custkey")
+    .orderBy(col("o_orderdate"), col("o_orderkey"))
+
+  val queries: Map[String, Q] = Map(
+    // W1 + W6: lag delta and % change (salesInten / salesChange).
+    "win_lag" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("prev_price", lag("o_totalprice", 1).over(byCust))
+        .withColumn("delta", col("o_totalprice") - col("prev_price"))
+        .withColumn("pct_change",
+          round((col("o_totalprice") / col("prev_price") - 1) * 100, 4))
+        .orderBy("o_custkey", "o_orderkey")),
+
+    // W2: running cumulative sum (salesAcc / audiAcc).
+    "win_cumsum" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("cum_price",
+          round(sum("o_totalprice")
+            .over(byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+        .orderBy("o_custkey", "o_orderkey")),
+
+    // W3: rank + row_number within a period (daily top-10 ranking shape);
+    // unique tiebreak key keeps both engines deterministic.
+    "win_rank" -> ((s, d) => {
+      val w = Window.partitionBy("order_month")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .select("order_month", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", rank().over(w))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .orderBy("order_month", "rnk", "o_orderkey")
+    }),
+
+    // W4 + H11: share-of-total (salesShare = sales / day total).
+    "win_share" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .withColumn("day_share",
+          round(col("o_totalprice") /
+            sum("o_totalprice").over(Window.partitionBy("o_orderdate")), 6))
+        .orderBy("o_orderkey")),
+
+    // W5: NEW/OLD chart-entry flag (rankOldAndNew).
+    "win_new_entry" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("entry_flag",
+          when(lag("o_orderkey", 1).over(byCust).isNull, "NEW").otherwise("OLD"))
+        .orderBy("o_custkey", "o_orderkey")),
+
+    // W7: trailing-7-day revenue trendline (README.md:193-196). Daily
+    // pre-aggregation first, then a RANGE window over day numbers.
+    "win_trailing7" -> ((s, d) => {
+      val daily = lineitem(s, d)
+        .groupBy(col("l_shipdate").cast("date").as("ship_d"))
+        .agg(sum("l_extendedprice").as("rev"))
+        .withColumn("d_num", datediff(col("ship_d"), to_date(lit("1970-01-01"))))
+      daily
+        .withColumn("rev7",
+          round(sum("rev").over(Window.orderBy("d_num").rangeBetween(-6, 0)), 2))
+        .select(col("ship_d"), round(col("rev"), 2).as("rev"), col("rev7"))
+        .orderBy("ship_d")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "win_lag" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |lag(o_totalprice) OVER w AS prev_price,
+        |o_totalprice - lag(o_totalprice) OVER w AS delta,
+        |round((o_totalprice / lag(o_totalprice) OVER w - 1) * 100, 4) AS pct_change
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_cumsum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |round(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+        |ORDER BY o_orderdate, o_orderkey
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_rank" ->
+      """SELECT * FROM (
+        |SELECT strftime(o_orderdate,'%Y-%m') AS order_month, o_orderkey, o_totalprice,
+        |rank() OVER w AS rnk, row_number() OVER w AS rn
+        |FROM orders
+        |WINDOW w AS (PARTITION BY strftime(o_orderdate,'%Y-%m')
+        |ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rnk <= 5 ORDER BY order_month, rnk, o_orderkey""".stripMargin,
+    "win_share" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice,
+        |round(o_totalprice / SUM(o_totalprice) OVER (PARTITION BY o_orderdate), 6)
+        |AS day_share
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_new_entry" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |CASE WHEN lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |ORDER BY o_orderdate, o_orderkey) IS NULL THEN 'NEW' ELSE 'OLD' END AS entry_flag
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_trailing7" ->
+      """WITH daily AS (
+        |SELECT CAST(l_shipdate AS DATE) AS ship_d, SUM(l_extendedprice) AS rev,
+        |date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d_num
+        |FROM lineitem GROUP BY 1, 3)
+        |SELECT ship_d, round(rev,2) AS rev,
+        |round(SUM(rev) OVER (ORDER BY d_num
+        |RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev7
+        |FROM daily ORDER BY ship_d""".stripMargin
+  )
+}
