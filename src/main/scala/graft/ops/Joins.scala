@@ -30,7 +30,7 @@ object Joins {
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
           .as("revenue"),
           count(lit(1)).as("n"))
         .orderBy("r_name")
@@ -45,7 +45,7 @@ object Joins {
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"), year(col("o_orderdate")).as("order_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
           .as("revenue"),
           count(lit(1)).as("n"))
         .orderBy("n_name", "order_year")
@@ -57,7 +57,7 @@ object Joins {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
         .groupBy("c_custkey")
         .agg(count(col("o_orderkey")).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"))
+          dsum(col("o_totalprice"), 2).as("sum_price"))
         .orderBy("c_custkey")
     }),
 
@@ -103,8 +103,12 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    // The oracles accumulate the same DECIMAL(30,8) quantum as dsum: a plain
+    // double SUM in DuckDB is order-dependent too, and near a half-quantum
+    // boundary its rounding can diverge from the exact decimal result
+    // (observed on join_sortmerge: 19317868.315 exact vs .31499 double).
     "join_broadcast" ->
-      """SELECT r_name, round(SUM(l_extendedprice * (1 - l_discount)),2) AS revenue,
+      """SELECT r_name, CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))),2) AS DOUBLE) AS revenue,
         |COUNT(*) AS n
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
@@ -112,14 +116,14 @@ object Joins {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_sortmerge" ->
       """SELECT n_name, year(o_orderdate) AS order_year,
-        |round(SUM(l_extendedprice * (1 - l_discount)),2) AS revenue, COUNT(*) AS n
+        |CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))),2) AS DOUBLE) AS revenue, COUNT(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "join_left" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-        |round(SUM(o_totalprice),2) AS sum_price
+        |CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))),2) AS DOUBLE) AS sum_price
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_semi" ->

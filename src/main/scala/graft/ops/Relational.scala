@@ -40,7 +40,10 @@ object Relational {
     // COPY reader options; proper quoting vs the reference's naive split,
     // SURVEY §3.3). Writes a temp CSV then re-reads with an explicit schema.
     "csv_roundtrip" -> ((s, d) => {
-      val out = "/tmp/graft_csv_rt_" + Integer.toHexString(d.hashCode)
+      // per-run unique temp dir: concurrent verify/bench runs over the same
+      // sf dir must not clobber each other's roundtrip output.
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_csv_rt_").toString
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_quantity"), col("l_shipdate").cast("date").as("l_shipdate"))
@@ -181,17 +184,23 @@ object Relational {
 
     // Per-genre AND per-season AND overall totals in one view
     // (README.md:212-215) → rollup.
+    // Expressed via spark.sql: the DataFrame rollup API tags grouping columns
+    // with a __dataset_id (Dataset.col is called under the hood for string
+    // groupings), and rollup's Expand over a multi-join then falsely trips
+    // DetectAmbiguousSelfJoin in Spark 4.1 no matter how the join is aliased.
+    // The SQL path builds untagged UnresolvedAttributes — same plan, no lint.
+    // The decimal cast inside SUM is the exactSum quantum (order-independent).
     "agg_rollup" -> ((s, d) => {
-      val o = orders(s, d); val c = customer(s, d); val n = nation(s, d)
-      // project down to the three needed columns straight after the joins —
-      // sidesteps Spark's dataset-id ambiguity check on rollup over a
-      // multi-join, and is the right shape anyway (manual column pruning).
-      o.join(c, o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .select(col("n_name"), col("o_orderpriority"), col("o_totalprice"))
-        .rollup("n_name", "o_orderpriority")
-        .agg(dsum(col("o_totalprice"), 2).as("sum_price"), count(lit(1)).as("n"))
-        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("o_orderpriority"))
+      orders(s, d).createOrReplaceTempView("g_orders")
+      customer(s, d).createOrReplaceTempView("g_customer")
+      nation(s, d).createOrReplaceTempView("g_nation")
+      s.sql("""SELECT /*+ BROADCAST(g_nation) */ n_name, o_orderpriority,
+        CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))),2) AS DOUBLE) AS sum_price,
+        COUNT(*) AS n
+        FROM g_orders JOIN g_customer ON o_custkey = c_custkey
+        JOIN g_nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name, o_orderpriority)
+        ORDER BY n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
     }),
 
     // ---- set operations (E1-E2) ----
@@ -270,19 +279,26 @@ object Relational {
       """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
         |WHERE o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT','2-HIGH')
         |ORDER BY o_orderkey""".stripMargin,
+    // Oracles mirror dsum/exactSum's DECIMAL(30,8) accumulation: a plain
+    // double SUM/AVG in DuckDB can round the opposite way at a half-quantum
+    // boundary (observed on agg_avg_dow at sf0.001: .00665 vs .00664999…).
     "agg_sum_groupby" ->
-      """SELECT l_returnflag, l_linestatus, round(SUM(l_quantity),4) AS sum_qty,
-        |round(SUM(l_extendedprice),4) AS sum_price, round(AVG(l_discount),6) AS avg_disc,
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(round(SUM(CAST(l_quantity AS DECIMAL(30,8))),4) AS DOUBLE) AS sum_qty,
+        |CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(30,8))),4) AS DOUBLE) AS sum_price,
+        |round(CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE)/COUNT(*),6) AS avg_disc,
         |COUNT(*) AS n
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "agg_partial_final" ->
-      """SELECT l_returnflag, round(SUM(l_quantity),4) AS sum_qty, COUNT(*) AS n
+      """SELECT l_returnflag,
+        |CAST(round(SUM(CAST(l_quantity AS DECIMAL(30,8))),4) AS DOUBLE) AS sum_qty,
+        |COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_pivot" ->
       """SELECT l_linestatus,
-        |round(SUM(CASE WHEN l_returnflag='A' THEN l_quantity END),4) AS "A",
-        |round(SUM(CASE WHEN l_returnflag='N' THEN l_quantity END),4) AS "N",
-        |round(SUM(CASE WHEN l_returnflag='R' THEN l_quantity END),4) AS "R"
+        |CAST(round(SUM(CAST(CASE WHEN l_returnflag='A' THEN l_quantity END AS DECIMAL(30,8))),4) AS DOUBLE) AS "A",
+        |CAST(round(SUM(CAST(CASE WHEN l_returnflag='N' THEN l_quantity END AS DECIMAL(30,8))),4) AS DOUBLE) AS "N",
+        |CAST(round(SUM(CAST(CASE WHEN l_returnflag='R' THEN l_quantity END AS DECIMAL(30,8))),4) AS DOUBLE) AS "R"
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_max_case" ->
       """SELECT l_linestatus,
@@ -294,7 +310,8 @@ object Relational {
       """SELECT DISTINCT o_custkey, o_orderstatus FROM orders
         |ORDER BY o_custkey, o_orderstatus""".stripMargin,
     "agg_avg_dow" ->
-      """SELECT dayname(o_orderdate) AS dow, round(AVG(o_totalprice),4) AS avg_price,
+      """SELECT dayname(o_orderdate) AS dow,
+        |round(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)/COUNT(*),4) AS avg_price,
         |COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_corr" ->
@@ -307,7 +324,8 @@ object Relational {
         |COUNT(DISTINCT o_orderstatus) AS n_status
         |FROM orders""".stripMargin,
     "agg_rollup" ->
-      """SELECT n_name, o_orderpriority, round(SUM(o_totalprice),2) AS sum_price,
+      """SELECT n_name, o_orderpriority,
+        |CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))),2) AS DOUBLE) AS sum_price,
         |COUNT(*) AS n
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey

@@ -98,7 +98,7 @@ object Scalars {
             .when(month(col("o_orderdate")).isin(3, 4, 5), "spring")
             .when(month(col("o_orderdate")).isin(6, 7, 8), "summer")
             .otherwise("fall").as("season"))
-        .agg(round(sum("o_totalprice"), 2).as("sum_price"), count(lit(1)).as("n"))
+        .agg(dsum(col("o_totalprice"), 2).as("sum_price"), count(lit(1)).as("n"))
         .orderBy("season"))
   )
 
@@ -141,7 +141,7 @@ object Scalars {
         |WHEN month(o_orderdate) IN (3,4,5) THEN 'spring'
         |WHEN month(o_orderdate) IN (6,7,8) THEN 'summer'
         |ELSE 'fall' END AS season,
-        |round(SUM(o_totalprice),2) AS sum_price, COUNT(*) AS n
+        |CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))),2) AS DOUBLE) AS sum_price, COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

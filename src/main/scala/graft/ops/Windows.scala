@@ -75,16 +75,20 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")),
 
     // W7: trailing-7-day revenue trendline (README.md:193-196). Daily
-    // pre-aggregation first, then a RANGE window over day numbers.
+    // pre-aggregation first, then a RANGE window over day numbers. The daily
+    // sum accumulates as decimal (exactSum) and the trailing window sums the
+    // decimal — both stay partition-order-independent; one round at the end.
     "win_trailing7" -> ((s, d) => {
       val daily = lineitem(s, d)
         .groupBy(col("l_shipdate").cast("date").as("ship_d"))
-        .agg(sum("l_extendedprice").as("rev"))
+        .agg(exactSum(col("l_extendedprice")).as("rev"))
         .withColumn("d_num", datediff(col("ship_d"), to_date(lit("1970-01-01"))))
       daily
         .withColumn("rev7",
-          round(sum("rev").over(Window.orderBy("d_num").rangeBetween(-6, 0)), 2))
-        .select(col("ship_d"), round(col("rev"), 2).as("rev"), col("rev7"))
+          round(sum("rev").over(Window.orderBy("d_num").rangeBetween(-6, 0)), 2)
+            .cast("double"))
+        .select(col("ship_d"), round(col("rev"), 2).cast("double").as("rev"),
+          col("rev7"))
         .orderBy("ship_d")
     })
   )
@@ -124,12 +128,13 @@ object Windows {
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_trailing7" ->
       """WITH daily AS (
-        |SELECT CAST(l_shipdate AS DATE) AS ship_d, SUM(l_extendedprice) AS rev,
+        |SELECT CAST(l_shipdate AS DATE) AS ship_d,
+        |SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS rev,
         |date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d_num
         |FROM lineitem GROUP BY 1, 3)
-        |SELECT ship_d, round(rev,2) AS rev,
-        |round(SUM(rev) OVER (ORDER BY d_num
-        |RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev7
+        |SELECT ship_d, CAST(round(rev,2) AS DOUBLE) AS rev,
+        |CAST(round(SUM(rev) OVER (ORDER BY d_num
+        |RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rev7
         |FROM daily ORDER BY ship_d""".stripMargin
   )
 }
