@@ -20,11 +20,13 @@ object SparkEntry {
     ops.Relational.queries ++
       ops.Scalars.queries ++
       ops.Joins.queries ++
-      ops.Windows.queries
+      ops.Windows.queries ++
+      ops.TextSim.queries
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++
       ops.Scalars.oracles ++
       ops.Joins.oracles ++
-      ops.Windows.oracles
+      ops.Windows.oracles ++
+      ops.TextSim.oracles
 }

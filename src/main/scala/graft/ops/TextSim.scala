@@ -1,0 +1,466 @@
+package graft.ops
+
+import graft.Q
+import graft.Tables._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.J / builder brief):
+  * tokenization, word counts, quality scoring, language ID, fingerprinting,
+  * exact + near-duplicate detection (hash, n-gram Jaccard, MinHash+LSH),
+  * and vector similarity (cosine, exact top-k, LSH-bucketed top-k) over the
+  * `documents` (doc_id, text, lang, source, n_chars) and `embeddings`
+  * (vec_id, 64-d float array, label) tables.
+  *
+  * Design rules:
+  *  - Everything is built-in higher-order functions (`transform`, `aggregate`,
+  *    `zip_with`, `filter`) and codegen'd scalar functions — zero UDFs in the
+  *    data path, so Catalyst sees through every expression.
+  *  - Vector math casts float elements to double FIRST and folds
+  *    sequentially, exactly like the paired DuckDB oracle, so scores agree
+  *    bit-for-bit and rankings are stable across engines.
+  *  - Portable hashing for oracle-checked dedup: sha256-derived 60-bit ints
+  *    (`conv(substr(sha2(...),1,15),16,10)`) — deterministic in both engines.
+  *    At 100 TB swap in xxhash64 (one line) — same plan shape, cheaper hash;
+  *    the sha form exists so the DuckDB oracle can replay it.
+  *
+  * Scale posture (the 100 TB story, per operator):
+  *  - tokenize/wordcount/quality/langid/fingerprint: map-side only (narrow),
+  *    then one shuffle for the word-count groupBy. Linear, no skew risk
+  *    beyond token frequency (a hot word is one reducer key — counts are
+  *    map-side combined first).
+  *  - dedup_hash: shuffle-distinct on a 256-bit key; uniform by construction.
+  *  - dedup_ngram_jaccard: inverted-index join on 3-gram shingles (NOT an
+  *    all-pairs cross join) — cost is Σ_g df(g)², the standard
+  *    candidate-pair bound; 3-grams keep df(g) small. Skew guard at scale:
+  *    drop ultra-frequent shingles (stop-shingles) before the join.
+  *  - dedup_minhash: 16-perm signature, 4 bands × 4 rows LSH — candidate
+  *    pairs only from band-key collisions; verification on the 16-slot
+  *    signatures, never the raw text. This is the linear-ish scale path.
+  *  - sim_cosine / sim_topk: probes are broadcast (small side), candidates
+  *    stream through one scan — k·N work, no N² pair blowup. Top-k is
+  *    two-phase: per-input-partition row_number prune to k, then global
+  *    row_number over ≤ k·partitions rows per probe — no single task ever
+  *    sorts a whole probe's candidate set.
+  *  - sim_topk_lsh: sign-random-projection buckets (8 tables × 4 bits)
+  *    prune candidates before exact re-rank — the ANN path when the probe
+  *    set itself is large. No SQL oracle (recall is approximate);
+  *    TextSimSpec asserts recall vs the exact path.
+  *  - dedup_embed: blocked on `label` (pre-assigned cluster/shard key), so
+  *    pairs are generated per-block — the blocking pattern that keeps exact
+  *    near-dup search feasible at scale.
+  */
+object TextSim {
+
+  /** Lower-cased whitespace tokens of `text`. */
+  private def toks: Column = split(lower(col("text")), " ")
+
+  /** Word n-gram shingles (distinct) of the token array; empty when the doc
+    * has fewer than n tokens (sequence(1,0) would DESCEND in Spark — guard).
+    */
+  private def shingles(n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Portable 60-bit hash: first 15 hex chars of sha256(s), as BIGINT.
+    * Identical in DuckDB as CAST('0x'||substr(sha256(s),1,15) AS BIGINT). */
+  private def h60(s: Column): Column =
+    conv(substring(sha2(s, 256), 1, 15), 16, 10).cast("long")
+
+  private val NumHashes = 16
+  private val Bands = 4 // 4 bands x 4 rows
+
+  /** 16-slot MinHash signature of a shingle array (sha-derived, portable). */
+  private def minhashSig(sh: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      j => array_min(transform(sh,
+        g => h60(concat(g, lit("#"), j.cast("string"))))))
+
+  /** Sequential double fold of an elementwise product — the dot product,
+    * computed in the exact same order as the DuckDB oracle's
+    * list_sum(list_transform(list_zip(a,b), ...)). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  val queries: Map[String, Q] = Map(
+    // U1: tokenize + explode (UDTF shape) with 1-based position.
+    "text_tokens" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), col("tok"), (col("pos0") + 1).as("pos"))
+        .orderBy("doc_id", "pos")),
+
+    // U2: corpus term frequency.
+    "text_wordcount" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(toks).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy("tok")),
+
+    // Token counting: whitespace tokens + a BPE-ish regex segmentation
+    // (letter runs | single digits | single punctuation) — the two standard
+    // corpus-size estimators.
+    "text_token_count" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws"),
+          regexp_count(lower(col("text")), lit("[a-z]+|[0-9]|[^a-z0-9 ]"))
+            .as("n_bpe"))
+        .orderBy("doc_id")),
+
+    // Quality scoring: length, punctuation ratio, stopword ratio, mean token
+    // length, and a composite score. All ratios rounded at 6.
+    "text_quality" -> ((s, d) => {
+      val nTok = size(toks)
+      val stopHits = size(filter(toks,
+        t => array_contains(typedlit(stopwords), t)))
+      val punct = regexp_count(lower(col("text")), lit("[^a-z0-9 ]"))
+      val tokLenSum = aggregate(transform(toks, t => length(t)),
+        lit(0), (acc, v) => acc + v)
+      documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_m"),
+          nTok.as("n_tok"),
+          round(stopHits.cast("double") / nTok, 6).as("stop_ratio"),
+          round(punct.cast("double") / length(col("text")), 6).as("punct_ratio"),
+          round(tokLenSum.cast("double") / nTok, 6).as("avg_tok_len"),
+          round(least(nTok.cast("double") / 100.0, lit(1.0)) *
+            (lit(1.0) - punct.cast("double") / length(col("text"))), 6)
+            .as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // Language ID: marker-lexicon frequency heuristic with a deterministic
+    // priority tiebreak (en > de > es > fr). The lexicons are illustrative;
+    // the operator shape (frequency of language-marker tokens, argmax) is
+    // the standard n-gram heuristic.
+    "text_langid" -> ((s, d) => {
+      def score(markers: Seq[String]): Column =
+        size(filter(toks, t => array_contains(typedlit(markers), t)))
+      val sEn = score(Seq("the", "a", "and", "query"))
+      val sDe = score(Seq("der", "die", "das", "batch"))
+      val sEs = score(Seq("el", "la", "los", "data"))
+      val sFr = score(Seq("le", "les", "et", "table"))
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"), sFr.as("s_fr"),
+          when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
+            .when(sDe >= sEs && sDe >= sFr, "de")
+            .when(sEs >= sFr, "es")
+            .otherwise("fr").as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint: polynomial rolling hash over portable per-token
+    // values (len*31 + first-char code), mod 1e9+7 — order-sensitive, so
+    // re-ordered docs get different prints (unlike a bag-of-words hash).
+    "text_fingerprint" -> ((s, d) => {
+      val vals = transform(toks, t => (length(t) * 31 + ascii(t)).cast("long"))
+      documents(s, d)
+        .select(col("doc_id"),
+          aggregate(vals, lit(0L),
+            (acc, v) => (acc * 1000003L + v) % 1000000007L).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // U3: exact dedup via content hash — groupwise min keeps the result
+    // deterministic even when true duplicates exist.
+    "dedup_hash" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .orderBy("h")),
+
+    // Near-dup detection: 3-gram shingle Jaccard >= 0.5 via inverted-index
+    // join (cost Σ_g df(g)² — never an all-pairs cross join). Pairs with
+    // zero shared shingles have J=0 and are correctly absent.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = documents(s, d)
+        .select(col("doc_id"), shingles(3).as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("n_sh"), col("sh"))
+      val e = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("g"))
+      val a = e.select(col("doc_id").as("ia"), col("n_sh").as("na"), col("g"))
+      val b = e.select(col("doc_id").as("ib"), col("n_sh").as("nb"), col("g"))
+      a.join(b, Seq("g")).filter(col("ia") < col("ib"))
+        .groupBy("ia", "ib", "na", "nb").agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select("ia", "ib", "inter", "jaccard")
+        .orderBy("ia", "ib")
+    }),
+
+    // MinHash + LSH near-dup: 16-perm signatures, 4 bands x 4 rows.
+    // Candidate pairs come ONLY from band-key collisions; similarity is then
+    // estimated from signature agreement (k/16). The banding join is the
+    // linear-ish scale path — raw text never meets raw text.
+    "dedup_minhash" -> ((s, d) => {
+      val sig = documents(s, d)
+        .select(col("doc_id"), minhashSig(shingles(3)).as("sig"))
+      val bands = sig.select(col("doc_id"), col("sig"),
+          posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+            bd => concat_ws(",", slice(col("sig"),
+              bd * (NumHashes / Bands) + 1,
+              lit(NumHashes / Bands))))).as(Seq("band", "key")))
+      val l = bands.select(col("doc_id").as("ia"), col("sig").as("sa"),
+        col("band"), col("key"))
+      val r = bands.select(col("doc_id").as("ib"), col("sig").as("sb"),
+        col("band"), col("key"))
+      l.join(r, Seq("band", "key")).filter(col("ia") < col("ib"))
+        .select("ia", "ib", "sa", "sb").distinct()
+        .withColumn("est_sim",
+          size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+            v => v)).cast("double") / NumHashes)
+        .filter(col("est_sim") >= 0.5)
+        .select(col("ia"), col("ib"), col("est_sim"))
+        .orderBy("ia", "ib")
+    }),
+
+    // U4: cosine of every vector against the vec_id=0 probe (broadcast) —
+    // explicit double fold so the oracle's identical fold agrees bitwise.
+    "sim_cosine" -> ((s, d) => {
+      val p = embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("p"))
+      embeddings(s, d).crossJoin(broadcast(p))
+        .select(col("vec_id"), col("label"),
+          round(cosine(col("embedding"), col("p")), 6).as("cos_sim"))
+        .orderBy("vec_id")
+    }),
+
+    // U5: exact top-5 neighbours for 10 broadcast probes. Two-phase top-k:
+    // per-input-partition prune to 5 (parallel), then per-probe final
+    // row_number over <= 5*partitions survivors. k·N work, no N² pairs.
+    "sim_topk" -> ((s, d) => {
+      val probes = embeddings(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+      val scored = embeddings(s, d).crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("cand_id"),
+          cosine(col("embedding"), col("p")).as("cos"))
+      val local = scored
+        .withColumn("part", spark_partition_id())
+        .withColumn("lrn", row_number().over(Window
+          .partitionBy("probe_id", "part")
+          .orderBy(col("cos").desc, col("cand_id"))))
+        .filter(col("lrn") <= 5)
+      local
+        .withColumn("rk", row_number().over(Window
+          .partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("rk"), col("cand_id"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy("probe_id", "rk")
+    }),
+
+    // ANN variant: sign-random-projection LSH (8 tables x 4 bits) prunes the
+    // candidate set before the exact re-rank. Approximate — no SQL oracle;
+    // TextSimSpec asserts recall against sim_topk's exact result.
+    "sim_topk_lsh" -> ((s, d) => {
+      // Deterministic pseudo-random hyperplanes (splitmix-style), generated
+      // driver-side as literals so the plan is pure codegen.
+      def plane(t: Int, b: Int): Seq[Double] = {
+        var x = (t * 16 + b + 1) * 0x9E3779B97F4A7C15L
+        Seq.tabulate(64) { _ =>
+          x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+          x ^= x >>> 27; x *= 0x94D049BB133111EBL
+          x ^= x >>> 31
+          ((x & 0xFFFFL).toDouble / 65535.0) * 2.0 - 1.0
+        }
+      }
+      def bucketKey(t: Int): Column =
+        (0 until 4).map { b =>
+          (when(dot(col("embedding"), typedlit(plane(t, b))) > 0, 1)
+            .otherwise(0)) * (1 << b)
+        }.reduce(_ + _)
+      val emb = embeddings(s, d)
+      val buckets = emb.select(col("vec_id") +: col("embedding") +:
+        (0 until 8).map(t => bucketKey(t).as(s"k$t")): _*)
+      val bl = buckets.select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until 8).map(t => col(s"k$t")): _*))
+          .as(Seq("tbl", "key")))
+      val probes = bl.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
+          col("tbl"), col("key"))
+      val cands = probes.join(bl, Seq("tbl", "key"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("p"), col("vec_id").as("cand_id"),
+          col("embedding")).distinct()
+      cands
+        .select(col("probe_id"), col("cand_id"),
+          cosine(col("embedding"), col("p")).as("cos"))
+        .withColumn("rk", row_number().over(Window
+          .partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("rk"), col("cand_id"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy("probe_id", "rk")
+    }),
+
+    // Embedding near-dup with label blocking: pairs are generated only
+    // inside a block (label = shard/cluster key), the pattern that keeps
+    // exact near-dup pair generation feasible at scale.
+    "dedup_embed" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val a = e.select(col("label"), col("vec_id").as("ia"),
+        col("embedding").as("ea"))
+      val b = e.select(col("label"), col("vec_id").as("ib"),
+        col("embedding").as("eb"))
+      a.join(b, Seq("label")).filter(col("ia") < col("ib"))
+        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.35)
+        .select(col("label"), col("ia"), col("ib"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy("label", "ia", "ib")
+    }),
+
+    // U6 surface: the custom Aggregator (graft.functions.MinHashUnion,
+    // registered as a UDAF) unions per-doc MinHash signatures into one
+    // per-language signature via elementwise min — a mergeable sketch, the
+    // canonical TypedImperativeAggregate shape.
+    "udaf_minhash_lang" -> ((s, d) => {
+      graft.functions.MinHashUnion.register(s)
+      documents(s, d)
+        .select(col("lang"), minhashSig(shingles(3)).as("sig"))
+        .groupBy("lang")
+        .agg(expr("minhash_union(sig)").as("usig"))
+        .select(col("lang"), concat_ws(",", col("usig")).as("sig_csv"))
+        .orderBy("lang")
+    })
+  )
+
+  /** Shared DuckDB SQL fragments (mirror the Scala helpers above). */
+  private val dToks = "string_split(lower(text),' ')"
+  private def dShingles(n: Int): String = {
+    val parts = (0 until n).map(o => s"$dToks[i+$o]").mkString(" || ' ' || ")
+    s"CASE WHEN len($dToks) >= $n THEN list_distinct(list_transform(" +
+      s"generate_series(1, len($dToks)-${n - 1}), i -> $parts)) " +
+      "ELSE [] END"
+  }
+  private def dH60(s: String): String =
+    s"CAST('0x' || substr(sha256($s),1,15) AS BIGINT)"
+  private val dSig =
+    s"list_transform(generate_series(0,${NumHashes - 1}), j -> " +
+      s"list_min(list_transform(sh, g -> ${dH60("g || '#' || CAST(j AS VARCHAR)")})))"
+  private def dDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a,$b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+  private def dCos(a: String, b: String): String =
+    s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id, unnest($dToks) AS tok,
+        |unnest(generate_series(1, len($dToks))) AS pos
+        |FROM documents ORDER BY doc_id, pos""".stripMargin,
+    "text_wordcount" ->
+      s"""SELECT tok, COUNT(*) AS n FROM
+        |(SELECT unnest($dToks) AS tok FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS n_ws,
+        |len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" -> {
+      val stop = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""SELECT doc_id, length(text) AS n_chars_m, len($dToks) AS n_tok,
+        |round(CAST(len(list_filter($dToks, t -> list_contains($stop, t))) AS DOUBLE) / len($dToks), 6) AS stop_ratio,
+        |round(CAST(len(regexp_extract_all(lower(text),'[^a-z0-9 ]')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |round(CAST(list_sum(list_transform($dToks, t -> length(t))) AS DOUBLE) / len($dToks), 6) AS avg_tok_len,
+        |round(least(CAST(len($dToks) AS DOUBLE)/100.0, 1.0) *
+        |(1.0 - CAST(len(regexp_extract_all(lower(text),'[^a-z0-9 ]')) AS DOUBLE)/length(text)), 6) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "text_langid" -> {
+      def sc(ms: Seq[String]) =
+        s"len(list_filter($dToks, t -> list_contains(" +
+          ms.map(w => s"'$w'").mkString("[", ",", "]") + ", t)))"
+      val (en, de, es, fr) = (sc(Seq("the", "a", "and", "query")),
+        sc(Seq("der", "die", "das", "batch")),
+        sc(Seq("el", "la", "los", "data")),
+        sc(Seq("le", "les", "et", "table")))
+      s"""SELECT doc_id, lang, $en AS s_en, $de AS s_de, $es AS s_es, $fr AS s_fr,
+        |CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+        |WHEN $de >= $es AND $de >= $fr THEN 'de'
+        |WHEN $es >= $fr THEN 'es' ELSE 'fr' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "text_fingerprint" ->
+      s"""SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |list_transform($dToks, t -> CAST(length(t)*31 + ascii(t) AS BIGINT))),
+        |(a, b) -> (a * 1000003 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_hash" ->
+      """SELECT sha256(text) AS h, min(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH s AS (SELECT doc_id, ${dShingles(3)} AS sh FROM documents),
+        |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s),
+        |inter AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.n_sh AS na, b.n_sh AS nb,
+        |         COUNT(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2,3,4)
+        |SELECT ia, ib, inter,
+        |round(CAST(inter AS DOUBLE)/(na + nb - inter), 6) AS jaccard
+        |FROM inter
+        |WHERE round(CAST(inter AS DOUBLE)/(na + nb - inter), 6) >= 0.5
+        |ORDER BY ia, ib""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH s AS (SELECT doc_id, ${dShingles(3)} AS sh FROM documents),
+        |sig AS (SELECT doc_id, $dSig AS sig FROM s),
+        |bands AS (
+        |  SELECT doc_id, sig, unnest(generate_series(0,${Bands - 1})) AS band,
+        |  unnest(list_transform(generate_series(0,${Bands - 1}), b ->
+        |    array_to_string(sig[b*${NumHashes / Bands}+1 : b*${NumHashes / Bands}+${NumHashes / Bands}], ','))) AS key
+        |  FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+        |         a.sig AS sa, b.sig AS sb
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT ia, ib,
+        |CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE)/$NumHashes AS est_sim
+        |FROM cand
+        |WHERE CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE)/$NumHashes >= 0.5
+        |ORDER BY ia, ib""".stripMargin,
+    "sim_cosine" ->
+      s"""WITH p AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label, round(${dCos("embedding", "p")}, 6) AS cos_sim
+        |FROM embeddings, p ORDER BY vec_id""".stripMargin,
+    "sim_topk" ->
+      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS p
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT probe_id, vec_id AS cand_id, ${dCos("embedding", "p")} AS cos
+        |  FROM embeddings, probes WHERE vec_id <> probe_id),
+        |ranked AS (
+        |  SELECT probe_id, cand_id, cos, row_number() OVER
+        |    (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rk
+        |  FROM scored)
+        |SELECT probe_id, rk, cand_id, round(cos, 6) AS cos_sim
+        |FROM ranked WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "dedup_embed" ->
+      s"""SELECT a.label AS label, a.vec_id AS ia, b.vec_id AS ib,
+        |round(${dCos("a.embedding", "b.embedding")}, 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ${dCos("a.embedding", "b.embedding")} >= 0.35
+        |ORDER BY label, ia, ib""".stripMargin,
+    "udaf_minhash_lang" ->
+      s"""WITH s AS (SELECT doc_id, lang, ${dShingles(3)} AS sh FROM documents),
+        |sig AS (SELECT doc_id, lang, $dSig AS sig FROM s),
+        |pos AS (SELECT lang, unnest(generate_series(1,$NumHashes)) AS j, sig FROM sig),
+        |mins AS (SELECT lang, j, min(sig[j]) AS m FROM pos GROUP BY 1,2)
+        |SELECT lang, array_to_string(list(m ORDER BY j), ',') AS sig_csv
+        |FROM mins GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}
