@@ -21,12 +21,14 @@ object SparkEntry {
       ops.Scalars.queries ++
       ops.Joins.queries ++
       ops.Windows.queries ++
-      ops.TextSim.queries
+      ops.TextSim.queries ++
+      ops.Streaming.queries
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++
       ops.Scalars.oracles ++
       ops.Joins.oracles ++
       ops.Windows.oracles ++
-      ops.TextSim.oracles
+      ops.TextSim.oracles ++
+      ops.Streaming.oracles
 }

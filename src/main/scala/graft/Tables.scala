@@ -32,6 +32,18 @@ object Tables {
     t(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+  /** Streaming variant of `events` (T1 incremental ingest): same nanos→µs
+    * conversion, but over `readStream` on a DIRECTORY of event parquet files
+    * (FileStreamSource requires a directory) so Trigger.AvailableNow can
+    * drain it incrementally.
+    */
+  def eventsStream(s: SparkSession, sfDir: String, streamDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(s, sfDir, "events") // ts arrives as LongType nanos
+    s.readStream.schema(raw.schema).parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.Q
+import graft.Tables._
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+/** Batch-checkable projections of the streaming transforms (SURVEY.md §2.I
+  * T2–T4). `window`/`session_window` work identically over a batch
+  * DataFrame, so the driver's DuckDB oracle can verify the exact window
+  * semantics; StreamingSpec re-drives the same StreamOps transforms through
+  * MemoryStream + watermark where batch has no equivalent (T1/T5/T6).
+  */
+object Streaming {
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling" -> ((s, d) =>
+      StreamOps.tumblingDaily(events(s, d)).orderBy("day")),
+
+    "stream_sliding" -> ((s, d) =>
+      StreamOps.sliding7d(events(s, d)).orderBy("win_start")),
+
+    "stream_session" -> ((s, d) =>
+      StreamOps.sessionize(events(s, d))
+        .orderBy("user_id", "session_start_us"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Tumbling 1-day windows == date_trunc('day'). The decimal cast matches
+    // dsum's DECIMAL(30,8) accumulation.
+    "stream_tumbling" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n,
+        |CAST(round(SUM(CAST(value AS DECIMAL(30,8))),4) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // An event at ts belongs to the 7 daily-aligned windows starting at
+    // date_trunc(day, ts) - i days, i in 0..6 (epoch 1970-01-01 is
+    // day-aligned, matching Spark's window start alignment).
+    "stream_sliding" ->
+      """WITH x AS (SELECT ts, value, unnest(generate_series(0,6)) AS i FROM events)
+        |SELECT CAST(date_trunc('day', ts) - i * INTERVAL 1 DAY AS DATE) AS win_start,
+        |COUNT(*) AS n,
+        |CAST(round(SUM(CAST(value AS DECIMAL(30,8))),4) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Gaps-and-islands: a session breaks when the gap is >= 30 minutes
+    // (Spark's session [start, last+gap) is half-open, so an event exactly
+    // at the gap boundary starts a NEW session).
+    "stream_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts, SUM(brk) OVER
+        |    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |epoch_us(max(ts)) AS last_us, COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin
+  )
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.dsum
+
+/** Streaming transforms (SURVEY.md §2.I). The reference is scheduled
+  * micro-batch (cron `0 0 * * *`, daily_parquet_pipeline.py:174) with
+  * retries/backfill for late data; Structured Streaming expresses the same
+  * semantics declaratively. Each transform below is a plain
+  * `DataFrame => DataFrame`, so the SAME code runs in batch mode (where the
+  * driver's DuckDB oracle checks it — see ops.Streaming) and on a
+  * `readStream` source (where StreamingSpec drives it with MemoryStream).
+  *
+  * Scale posture: all aggregations key on (window[, user]) — state is
+  * partitioned by group key across executors; watermarks bound state size
+  * (without one, a streaming agg's state grows forever at 100 TB/day).
+  */
+object StreamOps {
+
+  /** T2: tumbling daily window — the per-day GROUP BY showRange (D1). */
+  def tumblingDaily(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
+      .select(to_date(col("window.start")).as("day"), col("n"),
+        col("sum_value"))
+
+  /** T3: sliding 7-day window stepping daily — the trailing-week trendline
+    * (README.md:193-196) as overlapping windows (each event lands in 7).
+    */
+  def sliding7d(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "7 days", "1 day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
+      .select(to_date(col("window.start")).as("win_start"), col("n"),
+        col("sum_value"))
+
+  /** T4: 30-minute-gap session windows per user. Timestamps are exported as
+    * epoch micros so batch output compares exactly against the DuckDB
+    * oracle's TIMESTAMP_NS values (`epoch_us`).
+    */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("last_ts")).as("last_us"),
+        col("n_events"))
+
+  /** T5: watermarked tumbling count — events later than 1 hour behind the
+    * max seen ts are dropped from open windows; state for closed windows is
+    * evicted. Streaming-only semantics (batch ignores watermarks), verified
+    * by StreamingSpec golden runs.
+    */
+  def watermarkedDaily(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+
+  /** T6: stateful dedup keyed on event_id, with state bounded by the
+    * watermark — the staging-layer 중복 제거 (README.md:88) applied
+    * incrementally.
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+}

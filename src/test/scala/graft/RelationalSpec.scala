@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Algebraic invariants of the relational core (SURVEY.md §5.2 #3). */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val orders = Tables.orders(spark, sf0001).cache()
+
+  test("unionAll row-count additivity (E1)") {
+    val parts = Seq("F", "O", "P")
+      .map(st => orders.filter(col("o_orderstatus") === st))
+    val unioned = parts.reduce(_ unionByName _)
+    assert(unioned.count() === parts.map(_.count()).sum)
+    assert(unioned.count() === orders.count()) // statuses partition the table
+  }
+
+  test("partial+final re-aggregation equals single-level SUM (D2)") {
+    val single = orders.groupBy("o_orderstatus")
+      .agg(sum("o_totalprice").as("s"))
+    val partial = orders.groupBy("o_orderstatus", "o_orderpriority")
+      .agg(sum("o_totalprice").as("ps"))
+      .groupBy("o_orderstatus").agg(sum("ps").as("s"))
+    val joined = single.as("a").join(partial.as("b"), "o_orderstatus")
+      .select(abs($"a.s" - $"b.s").as("diff"))
+    assert(joined.filter($"diff" > 1e-6).isEmpty)
+  }
+
+  test("dedup idempotence (D4)") {
+    val once = orders.select("o_custkey", "o_orderstatus").distinct()
+    assert(once.distinct().count() === once.count())
+  }
+
+  test("pivot-then-unpivot returns the long form (D3)") {
+    val long = Seq(("d1", "A", 1L), ("d1", "B", 2L), ("d2", "A", 3L))
+      .toDF("day", "k", "v")
+    val wide = long.groupBy("day").pivot("k", Seq("A", "B")).agg(sum("v"))
+    val back = wide.selectExpr("day", "stack(2, 'A', A, 'B', B) AS (k, v)")
+      .filter(col("v").isNotNull)
+    assert(back.sort("day", "k").collect().toSeq ===
+      long.sort("day", "k").collect().toSeq)
+  }
+
+  test("empty-input guard (B5): aggregation over zero rows yields zero rows") {
+    val empty = orders.filter(lit(false))
+    assert(empty.isEmpty)
+    assert(empty.groupBy("o_orderstatus").count().isEmpty)
+  }
+
+  test("topk equals sort-then-head (S2)") {
+    val topk = orders.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5).select("o_orderkey").as[Long].collect().toSeq
+    val full = orders.select("o_orderkey", "o_totalprice")
+      .collect()
+      .sortBy(r => (-r.getDouble(1), r.getLong(0)))
+      .take(5).map(_.getLong(0)).toSeq
+    assert(topk === full)
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamOps
+
+/** Structured Streaming semantics that batch can't express (SURVEY.md §2.I
+  * T1/T5/T6), driven with MemoryStream / file-stream golden runs.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2025-01-15 $h%02d:$m%02d:00")
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+
+  test("T5: watermark drops events later than the 1h threshold") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.watermarkedDaily(ms.toDF())
+      .writeStream.format("memory").queryName("t5_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: events at 10:00 and 12:00 -> watermark advances to 11:00
+      ms.addData(Ev(1, ts(10), 1, 1.0), Ev(2, ts(12), 1, 1.0))
+      q.processAllAvailable()
+      // batch 2: a 10:30 event is BEHIND the 11:00 watermark but its 1-day
+      // window [2025-01-15, 2025-01-16) is still open (window.end 00:00 on
+      // the 16th > watermark), so it must still count; a 2025-01-13 event's
+      // window closed long ago and must be dropped.
+      ms.addData(Ev(3, ts(10, 30), 1, 1.0),
+        Ev(4, Timestamp.valueOf("2025-01-13 09:00:00"), 1, 1.0))
+      q.processAllAvailable()
+      val counts = spark.table("t5_out")
+        .groupBy("win_start").max("n")
+        .as[(Timestamp, Long)].collect().toMap
+      assert(counts(Timestamp.valueOf("2025-01-15 00:00:00")) === 3L)
+      assert(!counts.contains(Timestamp.valueOf("2025-01-13 00:00:00")),
+        "late event beyond watermark must not open a closed window")
+    } finally q.stop()
+  }
+
+  test("T6: dropDuplicatesWithinWatermark dedups across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.dedupWithinWatermark(ms.toDF())
+      .writeStream.format("memory").queryName("t6_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(Ev(1, ts(10), 1, 1.0), Ev(1, ts(10, 5), 1, 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(1, ts(10, 10), 1, 1.0), Ev(2, ts(10, 15), 1, 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("t6_out").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids === Seq(1L, 2L),
+        "duplicate event_id within the watermark must be emitted once")
+    } finally q.stop()
+  }
+
+  test("T1: Trigger.AvailableNow file ingest matches the batch count") {
+    val out = java.nio.file.Files.createTempDirectory("graft_t1_").toString
+    // FileStreamSource wants a directory — stage the single-file table.
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$out/in"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      java.nio.file.Paths.get(s"$out/in/events.parquet"))
+    val batch = Tables.events(spark, sf0001)
+    val stream = Tables.eventsStream(spark, sf0001, s"$out/in")
+    val q = StreamOps.tumblingDaily(stream)
+      .writeStream.format("memory").queryName("t1_out")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("t1_out").agg(org.apache.spark.sql.functions
+        .sum("n")).as[Long].collect().head
+      assert(streamed === batch.count())
+    } finally q.stop()
+  }
+
+  test("T2/T4 transforms produce identical results in batch re-runs") {
+    // determinism: the same StreamOps transform over the same input is
+    // stable run to run (required for idempotent micro-batch re-execution).
+    val e = Tables.events(spark, sf0001)
+    val a = StreamOps.sessionize(e).collect().toSeq
+    val b = StreamOps.sessionize(e).collect().toSeq
+    assert(a === b)
+  }
+}

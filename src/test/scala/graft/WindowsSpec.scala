@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function invariants (SURVEY.md §5.2 #3). */
+class WindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val orders = Tables.orders(spark, sf0001).cache()
+
+  test("cumsum's last value per key equals the key's total (W2)") {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    val last = orders
+      .withColumn("cum", sum("o_totalprice").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_custkey")))
+      .filter($"rn" === $"n")
+      .select($"o_custkey", $"cum")
+    val total = orders.groupBy("o_custkey").agg(sum("o_totalprice").as("t"))
+    val bad = last.join(total, "o_custkey")
+      .filter(abs($"cum" - $"t") > 1e-6)
+    assert(bad.isEmpty)
+  }
+
+  test("lag delta telescopes: sum of deltas = last - first (W1)") {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val d = orders
+      .withColumn("delta", col("o_totalprice") - lag("o_totalprice", 1).over(w))
+    val sums = d.groupBy("o_custkey").agg(
+      sum("delta").as("dsum"),
+      max(struct(col("o_orderdate"), col("o_orderkey"), col("o_totalprice")))
+        .getField("o_totalprice").as("lastv"),
+      min(struct(col("o_orderdate"), col("o_orderkey"), col("o_totalprice")))
+        .getField("o_totalprice").as("firstv"))
+    val bad = sums.filter($"dsum".isNotNull &&
+      abs($"dsum" - ($"lastv" - $"firstv")) > 1e-6)
+    assert(bad.isEmpty)
+  }
+
+  test("rank within month never exceeds month row count (W3)") {
+    val w = Window.partitionBy("m").orderBy(col("o_totalprice").desc)
+    val bad = orders
+      .withColumn("m", date_format(col("o_orderdate"), "yyyy-MM"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("m")))
+      .filter($"rnk" > $"n")
+    assert(bad.isEmpty)
+  }
+
+  test("share-of-total sums to 1 per day (W4)") {
+    val shares = orders
+      .withColumn("share", col("o_totalprice") /
+        sum("o_totalprice").over(Window.partitionBy("o_orderdate")))
+      .groupBy("o_orderdate").agg(sum("share").as("s"))
+    assert(shares.filter(abs($"s" - 1.0) > 1e-9).isEmpty)
+  }
+}
