@@ -18,7 +18,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout gets wrapped in sbt [info] noise — ALSO write the JSON to a
+    // file so the bench gate can always machine-parse it (BENCH_r01 had
+    // "parsed": null from scraping the sbt tail).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/tmp/graft_bench.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
+    println(json)
     spark.stop()
   }
 }

@@ -44,6 +44,16 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+  /** documents/embeddings ship as ONE small parquet file ⇒ one input split,
+    * so every expensive per-row expression (sha256 MinHash signatures,
+    * 64-dim dot products) would run in a single task regardless of core
+    * count (observed: 75s single-threaded vs ~2s spread). A round-robin
+    * repartition to the default parallelism restores the multi-split layout
+    * a real table has; the shuffled payload is the small source table
+    * itself, not derived data.
+    */
+  def documents(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
 }

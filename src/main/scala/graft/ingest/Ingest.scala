@@ -1,0 +1,137 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingest path (SURVEY.md §2.A A1–A9): the reference's
+  * `daily_parquet_pipeline.py` re-expressed as one in-process Spark job.
+  *
+  * Reference semantics reproduced:
+  *  - A1/A2 (`daily_parquet_pipeline.py:23-42`): descend
+  *    `boxOfficeResult.dailyBoxOfficeList`, hoist `boxofficeType` and
+  *    `showRange` onto every element. The HTTP fetch itself is out of engine
+  *    scope — `parsePayload` takes the payload text (from a fixture file or
+  *    any driver-side fetch) and does everything after the socket.
+  *  - B1 (`:44-82`): the exact 18-entry rename map to date-prefixed columns,
+  *    `released_date` parse, `showRange "A~B" → first date`.
+  *  - DDL types (`:105-141`): BIGINT counts, DOUBLE ratios, DATE dates —
+  *    applied as casts instead of a warehouse-side CREATE TABLE.
+  *  - B5 (`daily_csv_pipeline.py:40-42`): empty-payload guard.
+  *  - A5/A8/A9 (`:84-161`): Parquet write + idempotent `saveAsTable` +
+  *    scan→insertInto bulk load, collapsed to Spark writers (the S3→COPY
+  *    hop disappears — executors write the table files directly).
+  *
+  * Scale posture: ingest is map-only (parse → explode → project), so it
+  * pipelines entirely inside one codegen stage per file split; a day of
+  * payloads at 100 TB is just more input splits, no shuffle anywhere.
+  */
+object Ingest {
+
+  /** The 18 per-movie fields all arrive as strings (§1.2). */
+  private val listFields = Seq("rnum", "rank", "rankInten", "rankOldAndNew",
+    "movieCd", "movieNm", "openDt", "salesAmt", "salesShare", "salesInten",
+    "salesChange", "salesAcc", "audiCnt", "audiInten", "audiChange",
+    "audiAcc", "scrnCnt", "showCnt")
+
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("boxOfficeResult", StructType(Seq(
+      StructField("boxofficeType", StringType),
+      StructField("showRange", StringType),
+      StructField("dailyBoxOfficeList",
+        ArrayType(StructType(listFields.map(StructField(_, StringType)))))
+    )))))
+
+  /** A2: payload JSON text → one row per ranked movie, parent fields
+    * hoisted (daily_parquet_pipeline.py:34-40).
+    */
+  def parsePayload(payloads: Dataset[String]): DataFrame = {
+    val parsed = payloads.select(
+      from_json(col("value"), payloadSchema).getField("boxOfficeResult")
+        .as("r"))
+    parsed
+      .select(col("r.boxofficeType").as("boxOfficeType"),
+        col("r.showRange").as("showRange"),
+        explode(col("r.dailyBoxOfficeList")).as("m"))
+      .select(col("boxOfficeType") +: col("showRange") +:
+        listFields.map(f => col(s"m.$f").as(f)): _*)
+  }
+
+  /** B1: the reference's rename dictionary, verbatim
+    * (daily_parquet_pipeline.py:52-72). */
+  def renameDict(d: String): Map[String, String] = Map(
+    "rnum" -> s"${d}_rank_num",
+    "rank" -> s"${d}_ranking",
+    "rankInten" -> s"${d}_increase_decrease",
+    "rankOldAndNew" -> s"${d}_new_entry",
+    "movieCd" -> "code",
+    "movieNm" -> "title",
+    "openDt" -> "released_date",
+    "salesAmt" -> s"${d}_sales",
+    "salesShare" -> s"${d}_sales_ratio",
+    "salesInten" -> s"${d}_sales_increase_decrease",
+    "salesChange" -> s"${d}_sales_increase_decrease_ratio",
+    "salesAcc" -> s"${d}_total_sales",
+    "audiCnt" -> s"${d}_audience_num",
+    "audiInten" -> s"${d}_audience_increase_decrease",
+    "audiChange" -> s"${d}_audience_increase_decrease_ratio",
+    "audiAcc" -> s"${d}_total_audience_num",
+    "scrnCnt" -> s"${d}_screen_num",
+    "showCnt" -> s"${d}_screen_show")
+
+  /** Column type at the DDL boundary, by date-stripped suffix
+    * (daily_parquet_pipeline.py:114-135). */
+  private val suffixTypes: Map[String, DataType] = Map(
+    "rank_num" -> LongType, "ranking" -> LongType,
+    "increase_decrease" -> LongType, "new_entry" -> StringType,
+    "sales" -> LongType, "sales_ratio" -> DoubleType,
+    "sales_increase_decrease" -> LongType,
+    "sales_increase_decrease_ratio" -> DoubleType,
+    "total_sales" -> LongType, "audience_num" -> LongType,
+    "audience_increase_decrease" -> LongType,
+    "audience_increase_decrease_ratio" -> DoubleType,
+    "total_audience_num" -> LongType, "screen_num" -> LongType,
+    "screen_show" -> LongType)
+
+  /** B1 + H1/H2 + DDL casts: flattened rows → the day's wide typed table
+    * (daily_parquet_pipeline.py:44-93 + :105-141 in one projection).
+    */
+  def dailyTable(flat: DataFrame, targetDate: String): DataFrame = {
+    val renamed = flat.withColumnsRenamed(renameDict(targetDate))
+    val typed = renamed.columns.map {
+      case c @ "code" => col(c).cast(LongType).as(c)
+      case c @ "title" => col(c)
+      case c @ "released_date" => to_date(col(c), "yyyy-MM-dd").as(c)
+      case c @ "showRange" =>
+        to_date(split(col(c), "~").getItem(0), "yyyyMMdd").as(c)
+      case c @ "boxOfficeType" => col(c)
+      case c =>
+        val suffix = c.stripPrefix(s"${targetDate}_")
+        col(c).cast(suffixTypes.getOrElse(suffix, StringType)).as(c)
+    }
+    renamed.select(typed: _*)
+  }
+
+  /** B5: abort when the API list is empty (daily_csv_pipeline.py:40-42). */
+  def requireNonEmpty(df: DataFrame, context: String): DataFrame = {
+    if (df.isEmpty)
+      throw new IllegalStateException(s"$context: empty payload, aborting")
+    df
+  }
+
+  /** A5 + A8: write the day's table idempotently (CREATE TABLE IF NOT
+    * EXISTS ≙ mode("ignore")) into the session catalog as Parquet.
+    */
+  def saveDaily(df: DataFrame, targetDate: String): String = {
+    val table = s"raw_${targetDate}_box_office"
+    df.write.mode("ignore").format("parquet").saveAsTable(table)
+    table
+  }
+
+  /** A9: bulk load staged Parquet into an existing table — the reference's
+    * S3→Redshift COPY collapses to scan + insertInto (one Spark job, no
+    * intermediate hop).
+    */
+  def bulkLoad(spark: SparkSession, stagedDir: String, table: String): Unit =
+    spark.read.parquet(stagedDir).write.mode("append").insertInto(table)
+}

@@ -55,6 +55,19 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // A5/A6 named end-to-end: write a projected slice to parquet, read it
+    // back — the staged-write shape of the reference's S3 hop
+    // (daily_parquet_pipeline.py:95-98 write, :151-156 COPY-side scan).
+    "parquet_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_pq_rt_").toString
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate").cast("date").as("o_date"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("o_orderkey")
+    }),
+
     // JSON field extraction (A2/H10: API payload navigation,
     // daily_csv_pipeline.py:36-51; here over events.props JSON strings).
     "json_extract" -> ((s, d) =>
@@ -255,6 +268,10 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
         |CAST(l_shipdate AS DATE) AS l_shipdate
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "parquet_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |CAST(o_orderdate AS DATE) AS o_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "json_extract" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,

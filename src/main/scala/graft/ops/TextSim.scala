@@ -56,15 +56,6 @@ object TextSim {
   /** Lower-cased whitespace tokens of `text`. */
   private def toks: Column = split(lower(col("text")), " ")
 
-  /** Word n-gram shingles (distinct) of the token array; empty when the doc
-    * has fewer than n tokens (sequence(1,0) would DESCEND in Spark — guard).
-    */
-  private def shingles(n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))))
-      .otherwise(array().cast("array<string>"))
-
   /** Portable 60-bit hash: first 15 hex chars of sha256(s), as BIGINT.
     * Identical in DuckDB as CAST('0x'||substr(sha256(s),1,15) AS BIGINT). */
   private def h60(s: Column): Column =
@@ -73,11 +64,43 @@ object TextSim {
   private val NumHashes = 16
   private val Bands = 4 // 4 bands x 4 rows
 
-  /** 16-slot MinHash signature of a shingle array (sha-derived, portable). */
-  private def minhashSig(sh: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      j => array_min(transform(sh,
-        g => h60(concat(g, lit("#"), j.cast("string"))))))
+  /** Distinct word n-gram shingle ROWS (doc_id, g) — explode-first so the
+    * split/gram/hash work is flat codegen'd projections over rows, never a
+    * nested higher-order lambda. (A transform-inside-transform formulation
+    * re-inlines the tokenizer into every lambda iteration after projection
+    * collapse — measured 240µs/hash interpreted vs ~1µs here — and
+    * interpreted HOFs break whole-stage codegen. Explode + window-lead +
+    * shuffle is also the shape that scales: every step is linear and
+    * partition-parallel.)
+    */
+  private def shingleRows(docs: org.apache.spark.sql.DataFrame, n: Int) = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tokenRows = docs.select(col("doc_id"),
+      posexplode(toks).as(Seq("pos", "tok")))
+    val leadCols = (1 until n).map(o => lead(col("tok"), o).over(w).as(s"t$o"))
+    tokenRows
+      .select(col("doc_id") +: col("tok") +: leadCols: _*)
+      .filter((1 until n).map(o => col(s"t$o").isNotNull)
+        .foldLeft(lit(true))(_ && _))
+      .select(col("doc_id"), concat_ws(" ",
+        col("tok") +: (1 until n).map(o => col(s"t$o")): _*).as("g"))
+      .distinct()
+  }
+
+  /** (doc_id, sig[16]) MinHash signatures from shingle rows: explode the 16
+    * hash indices, sha in a flat projection (codegen'd), min per (doc, j),
+    * then fold back to an ordered array. Two small shuffles, fully parallel.
+    */
+  private def sigTable(sh: org.apache.spark.sql.DataFrame) =
+    sh.select(col("doc_id"), col("g"),
+        explode(sequence(lit(0), lit(NumHashes - 1))).as("j"))
+      .select(col("doc_id"), col("j"),
+        h60(concat(col("g"), lit("#"), col("j").cast("string"))).as("h"))
+      .groupBy("doc_id", "j").agg(min("h").as("h"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("j"), col("h"))).as("raw"))
+      .select(col("doc_id"),
+        transform(array_sort(col("raw")), x => x.getField("h")).as("sig"))
 
   /** Sequential double fold of an elementwise product — the dot product,
     * computed in the exact same order as the DuckDB oracle's
@@ -144,18 +167,29 @@ object TextSim {
     // the operator shape (frequency of language-marker tokens, argmax) is
     // the standard n-gram heuristic.
     "text_langid" -> ((s, d) => {
-      def score(markers: Seq[String]): Column =
-        size(filter(toks, t => array_contains(typedlit(markers), t)))
-      val sEn = score(Seq("the", "a", "and", "query"))
-      val sDe = score(Seq("der", "die", "das", "batch"))
-      val sEs = score(Seq("el", "la", "los", "data"))
-      val sFr = score(Seq("le", "les", "et", "table"))
-      documents(s, d)
+      // One exploded-token aggregation pass computes all four marker counts
+      // (codegen'd conditional sums); the argmax CASE then runs over the
+      // aggregated COLUMNS. Spelling the scores as per-doc array HOFs
+      // instead re-inlines the tokenizer into every score reference after
+      // projection collapse (~5x the work, interpreted).
+      def cnt(markers: Seq[String]): Column =
+        sum(when(col("tok").isin(markers: _*), 1).otherwise(0)).cast("long")
+      val docs = documents(s, d)
+      val scores = docs
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id")
+        .agg(cnt(Seq("the", "a", "and", "query")).as("s_en"),
+          cnt(Seq("der", "die", "das", "batch")).as("s_de"),
+          cnt(Seq("el", "la", "los", "data")).as("s_es"),
+          cnt(Seq("le", "les", "et", "table")).as("s_fr"))
+      scores
+        .join(broadcast(docs.select(col("doc_id"), col("lang"))), Seq("doc_id"))
         .select(col("doc_id"), col("lang"),
-          sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"), sFr.as("s_fr"),
-          when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
-            .when(sDe >= sEs && sDe >= sFr, "de")
-            .when(sEs >= sFr, "es")
+          col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+            col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
             .otherwise("fr").as("lang_pred"))
         .orderBy("doc_id")
     }),
@@ -184,14 +218,16 @@ object TextSim {
     // join (cost Σ_g df(g)² — never an all-pairs cross join). Pairs with
     // zero shared shingles have J=0 and are correctly absent.
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val sh = documents(s, d)
-        .select(col("doc_id"), shingles(3).as("sh"))
-        .select(col("doc_id"), size(col("sh")).as("n_sh"), col("sh"))
-      val e = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("g"))
-      val a = e.select(col("doc_id").as("ia"), col("n_sh").as("na"), col("g"))
-      val b = e.select(col("doc_id").as("ib"), col("n_sh").as("nb"), col("g"))
+      val sh = shingleRows(documents(s, d), 3)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val a = sh.select(col("doc_id").as("ia"), col("g"))
+      val b = sh.select(col("doc_id").as("ib"), col("g"))
       a.join(b, Seq("g")).filter(col("ia") < col("ib"))
-        .groupBy("ia", "ib", "na", "nb").agg(count(lit(1)).as("inter"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+        .join(broadcast(sz.select(col("doc_id").as("ia"),
+          col("n_sh").as("na"))), Seq("ia"))
+        .join(broadcast(sz.select(col("doc_id").as("ib"),
+          col("n_sh").as("nb"))), Seq("ib"))
         .withColumn("jaccard", round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 6))
         .filter(col("jaccard") >= 0.5)
@@ -204,8 +240,10 @@ object TextSim {
     // estimated from signature agreement (k/16). The banding join is the
     // linear-ish scale path — raw text never meets raw text.
     "dedup_minhash" -> ((s, d) => {
-      val sig = documents(s, d)
-        .select(col("doc_id"), minhashSig(shingles(3)).as("sig"))
+      // sigTable ends in an aggregation, so the signatures are materialized
+      // once behind an exchange — the band generator and both join sides
+      // read them instead of re-deriving sha256 work per consumer.
+      val sig = sigTable(shingleRows(documents(s, d), 3))
       val bands = sig.select(col("doc_id"), col("sig"),
           posexplode(transform(sequence(lit(0), lit(Bands - 1)),
             bd => concat_ws(",", slice(col("sig"),
@@ -329,8 +367,9 @@ object TextSim {
     // canonical TypedImperativeAggregate shape.
     "udaf_minhash_lang" -> ((s, d) => {
       graft.functions.MinHashUnion.register(s)
-      documents(s, d)
-        .select(col("lang"), minhashSig(shingles(3)).as("sig"))
+      val docs = documents(s, d)
+      sigTable(shingleRows(docs, 3))
+        .join(broadcast(docs.select(col("doc_id"), col("lang"))), Seq("doc_id"))
         .groupBy("lang")
         .agg(expr("minhash_union(sig)").as("usig"))
         .select(col("lang"), concat_ws(",", col("usig")).as("sig_csv"))

@@ -45,12 +45,28 @@ object Windows {
 
     // W3: rank + row_number within a period (daily top-10 ranking shape);
     // unique tiebreak key keeps both engines deterministic.
+    // Scale hardening: month cardinality is low (~80 partitions here), so a
+    // straight month-partitioned window funnels a month of raw orders into
+    // one task at 100×. A partition-local rank()<=5 prune runs first: any
+    // row with global rank<=5 has at most 4 better rows in its own input
+    // partition too, so local rank() (NOT row_number — ties must survive)
+    // keeps every candidate, and the month window then sorts only
+    // <=5×partitions survivors. row_number stays exact because every row
+    // ordered before a survivor is itself a survivor.
     "win_rank" -> ((s, d) => {
       val w = Window.partitionBy("order_month")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      orders(s, d)
+      val base = orders(s, d)
         .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
         .select("order_month", "o_orderkey", "o_totalprice")
+      val pruned = base
+        .withColumn("part", spark_partition_id())
+        .withColumn("lrk", rank().over(Window
+          .partitionBy("order_month", "part")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("lrk") <= 5)
+        .drop("part", "lrk")
+      pruned
         .withColumn("rnk", rank().over(w))
         .withColumn("rn", row_number().over(w))
         .filter(col("rnk") <= 5)

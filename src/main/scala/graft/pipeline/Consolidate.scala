@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's transform layer (K5/K6): both dbt models reproduced
+  * parameterically over a date list, with every wide column name GENERATED
+  * from the dates exactly as the Jinja does — never hardcoded.
+  *
+  *  - `boxOfficeData` ≙ `box_office_data.sql:1-32`: per-table base CTE
+  *    normalizing `"{D}_sales" AS sales` (B4) + N-way UNION ALL (E1) +
+  *    `MAX(CASE WHEN source_table = t THEN m END) AS "{D}_m"` pivot (D3)
+  *    grouped by (title, code), ordered by (title, code).
+  *  - `boxOfficeShowRange` ≙ `box_office_showrange.sql:1-29`: per-table
+  *    GROUP BY showRange with 6 SUMs (D1, the partial phase) + UNION ALL +
+  *    outer re-SUM (D2, the final phase).
+  *
+  * Scale posture: the pivot is conditional aggregation — ONE shuffle on
+  * (title, code) regardless of how many dates consolidate (vs N−1 join
+  * shuffles for the self-join formulation); Catalyst collapses the N
+  * normalization projections into the union branches and pushes column
+  * pruning into each scan. The showRange model's partial aggregation
+  * reduces each day's partition to a handful of rows before the union, so
+  * the final shuffle moves ~|dates| rows however large the days are.
+  */
+object Consolidate {
+
+  private val Fmt = DateTimeFormatter.ofPattern("yyyyMMdd")
+
+  /** K6 (`dbt_dags.py:12-20`): yesterday−(days−1) … yesterday, as the
+    * yyyyMMdd-named tables the reference enumerates. */
+  def tableNames(end: LocalDate, days: Int = 9): Seq[String] =
+    (days - 1 to 0 by -1).map(i => s"${end.minusDays(i).format(Fmt)}_box_office")
+
+  private def datePart(tableName: String): String =
+    tableName.replace("_box_office", "") // the Jinja replace('_box_office','')
+
+  private val DataMeasures =
+    Seq("sales", "total_sales", "audience_num", "total_audience_num")
+
+  /** `box_office_data.sql` — tables maps table name → that day's wide frame. */
+  def boxOfficeData(tables: Seq[(String, DataFrame)]): DataFrame = {
+    require(tables.nonEmpty, "consolidation over zero tables")
+    // base_data CTE: normalize date-prefixed columns to canonical names and
+    // tag each branch with its source table (box_office_data.sql:6-15).
+    val base = tables.map { case (t, df) =>
+      val d = datePart(t)
+      df.select(col("title") +: col("code") +:
+        DataMeasures.map(m => col(s"${d}_$m").as(m)) :+
+        lit(t).as("source_table"): _*)
+    }.reduce(_ unionByName _)
+    // pivot back to wide: MAX(CASE WHEN source_table = t) per date × measure
+    // (box_office_data.sql:20-31).
+    val pivots: Seq[Column] = for {
+      (t, _) <- tables
+      m <- DataMeasures
+    } yield max(when(col("source_table") === t, col(m)))
+      .as(s"${datePart(t)}_$m")
+    base.groupBy("title", "code")
+      .agg(pivots.head, pivots.tail: _*)
+      .orderBy("title", "code") // box_office_data.sql:32
+  }
+
+  private val RangeMeasures = Seq(
+    "sales" -> "total_sales",
+    "total_sales" -> "total_total_sales",
+    "audience_num" -> "total_audience_num",
+    "total_audience_num" -> "total_total_audience_num",
+    "screen_num" -> "total_screen_num",
+    "screen_show" -> "total_screen_show")
+
+  /** `box_office_showrange.sql` — explicit partial (per table) + final
+    * (over the union) two-phase aggregation. */
+  def boxOfficeShowRange(tables: Seq[(String, DataFrame)]): DataFrame = {
+    require(tables.nonEmpty, "consolidation over zero tables")
+    val base = tables.map { case (t, df) =>
+      val d = datePart(t)
+      val partials = RangeMeasures.map { case (m, alias) =>
+        sum(col(s"${d}_$m")).as(alias)
+      }
+      df.groupBy("showRange").agg(partials.head, partials.tail: _*)
+    }.reduce(_ unionByName _)
+    val finals = RangeMeasures.map(_._2).map(a => sum(a).as(a))
+    base.groupBy("showRange").agg(finals.head, finals.tail: _*)
+  }
+}

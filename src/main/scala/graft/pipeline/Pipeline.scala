@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+
+/** Orchestration layer (SURVEY.md §2.K): the reference's Airflow task chain
+  * (`a >> b >> c`, daily_parquet_pipeline.py:214), per-task `retries: 1`
+  * (:167), and XCom inter-task handoff (:192,198), re-expressed as plain
+  * Scala composition of `DataFrame => DataFrame` stages.
+  *
+  *  - K1 chaining: `run` folds the stages; within a run, handoff is a lazy
+  *    plan (no serialization boundary at all — Catalyst optimizes ACROSS
+  *    stages, e.g. a later stage's filter pushes below an earlier stage's
+  *    projection).
+  *  - K3 retries: each stage is retried up to `retries` times. NOTE: Spark
+  *    plans are lazy, so a retry is only meaningful around an ACTION —
+  *    checkpointed runs (below) materialize per stage and give true
+  *    per-stage retry, exactly like Airflow re-running one task.
+  *  - K4 checkpoint handoff: with `checkpointDir`, each stage's output is
+  *    written to Parquet and re-read, making stage boundaries durable
+  *    (≙ XCom/S3 between Airflow tasks) at the cost of breaking plan
+  *    fusion — the same trade the reference made everywhere, opt-in here.
+  */
+final case class Stage(name: String, f: DataFrame => DataFrame)
+
+final class Pipeline(
+    stages: Seq[Stage],
+    retries: Int = 1,
+    checkpointDir: Option[String] = None) {
+
+  private def withRetry[T](name: String)(body: => T): T = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt <= retries) {
+      try return body
+      catch {
+        case e: Throwable =>
+          last = e; attempt += 1
+          if (attempt <= retries)
+            System.err.println(
+              s"[pipeline] stage '$name' failed (attempt $attempt), retrying")
+      }
+    }
+    throw last
+  }
+
+  def run(input: DataFrame): DataFrame =
+    stages.foldLeft(input) { (df, stage) =>
+      withRetry(stage.name) {
+        val out = stage.f(df)
+        checkpointDir match {
+          case Some(dir) =>
+            val path = s"$dir/${stage.name}"
+            out.write.mode("overwrite").parquet(path) // the ACTION retried
+            out.sparkSession.read.parquet(path)
+          case None => out
+        }
+      }
+    }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import java.time.LocalDate
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{DoubleType, LongType, DateType, StringType}
+import graft.ingest.Ingest
+import graft.pipeline.{Consolidate, Pipeline, Stage}
+
+/** Golden tests for the ingest → consolidate pipeline: fixture JSON in the
+  * exact KOFIC payload shape → per-day wide tables → both dbt models'
+  * output shapes, with every wide column name generated from the dates.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A KOFIC-shaped payload for one day with the given ranked movies. */
+  private def payload(d8: String, movies: Seq[(Int, String, Long, Long)]): String = {
+    val list = movies.map { case (rank, (title), sales, audi) =>
+      s"""{"rnum":"$rank","rank":"$rank","rankInten":"0","rankOldAndNew":"OLD",
+         |"movieCd":"${1000 + title.hashCode.abs % 1000}","movieNm":"$title",
+         |"openDt":"2025-01-01","salesAmt":"$sales","salesShare":"12.5",
+         |"salesInten":"100","salesChange":"1.5","salesAcc":"${sales * 10}",
+         |"audiCnt":"$audi","audiInten":"10","audiChange":"0.5",
+         |"audiAcc":"${audi * 10}","scrnCnt":"500","showCnt":"2000"}"""
+        .stripMargin.replaceAll("\n", "")
+    }.mkString(",")
+    s"""{"boxOfficeResult":{"boxofficeType":"일별 박스오피스",
+       |"showRange":"$d8~$d8","dailyBoxOfficeList":[$list]}}"""
+      .stripMargin.replaceAll("\n", "")
+  }
+
+  private val dates = Seq("20250113", "20250114", "20250115")
+  private val movies = Seq("MovieA", "MovieB", "MovieC")
+
+  /** One wide daily table per date, via the full ingest path. */
+  private lazy val dailyTables: Seq[(String, DataFrame)] = dates.map { d8 =>
+    val raw = payload(d8, movies.zipWithIndex.map { case (m, i) =>
+      (i + 1, m, 1000L * (i + 1) + d8.toLong % 97, 100L * (i + 1))
+    })
+    val flat = Ingest.parsePayload(Seq(raw).toDS())
+    val table = Ingest.dailyTable(
+      Ingest.requireNonEmpty(flat, s"day $d8"), d8)
+    (s"${d8}_box_office", table)
+  }
+
+  test("A1/A2: payload parse explodes the list and hoists parent fields") {
+    val flat = Ingest.parsePayload(Seq(payload("20250113",
+      Seq((1, "MovieA", 1000L, 100L), (2, "MovieB", 2000L, 200L)))).toDS())
+    assert(flat.count() === 2)
+    assert(flat.columns.take(2).toSeq === Seq("boxOfficeType", "showRange"))
+    assert(flat.select("boxOfficeType").distinct().as[String].collect()
+      === Array("일별 박스오피스"))
+  }
+
+  test("B1 + DDL casts: daily table has the reference's exact schema") {
+    val (name, df) = dailyTables.head
+    assert(name === "20250113_box_office")
+    val f = df.schema.fields.map(x => x.name -> x.dataType).toMap
+    assert(f("20250113_rank_num") === LongType)
+    assert(f("20250113_ranking") === LongType)
+    assert(f("20250113_new_entry") === StringType)
+    assert(f("code") === LongType)
+    assert(f("title") === StringType)
+    assert(f("released_date") === DateType)
+    assert(f("20250113_sales") === LongType)
+    assert(f("20250113_sales_ratio") === DoubleType)
+    assert(f("20250113_sales_increase_decrease_ratio") === DoubleType)
+    assert(f("20250113_total_audience_num") === LongType)
+    assert(f("showRange") === DateType)
+    // showRange "A~B" -> first date (daily_parquet_pipeline.py:80)
+    assert(df.select("showRange").distinct().as[java.sql.Date].collect()
+      === Array(java.sql.Date.valueOf("2025-01-13")))
+  }
+
+  test("B5: empty payload aborts") {
+    val flat = Ingest.parsePayload(
+      Seq(payload("20250113", Seq.empty)).toDS())
+    intercept[IllegalStateException] {
+      Ingest.requireNonEmpty(flat, "empty day")
+    }
+  }
+
+  test("K5: box_office_data pivot reproduces the dbt model's shape") {
+    val out = Consolidate.boxOfficeData(dailyTables)
+    // column names generated from dates, 4 measures per date, after
+    // (title, code) — exactly box_office_data.sql:20-31.
+    val expectedCols = Seq("title", "code") ++
+      dates.flatMap(d => Seq(s"${d}_sales", s"${d}_total_sales",
+        s"${d}_audience_num", s"${d}_total_audience_num"))
+    assert(out.columns.toSeq === expectedCols)
+    val rows = out.collect()
+    assert(rows.length === movies.length) // one row per (title, code)
+    // ordered by title, code (box_office_data.sql:32)
+    assert(rows.map(_.getString(0)).toSeq === movies.sorted)
+    // spot value: MovieA on the 14th -> sales 1000 + 20250114 % 97
+    val a = out.filter($"title" === "MovieA").collect().head
+    assert(a.getAs[Long]("20250114_sales") === 1000L + 20250114L % 97)
+  }
+
+  test("K5: box_office_showrange partial+final equals direct totals") {
+    val out = Consolidate.boxOfficeShowRange(dailyTables)
+    assert(out.columns.toSeq === Seq("showRange", "total_sales",
+      "total_total_sales", "total_audience_num", "total_total_audience_num",
+      "total_screen_num", "total_screen_show"))
+    assert(out.count() === dates.length) // one row per day
+    // direct single-level total for one day must match the two-phase value
+    val d = "20250115"
+    val direct = dailyTables.toMap.apply(s"${d}_box_office")
+      .agg(org.apache.spark.sql.functions.sum(s"${d}_sales")).as[Long]
+      .collect().head
+    val twoPhase = out
+      .filter($"showRange" === java.sql.Date.valueOf("2025-01-15"))
+      .select("total_sales").as[Long].collect().head
+    assert(twoPhase === direct)
+  }
+
+  test("K6: tableNames generates yesterday-8 .. yesterday, oldest first") {
+    val names = Consolidate.tableNames(LocalDate.of(2025, 1, 15))
+    assert(names.length === 9)
+    assert(names.head === "20250107_box_office")
+    assert(names.last === "20250115_box_office")
+  }
+
+  test("K1/K3/K4: pipeline chains stages, retries failures, checkpoints") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe_").toString
+    var failOnce = true
+    val p = new Pipeline(Seq(
+      Stage("double", df => df.withColumn("v2", $"v" * 2)),
+      Stage("flaky", df => {
+        if (failOnce) { failOnce = false; sys.error("transient failure") }
+        df.withColumn("v3", $"v2" + 1)
+      })), retries = 1, checkpointDir = Some(dir))
+    val out = p.run(Seq(1, 2, 3).toDF("v"))
+    assert(out.select("v3").as[Int].collect().sorted.toSeq === Seq(3, 5, 7))
+    // K4: each stage left a durable parquet handoff
+    assert(new java.io.File(s"$dir/double").exists())
+    assert(new java.io.File(s"$dir/flaky").exists())
+    // a pipeline exceeding its retries propagates the failure
+    val bad = new Pipeline(Seq(Stage("alwaysfail",
+      _ => sys.error("boom"))), retries = 1)
+    intercept[RuntimeException] { bad.run(Seq(1).toDF("v")) }
+  }
+
+  test("A8/A9: idempotent saveAsTable + bulk load append") {
+    val (_, df) = dailyTables.head
+    val table = Ingest.saveDaily(df, "20250113")
+    assert(spark.table(table).count() === movies.length)
+    Ingest.saveDaily(df, "20250113") // mode("ignore") — second write is a no-op
+    assert(spark.table(table).count() === movies.length)
+    val staged = java.nio.file.Files.createTempDirectory("graft_a9_").toString
+    df.write.mode("overwrite").parquet(staged)
+    Ingest.bulkLoad(spark, staged, table)
+    assert(spark.table(table).count() === movies.length * 2)
+    spark.sql(s"DROP TABLE $table")
+  }
+}
