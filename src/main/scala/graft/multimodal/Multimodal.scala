@@ -1,0 +1,134 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for a training-data pipeline (builder brief): media
+  * content travels as an opaque BINARY column with a typed metadata struct;
+  * decode / feature-extract / resize / frame-sample are per-partition
+  * batch operators over that column.
+  *
+  * The actual codec call is STUBBED — `decodeStub` is a deterministic fake
+  * (this container has no image/audio libraries) and is clearly marked as
+  * the swap point. Everything around it is real Spark:
+  *  - the schema (binary payload + metadata struct) round-trips Parquet;
+  *  - feature extraction is `Dataset.mapPartitions` with an explicit batch
+  *    shape (Iterator.grouped(batchSize)) — the JVM twin of a vectorized
+  *    `mapInPandas` operator: one codec/model call per BATCH, not per row,
+  *    which is what makes GPU/native decode amortize at scale;
+  *  - frame sampling and resize planning are pure relational ops
+  *    (sequence + explode + pmod filter / metadata arithmetic), fully
+  *    codegen'd, no binary touched until a decode is actually requested.
+  *
+  * Scale posture: media rows are large (MBs) and skew-prone —
+  * `repartitionForDecode` spreads rows round-robin so one executor never
+  * holds all the 4K videos; decode is map-only (no shuffle of decoded
+  * output beyond what the caller asks for); metadata-only plans (frame
+  * sampling, resize planning) never deserialize the binary column at all —
+  * Parquet column pruning skips it on disk.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("duration_ms", LongType))))))
+
+  /** Deterministic synthetic media table (no external fixtures needed). */
+  def synth(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val kind = (i % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val content = Array.tabulate[Byte](64 + (i % 16).toInt * 8)(b =>
+        ((i * 31 + b * 7) % 251).toByte)
+      val w = if (kind == "image" || kind == "video") 16 + (i % 4).toInt * 16 else 0
+      val h = if (w > 0) w / 2 else 0
+      val sr = if (kind == "audio") 16000 else 0
+      val nf = if (kind == "video") 24 + (i % 5).toInt * 24 else 0
+      val dur = if (kind == "image") 0L else 1000L + i % 9000
+      (i, kind, content, (w, h, sr, nf, dur))
+    }.toDF("media_id", "kind", "content", "m")
+      .select(col("media_id"), col("kind"), col("content"),
+        col("m").cast(mediaSchema("meta").dataType).as("meta"))
+  }
+
+  /** THE STUB: a real pipeline swaps this one function for an actual codec
+    * (libjpeg / ffmpeg / an ONNX encoder). Deterministic here: a 16-bin
+    * byte histogram, L1-normalized — shaped like an embedding so the
+    * downstream plumbing (schema, batching) is exercised for real.
+    */
+  def decodeStub(content: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < content.length) {
+      hist((content(i) & 0xFF) % 16) += 1f
+      i += 1
+    }
+    val total = content.length.max(1).toFloat
+    hist.map(_ / total)
+  }
+
+  final case class MediaFeature(media_id: Long, kind: String,
+    n_bytes: Int, feature: Array[Float])
+
+  /** Batched feature extraction: mapPartitions + grouped(batchSize) gives
+    * the vectorized-UDF batch shape — `decodeBatch` receives WHOLE batches,
+    * exactly like a Pandas UDF receives an Arrow batch. The default
+    * `decodeBatch` maps `decodeStub`; a real implementation would hand the
+    * batch to a native/GPU decoder in one call.
+    */
+  def extractFeatures(
+      media: DataFrame,
+      batchSize: Int = 64,
+      decodeBatch: Seq[Array[Byte]] => Seq[Array[Float]] =
+        batch => batch.map(decodeStub)): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.select("media_id", "kind", "content")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          val feats = decodeBatch(batch.map(_._3))
+          batch.lazyZip(feats).map { case ((id, kind, content), f) =>
+            MediaFeature(id, kind, content.length, f)
+          }
+        }
+      }
+  }
+
+  /** Round-robin spread before decode — media payloads are large and
+    * skew-prone; never let one input split serialize the decode. */
+  def repartitionForDecode(media: DataFrame): DataFrame =
+    media.repartition(media.sparkSession.sparkContext.defaultParallelism)
+
+  /** Frame sampling for video rows: every `everyN`-th frame index, purely
+    * from metadata — the binary column is never read (column pruning keeps
+    * it on disk), so planning a 100 TB sampling job costs a metadata scan.
+    */
+  def sampleFrames(media: DataFrame, everyN: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("meta.n_frames").as("n_frames"),
+        explode(sequence(lit(0), col("meta.n_frames") - 1)).as("frame_idx"))
+      .filter(pmod(col("frame_idx"), lit(everyN)) === 0)
+
+  /** Resize planning: target geometry derived from metadata (fit inside
+    * maxDim preserving aspect), emitted as plan rows for a decode stage —
+    * again metadata-only.
+    */
+  def planResize(media: DataFrame, maxDim: Int): DataFrame = {
+    val w = col("meta.width"); val h = col("meta.height")
+    val scale = least(lit(1.0), lit(maxDim) / greatest(w, h).cast("double"))
+    media.filter(col("kind").isin("image", "video"))
+      .select(col("media_id"), w.as("src_w"), h.as("src_h"),
+        floor(w * scale).cast("int").as("dst_w"),
+        floor(h * scale).cast("int").as("dst_h"))
+  }
+}
