@@ -102,12 +102,14 @@ object TextSim {
       .select(col("doc_id"),
         transform(array_sort(col("raw")), x => x.getField("h")).as("sig"))
 
-  /** Sequential double fold of an elementwise product — the dot product,
-    * computed in the exact same order as the DuckDB oracle's
-    * list_sum(list_transform(list_zip(a,b), ...)). */
+  /** Dot product via the native codegen'd expression
+    * (graft.functions.DotProductExpr): same ascending-index double fold as
+    * the DuckDB oracle's list_sum(list_transform(list_zip(a,b), ...)), so
+    * results stay bit-identical — but emitted as a primitive loop inside
+    * whole-stage codegen instead of an interpreted per-element lambda.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProductExpr.dot(a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -305,13 +307,13 @@ object TextSim {
     "sim_topk_lsh" -> ((s, d) => {
       // Deterministic pseudo-random hyperplanes (splitmix-style), generated
       // driver-side as literals so the plan is pure codegen.
-      def plane(t: Int, b: Int): Seq[Double] = {
+      def plane(t: Int, b: Int): Seq[Float] = {
         var x = (t * 16 + b + 1) * 0x9E3779B97F4A7C15L
         Seq.tabulate(64) { _ =>
           x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
           x ^= x >>> 27; x *= 0x94D049BB133111EBL
           x ^= x >>> 31
-          ((x & 0xFFFFL).toDouble / 65535.0) * 2.0 - 1.0
+          (((x & 0xFFFFL).toDouble / 65535.0) * 2.0 - 1.0).toFloat
         }
       }
       def bucketKey(t: Int): Column =
