@@ -17,6 +17,12 @@ object QDebug {
       else SparkEntry.queries(name)(spark, sfDir)
     df.show(20, truncate = false)
     df.explain("formatted")
+    // three timed runs (first includes codegen/JIT warmup)
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      df.count()
+      println(f"TIMED run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

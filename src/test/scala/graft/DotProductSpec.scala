@@ -52,6 +52,15 @@ class DotProductSpec extends SparkSpec {
       s"graft_dot projection not inside a codegen stage: $projLine")
   }
 
+  test("graft_dot is callable from SQL once registered") {
+    graft.plans.GraftExtensions.register(spark)
+    val v = spark.sql(
+      """SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))"""
+        .stripMargin).as[Double].collect().head
+    assert(v === 11.0)
+  }
+
   test("rejects non-float-array inputs at analysis") {
     val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
     val e = intercept[Exception] {
