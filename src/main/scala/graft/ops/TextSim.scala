@@ -87,20 +87,25 @@ object TextSim {
       .distinct()
   }
 
-  /** (doc_id, sig[16]) MinHash signatures from shingle rows: explode the 16
-    * hash indices, sha in a flat projection (codegen'd), min per (doc, j),
-    * then fold back to an ordered array. Two small shuffles, fully parallel.
+  /** (doc_id, sig[16]) MinHash signatures from shingle rows. Each DISTINCT
+    * shingle is hashed exactly once (`gh`), then joined back to the
+    * doc×shingle rows — repeated shingles across documents (ubiquitous in
+    * any real corpus) never re-enter the sha256 path. min per (doc, j),
+    * then fold back to an ordered array. All flat codegen'd projections +
+    * shuffles, fully parallel.
     */
-  private def sigTable(sh: org.apache.spark.sql.DataFrame) =
-    sh.select(col("doc_id"), col("g"),
-        explode(sequence(lit(0), lit(NumHashes - 1))).as("j"))
-      .select(col("doc_id"), col("j"),
+  private def sigTable(sh: org.apache.spark.sql.DataFrame) = {
+    val gh = sh.select("g").distinct()
+      .select(col("g"), explode(sequence(lit(0), lit(NumHashes - 1))).as("j"))
+      .select(col("g"), col("j"),
         h60(concat(col("g"), lit("#"), col("j").cast("string"))).as("h"))
+    sh.join(gh, Seq("g"))
       .groupBy("doc_id", "j").agg(min("h").as("h"))
       .groupBy("doc_id")
       .agg(collect_list(struct(col("j"), col("h"))).as("raw"))
       .select(col("doc_id"),
         transform(array_sort(col("raw")), x => x.getField("h")).as("sig"))
+  }
 
   /** Dot product via the native codegen'd expression
     * (graft.functions.DotProductExpr): same ascending-index double fold as
