@@ -134,4 +134,42 @@ object Ingest {
     */
   def bulkLoad(spark: SparkSession, stagedDir: String, table: String): Unit =
     spark.read.parquet(stagedDir).write.mode("append").insertInto(table)
+
+  /** Canonical long-format fact row (SURVEY.md §1.5): the wide,
+    * date-prefixed layout is a Redshift-era workaround — natively the same
+    * information is one fact table partitioned by date. The wide layout
+    * stays reproducible via Consolidate's pivot.
+    */
+  def toLong(wide: DataFrame, targetDate: String): DataFrame = {
+    val d = targetDate
+    wide.select(
+      col("showRange").as("show_range"),
+      col(s"${d}_rank_num").as("rank_num"),
+      col(s"${d}_ranking").as("ranking"),
+      col(s"${d}_increase_decrease").as("increase_decrease"),
+      col(s"${d}_new_entry").as("new_entry"),
+      col("code"), col("title"), col("released_date"),
+      col(s"${d}_sales").as("sales"),
+      col(s"${d}_sales_ratio").as("sales_ratio"),
+      col(s"${d}_sales_increase_decrease").as("sales_increase_decrease"),
+      col(s"${d}_sales_increase_decrease_ratio")
+        .as("sales_increase_decrease_ratio"),
+      col(s"${d}_total_sales").as("total_sales"),
+      col(s"${d}_audience_num").as("audience_num"),
+      col(s"${d}_audience_increase_decrease")
+        .as("audience_increase_decrease"),
+      col(s"${d}_audience_increase_decrease_ratio")
+        .as("audience_increase_decrease_ratio"),
+      col(s"${d}_total_audience_num").as("total_audience_num"),
+      col(s"${d}_screen_num").as("screen_num"),
+      col(s"${d}_screen_show").as("screen_show"),
+      col("boxOfficeType").as("box_office_type"))
+  }
+
+  /** Long-format store writer: Parquet partitioned by show_range, so the
+    * dbt-era "last 9 daily tables" selection (B7) becomes partition pruning
+    * on a date predicate — at 100 TB a 9-day query touches 9 directories.
+    */
+  def appendLongStore(df: DataFrame, path: String): Unit =
+    df.write.mode("append").partitionBy("show_range").parquet(path)
 }

@@ -76,6 +76,23 @@ object Relational {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
 
+    // A2 full form: nested JSON document → from_json(schema) → explode of
+    // the inner array → flattened rows (the exact
+    // boxOfficeResult.dailyBoxOfficeList shape, daily_parquet_pipeline
+    // .py:34-40; payload constructed in-plan so the oracle can state the
+    // equivalent relational result).
+    "json_flatten" -> ((s, d) => {
+      val payload = concat(lit("""{"list":[{"v":"""), col("o_orderkey"),
+        lit("""},{"v":"""), col("o_custkey"), lit("}]}"))
+      orders(s, d)
+        .select(col("o_orderkey"), from_json(payload,
+          org.apache.spark.sql.types.DataType.fromDDL(
+            "STRUCT<list: ARRAY<STRUCT<v: BIGINT>>>")).as("doc"))
+        .select(col("o_orderkey"), explode(col("doc.list")).as("item"))
+        .select(col("o_orderkey"), col("item.v").as("v"))
+        .orderBy("o_orderkey", "v")
+    }),
+
     // ---- projections (B1-B4) ----
     "project_rename" -> ((s, d) =>
       lineitem(s, d)
@@ -275,6 +292,12 @@ object Relational {
     "json_extract" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "json_flatten" ->
+      """SELECT o_orderkey, v FROM (
+        |  SELECT o_orderkey, o_orderkey AS v FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey FROM orders)
+        |ORDER BY o_orderkey, v""".stripMargin,
     "project_rename" ->
       """SELECT l_orderkey AS order_id, l_linenumber AS line_no,
         |l_quantity AS qty, l_extendedprice AS price

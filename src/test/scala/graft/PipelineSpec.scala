@@ -141,6 +141,30 @@ class PipelineSpec extends SparkSpec {
     intercept[RuntimeException] { bad.run(Seq(1).toDF("v")) }
   }
 
+  test("§1.5: long-format store partitions by show_range and prunes") {
+    val store = java.nio.file.Files.createTempDirectory("graft_long_").toString
+    dailyTables.zip(dates).foreach { case ((_, wide), d8) =>
+      Ingest.appendLongStore(Ingest.toLong(wide, d8), store)
+    }
+    val back = spark.read.parquet(store)
+    assert(back.count() === dates.length * movies.length)
+    assert(back.columns.contains("show_range") &&
+      back.columns.contains("sales") && !back.columns.exists(_.contains("2025011")))
+    // the date predicate becomes partition pruning (B7 at scale)
+    val oneDay = back.filter($"show_range" === "2025-01-14")
+    assert(oneDay.count() === movies.length)
+    val scan = oneDay.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("show_range"), s"no partition pruning in: $scan")
+    // round trip: the wide layout is reproducible from long (D3 pivot)
+    val d = "20250114"
+    val wideBack = back.filter($"show_range" === "2025-01-14")
+      .groupBy("title", "code")
+      .agg(org.apache.spark.sql.functions.max("sales").as(s"${d}_sales"))
+    assert(wideBack.count() === movies.length)
+  }
+
   test("A8/A9: idempotent saveAsTable + bulk load append") {
     val (_, df) = dailyTables.head
     val table = Ingest.saveDaily(df, "20250113")
