@@ -87,25 +87,24 @@ object TextSim {
       .distinct()
   }
 
-  /** (doc_id, sig[16]) MinHash signatures from shingle rows. Each DISTINCT
-    * shingle is hashed exactly once (`gh`), then joined back to the
-    * doc×shingle rows — repeated shingles across documents (ubiquitous in
-    * any real corpus) never re-enter the sha256 path. min per (doc, j),
-    * then fold back to an ordered array. All flat codegen'd projections +
-    * shuffles, fully parallel.
+  /** (doc_id, sig[16]) MinHash signatures from shingle rows: explode the 16
+    * hash indices, sha in a flat projection (codegen'd), min per (doc, j),
+    * then fold back to an ordered array. Two shuffles, fully parallel.
+    * (A hash-each-distinct-shingle-then-join variant was benchmarked and
+    * LOST here: the join shuffle of doc×shingle×16 rows costs more than
+    * the duplicate hashing it avoids; revisit only for corpora whose
+    * shingle repetition factor is far higher than their row count.)
     */
-  private def sigTable(sh: org.apache.spark.sql.DataFrame) = {
-    val gh = sh.select("g").distinct()
-      .select(col("g"), explode(sequence(lit(0), lit(NumHashes - 1))).as("j"))
-      .select(col("g"), col("j"),
+  private def sigTable(sh: org.apache.spark.sql.DataFrame) =
+    sh.select(col("doc_id"), col("g"),
+        explode(sequence(lit(0), lit(NumHashes - 1))).as("j"))
+      .select(col("doc_id"), col("j"),
         h60(concat(col("g"), lit("#"), col("j").cast("string"))).as("h"))
-    sh.join(gh, Seq("g"))
       .groupBy("doc_id", "j").agg(min("h").as("h"))
       .groupBy("doc_id")
       .agg(collect_list(struct(col("j"), col("h"))).as("raw"))
       .select(col("doc_id"),
         transform(array_sort(col("raw")), x => x.getField("h")).as("sig"))
-  }
 
   /** Dot product via the native codegen'd expression
     * (graft.functions.DotProductExpr): same ascending-index double fold as
@@ -116,8 +115,15 @@ object TextSim {
   private def dot(a: Column, b: Column): Column =
     graft.functions.DotProductExpr.dot(a, b)
 
+  /** Full cosine — only for shapes where each vector appears once. In pair
+    * generators, precompute per-vector norms first (normCol) so the sqrt
+    * work is O(N), not O(pairs); `dotA/(nrmA*nrmB)` multiplies in the same
+    * order as the oracle's sqrt(dot(a,a))*sqrt(dot(b,b)), so results stay
+    * bit-identical. */
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def normOf(e: Column): Column = sqrt(dot(e, e))
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -274,10 +280,14 @@ object TextSim {
     // explicit double fold so the oracle's identical fold agrees bitwise.
     "sim_cosine" -> ((s, d) => {
       val p = embeddings(s, d).filter(col("vec_id") === 0)
-        .select(col("embedding").as("p"))
-      embeddings(s, d).crossJoin(broadcast(p))
+        .select(col("embedding").as("p"), normOf(col("embedding")).as("pnrm"))
+      embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          normOf(col("embedding")).as("nrm"))
+        .crossJoin(broadcast(p))
         .select(col("vec_id"), col("label"),
-          round(cosine(col("embedding"), col("p")), 6).as("cos_sim"))
+          round(dot(col("embedding"), col("p")) / (col("nrm") * col("pnrm")), 6)
+            .as("cos_sim"))
         .orderBy("vec_id")
     }),
 
@@ -286,11 +296,16 @@ object TextSim {
     // row_number over <= 5*partitions survivors. k·N work, no N² pairs.
     "sim_topk" -> ((s, d) => {
       val probes = embeddings(s, d).filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
-      val scored = embeddings(s, d).crossJoin(broadcast(probes))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
+          normOf(col("embedding")).as("pnrm"))
+      val scored = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          normOf(col("embedding")).as("nrm"))
+        .crossJoin(broadcast(probes))
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("cand_id"),
-          cosine(col("embedding"), col("p")).as("cos"))
+          (dot(col("embedding"), col("p")) / (col("nrm") * col("pnrm")))
+            .as("cos"))
       val local = scored
         .withColumn("part", spark_partition_id())
         .withColumn("lrn", row_number().over(Window
@@ -355,13 +370,15 @@ object TextSim {
     // exact near-dup pair generation feasible at scale.
     "dedup_embed" -> ((s, d) => {
       val e = embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding"))
+        .select(col("vec_id"), col("label"), col("embedding"),
+          normOf(col("embedding")).as("nrm"))
       val a = e.select(col("label"), col("vec_id").as("ia"),
-        col("embedding").as("ea"))
+        col("embedding").as("ea"), col("nrm").as("na"))
       val b = e.select(col("label"), col("vec_id").as("ib"),
-        col("embedding").as("eb"))
+        col("embedding").as("eb"), col("nrm").as("nb"))
       a.join(b, Seq("label")).filter(col("ia") < col("ib"))
-        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .withColumn("cos",
+          dot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("cos") >= 0.35)
         .select(col("label"), col("ia"), col("ib"),
           round(col("cos"), 6).as("cos_sim"))
