@@ -79,6 +79,37 @@ object Joins {
         .orderBy("c_custkey")
     }),
 
+    // As-of join: for each error event, the LAST click strictly before it
+    // by the same user — the reference's day-over-day comparison
+    // (csv:72-74 *Inten fields) generalized to event time. Implemented as
+    // the scale-safe union+window form: tag both streams, union, and take
+    // last(click_ts, ignoreNulls) over (user, time) — O(n log n) in one
+    // shuffle, vs the O(candidate-pairs) join+max formulation the oracle
+    // uses (fine for DuckDB at sf0.01, a blowup at 100 TB). Sort key
+    // (tsm, typ) with errors(0) before clicks(1) makes an equal-timestamp
+    // click fall OUTSIDE the error's frame => strictly-before semantics.
+    "join_asof" -> ((s, d) => {
+      val e = events(s, d)
+        .withColumn("tsm", date_trunc("MILLISECOND", col("ts")))
+      val err = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("u"), col("tsm"), lit(0).as("typ"),
+          col("event_id").as("err_id"),
+          lit(null).cast("timestamp").as("clk_ts"))
+      val clk = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("u"), col("tsm"), lit(1).as("typ"),
+          lit(null).cast("long").as("err_id"), col("tsm").as("clk_ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy(col("tsm"), col("typ"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      err.unionByName(clk)
+        .withColumn("last_clk", last(col("clk_ts"), ignoreNulls = true).over(w))
+        .filter(col("typ") === 0)
+        .select(col("err_id"), col("u").as("user_id"),
+          unix_micros(col("last_clk")).as("last_click_us"))
+        .orderBy("err_id")
+    }),
+
     // Range/theta join: for each error event, clicks by the same user in the
     // preceding 10 minutes (as-of/day-over-day comparison pattern, csv:72-74).
     // ts is ms-truncated on both sides: the parquet carries nanoseconds and
@@ -134,6 +165,15 @@ object Joins {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "join_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |date_trunc('milliseconds', ts) AS tsm FROM events)
+        |SELECT a.event_id AS err_id, a.user_id AS user_id,
+        |epoch_us(max(b.tsm)) AS last_click_us
+        |FROM e a LEFT JOIN e b ON b.user_id = a.user_id
+        |  AND b.event_type = 'click' AND b.tsm < a.tsm
+        |WHERE a.event_type = 'error'
+        |GROUP BY 1,2 ORDER BY 1""".stripMargin,
     "join_range" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |date_trunc('milliseconds', ts) AS tsm FROM events)

@@ -69,4 +69,51 @@ object StreamOps {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  final case class SessState(startMs: Long, lastMs: Long, n: Int)
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+    last_us: Long, n_events: Int)
+
+  /** Custom arbitrary-state sessionization via flatMapGroupsWithState —
+    * the surface `session_window` can't cover (bespoke close conditions,
+    * enriched session payloads). State is one open session per user; a
+    * session EMITS when a later event arrives >= gap after its last event
+    * (same strict boundary as session_window). The still-open session
+    * stays in state across micro-batches.
+    *
+    * Scale posture: state is keyed by user and lives in the state store —
+    * one small record per active user, partitioned across executors. A
+    * production deployment adds an event-time timeout to flush idle
+    * sessions; kept timeout-free here so batch-driven tests stay
+    * deterministic.
+    */
+  def sessionizeStateful(events: DataFrame, gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: org.apache.spark.sql.streaming.GroupState[SessState]) =>
+          val times = rows.map(_._2.getTime).toArray.sorted
+          var cur = state.getOption
+          val out = Seq.newBuilder[SessionOut]
+          times.foreach { t =>
+            cur match {
+              case Some(s) if t - s.lastMs < gapMs =>
+                cur = Some(s.copy(lastMs = t, n = s.n + 1))
+              case Some(s) =>
+                out += SessionOut(user, s.startMs * 1000, s.lastMs * 1000, s.n)
+                cur = Some(SessState(t, t, 1))
+              case None => cur = Some(SessState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

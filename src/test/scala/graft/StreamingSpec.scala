@@ -83,6 +83,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer emits closed sessions across batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.sessionizeStateful(ms.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("fmgs_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: one session forming (10:00, 10:10) — nothing closes yet
+      ms.addData(Ev(1, ts(10), 7, 1.0), Ev(2, ts(10, 10), 7, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("fmgs_out").isEmpty)
+      // batch 2: 12:00 is >= 30min after 10:10 — the first session closes,
+      // state carried the open session across the batch boundary
+      ms.addData(Ev(3, ts(12), 7, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("fmgs_out")
+        .as[StreamOps.SessionOut].collect().toSeq
+      assert(out === Seq(StreamOps.SessionOut(7,
+        ts(10).getTime * 1000, ts(10, 10).getTime * 1000, 2)))
+    } finally q.stop()
+  }
+
+  test("salted join equals the plain join (skew mitigation)") {
+    val fact = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val dim = Tables.customer(spark, sf0001)
+      .select("c_custkey", "c_name").withColumnRenamed("c_custkey", "o_custkey")
+    val plain = fact.join(dim, Seq("o_custkey"))
+      .select("o_orderkey", "c_name").as[(Long, String)].collect().toSet
+    val salted = graft.ops.Skew.saltedJoin(fact, dim, "o_custkey", salt = 8)
+      .select("o_orderkey", "c_name").as[(Long, String)].collect().toSet
+    assert(salted === plain)
+  }
+
   test("T2/T4 transforms produce identical results in batch re-runs") {
     // determinism: the same StreamOps transform over the same input is
     // stable run to run (required for idempotent micro-batch re-execution).
