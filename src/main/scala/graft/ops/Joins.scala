@@ -51,6 +51,22 @@ object Joins {
         .orderBy("n_name", "order_year")
     }),
 
+    // C1 over the part dimension: revenue and average retail margin by part
+    // brand — covers the remaining testdata table; part is small enough to
+    // broadcast at sf but keyed like a fact at 100 TB, so it goes
+    // shuffle/sort-merge with AQE free to downgrade to broadcast.
+    "join_part" -> ((s, d) => {
+      val li = lineitem(s, d); val p = part(s, d)
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+          .as("revenue"),
+          round(exactSum(col("p_retailprice")).cast("double") / count(lit(1)), 4)
+            .as("avg_retail"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    }),
+
     // C2 left outer: order count per customer including zero-order customers.
     "join_left" -> ((s, d) => {
       val c = customer(s, d); val o = orders(s, d)
@@ -152,6 +168,13 @@ object Joins {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "join_part" ->
+      """SELECT p_brand,
+        |CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))),2) AS DOUBLE) AS revenue,
+        |round(CAST(SUM(CAST(p_retailprice AS DECIMAL(30,8))) AS DOUBLE)/COUNT(*),4) AS avg_retail,
+        |COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_left" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
         |CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))),2) AS DOUBLE) AS sum_price
