@@ -248,6 +248,42 @@ object TextSim {
         .orderBy("ia", "ib")
     }),
 
+    // SimHash near-dup: 60-bit fingerprints from token-frequency-weighted
+    // sha hashes; candidate pairs from 4x15-bit band blocking, verified by
+    // hamming distance <= 3. The blocking is EXACT here by pigeonhole: 3
+    // differing bits cannot touch all 4 bands, so every qualifying pair
+    // shares at least one band — linear-ish candidate generation with zero
+    // recall loss, the classic simhash trick.
+    "dedup_simhash" -> ((s, d) => {
+      val wtok = documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
+        .withColumn("h", h60(col("tok")))
+      val fp = wtok
+        .select(col("doc_id"), col("w"), col("h"),
+          explode(sequence(lit(0), lit(59))).as("bit"))
+        .select(col("doc_id"), col("bit"),
+          when(expr("(h >> bit) & 1") === 1, col("w"))
+            .otherwise(-col("w")).as("v"))
+        .groupBy("doc_id", "bit").agg(sum("v").as("v"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("v") > 0, expr("CAST(1 AS BIGINT) << bit"))
+          .otherwise(0L)).as("fp"))
+      val bands = fp.select(col("doc_id"), col("fp"),
+        posexplode(array((0 until 4).map(c =>
+          expr(s"(fp >> ${c * 15}) & 32767")): _*)).as(Seq("c", "chunk")))
+      val l = bands.select(col("doc_id").as("ia"), col("fp").as("fa"),
+        col("c"), col("chunk"))
+      val r = bands.select(col("doc_id").as("ib"), col("fp").as("fb"),
+        col("c"), col("chunk"))
+      l.join(r, Seq("c", "chunk")).filter(col("ia") < col("ib"))
+        .select("ia", "ib", "fa", "fb").distinct()
+        .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+        .filter(col("hamming") <= 3)
+        .select(col("ia"), col("ib"), col("hamming").cast("long").as("hamming"))
+        .orderBy("ia", "ib")
+    }),
+
     // MinHash + LSH near-dup: 16-perm signatures, 4 bands x 4 rows.
     // Candidate pairs come ONLY from band-key collisions; similarity is then
     // estimated from signature agreement (k/16). The banding join is the
@@ -476,6 +512,25 @@ object TextSim {
         |round(CAST(inter AS DOUBLE)/(na + nb - inter), 6) AS jaccard
         |FROM inter
         |WHERE round(CAST(inter AS DOUBLE)/(na + nb - inter), 6) >= 0.5
+        |ORDER BY ia, ib""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, tok, count(*) AS w FROM
+        |  (SELECT doc_id, unnest($dToks) AS tok FROM documents) GROUP BY 1,2),
+        |h AS (SELECT doc_id, w, ${dH60("tok")} AS h FROM t),
+        |b AS (SELECT doc_id, bit,
+        |  SUM(CASE WHEN (h >> bit) & 1 = 1 THEN w ELSE -w END) AS v
+        |  FROM h, (SELECT unnest(generate_series(0,59)) AS bit) GROUP BY 1,2),
+        |fp AS (SELECT doc_id,
+        |  SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS fp
+        |  FROM b GROUP BY 1),
+        |bands AS (SELECT doc_id, fp, unnest(generate_series(0,3)) AS c,
+        |  unnest(list_transform(generate_series(0,3),
+        |    c -> (fp >> (c*15)) & 32767)) AS chunk FROM fp),
+        |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+        |  a.fp AS fa, b.fp AS fb FROM bands a JOIN bands b
+        |  ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT ia, ib, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
         |ORDER BY ia, ib""".stripMargin,
     "dedup_minhash" ->
       s"""WITH s AS (SELECT doc_id, ${dShingles(3)} AS sh FROM documents),
