@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.DotProductExpr
+
+/** IVF (inverted-file) ANN index: a coarse k-means quantizer partitions the
+  * vector space into cells; a probe searches only its nearest `nprobe`
+  * cells. Complements the sign-LSH variant (`sim_topk_lsh`) — IVF adapts
+  * to the data distribution where LSH is data-oblivious.
+  *
+  * The quantizer is fit with a DataFrame-native Lloyd iteration:
+  * assignment is a broadcast argmin over the k centroids, the update step
+  * is an explode-by-dimension average (groupBy(cell, pos).avg — one
+  * shuffle of n×dim skinny rows). Centroids are collected to the driver
+  * between iterations: they are MODEL PARAMETERS (k×dim floats, ~4 KB
+  * here), not data — the same role as a broadcast dimension table, so the
+  * collect is scale-legitimate; the data itself never leaves executors.
+  *
+  * Scale posture: index build is O(iters × n × k) distance work, map-only
+  * per iteration plus one skinny shuffle; search touches nprobe/k of the
+  * corpus per probe. Cell ids ride with the stored vectors, so at 100 TB
+  * the cell assignment is written once (partitionBy(cell)) and probes
+  * prune to their cells' files.
+  */
+object Ivf {
+
+  private def dist2(e: Column, c: Column): Column =
+    DotProductExpr.dot(e, e) - lit(2.0) * DotProductExpr.dot(e, c) +
+      DotProductExpr.dot(c, c)
+
+  /** Fit k centroids over `vectors(embedding: array<float>)` with `iters`
+    * Lloyd iterations, deterministically seeded from the lowest ids.
+    */
+  def fitCentroids(vectors: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id"): Seq[Seq[Float]] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    var centroids: Seq[Seq[Float]] = vectors
+      .orderBy(col(idCol)).limit(k)
+      .select(col("embedding")).as[Seq[Float]].collect().toSeq
+    for (_ <- 1 to iters) {
+      val assigned = assign(vectors, centroids)
+      val updated = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(collect_list(struct(col("pos"), col("m"))).as("raw"))
+        .select(col("cell"),
+          transform(array_sort(col("raw")),
+            s => s.getField("m").cast("float")).as("centroid"))
+        .as[(Int, Seq[Float])].collect().toMap
+      // empty cells keep their previous centroid
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
+    }
+    centroids
+  }
+
+  /** Attach the nearest-centroid cell id to each vector (the index). */
+  def assign(vectors: DataFrame, centroids: Seq[Seq[Float]]): DataFrame = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2(col("embedding"), typedlit(c)).as("d"), lit(i).as("i"))
+    }
+    vectors.withColumn("cell", array_min(array(dists: _*)).getField("i"))
+  }
+
+  /** Exact re-rank inside the probes' `nprobe` nearest cells. */
+  def search(vectors: DataFrame, centroids: Seq[Seq[Float]],
+      probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val indexed = assign(vectors, centroids)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("e"),
+        col("cell"))
+    val probeCells = {
+      val dists = centroids.zipWithIndex.map { case (c, i) =>
+        struct(dist2(col("embedding"), typedlit(c)).as("d"), lit(i).as("i"))
+      }
+      probes
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
+          slice(array_sort(array(dists: _*)), 1, nprobe).as("cells"))
+        .select(col("probe_id"), col("p"),
+          explode(col("cells")).as("cstruct"))
+        .select(col("probe_id"), col("p"), col("cstruct.i").as("cell"))
+    }
+    probeCells.join(indexed, Seq("cell"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id"),
+        (DotProductExpr.dot(col("e"), col("p")) /
+          (sqrt(DotProductExpr.dot(col("e"), col("e"))) *
+            sqrt(DotProductExpr.dot(col("p"), col("p"))))).as("cos"))
+      .withColumn("rk", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("cand_id"))))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("probe_id", "rk")
+  }
+}

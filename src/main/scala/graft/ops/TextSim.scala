@@ -401,6 +401,17 @@ object TextSim {
         .orderBy("probe_id", "rk")
     }),
 
+    // IVF ANN variant: data-adaptive coarse quantizer (DataFrame-native
+    // Lloyd iterations), probes search their 3 nearest of 8 cells then
+    // exact-re-rank. Approximate — rows-only checked here; TextSimSpec
+    // asserts recall vs the exact path.
+    "sim_topk_ivf" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val centroids = Ivf.fitCentroids(emb, k = 8, iters = 2)
+      Ivf.search(emb, centroids,
+        emb.filter(col("vec_id") < 10), k = 5, nprobe = 3)
+    }),
+
     // Embedding near-dup with label blocking: pairs are generated only
     // inside a block (label = shard/cluster key), the pattern that keeps
     // exact near-dup pair generation feasible at scale.

@@ -41,6 +41,26 @@ class TextSimSpec extends SparkSpec {
     assert(recall >= 0.6, s"ANN recall@5 too low: $recall")
   }
 
+  test("sim_topk_ivf achieves >=60% recall@5 vs exact sim_topk") {
+    val exact = ops.TextSim.queries("sim_topk")(spark, sf0001)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivf = ops.TextSim.queries("sim_topk_ivf")(spark, sf0001)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall@5 too low: $recall")
+  }
+
+  test("IVF quantizer assigns every vector to a valid cell") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val centroids = ops.Ivf.fitCentroids(emb, k = 8, iters = 2)
+    assert(centroids.length === 8)
+    assert(centroids.forall(_.length === 64))
+    val cells = ops.Ivf.assign(emb, centroids)
+      .groupBy("cell").count().as[(Int, Long)].collect().toMap
+    assert(cells.keys.forall(c => c >= 0 && c < 8))
+    assert(cells.values.sum === emb.count())
+  }
+
   test("MinHashUnion UDAF: group signature is the elementwise min") {
     functions.MinHashUnion.register(spark)
     val df = Seq(
