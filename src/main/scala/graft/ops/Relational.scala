@@ -233,6 +233,19 @@ object Relational {
         ORDER BY n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
     }),
 
+    // Exact quantiles (D6 extension): percentile() is the exact
+    // interpolated PERCENTILE_CONT — the sketch-free form the oracle can
+    // replay; at 100 TB swap approx_percentile in (same call shape).
+    "agg_percentile" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
     // ---- set operations (E1-E2) ----
     // N-way UNION ALL, the reference's consolidation shape
     // (box_office_data.sql:2-17): one branch per partition value, reduced
@@ -371,6 +384,13 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, o_orderpriority)
         |ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "agg_percentile" ->
+      """SELECT o_orderstatus,
+        |round(quantile_cont(o_totalprice, 0.5),4) AS p50,
+        |round(quantile_cont(o_totalprice, 0.9),4) AS p90,
+        |round(quantile_cont(o_totalprice, 0.99),4) AS p99,
+        |COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "union_all" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus='F'
         |UNION ALL

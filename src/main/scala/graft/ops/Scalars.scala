@@ -90,6 +90,22 @@ object Scalars {
           format_string("cust_%07d", col("c_custkey")).as("padded"))
         .orderBy("c_custkey")),
 
+    // H6/H7 extension: the wider string-function battery (pad/trim/case/
+    // substring/position/translate) every BI layer leans on.
+    "str_funcs" -> ((s, d) =>
+      customer(s, d)
+        .select(col("c_custkey"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded8"),
+          trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("trimmed"),
+          upper(col("c_mktsegment")).as("upper_seg"),
+          lower(col("c_name")).as("lower_name"),
+          substring(col("c_name"), 1, 8).as("prefix8"),
+          instr(col("c_name"), "#").as("hash_pos"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("lowered_vowels"),
+          reverse(col("c_mktsegment")).as("rev_seg"),
+          length(col("c_name")).as("name_len"))
+        .orderBy("c_custkey")),
+
     // H9: season bucketing CASE expression + aggregate (README.md:205-215).
     "case_season" -> ((s, d) =>
       orders(s, d)
@@ -135,6 +151,18 @@ object Scalars {
     "str_concat" ->
       """SELECT c_custkey, c_name || '|' || c_mktsegment AS tagged,
         |printf('cust_%07d', c_custkey) AS padded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "str_funcs" ->
+      """SELECT c_custkey,
+        |lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded8,
+        |trim('  ' || c_mktsegment || '  ') AS trimmed,
+        |upper(c_mktsegment) AS upper_seg,
+        |lower(c_name) AS lower_name,
+        |substring(c_name, 1, 8) AS prefix8,
+        |instr(c_name, '#') AS hash_pos,
+        |translate(c_mktsegment, 'AEIOU', 'aeiou') AS lowered_vowels,
+        |reverse(c_mktsegment) AS rev_seg,
+        |length(c_name) AS name_len
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "case_season" ->
       """SELECT CASE WHEN month(o_orderdate) IN (12,1,2) THEN 'winter'

@@ -90,6 +90,20 @@ object Windows {
           when(lag("o_orderkey", 1).over(byCust).isNull, "NEW").otherwise("OLD"))
         .orderBy("o_custkey", "o_orderkey")),
 
+    // W3 extension: first/last/nth value over the per-customer order
+    // history — the "opening vs latest vs second order" comparison shape.
+    "win_firstlast" -> ((s, d) => {
+      val wAll = byCust.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("first_price", first("o_totalprice").over(wAll))
+        .withColumn("last_price", last("o_totalprice").over(wAll))
+        .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(wAll))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // W7: trailing-7-day revenue trendline (README.md:193-196). Daily
     // pre-aggregation first, then a RANGE window over day numbers. The daily
     // sum accumulates as decimal (exactSum) and the trailing window sums the
@@ -142,6 +156,15 @@ object Windows {
         |CASE WHEN lag(o_orderkey) OVER (PARTITION BY o_custkey
         |ORDER BY o_orderdate, o_orderkey) IS NULL THEN 'NEW' ELSE 'OLD' END AS entry_flag
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_firstlast" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |first_value(o_totalprice) OVER w AS first_price,
+        |last_value(o_totalprice) OVER w AS last_price,
+        |nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_trailing7" ->
       """WITH daily AS (
         |SELECT CAST(l_shipdate AS DATE) AS ship_d,
