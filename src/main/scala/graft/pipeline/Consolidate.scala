@@ -37,6 +37,16 @@ object Consolidate {
   private def datePart(tableName: String): String =
     tableName.replace("_box_office", "") // the Jinja replace('_box_office','')
 
+  /** Resolve table names against the session catalog — the dbt models'
+    * `FROM raw_data."{table_name}"` (box_office_data.sql:15). Combined with
+    * Ingest.saveDaily this runs the reference's full nightly flow:
+    * ingest N days → catalog tables → consolidate by name.
+    */
+  def fromCatalog(spark: org.apache.spark.sql.SparkSession,
+      names: Seq[String], prefix: String = "raw_")
+      : Seq[(String, DataFrame)] =
+    names.map(n => n -> spark.table(s"$prefix$n"))
+
   private val DataMeasures =
     Seq("sales", "total_sales", "audience_num", "total_audience_num")
 

@@ -165,6 +165,25 @@ class PipelineSpec extends SparkSpec {
     assert(wideBack.count() === movies.length)
   }
 
+  test("end-to-end: ingest N days -> catalog -> consolidate by table name") {
+    // the reference's full nightly flow (daily_parquet_pipeline + dbt_dags)
+    // as one in-process chain: payload -> daily wide tables in the catalog
+    // -> both dbt models resolved FROM the catalog by generated name.
+    dailyTables.zip(dates).foreach { case ((_, wide), d8) =>
+      Ingest.saveDaily(wide, d8)
+    }
+    try {
+      val names = dates.map(d => s"${d}_box_office")
+      val tables = Consolidate.fromCatalog(spark, names)
+      val pivoted = Consolidate.boxOfficeData(tables)
+      assert(pivoted.count() === movies.length)
+      assert(pivoted.columns.length === 2 + dates.length * 4)
+      val ranged = Consolidate.boxOfficeShowRange(tables)
+      assert(ranged.count() === dates.length)
+    } finally dates.foreach(d =>
+      spark.sql(s"DROP TABLE IF EXISTS raw_${d}_box_office"))
+  }
+
   test("A8/A9: idempotent saveAsTable + bulk load append") {
     val (_, df) = dailyTables.head
     val table = Ingest.saveDaily(df, "20250113")
