@@ -17,16 +17,23 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet").count()
       spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     } catch { case _: Throwable => () }
+    var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // a failing query must be VISIBLE, not a fast-looking timing
+          failed ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt [info] noise — ALSO write the JSON to a
     // file so the bench gate can always machine-parse it (BENCH_r01 had
     // "parsed": null from scraping the sbt tail).

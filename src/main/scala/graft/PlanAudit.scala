@@ -18,8 +18,7 @@ object PlanAudit {
           "BNLJ" -> p.contains("BroadcastNestedLoopJoin"),
           "GlobalWindow" -> p.linesIterator.exists(l =>
             l.contains("windowspecdefinition(") && !l.contains(", windowspecdefinition")
-              && l.contains("Window [") && !l.matches(".*windowspecdefinition\\([a-zA-Z_].*")),
-          "NoPushdown" -> false
+              && l.contains("Window [") && !l.matches(".*windowspecdefinition\\([a-zA-Z_].*"))
         ).collect { case (k, true) => k }
         println(f"AUDIT $name%-22s ${if (flags.isEmpty) "ok" else flags.mkString(",")}")
       } catch { case e: Throwable =>

@@ -49,13 +49,20 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: with non-nullable inputs nullSafeCodeGen inlines this
+      // WITHOUT braces, so two dots in one generated scope would otherwise
+      // collide on fixed local names (janino duplicate-declaration ->
+      // silent interpreted fallback).
+      val n = ctx.freshName("dotN")
+      val s = ctx.freshName("dotS")
+      val i = ctx.freshName("dotI")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = s;
+         |${ev.value} = $s;
        """.stripMargin
     })
 

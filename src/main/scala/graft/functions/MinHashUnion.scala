@@ -20,8 +20,14 @@ object MinHashUnion extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
   override def zero: Array[Long] = Array.fill(Slots)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
+    // fail loudly on malformed input — a short signature would otherwise
+    // leave Long.MaxValue sentinels in the merged result as if they were
+    // real minima
+    require(sig != null && sig.length == Slots,
+      s"minhash_union expects $Slots-slot signatures, got " +
+        s"${if (sig == null) "null" else sig.length.toString}")
     var i = 0
-    while (i < Slots && i < sig.length) {
+    while (i < Slots) {
       if (sig(i) < buf(i)) buf(i) = sig(i)
       i += 1
     }

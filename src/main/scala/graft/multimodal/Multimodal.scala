@@ -114,7 +114,9 @@ object Multimodal {
     * it on disk), so planning a 100 TB sampling job costs a metadata scan.
     */
   def sampleFrames(media: DataFrame, everyN: Int): DataFrame =
-    media.filter(col("kind") === "video")
+    media.filter(col("kind") === "video" && col("meta.n_frames") > 0)
+      // n_frames > 0 guard: sequence(0, -1) DESCENDS in Spark, so a
+      // zero-frame video would otherwise emit a spurious frame 0
       .select(col("media_id"), col("meta.n_frames").as("n_frames"),
         explode(sequence(lit(0), col("meta.n_frames") - 1)).as("frame_idx"))
       .filter(pmod(col("frame_idx"), lit(everyN)) === 0)

@@ -58,7 +58,8 @@ object Ivf {
   }
 
   /** Attach the nearest-centroid cell id to each vector (the index). */
-  def assign(vectors: DataFrame, centroids: Seq[Seq[Float]]): DataFrame = {
+  def assign(vectors: DataFrame, centroids: Seq[Seq[Float]],
+      idCol: String = "vec_id"): DataFrame = {
     val dists = centroids.zipWithIndex.map { case (c, i) =>
       struct(dist2(col("embedding"), typedlit(c)).as("d"), lit(i).as("i"))
     }
@@ -67,16 +68,17 @@ object Ivf {
 
   /** Exact re-rank inside the probes' `nprobe` nearest cells. */
   def search(vectors: DataFrame, centroids: Seq[Seq[Float]],
-      probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val indexed = assign(vectors, centroids)
-      .select(col("vec_id").as("cand_id"), col("embedding").as("e"),
+      probes: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val indexed = assign(vectors, centroids, idCol)
+      .select(col(idCol).as("cand_id"), col("embedding").as("e"),
         col("cell"))
     val probeCells = {
       val dists = centroids.zipWithIndex.map { case (c, i) =>
         struct(dist2(col("embedding"), typedlit(c)).as("d"), lit(i).as("i"))
       }
       probes
-        .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
+        .select(col(idCol).as("probe_id"), col("embedding").as("p"),
           slice(array_sort(array(dists: _*)), 1, nprobe).as("cells"))
         .select(col("probe_id"), col("p"),
           explode(col("cells")).as("cstruct"))

@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** One scratch dir per JVM for the roundtrip queries: unique per process
+    * (concurrent verify/bench runs can't clobber each other) but reused
+    * within it (repeated invocations overwrite instead of leaking a new
+    * table copy under /tmp per call).
+    */
+  private lazy val scratch: String =
+    java.nio.file.Files.createTempDirectory("graft_scratch_").toString
+
   val queries: Map[String, Q] = Map(
     // ---- scans / sources (A4, A6) ----
     "scan_parquet" -> ((s, d) =>
@@ -40,10 +48,7 @@ object Relational {
     // COPY reader options; proper quoting vs the reference's naive split,
     // SURVEY §3.3). Writes a temp CSV then re-reads with an explicit schema.
     "csv_roundtrip" -> ((s, d) => {
-      // per-run unique temp dir: concurrent verify/bench runs over the same
-      // sf dir must not clobber each other's roundtrip output.
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_csv_rt_").toString
+      val out = s"$scratch/csv_rt"
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_quantity"), col("l_shipdate").cast("date").as("l_shipdate"))
@@ -59,8 +64,7 @@ object Relational {
     // back — the staged-write shape of the reference's S3 hop
     // (daily_parquet_pipeline.py:95-98 write, :151-156 COPY-side scan).
     "parquet_roundtrip" -> ((s, d) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_pq_rt_").toString
+      val out = s"$scratch/pq_rt"
       orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"), col("o_orderdate").cast("date").as("o_date"))

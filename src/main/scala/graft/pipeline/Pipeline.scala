@@ -33,7 +33,9 @@ final class Pipeline(
     while (attempt <= retries) {
       try return body
       catch {
-        case e: Throwable =>
+        // NonFatal only: OOM / interrupts must propagate, not be retried
+        // against a possibly-corrupted JVM
+        case scala.util.control.NonFatal(e) =>
           last = e; attempt += 1
           if (attempt <= retries)
             System.err.println(

@@ -104,8 +104,17 @@ object StreamOps {
           val out = Seq.newBuilder[SessionOut]
           times.foreach { t =>
             cur match {
-              case Some(s) if t - s.lastMs < gapMs =>
-                cur = Some(s.copy(lastMs = t, n = s.n + 1))
+              // within gap of the open session's interval — extend it.
+              // min/max (not plain assignment): a LATE event inside the
+              // session must never move its bounds backwards.
+              case Some(s) if t >= s.startMs - gapMs && t - s.lastMs < gapMs =>
+                cur = Some(SessState(math.min(s.startMs, t),
+                  math.max(s.lastMs, t), s.n + 1))
+              // far older than the open session: a stray late singleton —
+              // emit it immediately, keep the open session untouched
+              case Some(s) if t < s.startMs - gapMs =>
+                out += SessionOut(user, t * 1000, t * 1000, 1)
+              // beyond the gap after the session: close it, start anew
               case Some(s) =>
                 out += SessionOut(user, s.startMs * 1000, s.lastMs * 1000, s.n)
                 cur = Some(SessState(t, t, 1))

@@ -52,6 +52,18 @@ class DotProductSpec extends SparkSpec {
       s"graft_dot projection not inside a codegen stage: $projLine")
   }
 
+  test("two dots inlined in one codegen scope do not collide") {
+    // non-nullable (literal) inputs make nullSafeCodeGen inline WITHOUT
+    // braces — fixed local names would be duplicate declarations and
+    // silently fall back to interpreted
+    val a = typedlit(Seq(1f, 2f)); val b = typedlit(Seq(3f, 4f))
+    val c = typedlit(Seq(5f, 6f)); val e = typedlit(Seq(7f, 8f))
+    val v = spark.range(1)
+      .select((DotProductExpr.dot(a, b) + DotProductExpr.dot(c, e)).as("v"))
+      .as[Double].collect().head
+    assert(v === (11.0 + 83.0))
+  }
+
   test("graft_dot is callable from SQL once registered") {
     graft.plans.GraftExtensions.register(spark)
     val v = spark.sql(

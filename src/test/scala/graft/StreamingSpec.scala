@@ -105,6 +105,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer: a late in-session event never moves bounds backwards") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.sessionizeStateful(ms.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("fmgs_late")
+      .outputMode("append").start()
+    try {
+      // open session [10:00, 10:20]
+      ms.addData(Ev(1, ts(10), 9, 1.0), Ev(2, ts(10, 20), 9, 1.0))
+      q.processAllAvailable()
+      // LATE event 10:05 inside the session — must extend, not rewind last
+      ms.addData(Ev(3, ts(10, 5), 9, 1.0))
+      q.processAllAvailable()
+      // 10:45 is 25min after the TRUE last (10:20) — same session, so
+      // nothing closes; a rewound lastMs=10:05 would wrongly split here
+      ms.addData(Ev(4, ts(10, 45), 9, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("fmgs_late").isEmpty,
+        "late event rewound the session and caused a bogus split")
+      // event past the gap closes one session covering all four events
+      ms.addData(Ev(5, ts(13), 9, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("fmgs_late")
+        .as[StreamOps.SessionOut].collect().toSeq
+      assert(out === Seq(StreamOps.SessionOut(9,
+        ts(10).getTime * 1000, ts(10, 45).getTime * 1000, 4)))
+    } finally q.stop()
+  }
+
   test("salted join equals the plain join (skew mitigation)") {
     val fact = Tables.orders(spark, sf0001)
       .select("o_orderkey", "o_custkey", "o_totalprice")
