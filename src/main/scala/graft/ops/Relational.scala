@@ -273,6 +273,16 @@ object Relational {
         .except(orders(s, d).select(col("o_custkey").as("custkey")))
         .orderBy("custkey")),
 
+    // Array aggregation: per-group sorted distinct collection, exported as
+    // a joined string so cross-engine comparison is representation-free.
+    "agg_collect" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), "|")
+          .as("priorities"),
+          countDistinct(col("o_orderpriority")).as("n_prio"))
+        .orderBy("o_orderstatus")),
+
     // ---- sorts / top-k (S1-S3) ----
     "sort_multikey" -> ((s, d) =>
       customer(s, d)
@@ -408,6 +418,11 @@ object Relational {
     "set_except" ->
       """SELECT c_custkey AS custkey FROM customer
         |EXCEPT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin,
+    "agg_collect" ->
+      """SELECT o_orderstatus,
+        |array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS priorities,
+        |COUNT(DISTINCT o_orderpriority) AS n_prio
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "sort_multikey" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
         |ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin,

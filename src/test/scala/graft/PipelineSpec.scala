@@ -72,6 +72,26 @@ class PipelineSpec extends SparkSpec {
       === Array(java.sql.Date.valueOf("2025-01-13")))
   }
 
+  test("A1: the static KOFIC payload fixture ingests end-to-end") {
+    // FIXTURES.md §B1 — the reference's exact response shape, from a file
+    // (the fixture-based stand-in for the live API fetch).
+    val url = getClass.getResource("/kofic_payload.json")
+    assert(url != null, "fixture missing from test resources")
+    val raw = spark.read.textFile(url.getPath)
+    val daily = Ingest.dailyTable(
+      Ingest.requireNonEmpty(Ingest.parsePayload(raw), "fixture"), "20250123")
+    val rows = daily.collect()
+    assert(rows.length === 3)
+    assert(daily.columns.contains("20250123_sales"))
+    val top = daily.filter($"20250123_ranking" === 1).collect().head
+    assert(top.getAs[String]("title") === "Fixture Movie One")
+    assert(top.getAs[Long]("20250123_sales") === 482013820L)
+    assert(top.getAs[java.sql.Date]("showRange") ===
+      java.sql.Date.valueOf("2025-01-23"))
+    // quoted-comma title survives (the reference's CSV path corrupts it)
+    assert(daily.filter($"title" === "Fixture, The Second").count() === 1)
+  }
+
   test("B5: empty payload aborts") {
     val flat = Ingest.parsePayload(
       Seq(payload("20250113", Seq.empty)).toDS())
