@@ -106,6 +106,31 @@ object TextSim {
       .select(col("doc_id"),
         transform(array_sort(col("raw")), x => x.getField("h")).as("sig"))
 
+  /** MinHash near-dup candidate pairs (ia < ib, est_sim >= 0.5) via LSH
+    * banding over the 16-slot signatures — shared by dedup_minhash and the
+    * composed dedup_pipeline. sigTable ends in an aggregation, so the
+    * signatures materialize once behind an exchange and both join sides
+    * read them.
+    */
+  private def minhashPairs(docs: org.apache.spark.sql.DataFrame) = {
+    val sig = sigTable(shingleRows(docs, 3))
+    val bands = sig.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+        bd => concat_ws(",", slice(col("sig"),
+          bd * (NumHashes / Bands) + 1,
+          lit(NumHashes / Bands))))).as(Seq("band", "key")))
+    val l = bands.select(col("doc_id").as("ia"), col("sig").as("sa"),
+      col("band"), col("key"))
+    val r = bands.select(col("doc_id").as("ib"), col("sig").as("sb"),
+      col("band"), col("key"))
+    l.join(r, Seq("band", "key")).filter(col("ia") < col("ib"))
+      .select("ia", "ib", "sa", "sb").distinct()
+      .withColumn("est_sim",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          v => v)).cast("double") / NumHashes)
+      .filter(col("est_sim") >= 0.5)
+  }
+
   /** Dot product via the native codegen'd expression
     * (graft.functions.DotProductExpr): same ascending-index double fold as
     * the DuckDB oracle's list_sum(list_transform(list_zip(a,b), ...)), so
@@ -288,28 +313,24 @@ object TextSim {
     // Candidate pairs come ONLY from band-key collisions; similarity is then
     // estimated from signature agreement (k/16). The banding join is the
     // linear-ish scale path — raw text never meets raw text.
-    "dedup_minhash" -> ((s, d) => {
-      // sigTable ends in an aggregation, so the signatures are materialized
-      // once behind an exchange — the band generator and both join sides
-      // read them instead of re-deriving sha256 work per consumer.
-      val sig = sigTable(shingleRows(documents(s, d), 3))
-      val bands = sig.select(col("doc_id"), col("sig"),
-          posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-            bd => concat_ws(",", slice(col("sig"),
-              bd * (NumHashes / Bands) + 1,
-              lit(NumHashes / Bands))))).as(Seq("band", "key")))
-      val l = bands.select(col("doc_id").as("ia"), col("sig").as("sa"),
-        col("band"), col("key"))
-      val r = bands.select(col("doc_id").as("ib"), col("sig").as("sb"),
-        col("band"), col("key"))
-      l.join(r, Seq("band", "key")).filter(col("ia") < col("ib"))
-        .select("ia", "ib", "sa", "sb").distinct()
-        .withColumn("est_sim",
-          size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
-            v => v)).cast("double") / NumHashes)
-        .filter(col("est_sim") >= 0.5)
+    "dedup_minhash" -> ((s, d) =>
+      minhashPairs(documents(s, d))
         .select(col("ia"), col("ib"), col("est_sim"))
-        .orderBy("ia", "ib")
+        .orderBy("ia", "ib")),
+
+    // The composed training-data dedup pipeline as ONE declarative plan:
+    // exact content-hash dedup (keep min doc_id per sha) followed by
+    // near-dup removal (greedy keep-the-smaller-id over the MinHash pair
+    // set — the standard first-wins heuristic; transitive chains keep
+    // their head). Output = the surviving document ids.
+    "dedup_pipeline" -> ((s, d) => {
+      val docs = documents(s, d)
+      val exactKeep = docs
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val drops = minhashPairs(docs).select(col("ib").as("doc_id")).distinct()
+      exactKeep.join(drops, Seq("doc_id"), "left_anti").orderBy("doc_id")
     }),
 
     // U4: cosine of every vector against the vec_id=0 probe (broadcast) —
@@ -461,6 +482,27 @@ object TextSim {
   private val dSig =
     s"list_transform(generate_series(0,${NumHashes - 1}), j -> " +
       s"list_min(list_transform(sh, g -> ${dH60("g || '#' || CAST(j AS VARCHAR)")})))"
+  /** Shared CTE chain producing `pairs(ia, ib, est_sim)` — the DuckDB
+    * mirror of `minhashPairs`. */
+  private lazy val dMinhashCte: String =
+    s"""s AS (SELECT doc_id, ${dShingles(3)} AS sh FROM documents),
+       |sig AS (SELECT doc_id, $dSig AS sig FROM s),
+       |bands AS (
+       |  SELECT doc_id, sig, unnest(generate_series(0,${Bands - 1})) AS band,
+       |  unnest(list_transform(generate_series(0,${Bands - 1}), b ->
+       |    array_to_string(sig[b*${NumHashes / Bands}+1 : b*${NumHashes / Bands}+${NumHashes / Bands}], ','))) AS key
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+       |         a.sig AS sa, b.sig AS sb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT ia, ib,
+       |  CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE)/$NumHashes AS est_sim
+       |  FROM cand
+       |  WHERE CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE)/$NumHashes >= 0.5)""".stripMargin
+
   private def dDot(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a,$b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
   private def dCos(a: String, b: String): String =
@@ -544,23 +586,15 @@ object TextSim {
         |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
         |ORDER BY ia, ib""".stripMargin,
     "dedup_minhash" ->
-      s"""WITH s AS (SELECT doc_id, ${dShingles(3)} AS sh FROM documents),
-        |sig AS (SELECT doc_id, $dSig AS sig FROM s),
-        |bands AS (
-        |  SELECT doc_id, sig, unnest(generate_series(0,${Bands - 1})) AS band,
-        |  unnest(list_transform(generate_series(0,${Bands - 1}), b ->
-        |    array_to_string(sig[b*${NumHashes / Bands}+1 : b*${NumHashes / Bands}+${NumHashes / Bands}], ','))) AS key
-        |  FROM sig),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
-        |         a.sig AS sa, b.sig AS sb
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-        |SELECT ia, ib,
-        |CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE)/$NumHashes AS est_sim
-        |FROM cand
-        |WHERE CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE)/$NumHashes >= 0.5
-        |ORDER BY ia, ib""".stripMargin,
+      s"""WITH $dMinhashCte
+        |SELECT ia, ib, est_sim FROM pairs ORDER BY ia, ib""".stripMargin,
+    "dedup_pipeline" ->
+      s"""WITH $dMinhashCte,
+        |exact AS (SELECT min(doc_id) AS doc_id FROM documents
+        |          GROUP BY sha256(text))
+        |SELECT doc_id FROM exact
+        |WHERE doc_id NOT IN (SELECT ib FROM pairs)
+        |ORDER BY doc_id""".stripMargin,
     "sim_cosine" ->
       s"""WITH p AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label, round(${dCos("embedding", "p")}, 6) AS cos_sim
