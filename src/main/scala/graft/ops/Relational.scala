@@ -216,6 +216,18 @@ object Relational {
         .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"),
           approx_count_distinct(col("o_orderkey")).as("approx_orders"))),
 
+    // Same capability via our own TypedImperativeAggregate KMV sketch
+    // (functions/KmvSketch.scala) — exact below k=256 distinct, so THIS
+    // sketch query is oracle-checkable against plain COUNT(DISTINCT):
+    // o_custkey distinct counts sit under k at the verify scale.
+    "agg_kmv_distinct" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(graft.functions.KmvSketch.kmvDistinct(col("o_orderstatus"))
+          .as("n_status"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
     // Per-genre AND per-season AND overall totals in one view
     // (README.md:212-215) → rollup.
     // Expressed via spark.sql: the DataFrame rollup API tags grouping columns
@@ -390,6 +402,10 @@ object Relational {
         |COUNT(DISTINCT o_orderpriority) AS n_prio,
         |COUNT(DISTINCT o_orderstatus) AS n_status
         |FROM orders""".stripMargin,
+    "agg_kmv_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_orderstatus) AS n_status,
+        |COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_rollup" ->
       """SELECT n_name, o_orderpriority,
         |CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))),2) AS DOUBLE) AS sum_price,
