@@ -68,6 +68,20 @@ class MultimodalSpec extends SparkSpec {
     assert(!scanLine.contains("content"), s"binary column scanned: $scanLine")
   }
 
+  test("decode stub handles empty payloads without dividing by zero") {
+    val f = Multimodal.decodeStub(Array.emptyByteArray)
+    assert(f.length === 16 && f.forall(_ === 0f))
+  }
+
+  test("zero-frame videos emit no sampled frames") {
+    val row = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(99L, "video", Array[Byte](1),
+          org.apache.spark.sql.Row(0, 0, 0, 0, 0L))),
+      Multimodal.mediaSchema)
+    assert(Multimodal.sampleFrames(row, 4).isEmpty)
+  }
+
   test("resize planning preserves aspect and never upscales") {
     val plan = Multimodal.planResize(media, maxDim = 32)
     val bad = plan.filter($"dst_w" > 32 || $"dst_h" > 32 ||

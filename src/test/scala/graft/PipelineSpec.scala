@@ -100,6 +100,18 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("malformed payload JSON yields zero rows, caught by the guard") {
+    // from_json returns null on parse failure; the explode drops the row,
+    // so a garbage response surfaces as the B5 empty-payload abort rather
+    // than propagating nulls into the daily table.
+    val garbage = Seq("not json at all", """{"boxOfficeResult": 42}""").toDS()
+    val flat = Ingest.parsePayload(garbage)
+    assert(flat.isEmpty)
+    intercept[IllegalStateException] {
+      Ingest.requireNonEmpty(flat, "garbage day")
+    }
+  }
+
   test("K5: box_office_data pivot reproduces the dbt model's shape") {
     val out = Consolidate.boxOfficeData(dailyTables)
     // column names generated from dates, 4 measures per date, after
