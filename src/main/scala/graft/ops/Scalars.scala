@@ -63,6 +63,40 @@ object Scalars {
           concat(date_format(col("d"), "yyyyMMdd"), lit("_box_office")).as("table_name"))
         .orderBy("d")),
 
+    // H4/H8 extension: the wider calendar battery (quarter/last_day/
+    // add_months/date_add/whole-month diff).
+    "date_funcs" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          last_day(col("o_orderdate")).as("last_d"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30d"),
+          add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) -
+            (lit(1995) * 12 + 1)).as("months_since_jan95"))
+        .orderBy("o_orderkey")),
+
+    // Math battery over lineitem — transcendentals rounded at 6 to absorb
+    // libm last-ulp differences across engines.
+    "math_funcs" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - lit(0.05)).as("abs_d"),
+          ceil(col("l_quantity")).as("ceil_q"),
+          floor(col("l_quantity")).as("floor_q"),
+          round(sqrt(col("l_extendedprice")), 6).as("sqrt_p"),
+          round(log(col("l_extendedprice") + 1), 6).as("ln_p"),
+          round(log10(col("l_extendedprice") + 1), 6).as("log10_p"),
+          round(pow(col("l_discount") + 1, 3), 6).as("pow_d"),
+          signum(col("l_discount") - col("l_tax")).cast("int").as("sign_dt"),
+          greatest(col("l_discount"), col("l_tax")).as("max_dt"),
+          least(col("l_discount"), col("l_tax")).as("min_dt"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // H5: cast matrix. Note double→int uses floor() first: Spark truncates
     // toward zero while DuckDB rounds, so the portable spelling is explicit.
     "cast_types" -> ((s, d) =>
@@ -136,6 +170,28 @@ object Scalars {
       """SELECT CAST(u AS DATE) AS d, strftime(u,'%Y%m%d') || '_box_office' AS table_name
         |FROM (SELECT unnest(generate_series(DATE '2025-01-07', DATE '2025-01-15', INTERVAL 1 DAY)) AS u)
         |ORDER BY d""".stripMargin,
+    "date_funcs" ->
+      """SELECT o_orderkey,
+        |year(o_orderdate) AS yr, quarter(o_orderdate) AS q,
+        |month(o_orderdate) AS m, day(o_orderdate) AS dom,
+        |dayofyear(o_orderdate) AS doy,
+        |CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS last_d,
+        |CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30d,
+        |CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |year(o_orderdate)*12 + month(o_orderdate) - (1995*12 + 1) AS months_since_jan95
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |abs(l_discount - 0.05) AS abs_d,
+        |ceil(l_quantity) AS ceil_q, floor(l_quantity) AS floor_q,
+        |round(sqrt(l_extendedprice), 6) AS sqrt_p,
+        |round(ln(l_extendedprice + 1), 6) AS ln_p,
+        |round(log10(l_extendedprice + 1), 6) AS log10_p,
+        |round(pow(l_discount + 1, 3), 6) AS pow_d,
+        |CAST(sign(l_discount - l_tax) AS INTEGER) AS sign_dt,
+        |greatest(l_discount, l_tax) AS max_dt,
+        |least(l_discount, l_tax) AS min_dt
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "cast_types" ->
       """SELECT l_orderkey, l_linenumber,
         |CAST(floor(l_quantity) AS INTEGER) AS qty_int,
