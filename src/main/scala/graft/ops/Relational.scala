@@ -262,6 +262,33 @@ object Relational {
           count(lit(1)).as("n"))
         .orderBy("o_orderstatus")),
 
+    // Conditional / filtered aggregation — count_if and the SQL FILTER
+    // clause (one pass over the data computing N conditional metrics, the
+    // dashboard-tile workhorse).
+    "agg_filtered" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("count_if(o_orderpriority = '1-URGENT')").as("n_urgent"),
+          expr("count(*) FILTER (WHERE o_totalprice > 200000)").as("n_big"),
+          dsum(when(col("o_orderpriority") === "5-LOW", col("o_totalprice"))
+            .otherwise(lit(0.0)), 2).as("low_prio_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // Null-handling battery: coalesce/nullif/null-safe equality — the
+    // NOT-NULL validation layer's (B6) expression-level counterparts.
+    "null_funcs" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+            .as("status_or_open"),
+          nullif(col("o_orderpriority"), lit("5-LOW")).as("prio_or_null"),
+          (col("o_orderstatus") <=> lit("F")).as("is_f_nullsafe"),
+          when(col("o_totalprice").isNull, lit(-1.0))
+            .otherwise(col("o_totalprice")).as("price_or_neg1"))
+        .orderBy("o_orderkey")),
+
     // ---- set operations (E1-E2) ----
     // N-way UNION ALL, the reference's consolidation shape
     // (box_office_data.sql:2-17): one branch per partition value, reduced
@@ -273,6 +300,16 @@ object Relational {
           .select("o_orderkey", "o_orderstatus", "o_totalprice"))
         .reduce(_ unionByName _)
         .orderBy("o_orderkey")
+    }),
+
+    // E1 variant: UNION with distinct semantics (vs union_all's bag union).
+    "set_union_distinct" -> ((s, d) => {
+      val o = orders(s, d)
+      o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+        .union(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .distinct()
+        .orderBy("o_custkey")
     }),
 
     "set_intersect" -> ((s, d) =>
@@ -421,6 +458,25 @@ object Relational {
         |round(quantile_cont(o_totalprice, 0.99),4) AS p99,
         |COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_filtered" ->
+      """SELECT o_orderstatus,
+        |COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        |COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |CAST(round(SUM(CAST(CASE WHEN o_orderpriority='5-LOW' THEN o_totalprice ELSE 0.0 END AS DECIMAL(30,8))),2) AS DOUBLE) AS low_prio_price,
+        |COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "null_funcs" ->
+      """SELECT o_orderkey,
+        |coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+        |nullif(o_orderpriority, '5-LOW') AS prio_or_null,
+        |o_orderstatus IS NOT DISTINCT FROM 'F' AS is_f_nullsafe,
+        |CASE WHEN o_totalprice IS NULL THEN -1.0 ELSE o_totalprice END AS price_or_neg1
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "set_union_distinct" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
     "union_all" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus='F'
         |UNION ALL

@@ -140,6 +140,16 @@ object Scalars {
           length(col("c_name")).as("name_len"))
         .orderBy("c_custkey")),
 
+    // Regex battery: extract/like/replace-with-backrefs — the pattern
+    // toolkit behind log and identifier munging.
+    "regex_funcs" -> ((s, d) =>
+      customer(s, d)
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "#(\\d+)", 1).as("cust_num"),
+          col("c_name").rlike("[0-9]{3,}").as("has_3digits"),
+          regexp_replace(col("c_name"), "(Customer)#", "$1-").as("dashed"))
+        .orderBy("c_custkey")),
+
     // H9: season bucketing CASE expression + aggregate (README.md:205-215).
     "case_season" -> ((s, d) =>
       orders(s, d)
@@ -219,6 +229,12 @@ object Scalars {
         |translate(c_mktsegment, 'AEIOU', 'aeiou') AS lowered_vowels,
         |reverse(c_mktsegment) AS rev_seg,
         |length(c_name) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "regex_funcs" ->
+      """SELECT c_custkey,
+        |regexp_extract(c_name, '#(\d+)', 1) AS cust_num,
+        |regexp_matches(c_name, '[0-9]{3,}') AS has_3digits,
+        |regexp_replace(c_name, '(Customer)#', '\1-') AS dashed
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "case_season" ->
       """SELECT CASE WHEN month(o_orderdate) IN (12,1,2) THEN 'winter'

@@ -104,6 +104,20 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Distribution window functions: ntile / percent_rank / cume_dist over
+    // the per-month price distribution (quartile bucketing for tiles).
+    "win_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("order_month")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .select("order_month", "o_orderkey", "o_totalprice")
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .orderBy("order_month", "o_orderkey")
+    }),
+
     // W7: trailing-7-day revenue trendline (README.md:193-196). Daily
     // pre-aggregation first, then a RANGE window over day numbers. The daily
     // sum accumulates as decimal (exactSum) and the trailing window sums the
@@ -165,6 +179,15 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_ntile" ->
+      """SELECT strftime(o_orderdate,'%Y-%m') AS order_month, o_orderkey, o_totalprice,
+        |ntile(4) OVER w AS quartile,
+        |round(percent_rank() OVER w, 6) AS pct_rank,
+        |round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY strftime(o_orderdate,'%Y-%m')
+        |ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY order_month, o_orderkey""".stripMargin,
     "win_trailing7" ->
       """WITH daily AS (
         |SELECT CAST(l_shipdate AS DATE) AS ship_d,
