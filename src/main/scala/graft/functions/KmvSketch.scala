@@ -73,8 +73,12 @@ case class KmvSketch(
   override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
     if (buf.size < k) buf.size.toLong
     else {
-      // k-th smallest as fraction of the unsigned 64-bit space
-      val kth = (buf.last().longValue() - Long.MinValue).toDouble
+      // k-th smallest as fraction of the unsigned 64-bit space. Recover
+      // the unsigned value in DOUBLE arithmetic: subtracting Long.MinValue
+      // as longs wraps back to a signed reinterpretation and went negative
+      // whenever the unsigned kth hash >= 2^63 (i.e. whenever the true
+      // distinct count is within ~2k of k).
+      val kth = buf.last().longValue().toDouble - Long.MinValue.toDouble
       math.round((k - 1).toDouble / (kth / 1.8446744073709552E19))
     }
 

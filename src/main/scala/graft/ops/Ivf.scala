@@ -26,9 +26,11 @@ import graft.functions.DotProductExpr
   */
 object Ivf {
 
-  private def dist2(e: Column, c: Column): Column =
-    DotProductExpr.dot(e, e) - lit(2.0) * DotProductExpr.dot(e, c) +
-      DotProductExpr.dot(c, c)
+  /** Rank-equivalent distance score: ||e-c||² minus the ||e||² term,
+    * which is constant across the k centroids for a given row and would
+    * waste k extra dot products per row in argmin/sort positions. */
+  private def rankDist(e: Column, c: Column): Column =
+    DotProductExpr.dot(c, c) - lit(2.0) * DotProductExpr.dot(e, c)
 
   /** Fit k centroids over `vectors(embedding: array<float>)` with `iters`
     * Lloyd iterations, deterministically seeded from the lowest ids.
@@ -58,10 +60,9 @@ object Ivf {
   }
 
   /** Attach the nearest-centroid cell id to each vector (the index). */
-  def assign(vectors: DataFrame, centroids: Seq[Seq[Float]],
-      idCol: String = "vec_id"): DataFrame = {
+  def assign(vectors: DataFrame, centroids: Seq[Seq[Float]]): DataFrame = {
     val dists = centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2(col("embedding"), typedlit(c)).as("d"), lit(i).as("i"))
+      struct(rankDist(col("embedding"), typedlit(c)).as("d"), lit(i).as("i"))
     }
     vectors.withColumn("cell", array_min(array(dists: _*)).getField("i"))
   }
@@ -70,12 +71,12 @@ object Ivf {
   def search(vectors: DataFrame, centroids: Seq[Seq[Float]],
       probes: DataFrame, k: Int, nprobe: Int,
       idCol: String = "vec_id"): DataFrame = {
-    val indexed = assign(vectors, centroids, idCol)
+    val indexed = assign(vectors, centroids)
       .select(col(idCol).as("cand_id"), col("embedding").as("e"),
         col("cell"))
     val probeCells = {
       val dists = centroids.zipWithIndex.map { case (c, i) =>
-        struct(dist2(col("embedding"), typedlit(c)).as("d"), lit(i).as("i"))
+        struct(rankDist(col("embedding"), typedlit(c)).as("d"), lit(i).as("i"))
       }
       probes
         .select(col(idCol).as("probe_id"), col("embedding").as("p"),

@@ -28,13 +28,17 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** One scratch dir per JVM for the roundtrip queries: unique per process
-    * (concurrent verify/bench runs can't clobber each other) but reused
-    * within it (repeated invocations overwrite instead of leaking a new
-    * table copy under /tmp per call).
+  /** Scratch area for the roundtrip queries: one dir per JVM (concurrent
+    * verify/bench PROCESSES can't clobber each other) with a unique subdir
+    * per invocation — a DataFrame returned by an earlier invocation stays
+    * readable even if a later one runs before it is consumed. Growth is
+    * bounded by invocations within one JVM (gate flows call each query
+    * once per run).
     */
   private lazy val scratch: String =
     java.nio.file.Files.createTempDirectory("graft_scratch_").toString
+  private def scratchDir(tag: String): String =
+    s"$scratch/${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
 
   val queries: Map[String, Q] = Map(
     // ---- scans / sources (A4, A6) ----
@@ -48,7 +52,7 @@ object Relational {
     // COPY reader options; proper quoting vs the reference's naive split,
     // SURVEY §3.3). Writes a temp CSV then re-reads with an explicit schema.
     "csv_roundtrip" -> ((s, d) => {
-      val out = s"$scratch/csv_rt"
+      val out = scratchDir("csv_rt")
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_quantity"), col("l_shipdate").cast("date").as("l_shipdate"))
@@ -64,7 +68,7 @@ object Relational {
     // back — the staged-write shape of the reference's S3 hop
     // (daily_parquet_pipeline.py:95-98 write, :151-156 COPY-side scan).
     "parquet_roundtrip" -> ((s, d) => {
-      val out = s"$scratch/pq_rt"
+      val out = scratchDir("pq_rt")
       orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"), col("o_orderdate").cast("date").as("o_date"))

@@ -99,30 +99,31 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
          state: org.apache.spark.sql.streaming.GroupState[SessState]) =>
-          val times = rows.map(_._2.getTime).toArray.sorted
-          var cur = state.getOption
-          val out = Seq.newBuilder[SessionOut]
-          times.foreach { t =>
-            cur match {
-              // within gap of the open session's interval — extend it.
-              // min/max (not plain assignment): a LATE event inside the
-              // session must never move its bounds backwards.
-              case Some(s) if t >= s.startMs - gapMs && t - s.lastMs < gapMs =>
-                cur = Some(SessState(math.min(s.startMs, t),
-                  math.max(s.lastMs, t), s.n + 1))
-              // far older than the open session: a stray late singleton —
-              // emit it immediately, keep the open session untouched
-              case Some(s) if t < s.startMs - gapMs =>
-                out += SessionOut(user, t * 1000, t * 1000, 1)
-              // beyond the gap after the session: close it, start anew
-              case Some(s) =>
-                out += SessionOut(user, s.startMs * 1000, s.lastMs * 1000, s.n)
-                cur = Some(SessState(t, t, 1))
-              case None => cur = Some(SessState(t, t, 1))
+          // gaps-and-islands over the batch events PLUS the open session
+          // (as an interval), sorted by start: consecutive intervals merge
+          // when the gap is < gapMs. This handles late BURSTS correctly —
+          // several old events coalesce into one session rather than N
+          // singletons — and a late in-session event can only widen the
+          // session, never rewind it.
+          val intervals = (rows.map { r =>
+            val t = r._2.getTime; SessState(t, t, 1)
+          } ++ state.getOption.iterator).toArray
+            .sortBy(i => (i.startMs, i.lastMs))
+          var merged = List.empty[SessState]
+          intervals.foreach { i =>
+            merged = merged match {
+              case h :: rest if i.startMs - h.lastMs < gapMs =>
+                SessState(h.startMs, math.max(h.lastMs, i.lastMs),
+                  h.n + i.n) :: rest
+              case acc => i :: acc
             }
           }
-          cur.foreach(state.update)
-          out.result().iterator
+          // head of `merged` is the latest interval — it stays open in
+          // state; every earlier one is closed and emitted.
+          val open = merged.head
+          state.update(open)
+          merged.tail.reverse.iterator.map(s =>
+            SessionOut(user, s.startMs * 1000, s.lastMs * 1000, s.n))
       }
   }
 }

@@ -26,6 +26,18 @@ class KmvSketchSpec extends SparkSpec {
     assert(err < 3.0 / math.sqrt(256), s"KMV estimate $kmv err $err")
   }
 
+  test("sane in the k..2k window (unsigned kth hash >= 2^63)") {
+    // regression: the kth smallest of ~300 hashes sits in the upper half
+    // of the unsigned space; a signed reinterpretation returned negative
+    // estimates here
+    val ids = spark.range(300).select(col("id"))
+    val kmv = ids.agg(kmvDistinct(col("id"), k = 256)).as[Long]
+      .collect().head
+    assert(kmv > 0, s"negative estimate $kmv")
+    assert(math.abs(kmv - 300.0) / 300.0 < 3.0 / math.sqrt(256),
+      s"KMV estimate $kmv for 300 distinct")
+  }
+
   test("partition-layout invariant (mergeable partials)") {
     val ids = spark.range(50000).select(col("id"))
     val a = ids.repartition(1).agg(kmvDistinct(col("id"))).as[Long]

@@ -134,6 +134,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer: a burst of late events coalesces into one session") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.sessionizeStateful(ms.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("fmgs_burst")
+      .outputMode("append").start()
+    try {
+      ms.addData(Ev(1, ts(10), 11, 1.0), Ev(2, ts(10, 20), 11, 1.0))
+      q.processAllAvailable()
+      // three related LATE events, hours before the open session — must
+      // close as ONE 3-event session, not three singletons
+      ms.addData(Ev(3, ts(8), 11, 1.0), Ev(4, ts(8, 5), 11, 1.0),
+        Ev(5, ts(8, 10), 11, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("fmgs_burst")
+        .as[StreamOps.SessionOut].collect().toSeq
+      assert(out === Seq(StreamOps.SessionOut(11,
+        ts(8).getTime * 1000, ts(8, 10).getTime * 1000, 3)))
+    } finally q.stop()
+  }
+
   test("salted join equals the plain join (skew mitigation)") {
     val fact = Tables.orders(spark, sf0001)
       .select("o_orderkey", "o_custkey", "o_totalprice")
