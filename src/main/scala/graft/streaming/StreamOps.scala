@@ -70,6 +70,48 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join: clicks within the 10 minutes before each
+    * error by the same user — the streaming form of the batch `join_range`
+    * query. Both sides carry watermarks and the join condition bounds
+    * click_ts relative to err_ts, so Spark can size the join state and
+    * evict rows once the watermark passes — unbounded state otherwise.
+    */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val e = errors.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("u2"), col("ts").as("err_ts"),
+        col("event_id").as("err_id"))
+    c.join(e, expr(
+      """user_id = u2 AND
+        |click_ts >= err_ts - interval 10 minutes AND
+        |click_ts < err_ts""".stripMargin))
+      .select(col("err_id"), col("user_id"), col("click_ts"), col("err_ts"))
+  }
+
+  /** Idempotent micro-batch sink (T1/A8): each batch overwrites exactly the
+    * daily partitions it contains (dynamic partition overwrite), so
+    * re-processing a batch after a failure rewrites the same partitions
+    * instead of duplicating rows — the reference's CREATE TABLE IF NOT
+    * EXISTS / per-day-table idempotency, in streaming form. Use with
+    * `writeStream.foreachBatch(idempotentDailySink(path))`.
+    */
+  def idempotentDailySink(path: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      batch
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   final case class SessState(startMs: Long, lastMs: Long, n: Int)
   final case class SessionOut(user_id: Long, session_start_us: Long,
     last_us: Long, n_events: Int)

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.StreamOps
 
@@ -165,6 +166,39 @@ class StreamingSpec extends SparkSpec {
     val salted = graft.ops.Skew.saltedJoin(fact, dim, "o_custkey", salt = 8)
       .select("o_orderkey", "c_name").as[(Long, String)].collect().toSet
     assert(salted === plain)
+  }
+
+  test("stream-stream join matches clicks to errors within the window") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val errors = MemoryStream[Ev]
+    val q = StreamOps.clickErrorJoin(
+        clicks.toDF().withColumn("event_type", lit("click")),
+        errors.toDF().withColumn("event_type", lit("error")))
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Ev(1, ts(10), 5, 1.0),   // 5 min before error: match
+        Ev(2, ts(9, 30), 5, 1.0),             // 35 min before: no match
+        Ev(3, ts(10, 5), 6, 1.0))             // other user: no match
+      errors.addData(Ev(9, ts(10, 5), 5, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .select("err_id", "user_id").as[(Long, Long)].collect().toSeq
+      assert(got === Seq((9L, 5L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch daily sink is idempotent under batch replay") {
+    val out = java.nio.file.Files.createTempDirectory("graft_fb_").toString
+    val batch = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "value")
+    val sink = StreamOps.idempotentDailySink(s"$out/store") _
+    sink(batch, 0L)
+    val n1 = spark.read.parquet(s"$out/store").count()
+    sink(batch, 0L) // replay the same batch — must overwrite, not append
+    val n2 = spark.read.parquet(s"$out/store").count()
+    assert(n1 === batch.count() && n2 === n1)
   }
 
   test("T2/T4 transforms produce identical results in batch re-runs") {
