@@ -93,6 +93,11 @@ object Relational {
       val payload = concat(lit("""{"list":[{"v":"""), col("o_orderkey"),
         lit("""},{"v":"""), col("o_custkey"), lit("}]}"))
       orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        // spread before the parse: the single-file scan is one split, and
+        // per-row Jackson parsing is the rare expression heavy enough to
+        // serialize on it (16s single-threaded at sf0.1 vs ~1s spread)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("o_orderkey"), from_json(payload,
           org.apache.spark.sql.types.DataType.fromDDL(
             "STRUCT<list: ARRAY<STRUCT<v: BIGINT>>>")).as("doc"))
