@@ -172,4 +172,35 @@ object Ingest {
     */
   def appendLongStore(df: DataFrame, path: String): Unit =
     df.write.mode("append").partitionBy("show_range").parquet(path)
+
+  /** Inverse of toLong: reproduce the reference's wide per-day layout
+    * (SURVEY §1.1) from the canonical long format — the derived view that
+    * keeps every reference query expressible. toWide∘toLong ≡ identity on
+    * a day's table (FIXTURES.md §B3 round-trip contract).
+    */
+  def toWide(long: DataFrame, targetDate: String): DataFrame = {
+    val d = targetDate
+    long.select(
+      col("rank_num").as(s"${d}_rank_num"),
+      col("ranking").as(s"${d}_ranking"),
+      col("increase_decrease").as(s"${d}_increase_decrease"),
+      col("new_entry").as(s"${d}_new_entry"),
+      col("code"), col("title"), col("released_date"),
+      col("sales").as(s"${d}_sales"),
+      col("sales_ratio").as(s"${d}_sales_ratio"),
+      col("sales_increase_decrease").as(s"${d}_sales_increase_decrease"),
+      col("sales_increase_decrease_ratio")
+        .as(s"${d}_sales_increase_decrease_ratio"),
+      col("total_sales").as(s"${d}_total_sales"),
+      col("audience_num").as(s"${d}_audience_num"),
+      col("audience_increase_decrease")
+        .as(s"${d}_audience_increase_decrease"),
+      col("audience_increase_decrease_ratio")
+        .as(s"${d}_audience_increase_decrease_ratio"),
+      col("total_audience_num").as(s"${d}_total_audience_num"),
+      col("screen_num").as(s"${d}_screen_num"),
+      col("screen_show").as(s"${d}_screen_show"),
+      col("box_office_type").as("boxOfficeType"),
+      col("show_range").as("showRange"))
+  }
 }
