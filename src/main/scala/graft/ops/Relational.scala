@@ -258,6 +258,29 @@ object Relational {
         ORDER BY n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
     }),
 
+    // argmax/argmin aggregates: which order was each customer's biggest —
+    // deterministic tiebreak via the struct's secondary key.
+    "agg_maxby" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_custkey")
+        .agg(
+          max(struct(col("o_totalprice"), col("o_orderkey")))
+            .getField("o_orderkey").as("biggest_order"),
+          min(struct(col("o_totalprice"), col("o_orderkey")))
+            .getField("o_orderkey").as("smallest_order"),
+          count(lit(1)).as("n"))
+        .orderBy("o_custkey")),
+
+    // Dispersion statistics (D6 extension): sample stddev/variance — both
+    // engines use the same two-pass-free definitions; rounded at 4.
+    "agg_stddev" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(round(stddev_samp(col("o_totalprice")), 4).as("sd"),
+          round(var_samp(col("o_totalprice")), 4).as("var"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
     // Exact quantiles (D6 extension): percentile() is the exact
     // interpolated PERCENTILE_CONT — the sketch-free form the oracle can
     // replay; at 100 TB swap approx_percentile in (same call shape).
@@ -460,6 +483,24 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, o_orderpriority)
         |ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "agg_maxby" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rb,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rs
+        |  FROM orders)
+        |SELECT o_custkey,
+        |max(CASE WHEN rb = 1 THEN o_orderkey END) AS biggest_order,
+        |max(CASE WHEN rs = 1 THEN o_orderkey END) AS smallest_order,
+        |COUNT(*) AS n
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_stddev" ->
+      """SELECT o_orderstatus,
+        |round(stddev_samp(o_totalprice), 4) AS sd,
+        |round(var_samp(o_totalprice), 4) AS var,
+        |COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_percentile" ->
       """SELECT o_orderstatus,
         |round(quantile_cont(o_totalprice, 0.5),4) AS p50,

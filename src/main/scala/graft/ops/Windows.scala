@@ -33,6 +33,15 @@ object Windows {
           round((col("o_totalprice") / col("prev_price") - 1) * 100, 4))
         .orderBy("o_custkey", "o_orderkey")),
 
+    // W1 mirror: lead — the forward-looking delta (next order's price).
+    "win_lead" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("next_price", lead("o_totalprice", 1).over(byCust))
+        .withColumn("next_delta", col("next_price") - col("o_totalprice"))
+        .orderBy("o_custkey", "o_orderkey")),
+
     // W2: running cumulative sum (salesAcc / audiAcc).
     "win_cumsum" -> ((s, d) =>
       orders(s, d)
@@ -143,6 +152,13 @@ object Windows {
         |lag(o_totalprice) OVER w AS prev_price,
         |o_totalprice - lag(o_totalprice) OVER w AS delta,
         |round((o_totalprice / lag(o_totalprice) OVER w - 1) * 100, 4) AS pct_change
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_lead" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |lead(o_totalprice) OVER w AS next_price,
+        |lead(o_totalprice) OVER w - o_totalprice AS next_delta
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
