@@ -106,6 +106,18 @@ object Relational {
         .orderBy("o_orderkey", "v")
     }),
 
+    // Null-preserving flatten: explode_outer keeps rows whose array is
+    // empty (as a NULL element) — the LEFT-JOIN-shaped generator every
+    // flattening pipeline needs for "parents without children".
+    "explode_outer_q" -> ((s, d) => {
+      val arr = when(col("o_orderstatus") === "P",
+        array().cast("array<string>"))
+        .otherwise(split(col("o_orderpriority"), "-"))
+      orders(s, d)
+        .select(col("o_orderkey"), explode_outer(arr).as("part"))
+        .orderBy(col("o_orderkey"), col("part").asc_nulls_first)
+    }),
+
     // ---- projections (B1-B4) ----
     "project_rename" -> ((s, d) =>
       lineitem(s, d)
@@ -406,6 +418,14 @@ object Relational {
         |  UNION ALL
         |  SELECT o_orderkey, o_custkey FROM orders)
         |ORDER BY o_orderkey, v""".stripMargin,
+    "explode_outer_q" ->
+      """SELECT o_orderkey, unnest(
+        |  CASE WHEN len(l) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE l END) AS part
+        |FROM (SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'P' THEN CAST([] AS VARCHAR[])
+        |       ELSE string_split(o_orderpriority, '-') END AS l
+        |  FROM orders)
+        |ORDER BY o_orderkey, part NULLS FIRST""".stripMargin,
     "project_rename" ->
       """SELECT l_orderkey AS order_id, l_linenumber AS line_no,
         |l_quantity AS qty, l_extendedprice AS price
