@@ -135,35 +135,23 @@ object Ingest {
   def bulkLoad(spark: SparkSession, stagedDir: String, table: String): Unit =
     spark.read.parquet(stagedDir).write.mode("append").insertInto(table)
 
+  /** Long-column name for an API field under a given date — derived from
+    * renameDict so the long/wide mapping exists in exactly ONE place
+    * (renameDict) and toLong/toWide cannot drift apart. */
+  private def longColName(field: String, d: String): String =
+    renameDict(d)(field).stripPrefix(s"${d}_")
+
   /** Canonical long-format fact row (SURVEY.md §1.5): the wide,
     * date-prefixed layout is a Redshift-era workaround — natively the same
     * information is one fact table partitioned by date. The wide layout
-    * stays reproducible via Consolidate's pivot.
+    * stays reproducible via toWide / Consolidate's pivot.
     */
   def toLong(wide: DataFrame, targetDate: String): DataFrame = {
     val d = targetDate
     wide.select(
-      col("showRange").as("show_range"),
-      col(s"${d}_rank_num").as("rank_num"),
-      col(s"${d}_ranking").as("ranking"),
-      col(s"${d}_increase_decrease").as("increase_decrease"),
-      col(s"${d}_new_entry").as("new_entry"),
-      col("code"), col("title"), col("released_date"),
-      col(s"${d}_sales").as("sales"),
-      col(s"${d}_sales_ratio").as("sales_ratio"),
-      col(s"${d}_sales_increase_decrease").as("sales_increase_decrease"),
-      col(s"${d}_sales_increase_decrease_ratio")
-        .as("sales_increase_decrease_ratio"),
-      col(s"${d}_total_sales").as("total_sales"),
-      col(s"${d}_audience_num").as("audience_num"),
-      col(s"${d}_audience_increase_decrease")
-        .as("audience_increase_decrease"),
-      col(s"${d}_audience_increase_decrease_ratio")
-        .as("audience_increase_decrease_ratio"),
-      col(s"${d}_total_audience_num").as("total_audience_num"),
-      col(s"${d}_screen_num").as("screen_num"),
-      col(s"${d}_screen_show").as("screen_show"),
-      col("boxOfficeType").as("box_office_type"))
+      col("showRange").as("show_range") +:
+        listFields.map(f => col(renameDict(d)(f)).as(longColName(f, d))) :+
+        col("boxOfficeType").as("box_office_type"): _*)
   }
 
   /** Long-format store writer: Parquet partitioned by show_range, so the
@@ -175,32 +163,17 @@ object Ingest {
 
   /** Inverse of toLong: reproduce the reference's wide per-day layout
     * (SURVEY §1.1) from the canonical long format — the derived view that
-    * keeps every reference query expressible. toWide∘toLong ≡ identity on
-    * a day's table (FIXTURES.md §B3 round-trip contract).
+    * keeps every reference query expressible. Column ORDER matches
+    * dailyTable's output exactly (boxOfficeType, showRange, then the 18
+    * fields in API order), so positional consumers (insertInto) see the
+    * same layout. toLong∘toWide ≡ identity on a day's table
+    * (FIXTURES.md §B3's B2 → B3 → B2 round trip).
     */
   def toWide(long: DataFrame, targetDate: String): DataFrame = {
     val d = targetDate
     long.select(
-      col("rank_num").as(s"${d}_rank_num"),
-      col("ranking").as(s"${d}_ranking"),
-      col("increase_decrease").as(s"${d}_increase_decrease"),
-      col("new_entry").as(s"${d}_new_entry"),
-      col("code"), col("title"), col("released_date"),
-      col("sales").as(s"${d}_sales"),
-      col("sales_ratio").as(s"${d}_sales_ratio"),
-      col("sales_increase_decrease").as(s"${d}_sales_increase_decrease"),
-      col("sales_increase_decrease_ratio")
-        .as(s"${d}_sales_increase_decrease_ratio"),
-      col("total_sales").as(s"${d}_total_sales"),
-      col("audience_num").as(s"${d}_audience_num"),
-      col("audience_increase_decrease")
-        .as(s"${d}_audience_increase_decrease"),
-      col("audience_increase_decrease_ratio")
-        .as(s"${d}_audience_increase_decrease_ratio"),
-      col("total_audience_num").as(s"${d}_total_audience_num"),
-      col("screen_num").as(s"${d}_screen_num"),
-      col("screen_show").as(s"${d}_screen_show"),
-      col("box_office_type").as("boxOfficeType"),
-      col("show_range").as("showRange"))
+      col("box_office_type").as("boxOfficeType") +:
+        col("show_range").as("showRange") +:
+        listFields.map(f => col(longColName(f, d)).as(renameDict(d)(f))): _*)
   }
 }

@@ -420,7 +420,8 @@ object Relational {
         |ORDER BY o_orderkey, v""".stripMargin,
     "explode_outer_q" ->
       """SELECT o_orderkey, unnest(
-        |  CASE WHEN len(l) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE l END) AS part
+        |  CASE WHEN l IS NULL OR len(l) = 0
+        |       THEN [CAST(NULL AS VARCHAR)] ELSE l END) AS part
         |FROM (SELECT o_orderkey,
         |  CASE WHEN o_orderstatus = 'P' THEN CAST([] AS VARCHAR[])
         |       ELSE string_split(o_orderpriority, '-') END AS l

@@ -82,7 +82,8 @@ class LongFormatSpec extends SparkSpec {
         !(col("d_rank_delta") <=> col("increase_decrease")) ||
         !(col("d_sales_delta") <=> col("sales_increase_decrease")) ||
         col("d_total_sales") =!= col("total_sales"))
-    assert(bad.isEmpty, bad.collect().mkString("\n"))
+      .collect() // once — assert's by-value clue would re-run the job
+    assert(bad.isEmpty, bad.mkString("\n"))
   }
 
   test("toLong ∘ toWide is the identity on a day's table (FIXTURES §B3)") {

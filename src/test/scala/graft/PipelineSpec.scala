@@ -173,6 +173,13 @@ class PipelineSpec extends SparkSpec {
     intercept[RuntimeException] { bad.run(Seq(1).toDF("v")) }
   }
 
+  test("toWide reproduces dailyTable's exact column ORDER (positional safety)") {
+    val (_, wide) = dailyTables.head
+    val roundTripped = Ingest.toWide(Ingest.toLong(wide, "20250113"), "20250113")
+    assert(roundTripped.columns.toSeq === wide.columns.toSeq,
+      "positional consumers (insertInto) need the layout, not just the set")
+  }
+
   test("§1.5: long-format store partitions by show_range and prunes") {
     val store = java.nio.file.Files.createTempDirectory("graft_long_").toString
     dailyTables.zip(dates).foreach { case ((_, wide), d8) =>
