@@ -333,6 +333,31 @@ object Relational {
             .otherwise(col("o_totalprice")).as("price_or_neg1"))
         .orderBy("o_orderkey")),
 
+    // D8 sibling: CUBE over a single table (no join → no dataset-id trap,
+    // the DataFrame API is safe here) + grouping() marks to tell subtotal
+    // rows from genuine NULL groups.
+    "agg_cube" -> ((s, d) =>
+      orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(dsum(col("o_totalprice"), 2).as("sum_price"),
+          count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).as("g_status"),
+          grouping(col("o_orderpriority")).as("g_prio"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))),
+
+    // ANSI-mode-safe scalar functions: Spark 4 runs with ansi=true, where
+    // a bad cast or division by zero THROWS — try_* are the sanctioned
+    // null-on-error escape hatches every ingest layer needs.
+    "try_funcs" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          expr("try_cast(o_orderpriority AS INT)").as("prio_as_int"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")
+            .as("prio_num"),
+          expr("try_divide(o_totalprice, o_custkey % 3)").as("div_maybe_zero"))
+        .orderBy("o_orderkey")),
+
     // ---- set operations (E1-E2) ----
     // N-way UNION ALL, the reference's consolidation shape
     // (box_office_data.sql:2-17): one branch per partition value, reduced
@@ -492,6 +517,21 @@ object Relational {
         |COUNT(DISTINCT o_orderpriority) AS n_prio,
         |COUNT(DISTINCT o_orderstatus) AS n_status
         |FROM orders""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))),2) AS DOUBLE) AS sum_price,
+        |COUNT(*) AS n,
+        |GROUPING(o_orderstatus) AS g_status,
+        |GROUPING(o_orderpriority) AS g_prio
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "try_funcs" ->
+      """SELECT o_orderkey,
+        |TRY_CAST(o_orderpriority AS INTEGER) AS prio_as_int,
+        |TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+        |CASE WHEN o_custkey % 3 = 0 THEN NULL
+        |     ELSE o_totalprice / (o_custkey % 3) END AS div_maybe_zero
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "agg_kmv_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_orderstatus) AS n_status,
         |COUNT(*) AS n
