@@ -48,19 +48,25 @@ for name, sql in sorted(oracle.items()):
                 df[c] = df[c].astype(str)
         return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     g, w = norm(got), norm(want)
-    bad = []
+    # STRICT, like the driver: the driver hashes stringified values, so the
+    # local gate is exact string compare on every column — no float
+    # tolerance. (`31` vs `31.0` must FAIL here; the old isclose branch
+    # masked exactly that class — VERDICT r2 "What's wrong" #2.) Width-only
+    # dtype skew (int32 vs int64) stringifies identically and passes the
+    # driver, so it is a warning, not a failure.
+    bad, dtype_warn = [], []
     for c in g.columns:
         gc, wc = g[c], w[c]
+        if str(gc.dtype) != str(wc.dtype):
+            dtype_warn.append(f"{c}: spark={gc.dtype} oracle={wc.dtype}")
         try:
-            if str(gc.dtype).startswith("float") or str(wc.dtype).startswith("float"):
-                import numpy as np
-                eq = ((gc.isna() & wc.isna()) | (np.isclose(gc.fillna(0), wc.fillna(0), rtol=0, atol=1e-9) & ~(gc.isna() ^ wc.isna()))).all()
-            else:
-                eq = gc.astype(str).equals(wc.astype(str))
-        except Exception as e:
+            eq = gc.astype(str).equals(wc.astype(str))
+        except Exception:
             eq = False
         if not eq:
             bad.append(c)
+    if dtype_warn and not bad:
+        print(f"WARN {name}  dtype skew (values match): {dtype_warn}")
     if bad:
         results[name] = f"VALUES: cols {bad}"
         ex = []

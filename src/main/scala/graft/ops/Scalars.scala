@@ -193,7 +193,8 @@ object Scalars {
     "math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         |abs(l_discount - 0.05) AS abs_d,
-        |ceil(l_quantity) AS ceil_q, floor(l_quantity) AS floor_q,
+        |CAST(ceil(l_quantity) AS BIGINT) AS ceil_q,
+        |CAST(floor(l_quantity) AS BIGINT) AS floor_q,
         |round(sqrt(l_extendedprice), 6) AS sqrt_p,
         |round(ln(l_extendedprice + 1), 6) AS ln_p,
         |round(log10(l_extendedprice + 1), 6) AS log10_p,
@@ -234,7 +235,7 @@ object Scalars {
       """SELECT c_custkey,
         |regexp_extract(c_name, '#(\d+)', 1) AS cust_num,
         |regexp_matches(c_name, '[0-9]{3,}') AS has_3digits,
-        |regexp_replace(c_name, '(Customer)#', '\1-') AS dashed
+        |regexp_replace(c_name, '(Customer)#', '\1-', 'g') AS dashed
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "case_season" ->
       """SELECT CASE WHEN month(o_orderdate) IN (12,1,2) THEN 'winter'
