@@ -231,11 +231,15 @@ object Relational {
           countDistinct(col("o_orderstatus")).as("n_status"))),
 
     // HLL sketch variant for the 100 TB path (D7); no DuckDB oracle (sketch
-    // implementations differ) — driver records rows-only.
+    // implementations differ) — driver records rows-only; accuracy is pinned
+    // by ApproxAccuracySpec (within 5% of agg_count_distinct at sf0.01).
+    // rsd=0.02 (~2% standard error, a few KB of sketch per group) rather
+    // than the 0.05 default, which at sf0.01 missed the true custkey count
+    // by 6.7% — still cheap, and the estimate is usable for planning.
     "agg_approx_distinct" -> ((s, d) =>
       orders(s, d)
-        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"),
-          approx_count_distinct(col("o_orderkey")).as("approx_orders"))),
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
+          approx_count_distinct(col("o_orderkey"), 0.02).as("approx_orders"))),
 
     // Same capability via our own TypedImperativeAggregate KMV sketch
     // (functions/KmvSketch.scala) — exact below k=256 distinct, so THIS

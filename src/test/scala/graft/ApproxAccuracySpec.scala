@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.functions.KmvSketch.kmvDistinct
+
+/** Accuracy gates for the approximate-distinct queries (SURVEY §2.D D7).
+  *
+  * `agg_approx_distinct` is rows-only at the driver (sketch implementations
+  * differ between Spark and DuckDB), so this spec is its verification story:
+  * the HLL estimates from the DECLARED query must land within 5% of the
+  * exact counts from the declared `agg_count_distinct` query at sf0.01
+  * (Spark's approx_count_distinct default rsd is 0.05). Likewise KMV's
+  * above-k regime — the oracle-checked `agg_kmv_distinct` only exercises
+  * exact-below-k — is pinned here on real table data with distinct count
+  * ≫ k, within the 3/√k KMV error bound.
+  */
+class ApproxAccuracySpec extends SparkSpec {
+  def sf001 = "/root/testdata/sf0.01"
+
+  private def relErr(est: Long, exact: Long): Double =
+    math.abs(est - exact.toDouble) / exact.toDouble
+
+  test("agg_approx_distinct (declared query) within 5% of exact at sf0.01") {
+    val Row(approxCust: Long, approxOrders: Long) =
+      SparkEntry.queries("agg_approx_distinct")(spark, sf001).collect().head
+    val Row(exactCust: Long, _, _) =
+      SparkEntry.queries("agg_count_distinct")(spark, sf001).collect().head
+    val exactOrders =
+      Tables.orders(spark, sf001).agg(countDistinct(col("o_orderkey")))
+        .collect().head.getLong(0)
+    assert(relErr(approxCust, exactCust) < 0.05,
+      s"HLL custkey estimate $approxCust vs exact $exactCust")
+    assert(relErr(approxOrders, exactOrders) < 0.05,
+      s"HLL orderkey estimate $approxOrders vs exact $exactOrders")
+  }
+
+  test("KMV above-k estimation on real table data (distinct >> k)") {
+    val o = Tables.orders(spark, sf001)
+    val exact = o.agg(countDistinct(col("o_orderkey"))).collect().head.getLong(0)
+    assert(exact > 1024, s"fixture precondition: want distinct >> k, got $exact")
+    val est = o.agg(kmvDistinct(col("o_orderkey"), k = 256))
+      .collect().head.getLong(0)
+    assert(relErr(est, exact) < 3.0 / math.sqrt(256),
+      s"KMV estimate $est vs exact $exact")
+  }
+
+  test("KMV above-k grouped estimation (per-group sketches stay bounded)") {
+    val o = Tables.orders(spark, sf001)
+    val exact = o.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_orderkey")).as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = o.groupBy("o_orderpriority")
+      .agg(kmvDistinct(col("o_orderkey"), k = 256).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    for ((g, e) <- exact) {
+      assert(relErr(est(g), e) < 3.0 / math.sqrt(256),
+        s"group $g: KMV ${est(g)} vs exact $e")
+    }
+  }
+}

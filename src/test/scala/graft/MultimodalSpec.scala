@@ -82,6 +82,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(row, 4).isEmpty)
   }
 
+  test("real image decode: javax.imageio PNG through extractFeatures") {
+    // Known-content PNGs: half black / half white, and solid red.
+    def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val bw = png(8, 8, (x, _) => if (x < 4) 0x000000 else 0xFFFFFF)
+    val red = png(5, 3, (_, _) => 0xFF0000)
+
+    assert(Multimodal.imageMeta(bw) === ((8, 8)))
+    assert(Multimodal.imageMeta(red) === ((5, 3)))
+
+    val df = Seq((1L, "image", bw), (2L, "image", red))
+      .toDF("media_id", "kind", "content")
+    val feats = Multimodal.extractFeatures(df,
+        decodeBatch = Multimodal.decodeImageBatch)
+      .collect().map(f => f.media_id -> f.feature).toMap
+
+    // black (luma 0 → bin 0) and white (luma 255 → bin 15), half each
+    assert(math.abs(feats(1L)(0) - 0.5f) < 1e-6)
+    assert(math.abs(feats(1L)(15) - 0.5f) < 1e-6)
+    assert(math.abs(feats(1L).sum - 1.0f) < 1e-5)
+    // solid red: BT.601 luma = 299*255/1000 = 76 → bin 4, all pixels
+    assert(feats(2L)(4) === 1.0f)
+    assert(feats(2L).count(_ != 0f) === 1)
+  }
+
   test("resize planning preserves aspect and never upscales") {
     val plan = Multimodal.planResize(media, maxDim = 32)
     val bad = plan.filter($"dst_w" > 32 || $"dst_h" > 32 ||

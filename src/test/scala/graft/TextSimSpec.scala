@@ -105,4 +105,47 @@ class TextSimSpec extends SparkSpec {
     assert(math.abs(cos(2L)) < 1e-12)
     assert(math.abs(cos(3L) - 1.0) < 1e-12)
   }
+
+  test("dedup_embed: oversized blocks are LSH-sub-blocked with high recall") {
+    // Skewed fixture: one hot label far above the cap (forces the sign-LSH
+    // sub-blocked path) plus one small label (exact path), with planted
+    // near-dup pairs (cos ≈ 0.9998) in both.
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def nearDup(v: Array[Float]): Array[Float] =
+      v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String, Array[Float])]()
+    var id = 0L
+    for (_ <- 0 until 30) { // hot: 60 vectors, 30 planted pairs
+      val v = vec()
+      rows += ((id, "hot", v)); id += 1
+      rows += ((id, "hot", nearDup(v))); id += 1
+    }
+    for (i <- 0 until 6) { // small: 8 vectors, 2 planted pairs
+      val v = vec()
+      rows += ((id, "small", v)); id += 1
+      if (i < 2) { rows += ((id, "small", nearDup(v))); id += 1 }
+    }
+    val df = rows.toSeq.toDF("vec_id", "label", "embedding")
+
+    val truth = ops.TextSim.embedNearDupPairs(df, blockCap = 1000, threshold = 0.9)
+      .select("label", "ia", "ib").as[(String, Long, Long)].collect().toSet
+    assert(truth.count(_._1 == "hot") === 30)
+    assert(truth.count(_._1 == "small") === 2)
+
+    val bounded = ops.TextSim.embedNearDupPairs(df, blockCap = 20, threshold = 0.9)
+    // the oversized block's candidate join must key on (label, tbl, key) —
+    // the sub-bucketed exchange, not an unbounded per-label all-pairs
+    assert(bounded.queryExecution.optimizedPlan.toString.contains("tbl"),
+      "expected LSH sub-block columns in the plan for oversized labels")
+    val got = bounded.select("label", "ia", "ib")
+      .as[(String, Long, Long)].collect().toSet
+    // precision is exact (every candidate is cosine-verified)
+    assert((got -- truth).isEmpty)
+    // small label stays exact; hot label keeps >=90% of planted pairs
+    assert(got.filter(_._1 == "small") === truth.filter(_._1 == "small"))
+    val hotRecall =
+      got.count(_._1 == "hot").toDouble / truth.count(_._1 == "hot")
+    assert(hotRecall >= 0.9, s"hot-label recall $hotRecall")
+  }
 }
