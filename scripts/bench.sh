@@ -1,0 +1,34 @@
+#!/usr/bin/env bash
+# Machine-parseable bench runner: stdout is EXACTLY one JSON line.
+# (The driver's BENCH gate scraped the sbt tail and recorded "parsed": null
+# in r1/r2 — sbt wraps every line in [info] noise. This runner launches the
+# compiled classes directly and prints only the JSON artifact.)
+#
+# Usage: scripts/bench.sh            (run `sbt compile` first)
+#   env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+#        SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_RUNS (default 3)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+CLASSES=target/scala-2.13/classes
+if [ ! -d "$CLASSES" ]; then
+  echo "error: $CLASSES missing — run 'sbt compile' first" >&2
+  exit 1
+fi
+OUT=$(mktemp)
+trap 'rm -f "$OUT"' EXIT
+# Same JVM flags as build.sbt's forked run (Spark 4.x on JDK 17 outside
+# spark-submit needs the add-opens set).
+ADD_OPENS=()
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS+=("--add-opens=java.base/$p=ALL-UNNAMED")
+done
+SPARK_GRAFT_BENCH_OUT="$OUT" java \
+  "${ADD_OPENS[@]}" \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "$CLASSES:/opt/spark/jars/*" \
+  graft.Bench 1>&2
+cat "$OUT"

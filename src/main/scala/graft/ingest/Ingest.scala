@@ -79,6 +79,18 @@ object Ingest {
     "scrnCnt" -> s"${d}_screen_num",
     "showCnt" -> s"${d}_screen_show")
 
+  /** DDL-boundary schema era (SURVEY §1.2): the reference ran two DDL
+    * generations for the same 20-column shape — the legacy CSV DAG typed
+    * counts INTEGER/NUMERIC (daily_csv_pipeline.py:127-148) while the
+    * current Parquet DAG types them BIGINT/FLOAT
+    * (daily_parquet_pipeline.py:114-135). Both eras coexist in the
+    * warehouse, so the engine must ingest either and reconcile them
+    * (the E2 design case, SURVEY §2.E).
+    */
+  sealed trait SchemaEra
+  case object ParquetEra extends SchemaEra
+  case object CsvEra extends SchemaEra
+
   /** Column type at the DDL boundary, by date-stripped suffix
     * (daily_parquet_pipeline.py:114-135). */
   private val suffixTypes: Map[String, DataType] = Map(
@@ -93,13 +105,41 @@ object Ingest {
     "total_audience_num" -> LongType, "screen_num" -> LongType,
     "screen_show" -> LongType)
 
-  /** B1 + H1/H2 + DDL casts: flattened rows → the day's wide typed table
-    * (daily_parquet_pipeline.py:44-93 + :105-141 in one projection).
+  /** Legacy CSV-era types (daily_csv_pipeline.py:127-148): INTEGER ranks
+    * and screen counts, NUMERIC (Redshift default = DECIMAL(18,0)) money
+    * and audience counts, one literal `bigint` (sales_increase_decrease).
     */
-  def dailyTable(flat: DataFrame, targetDate: String): DataFrame = {
+  private val csvSuffixTypes: Map[String, DataType] = Map(
+    "rank_num" -> IntegerType, "ranking" -> IntegerType,
+    "increase_decrease" -> IntegerType, "new_entry" -> StringType,
+    "sales" -> DecimalType(18, 0), "sales_ratio" -> DoubleType,
+    "sales_increase_decrease" -> LongType,
+    "sales_increase_decrease_ratio" -> DoubleType,
+    "total_sales" -> DecimalType(18, 0),
+    "audience_num" -> DecimalType(18, 0),
+    "audience_increase_decrease" -> DecimalType(18, 0),
+    "audience_increase_decrease_ratio" -> DoubleType,
+    "total_audience_num" -> DecimalType(18, 0),
+    "screen_num" -> IntegerType, "screen_show" -> IntegerType)
+
+  /** B1 + H1/H2 + DDL casts: flattened rows → the day's wide typed table
+    * (daily_parquet_pipeline.py:44-93 + :105-141 in one projection; with
+    * `era = CsvEra`, the legacy daily_csv_pipeline.py:118-154 types —
+    * including `code NUMERIC` vs the parquet path's BIGINT).
+    */
+  def dailyTable(flat: DataFrame, targetDate: String,
+      era: SchemaEra = ParquetEra): DataFrame = {
+    val types = era match {
+      case ParquetEra => suffixTypes
+      case CsvEra => csvSuffixTypes
+    }
+    val codeType: DataType = era match {
+      case ParquetEra => LongType
+      case CsvEra => DecimalType(18, 0)
+    }
     val renamed = flat.withColumnsRenamed(renameDict(targetDate))
     val typed = renamed.columns.map {
-      case c @ "code" => col(c).cast(LongType).as(c)
+      case c @ "code" => col(c).cast(codeType).as(c)
       case c @ "title" => col(c)
       case c @ "released_date" => to_date(col(c), "yyyy-MM-dd").as(c)
       case c @ "showRange" =>
@@ -107,9 +147,28 @@ object Ingest {
       case c @ "boxOfficeType" => col(c)
       case c =>
         val suffix = c.stripPrefix(s"${targetDate}_")
-        col(c).cast(suffixTypes.getOrElse(suffix, StringType)).as(c)
+        col(c).cast(types.getOrElse(suffix, StringType)).as(c)
     }
     renamed.select(typed: _*)
+  }
+
+  /** Era reconciliation: cast a wide daily table (either era) to the
+    * canonical Parquet-era types so CSV-era and Parquet-era days union
+    * losslessly — every CSV-era type widens into its canonical twin
+    * (INTEGER ⊂ BIGINT, DECIMAL(18,0) ⊂ BIGINT for these count columns).
+    * The E2 set-reconciliation (intersect/except of keys across eras) is
+    * well-typed only after this normalization.
+    */
+  def normalizeEra(wide: DataFrame, targetDate: String): DataFrame = {
+    val typed = wide.columns.map {
+      case c @ "code" => col(c).cast(LongType).as(c)
+      case c @ ("title" | "released_date" | "showRange" | "boxOfficeType") =>
+        col(c)
+      case c =>
+        val suffix = c.stripPrefix(s"${targetDate}_")
+        col(c).cast(suffixTypes.getOrElse(suffix, StringType)).as(c)
+    }
+    wide.select(typed: _*)
   }
 
   /** B5: abort when the API list is empty (daily_csv_pipeline.py:40-42). */

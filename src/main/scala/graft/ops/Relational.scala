@@ -35,8 +35,19 @@ object Relational {
     * bounded by invocations within one JVM (gate flows call each query
     * once per run).
     */
-  private lazy val scratch: String =
-    java.nio.file.Files.createTempDirectory("graft_scratch_").toString
+  private lazy val scratch: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    // Roundtrip scratch is per-JVM; delete it recursively on exit so
+    // repeated verify/bench runs don't accumulate table copies in /tmp
+    // (ADVICE r2 — there was no cleanup at all).
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
   private def scratchDir(tag: String): String =
     s"$scratch/${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
 
@@ -287,15 +298,27 @@ object Relational {
           count(lit(1)).as("n"))
         .orderBy("o_custkey")),
 
-    // Dispersion statistics (D6 extension): sample stddev/variance — both
-    // engines use the same two-pass-free definitions; rounded at 4.
-    "agg_stddev" -> ((s, d) =>
+    // Dispersion statistics (D6 extension): sample stddev/variance derived
+    // from exact decimal sums of x and x² — built-in stddev_samp/var_samp
+    // accumulate in floating point with partition-order-dependent merge
+    // order (the same half-quantum flake class fixed for SUM/AVG, and
+    // unlike sums it can't be decimal-accumulated directly). From identical
+    // exact sums, the double formula below is IEEE-deterministic in both
+    // engines, so the oracle matches bit-for-bit at any layout/SF.
+    "agg_stddev" -> ((s, d) => {
+      val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
+      val varExpr = (sxx - sx * sx / col("n")) / (col("n") - 1)
       orders(s, d)
         .groupBy("o_orderstatus")
-        .agg(round(stddev_samp(col("o_totalprice")), 4).as("sd"),
-          round(var_samp(col("o_totalprice")), 4).as("var"),
+        .agg(exactSum(col("o_totalprice")).as("sx"),
+          exactSum(col("o_totalprice") * col("o_totalprice")).as("sxx"),
           count(lit(1)).as("n"))
-        .orderBy("o_orderstatus")),
+        .select(col("o_orderstatus"),
+          round(sqrt(varExpr), 4).as("sd"),
+          round(varExpr, 4).as("var"),
+          col("n"))
+        .orderBy("o_orderstatus")
+    }),
 
     // Exact quantiles (D6 extension): percentile() is the exact
     // interpolated PERCENTILE_CONT — the sketch-free form the oracle can
@@ -561,11 +584,17 @@ object Relational {
         |COUNT(*) AS n
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_stddev" ->
-      """SELECT o_orderstatus,
-        |round(stddev_samp(o_totalprice), 4) AS sd,
-        |round(var_samp(o_totalprice), 4) AS var,
-        |COUNT(*) AS n
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH g AS (
+        |  SELECT o_orderstatus,
+        |    SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS sx,
+        |    SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,8))) AS sxx,
+        |    COUNT(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus,
+        |round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)/(n-1)), 4) AS sd,
+        |round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)/(n-1), 4) AS var,
+        |n
+        |FROM g ORDER BY 1""".stripMargin,
     "agg_percentile" ->
       """SELECT o_orderstatus,
         |round(quantile_cont(o_totalprice, 0.5),4) AS p50,

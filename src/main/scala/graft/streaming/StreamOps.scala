@@ -128,6 +128,17 @@ object StreamOps {
     * production deployment adds an event-time timeout to flush idle
     * sessions; kept timeout-free here so batch-driven tests stay
     * deterministic.
+    *
+    * Late-data contract: lateness WITHIN the still-open session (or a
+    * pre-open burst that coalesces into one island) is handled — events
+    * merge, bounds only widen. But once a session has been EMITTED it
+    * leaves state, so an event older than the open session that belongs to
+    * an already-emitted session produces a NEW (duplicate/overlapping)
+    * session row — exactly-once sessionization therefore requires upstream
+    * watermarking to bound lateness below the gap (e.g. `withWatermark`
+    * before this operator), or a downstream merge keyed on overlap. This
+    * is the same contract `session_window` + watermark has; it is stated
+    * here because NoTimeout + Append makes it easy to miss.
     */
   def sessionizeStateful(events: DataFrame, gapMinutes: Int = 30)
       : org.apache.spark.sql.Dataset[SessionOut] = {

@@ -235,4 +235,41 @@ class PipelineSpec extends SparkSpec {
     assert(spark.table(table).count() === movies.length * 2)
     spark.sql(s"DROP TABLE $table")
   }
+
+  test("E2: CSV-era day reconciles with a Parquet-era day (schema variants)") {
+    import org.apache.spark.sql.types.{DecimalType, IntegerType}
+    // same payload shape, two DDL generations (daily_csv_pipeline.py:127-148
+    // vs daily_parquet_pipeline.py:114-135)
+    val csvDay = Ingest.dailyTable(Ingest.parsePayload(Seq(payload("20250113",
+      Seq((1, "MovieA", 1000L, 100L), (2, "MovieB", 2000L, 200L)))).toDS()),
+      "20250113", Ingest.CsvEra)
+    val pqDay = Ingest.dailyTable(Ingest.parsePayload(Seq(payload("20250114",
+      Seq((1, "MovieA", 1500L, 150L), (2, "MovieC", 2500L, 250L)))).toDS()),
+      "20250114", Ingest.ParquetEra)
+
+    // the legacy DDL's exact types materialize
+    val csvTypes = csvDay.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(csvTypes("20250113_rank_num") === IntegerType)
+    assert(csvTypes("20250113_sales") === DecimalType(18, 0))
+    assert(csvTypes("code") === DecimalType(18, 0))
+    assert(pqDay.schema("code").dataType === LongType)
+
+    // normalized, both eras share the canonical schema and union losslessly
+    val n13 = Ingest.toLong(Ingest.normalizeEra(csvDay, "20250113"), "20250113")
+    val n14 = Ingest.toLong(Ingest.normalizeEra(pqDay, "20250114"), "20250114")
+    assert(n13.schema === n14.schema)
+    val unioned = n13.unionByName(n14)
+    assert(unioned.count() === 4)
+    assert(unioned.schema("sales").dataType === LongType)
+    // values survive the NUMERIC → BIGINT widening bit-exactly
+    assert(unioned.filter($"title" === "MovieA").select("sales")
+      .as[Long].collect().sorted.toSeq === Seq(1000L, 1500L))
+
+    // E2 proper: set-reconciliation of keys across the two eras
+    val k13 = n13.select("code")
+    val k14 = n14.select("code")
+    assert(k13.intersect(k14).count() === 1) // MovieA carried over
+    assert(k13.except(k14).count() === 1)    // MovieB dropped out
+    assert(k14.except(k13).count() === 1)    // MovieC entered
+  }
 }
