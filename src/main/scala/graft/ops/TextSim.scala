@@ -152,8 +152,12 @@ object TextSim {
 
   /** Deterministic pseudo-random 64-d hyperplane for LSH table `t`, bit `b`
     * (splitmix-style), generated driver-side as a literal so the plan is
-    * pure codegen. Shared by sim_topk_lsh and embedNearDupPairs. */
-  private def plane(t: Int, b: Int): Seq[Float] = {
+    * pure codegen. Shared by sim_topk_lsh, embedNearDupPairs, and
+    * plans.AnnRewriteRule (which rebuilds the bucket from raw Catalyst
+    * nodes — the Column DSL is unresolved until analysis, illegal in an
+    * optimizer rule — but from these SAME planes, so rewrite and
+    * hand-written ANN agree on buckets). */
+  private[graft] def plane(t: Int, b: Int): Seq[Float] = {
     var x = (t * 16 + b + 1) * 0x9E3779B97F4A7C15L
     Seq.tabulate(64) { _ =>
       x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L

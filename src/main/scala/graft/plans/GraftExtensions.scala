@@ -14,18 +14,19 @@ import graft.functions.DotProductExpr
   *
   * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
   *
-  * Deliberately NO custom optimizer Rule or Strategy ships here: every
-  * operator in SURVEY.md §2 maps onto built-in logical operators, and the
-  * optimizations a rule would re-implement already exist in Catalyst
-  * (e.g. rank-filter top-k pruning is InferWindowGroupLimit, limit-through-
-  * window is LimitPushDownThroughWindow). The extension surface is wired
-  * and tested so a genuinely novel operator can plug in a Rule/Strategy
-  * without new infrastructure.
+  * One optimizer Rule ships: AnnRewriteRule, the opt-in (conf-gated,
+  * default OFF) rewrite of a naive cross-join cosine-threshold search into
+  * sign-LSH bucketed candidates. Nothing that Catalyst already does is
+  * re-implemented (rank-filter top-k pruning is InferWindowGroupLimit,
+  * limit-through-window is LimitPushDownThroughWindow); the rule exists
+  * for a semantics Spark genuinely lacks — sanctioned-approximation
+  * candidate pruning.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectOptimizerRule(_ => AnnRewriteRule)
   }
 }
 
