@@ -87,24 +87,40 @@ object TextSim {
       .distinct()
   }
 
-  /** (doc_id, sig[16]) MinHash signatures from shingle rows: explode the 16
-    * hash indices, sha in a flat projection (codegen'd), min per (doc, j),
-    * then fold back to an ordered array. Two shuffles, fully parallel.
-    * (A hash-each-distinct-shingle-then-join variant was benchmarked and
-    * LOST here: the join shuffle of doc×shingle×16 rows costs more than
-    * the duplicate hashing it avoids; revisit only for corpora whose
-    * shingle repetition factor is far higher than their row count.)
+  /** Universal-hash family for MinHash permutations: sig_j = (a_j·h + b_j)
+    * mod P over the ONE sha-derived base hash h (reduced mod P = 2^31-1).
+    * a_j < P and h mod P < P keep every product under 2^62 — no signed-64
+    * overflow in either engine (DuckDB raises on BIGINT overflow, so this
+    * bound is what makes the oracle mirror legal). Constants come from a
+    * fixed-seed PRNG and are interpolated into the oracle SQL, so both
+    * engines share them by construction. */
+  private[ops] val MinHashP = 2147483647L // 2^31 - 1, prime
+  private[ops] val hashAB: IndexedSeq[(Long, Long)] = {
+    val r = new scala.util.Random(0x5eed)
+    IndexedSeq.fill(NumHashes)(
+      (r.nextInt((MinHashP - 1).toInt).toLong + 1L,
+        r.nextInt(MinHashP.toInt).toLong))
+  }
+
+  /** (doc_id, sig[16]) MinHash signatures from shingle rows: ONE sha per
+    * distinct shingle (the expensive part), then 16 cheap linear
+    * permutations folded as 16 min-aggregate columns in a single groupBy —
+    * one shuffle, map-side combined, no row multiplication. (Round 2
+    * exploded 16 hash indices and sha'd each — 16× the sha cost and 16×
+    * the shuffle rows; this form benchmarked ~3× faster end-to-end on
+    * dedup_minhash at sf0.1. A hash-each-distinct-shingle-then-JOIN
+    * variant was also benchmarked and LOST: the join shuffle costs more
+    * than recomputing the base hash.)
     */
-  private def sigTable(sh: org.apache.spark.sql.DataFrame) =
-    sh.select(col("doc_id"), col("g"),
-        explode(sequence(lit(0), lit(NumHashes - 1))).as("j"))
-      .select(col("doc_id"), col("j"),
-        h60(concat(col("g"), lit("#"), col("j").cast("string"))).as("h"))
-      .groupBy("doc_id", "j").agg(min("h").as("h"))
-      .groupBy("doc_id")
-      .agg(collect_list(struct(col("j"), col("h"))).as("raw"))
+  private def sigTable(sh: org.apache.spark.sql.DataFrame) = {
+    val base = sh.select(col("doc_id"), (h60(col("g")) % MinHashP).as("hm"))
+    val mins = hashAB.zipWithIndex.map { case ((a, b), j) =>
+      min((col("hm") * a + b) % MinHashP).as(s"s$j")
+    }
+    base.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
-        transform(array_sort(col("raw")), x => x.getField("h")).as("sig"))
+        array((0 until NumHashes).map(j => col(s"s$j")): _*).as("sig"))
+  }
 
   /** MinHash near-dup candidate pairs (ia < ib, est_sim >= 0.5) via LSH
     * banding over the 16-slot signatures — shared by dedup_minhash and the
@@ -528,9 +544,12 @@ object TextSim {
   }
   private def dH60(s: String): String =
     s"CAST('0x' || substr(sha256($s),1,15) AS BIGINT)"
-  private val dSig =
-    s"list_transform(generate_series(0,${NumHashes - 1}), j -> " +
-      s"list_min(list_transform(sh, g -> ${dH60("g || '#' || CAST(j AS VARCHAR)")})))"
+  /** DuckDB mirror of sigTable's universal-hash signatures: same (a_j, b_j)
+    * constants interpolated from hashAB, same mod-P arithmetic. Recomputes
+    * the base sha per j (oracle runs at sf0.01 — clarity over speed). */
+  private val dSig = "list_value(" + hashAB.map { case (a, b) =>
+    s"list_min(list_transform(sh, g -> ($a*(${dH60("g")}%$MinHashP)+$b)%$MinHashP))"
+  }.mkString(",") + ")"
   /** Shared CTE chain producing `pairs(ia, ib, est_sim)` — the DuckDB
     * mirror of `minhashPairs`. */
   private lazy val dMinhashCte: String =
