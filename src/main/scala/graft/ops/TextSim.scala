@@ -376,16 +376,19 @@ object TextSim {
         .select(col("doc_id"), explode(toks).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("w"))
         .withColumn("h", h60(col("tok")))
+      // 60 weighted bit-sums as aggregate columns in ONE groupBy — no 60x
+      // row explosion, one shuffle instead of two (r2 exploded bit indices:
+      // doc-token rows x60 through two exchanges). fp values are unchanged,
+      // so the DuckDB oracle needs no edit.
+      val bitSums = (0 until 60).map(b =>
+        sum(when(expr(s"(h >> $b) & 1") === 1, col("w"))
+          .otherwise(-col("w"))).as(s"v$b"))
       val fp = wtok
-        .select(col("doc_id"), col("w"), col("h"),
-          explode(sequence(lit(0), lit(59))).as("bit"))
-        .select(col("doc_id"), col("bit"),
-          when(expr("(h >> bit) & 1") === 1, col("w"))
-            .otherwise(-col("w")).as("v"))
-        .groupBy("doc_id", "bit").agg(sum("v").as("v"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("v") > 0, expr("CAST(1 AS BIGINT) << bit"))
-          .otherwise(0L)).as("fp"))
+        .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 60).map(b =>
+            when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+            .reduce(_ + _).as("fp"))
       val bands = fp.select(col("doc_id"), col("fp"),
         posexplode(array((0 until 4).map(c =>
           expr(s"(fp >> ${c * 15}) & 32767")): _*)).as(Seq("c", "chunk")))
