@@ -22,6 +22,8 @@ object SparkEntry {
       ops.Joins.queries ++
       ops.Windows.queries ++
       ops.TextSim.queries ++
+      ops.Corpus.queries ++
+      ops.Embeddings.queries ++
       ops.Streaming.queries
 
   def oracleSql: Map[String, String] =
@@ -30,5 +32,7 @@ object SparkEntry {
       ops.Joins.oracles ++
       ops.Windows.oracles ++
       ops.TextSim.oracles ++
+      ops.Corpus.oracles ++
+      ops.Embeddings.oracles ++
       ops.Streaming.oracles
 }

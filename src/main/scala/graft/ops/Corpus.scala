@@ -1,0 +1,222 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-preparation operators a large-scale training-data pipeline runs
+  * over raw documents — repetition/quality signals, span-level dedup,
+  * PII redaction, normalization, and vocabulary statistics. These extend
+  * the reference's text processing (it stops at per-day CSV consolidation;
+  * see `dags/daily_csv_pipeline.py`) with the C4/Gopher-style corpus
+  * filters the brief names as first-class scale components.
+  *
+  * Scale notes (100 TB):
+  *  - Every query is explode → flat codegen projection → shuffle agg; no
+  *    higher-order lambdas in hot paths (nested HOFs re-inline outer
+  *    expressions after ProjectCollapse and fall out of codegen — measured
+  *    in round 2, see TextSim's shingleRows note).
+  *  - `dedup_span` is the C4 paragraph-dedup shape: global first-occurrence
+  *    wins on span hash. The span table shuffles on the span text hash —
+  *    uniform keys, linear; reassembly shuffles on doc_id. Nothing is
+  *    quadratic.
+  *  - `text_vocab` aggregates to vocabulary cardinality (≪ corpus) with
+  *    map-side combine, then ranks only the top-k rows AFTER a
+  *    TakeOrderedAndProject — the global window never sees the full vocab.
+  */
+object Corpus {
+
+  /** Lower-cased whitespace tokens of `text` (same convention as TextSim). */
+  private def toks: Column = split(lower(col("text")), " ")
+
+  private val SpanLen = 16
+
+  /** (doc_id, pos, tok) rows — 0-based pos. */
+  private def tokenRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gopher-style repetition signals: distinct-token ratio, most-frequent-
+    // bigram share, duplicate-bigram fraction. High dup_bigram_frac /
+    // top_bigram_frac flags boilerplate and generated spam.
+    "text_repetition" -> ((s, d) => {
+      val tr = tokenRows(Tables.documents(s, d))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bg = tr
+        .select(col("doc_id"), col("tok"), lead("tok", 1).over(w).as("t1"))
+        .filter(col("t1").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("g"))
+      val bgStats = bg.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"), max("c").as("max_bg"),
+          count(lit(1)).as("n_distinct_bg"))
+      val tokStats = tr.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), countDistinct("tok").as("n_utok"))
+      bgStats.join(tokStats, "doc_id")
+        .select(col("doc_id"), col("n_tok"),
+          round(col("n_utok").cast("double") / col("n_tok"), 6)
+            .as("distinct_tok_ratio"),
+          round(col("max_bg").cast("double") / col("n_bigrams"), 6)
+            .as("top_bigram_frac"),
+          round(lit(1.0) -
+            col("n_distinct_bg").cast("double") / col("n_bigrams"), 6)
+            .as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // C4-style span-level dedup: split every document into consecutive
+    // 16-token spans, keep only each span text's GLOBAL first occurrence
+    // (ordered by doc_id, span index), and reassemble the surviving text.
+    // Output is per-doc span counts plus a hash of the rebuilt text (the
+    // full text would bloat the parquet dump; the hash pins it exactly).
+    "dedup_span" -> ((s, d) => {
+      val spans = tokenRows(Tables.documents(s, d))
+        .groupBy(col("doc_id"), expr(s"pos div $SpanLen").as("span"))
+        .agg(collect_list(struct(col("pos"), col("tok"))).as("raw"))
+        .select(col("doc_id"), col("span"),
+          concat_ws(" ",
+            transform(array_sort(col("raw")), x => x.getField("tok")))
+            .as("sptext"))
+      val nSpans = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      val kept = spans
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("sptext").orderBy("doc_id", "span")))
+        .filter(col("rn") === 1)
+      kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          collect_list(struct(col("span"), col("sptext"))).as("raw"))
+        .select(col("doc_id"), col("n_kept"),
+          substring(sha2(concat_ws(" ",
+            transform(array_sort(col("raw")), x => x.getField("sptext"))),
+            256), 1, 16).as("kept_hash"))
+        .join(nSpans, "doc_id")
+        .select("doc_id", "n_spans", "n_kept", "kept_hash")
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction: the corpus carries no real PII, so a deterministic
+    // email + phone is appended per row (from existing columns) and then
+    // redacted — the oracle checks the actual replacement semantics via a
+    // hash of the redacted text, not just the counts.
+    "text_pii_redact" -> ((s, d) => {
+      val aug = concat(col("text"), lit(" contact "), col("source"),
+        lit("@example.com or call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_count(aug, lit(emailRe)).cast("long").as("n_email"),
+          regexp_count(aug, lit(phoneRe)).cast("long").as("n_phone"),
+          substring(sha2(regexp_replace(
+            regexp_replace(aug, emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"), 256), 1, 16).as("red_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // Text normalization: lowercase, strip non-alphanumerics, collapse
+    // whitespace, trim. A mixed-case/symbol suffix is appended so the
+    // oracle exercises every step on every row.
+    "text_normalize" -> ((s, d) => {
+      val aug = concat(col("text"), lit("  Mixed-CASE @#$ 42!"))
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(aug), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), length(norm).cast("long").as("n_norm"),
+          substring(sha2(norm, 256), 1, 16).as("norm_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // Vocabulary statistics: global top-20 tokens by collection frequency,
+    // with document frequency and idf. The rank window runs AFTER the
+    // top-k prune (TakeOrderedAndProject), never over the full vocabulary.
+    "text_vocab" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = tokenRows(docs).groupBy("tok")
+        .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      stats.crossJoin(nDocs)
+        .orderBy(desc("cnt"), asc("tok")).limit(20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(desc("cnt"), asc("tok"))))
+        .select(col("rk"), col("tok"), col("cnt"), col("df"),
+          round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
+        .orderBy("rk")
+    })
+  )
+
+  private val dToks = "string_split(lower(text),' ')"
+  // (doc_id, pos, tok) with 1-based pos — DuckDB zips parallel unnests.
+  private val dTokRows =
+    s"SELECT doc_id, unnest($dToks) AS tok, " +
+      s"unnest(generate_series(1, len($dToks))) AS pos FROM documents"
+
+  val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH t AS ($dTokRows),
+        |bg AS (SELECT doc_id, tok || ' ' ||
+        |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS g,
+        |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t1
+        |  FROM t),
+        |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg
+        |  WHERE t1 IS NOT NULL GROUP BY 1, 2),
+        |bgs AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS max_bg,
+        |    count(*) AS n_distinct_bg FROM bgc GROUP BY 1),
+        |ts AS (SELECT doc_id, count(*) AS n_tok,
+        |    count(DISTINCT tok) AS n_utok FROM t GROUP BY 1)
+        |SELECT b.doc_id, n_tok,
+        |  round(CAST(n_utok AS DOUBLE) / n_tok, 6) AS distinct_tok_ratio,
+        |  round(CAST(max_bg AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
+        |  round(1.0 - CAST(n_distinct_bg AS DOUBLE) / n_bigrams, 6)
+        |    AS dup_bigram_frac
+        |FROM bgs b JOIN ts USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "dedup_span" ->
+      s"""WITH t AS ($dTokRows),
+        |spn AS (SELECT doc_id, (pos - 1) // $SpanLen AS span,
+        |    string_agg(tok, ' ' ORDER BY pos) AS sptext
+        |  FROM t GROUP BY 1, 2),
+        |cnt AS (SELECT doc_id, count(*) AS n_spans FROM spn GROUP BY 1),
+        |k AS (SELECT doc_id, span, sptext, row_number() OVER
+        |    (PARTITION BY sptext ORDER BY doc_id, span) AS rn FROM spn),
+        |rb AS (SELECT doc_id, count(*) AS n_kept,
+        |    substr(sha256(string_agg(sptext, ' ' ORDER BY span)), 1, 16)
+        |      AS kept_hash
+        |  FROM k WHERE rn = 1 GROUP BY 1)
+        |SELECT r.doc_id, n_spans, n_kept, kept_hash
+        |FROM rb r JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_pii_redact" ->
+      """WITH a AS (SELECT doc_id, text || ' contact ' || source ||
+        |  '@example.com or call +1-555-' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  substr(sha256(regexp_replace(regexp_replace(aug,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g')), 1, 16) AS red_hash
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |  lower(text || '  Mixed-CASE @#$ 42!'),
+        |  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_norm,
+        |  substr(sha256(norm), 1, 16) AS norm_hash
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "text_vocab" ->
+      s"""WITH t AS ($dTokRows),
+        |st AS (SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS df
+        |  FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |r AS (SELECT tok, cnt, df, n_docs, row_number() OVER
+        |    (ORDER BY cnt DESC, tok) AS rk FROM st, n)
+        |SELECT rk, tok, cnt, df,
+        |  round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS idf
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin
+  )
+}

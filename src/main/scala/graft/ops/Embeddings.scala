@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Embedding-column operators for the similarity/ANN side of a training
+  * pipeline: L2 normalization stats, int8 quantization, and
+  * nearest-centroid assignment (the k-means E-step / IVF cell routing).
+  *
+  * All dot products go through the native codegen'd
+  * `graft.functions.DotProductExpr` — the same ascending-index double fold
+  * as the DuckDB oracle's `list_sum(list_transform(list_zip(...)))`, so
+  * floating-point results are bit-identical across engines (proven by the
+  * sim_cosine oracle row since round 2).
+  *
+  * Scale notes (100 TB):
+  *  - `embed_norm` is a pure map — no shuffle at all.
+  *  - `embed_quantize` explodes to elements for the per-vector max; both
+  *    stages are map-side-combined hash aggregations on vec_id. Rounding
+  *    is floor(x+0.5), deterministic and identical in both engines
+  *    (DuckDB's round() half-away ties are a cross-engine flake risk;
+  *    floor(+0.5) is not).
+  *  - `embed_centroid` broadcasts the k centroid rows (model parameters,
+  *    a few KB) and streams candidates through one scan — k·N work, the
+  *    same shape Ivf uses. The per-vector argmin is a k-row window.
+  */
+object Embeddings {
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.DotProductExpr.dot(a, b)
+
+  private val K = 8 // centroid count for embed_centroid (first K vec_ids)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // L2 norm + first normalized component per vector. Map-only.
+    "embed_norm" -> ((s, d) => {
+      val x = col("embedding")
+      val l2 = sqrt(dot(x, x))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), size(x).cast("long").as("dim"),
+          round(l2, 6).as("l2_norm"),
+          round(element_at(x, 1).cast("double") / l2, 6).as("u0"))
+        .orderBy("vec_id")
+    }),
+
+    // Symmetric int8 quantization: scale = 127/max|x|, q = floor(x·s + 0.5).
+    // Output pins the quantized vector via checksum + saturation count
+    // (dumping 64 ints per row would bloat the parquet compare).
+    "embed_quantize" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("v").cast("double").as("v"))
+      val withMx = e.withColumn("mx",
+        max(abs(col("v"))).over(Window.partitionBy("vec_id")))
+      withMx.filter(col("mx") > 0)
+        .select(col("vec_id"),
+          floor(col("v") * 127.0 / col("mx") + 0.5).as("qv"))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("dim"), sum("qv").as("checksum"),
+          sum(when(abs(col("qv")) === 127, 1L).otherwise(0L)).as("n_sat"))
+        .orderBy("vec_id")
+    }),
+
+    // Nearest-centroid assignment against the first K vectors (a
+    // deterministic stand-in for trained k-means centroids): squared L2
+    // via the three-dot identity |a-c|² = a·a − 2a·c + c·c, ties broken
+    // by centroid id.
+    "embed_centroid" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cent = emb.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("embedding").as("c"))
+      val d2 = dot(col("embedding"), col("embedding")) -
+        lit(2.0) * dot(col("embedding"), col("c")) +
+        dot(col("c"), col("c"))
+      emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"), d2.as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy("d2", "cid")))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("centroid_id"),
+          round(sqrt(col("d2")), 6).as("dist"))
+        .orderBy("vec_id")
+    })
+  )
+
+  private def dDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a,$b), " +
+      "x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+
+  val oracles: Map[String, String] = Map(
+    "embed_norm" ->
+      s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |round(sqrt(${dDot("embedding", "embedding")}), 6) AS l2_norm,
+        |round(CAST(embedding[1] AS DOUBLE) /
+        |  sqrt(${dDot("embedding", "embedding")}), 6) AS u0
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |st AS (SELECT vec_id, max(abs(v)) AS mx FROM e GROUP BY 1),
+        |q AS (SELECT e.vec_id, floor(v * 127.0 / mx + 0.5) AS qv
+        |  FROM e JOIN st USING (vec_id) WHERE mx > 0)
+        |SELECT vec_id, count(*) AS dim, CAST(sum(qv) AS BIGINT) AS checksum,
+        |  CAST(sum(CASE WHEN abs(qv) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sat
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "embed_centroid" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c
+        |  FROM embeddings WHERE vec_id < $K),
+        |scored AS (SELECT e.vec_id, cid,
+        |  ${dDot("e.embedding", "e.embedding")} -
+        |    2.0 * ${dDot("e.embedding", "c")} + ${dDot("c", "c")} AS d2
+        |  FROM embeddings e, cent),
+        |r AS (SELECT vec_id, cid, d2, row_number() OVER
+        |  (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM scored)
+        |SELECT vec_id, cid AS centroid_id, round(sqrt(d2), 6) AS dist
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  )
+}

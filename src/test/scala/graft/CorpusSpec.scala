@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the corpus-preparation (Corpus) and embedding
+  * (Embeddings) operators, beyond the DuckDB hash oracle: the oracle pins
+  * cross-engine equality, these pin that the MATH means what it claims.
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text_repetition ratios are well-formed and detect planted dups") {
+    val rows = ops.Corpus.queries("text_repetition")(spark, sf0001)
+      .select("distinct_tok_ratio", "top_bigram_frac", "dup_bigram_frac")
+      .as[(Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (dt, tb, db) =>
+      assert(dt > 0 && dt <= 1.0, s"distinct_tok_ratio out of range: $dt")
+      assert(tb > 0 && tb <= 1.0, s"top_bigram_frac out of range: $tb")
+      assert(db >= 0 && db < 1.0, s"dup_bigram_frac out of range: $db")
+    }
+    // word-soup corpus: bigrams DO repeat, so some doc must show dups
+    assert(rows.exists(_._3 > 0), "expected some duplicate bigrams")
+  }
+
+  test("dedup_span keeps exactly the distinct span texts, loses some") {
+    val got = ops.Corpus.queries("dedup_span")(spark, sf0001)
+    val (nSpans, nKept) = got.agg(sum("n_spans"), sum("n_kept"))
+      .as[(Long, Long)].head()
+    assert(nKept <= nSpans)
+    assert(nKept < nSpans,
+      "planted near-dup docs share 16-token spans; dedup must drop some")
+    // global invariant: kept spans == distinct span texts in the corpus
+    val docs = Tables.documents(spark, sf0001)
+    val distinctSpans = docs
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " "))
+        .as(Seq("pos", "tok")))
+      .groupBy(col("doc_id"), expr("pos div 16").as("span"))
+      .agg(collect_list(struct(col("pos"), col("tok"))).as("raw"))
+      .select(concat_ws(" ",
+        transform(array_sort(col("raw")), x => x.getField("tok"))).as("sp"))
+      .distinct().count()
+    assert(nKept === distinctSpans)
+  }
+
+  test("text_pii_redact finds and removes the planted email and phone") {
+    val got = ops.Corpus.queries("text_pii_redact")(spark, sf0001)
+    val bad = got.filter(col("n_email") =!= 1 || col("n_phone") =!= 1).count()
+    assert(bad === 0, "every row carries exactly one planted email + phone")
+    // the redacted hash must differ from the unredacted augmented text's
+    val aug = concat(col("text"), lit(" contact "), col("source"),
+      lit("@example.com or call +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    val rawHash = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), substring(sha2(aug, 256), 1, 16).as("raw_hash"))
+    val same = got.join(rawHash, "doc_id")
+      .filter(col("red_hash") === col("raw_hash")).count()
+    assert(same === 0, "redaction must change every augmented text")
+  }
+
+  test("text_normalize strips symbols: suffix collapses to 'mixed case 42'") {
+    // every doc text is already lowercase alnum+space, so the normalized
+    // form is exactly text + ' mixed case 42'
+    val expect = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        length(concat(col("text"), lit(" mixed case 42"))).cast("long")
+          .as("want_len"))
+    val got = ops.Corpus.queries("text_normalize")(spark, sf0001)
+    val off = got.join(expect, "doc_id")
+      .filter(col("n_norm") =!= col("want_len")).count()
+    assert(off === 0)
+  }
+
+  test("text_vocab ranks 20 tokens with consistent df/idf") {
+    val rows = ops.Corpus.queries("text_vocab")(spark, sf0001)
+      .select("rk", "cnt", "df", "idf").as[(Int, Long, Long, Double)]
+      .collect()
+    assert(rows.length === 20)
+    assert(rows.map(_._1).toSeq === (1 to 20))
+    // cnt non-increasing in rank; df <= corpus size; idf >= 0
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2, "cnt must be non-increasing in rank")
+    }
+    rows.foreach { case (_, cnt, df, idf) =>
+      assert(df <= 500 && df >= 1 && cnt >= df)
+      assert(idf >= 0.0)
+    }
+  }
+
+  test("embed_norm: u0 is a unit-vector component, norms positive") {
+    val rows = ops.Embeddings.queries("embed_norm")(spark, sf0001)
+      .select("dim", "l2_norm", "u0").as[(Long, Double, Double)].collect()
+    assert(rows.length === 500)
+    rows.foreach { case (dim, l2, u0) =>
+      assert(dim === 64L)
+      assert(l2 > 0.0)
+      assert(math.abs(u0) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("embed_quantize saturates the max element and bounds the rest") {
+    val rows = ops.Embeddings.queries("embed_quantize")(spark, sf0001)
+      .select("dim", "checksum", "n_sat").as[(Long, Long, Long)].collect()
+    assert(rows.length === 500)
+    rows.foreach { case (dim, checksum, nSat) =>
+      assert(dim === 64L)
+      // |qv| <= 127 per element => |checksum| <= 127*dim
+      assert(math.abs(checksum) <= 127L * dim)
+      // the max-|x| element quantizes to exactly +/-127
+      assert(nSat >= 1, "max element must saturate")
+    }
+  }
+
+  test("embed_centroid assigns each centroid to itself at distance 0") {
+    val got = ops.Embeddings.queries("embed_centroid")(spark, sf0001)
+    val self = got.filter(col("vec_id") < 8)
+      .select("vec_id", "centroid_id", "dist")
+      .as[(Long, Long, Double)].collect()
+    assert(self.length === 8)
+    self.foreach { case (v, c, dist) =>
+      assert(v === c, s"vec $v should be its own centroid, got $c")
+      assert(dist === 0.0)
+    }
+    // total assignment: every vector gets exactly one centroid
+    assert(got.count() === 500)
+    assert(got.filter(col("centroid_id") >= 8 || col("centroid_id") < 0)
+      .count() === 0)
+  }
+}
