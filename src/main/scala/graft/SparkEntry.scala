@@ -23,6 +23,7 @@ object SparkEntry {
       ops.Windows.queries ++
       ops.TextSim.queries ++
       ops.Corpus.queries ++
+      ops.Curation.queries ++
       ops.Embeddings.queries ++
       ops.Streaming.queries
 
@@ -33,6 +34,7 @@ object SparkEntry {
       ops.Windows.oracles ++
       ops.TextSim.oracles ++
       ops.Corpus.oracles ++
+      ops.Curation.oracles ++
       ops.Embeddings.oracles ++
       ops.Streaming.oracles
 }

@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Dataset-curation operators: deterministic sampling and splits, mixture
+  * rebalancing, eval-set decontamination, and sliding-window chunking.
+  *
+  * Sampling here is HASH-based, never `rand()`: keep a row iff
+  * `h(key) mod M < rate·M`. That is the scale-correct form — reproducible
+  * across runs/retries/clusters, stable under repartitioning, and (unlike
+  * Bernoulli `sample()`) expressible in the DuckDB oracle, so the gate
+  * checks the exact kept set, not just counts.
+  *
+  * Scale notes (100 TB):
+  *  - sample/split/mixture are scan + broadcast-joined per-group rates +
+  *    filter — map-side only, no shuffle beyond the tiny stats agg.
+  *  - decontaminate builds shingles ONLY for the (small) eval set on one
+  *    side; the corpus side streams through an inverted-index join on the
+  *    shingle hash. Eval shingles are a broadcast candidate (bounded by
+  *    eval size, not corpus size).
+  *  - chunking multiplies rows by ~n_tok/stride — linear, partition-local.
+  */
+object Curation {
+
+  private def toks: Column = split(lower(col("text")), " ")
+
+  /** Portable 60-bit hash (same convention as TextSim.h60). */
+  private def h60(s: Column): Column =
+    conv(substring(sha2(s, 256), 1, 15), 16, 10).cast("long")
+
+  private val ChunkLen = 32
+  private val Stride = 24
+  private val EvalGram = 8 // decontamination shingle width
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Deterministic stratified sampling: per-language keep rates applied
+    // via content-stable hash buckets. Reproducible on any cluster layout.
+    "sample_hash" -> ((s, d) => {
+      val rate = when(col("lang") === "es", 500)
+        .when(col("lang") === "zh", 300).otherwise(800) // per-mille
+      Tables.documents(s, d)
+        .filter(pmod(h60(concat(lit("smp"), col("doc_id"))), lit(1000))
+          < rate)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic train/val/test split (90/5/5) from the same hash
+    // family — the split survives re-runs and data relayout.
+    "split_train" -> ((s, d) => {
+      val b = pmod(h60(concat(lit("spl"), col("doc_id"))), lit(100))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(b < 90, "train").when(b < 95, "val").otherwise("test")
+            .as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+        .orderBy("split")
+    }),
+
+    // Mixture rebalancing toward a uniform source distribution:
+    // rate(src) = min(1, target/cnt(src)), applied as hash sampling.
+    // Output = per-source original vs kept counts (the rebalanced corpus).
+    "mix_resample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = docs.groupBy("source").agg(count(lit(1)).as("n_orig"))
+      val total = docs.agg(count(lit(1)).as("total"))
+      val rates = stats.crossJoin(total)
+        .select(col("source"), col("n_orig"),
+          least(lit(1.0), col("total").cast("double") / 20.0 /
+            col("n_orig")).as("rate"))
+      docs.join(broadcast(rates), "source")
+        .filter(pmod(h60(concat(lit("mix"), col("doc_id"))), lit(10000))
+          .cast("double") < col("rate") * 10000.0)
+        .groupBy("source", "n_orig")
+        .agg(count(lit(1)).as("n_kept"))
+        .select("source", "n_orig", "n_kept")
+        .orderBy("source")
+    }),
+
+    // Eval-set decontamination: flag corpus docs sharing any 8-gram with
+    // the held-out eval docs (doc_id < 10). The eval shingle set is tiny
+    // and broadcast; the corpus streams through one inverted-index join.
+    "decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      def grams(df: DataFrame): DataFrame = {
+        val tr = df.select(col("doc_id"),
+          posexplode(toks).as(Seq("pos", "tok")))
+        val leads = (1 until EvalGram).map(o =>
+          lead(col("tok"), o).over(w).as(s"t$o"))
+        tr.select(col("doc_id") +: col("tok") +: leads: _*)
+          .filter((1 until EvalGram).map(o => col(s"t$o").isNotNull)
+            .foldLeft(lit(true))(_ && _))
+          .select(col("doc_id"), concat_ws(" ",
+            col("tok") +: (1 until EvalGram).map(o => col(s"t$o")): _*)
+            .as("g"))
+          .distinct()
+      }
+      val evalGrams = grams(docs.filter(col("doc_id") < 10))
+        .select(col("g")).distinct()
+      grams(docs.filter(col("doc_id") >= 10))
+        .join(broadcast(evalGrams), Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        .orderBy("doc_id")
+    }),
+
+    // Sliding-window chunking (32-token windows, stride 24): the training
+    // prep / RAG shape. A token at 0-based pos p lands in chunks
+    // [max(0, ceil((p-31)/24)), floor(p/24)] — both bounds in integer
+    // arithmetic that agrees across engines (the max(0,·) guard absorbs
+    // the trunc-vs-floor difference on negative division).
+    "text_chunk" -> ((s, d) => {
+      val tr = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos"), col("tok"),
+          greatest(lit(0),
+            expr(s"(pos - ${ChunkLen - 1} + ${Stride - 1}) div $Stride"))
+            .as("cmin"),
+          expr(s"pos div $Stride").as("cmax"))
+      tr.select(col("doc_id"), col("pos"), col("tok"),
+          explode(sequence(col("cmin"), col("cmax"))).as("chunk"))
+        .groupBy("doc_id", "chunk")
+        .agg(count(lit(1)).as("n_tok"),
+          collect_list(struct(col("pos"), col("tok"))).as("raw"))
+        .select(col("doc_id"), col("chunk"), col("n_tok"),
+          substring(sha2(concat_ws(" ",
+            transform(array_sort(col("raw")), x => x.getField("tok"))),
+            256), 1, 16).as("chunk_hash"))
+        .orderBy("doc_id", "chunk")
+    })
+  )
+
+  private val dToks = "string_split(lower(text),' ')"
+  private def dH60(s: String): String =
+    s"CAST('0x' || substr(sha256($s),1,15) AS BIGINT)"
+  private val dTokRows =
+    s"SELECT doc_id, unnest($dToks) AS tok, " +
+      s"unnest(generate_series(1, len($dToks))) AS pos FROM documents"
+
+  val oracles: Map[String, String] = Map(
+    "sample_hash" ->
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE ${dH60("'smp' || CAST(doc_id AS VARCHAR)")} % 1000 <
+        |  CASE WHEN lang = 'es' THEN 500
+        |       WHEN lang = 'zh' THEN 300 ELSE 800 END
+        |ORDER BY doc_id""".stripMargin,
+    "split_train" ->
+      s"""WITH s AS (SELECT doc_id,
+        |  CASE WHEN ${dH60("'spl' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+        |         THEN 'train'
+        |       WHEN ${dH60("'spl' || CAST(doc_id AS VARCHAR)")} % 100 < 95
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "mix_resample" ->
+      s"""WITH st AS (SELECT source, count(*) AS n_orig FROM documents
+        |  GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM documents),
+        |r AS (SELECT source, n_orig,
+        |  least(1.0, CAST(total AS DOUBLE) / 20.0 / n_orig) AS rate
+        |  FROM st, t)
+        |SELECT d.source, n_orig, count(*) AS n_kept
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST(${dH60("'mix' || CAST(doc_id AS VARCHAR)")} % 10000
+        |    AS DOUBLE) < rate * 10000.0
+        |GROUP BY d.source, n_orig ORDER BY d.source""".stripMargin,
+    "decontaminate" -> {
+      val parts = (0 until EvalGram).map(o => s"tk[i+$o]")
+        .mkString(" || ' ' || ")
+      val grams = s"CASE WHEN len(tk) >= $EvalGram THEN " +
+        s"list_distinct(list_transform(" +
+        s"generate_series(1, len(tk)-${EvalGram - 1}), i -> $parts)) " +
+        "ELSE [] END"
+      s"""WITH base AS (SELECT doc_id, $dToks AS tk FROM documents),
+        |g AS (SELECT doc_id, unnest($grams) AS g FROM base),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
+        |SELECT g.doc_id, count(*) AS n_hit
+        |FROM g JOIN ev USING (g) WHERE g.doc_id >= 10
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+    },
+    "text_chunk" ->
+      s"""WITH t AS ($dTokRows),
+        |b AS (SELECT doc_id, pos - 1 AS p, tok,
+        |  greatest(0, (pos - 1 - ${ChunkLen - 1} + ${Stride - 1})
+        |    // $Stride) AS cmin,
+        |  (pos - 1) // $Stride AS cmax FROM t),
+        |c AS (SELECT doc_id, p, tok,
+        |  unnest(generate_series(cmin, cmax)) AS chunk FROM b)
+        |SELECT doc_id, chunk, count(*) AS n_tok,
+        |  substr(sha256(string_agg(tok, ' ' ORDER BY p)), 1, 16)
+        |    AS chunk_hash
+        |FROM c GROUP BY doc_id, chunk ORDER BY doc_id, chunk""".stripMargin
+  )
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the Curation operators (hash sampling, splits,
+  * mixture rebalance, decontamination, chunking). */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sample_hash is deterministic and tracks per-lang rates") {
+    val q = ops.Curation.queries("sample_hash")
+    val a = q(spark, sf0001).as[(Long, String)].collect().toSeq
+    val b = q(spark, sf0001).as[(Long, String)].collect().toSeq
+    assert(a === b, "hash sampling must be reproducible run-to-run")
+    val byLang = a.groupBy(_._2).view.mapValues(_.size).toMap
+    val totals = Tables.documents(spark, sf0001)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // rates: es .5, zh .3, rest .8 — binomial at n~100 stays within ±0.2
+    for ((lang, kept) <- byLang) {
+      val rate = lang match {
+        case "es" => 0.5; case "zh" => 0.3; case _ => 0.8
+      }
+      val frac = kept.toDouble / totals(lang)
+      assert(math.abs(frac - rate) < 0.2,
+        s"$lang kept $frac, expected ~$rate")
+    }
+  }
+
+  test("split_train partitions the corpus, train is the large side") {
+    val rows = ops.Curation.queries("split_train")(spark, sf0001)
+      .select("split", "n").as[(String, Long)].collect().toMap
+    assert(rows.keySet === Set("train", "val", "test"))
+    assert(rows.values.sum === 500L)
+    assert(rows("train") > rows("val") + rows("test"))
+  }
+
+  test("mix_resample never upsamples and caps rich sources near target") {
+    val rows = ops.Curation.queries("mix_resample")(spark, sf0001)
+      .select("source", "n_orig", "n_kept")
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val target = 500.0 / 20.0
+    rows.foreach { case (src, orig, kept) =>
+      assert(kept <= orig, s"$src upsampled: $kept > $orig")
+      // sources below target keep everything (rate clamps at 1)
+      if (orig <= target) assert(kept === orig, s"$src should keep all")
+    }
+  }
+
+  test("decontaminate flags only non-eval docs, with positive hits") {
+    val rows = ops.Curation.queries("decontaminate")(spark, sf0001)
+      .select("doc_id", "n_hit").as[(Long, Long)].collect()
+    rows.foreach { case (id, hits) =>
+      assert(id >= 10, "eval docs must not flag themselves")
+      assert(hits >= 1)
+    }
+    // the corpus plants near-duplicate pairs; at least one involves an
+    // eval doc's content at this SF (8-gram overlap), so the result is
+    // non-trivial
+    assert(rows.nonEmpty, "expected at least one contaminated doc")
+  }
+
+  test("text_chunk windows are bounded and cover every token") {
+    val chunks = ops.Curation.queries("text_chunk")(spark, sf0001)
+    val bad = chunks.filter(col("n_tok") > 32 || col("n_tok") < 1).count()
+    assert(bad === 0, "chunk size must be in [1, 32]")
+    // every doc has a chunk 0
+    val docsWithC0 = chunks.filter(col("chunk") === 0)
+      .select("doc_id").distinct().count()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(docsWithC0 === nDocs)
+    // overlap means summed chunk sizes >= token count per doc
+    val cov = chunks.groupBy("doc_id").agg(sum("n_tok").as("covered"))
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n"))
+    val uncovered = cov.join(toks, "doc_id")
+      .filter(col("covered") < col("n")).count()
+    assert(uncovered === 0)
+  }
+}
