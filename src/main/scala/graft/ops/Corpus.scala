@@ -27,9 +27,6 @@ import graft.Tables
   */
 object Corpus {
 
-  /** Lower-cased whitespace tokens of `text` (same convention as TextSim). */
-  private def toks: Column = split(lower(col("text")), " ")
-
   private val SpanLen = 16
 
   /** (doc_id, pos, tok) rows — 0-based pos. */
@@ -84,15 +81,20 @@ object Corpus {
         .withColumn("rn", row_number().over(
           Window.partitionBy("sptext").orderBy("doc_id", "span")))
         .filter(col("rn") === 1)
-      kept.groupBy("doc_id")
+      // LEFT join from the span counts: a doc whose EVERY span is a global
+      // duplicate must still appear, as (n_kept=0, kept_hash=null) — an
+      // inner join would silently erase it from the surviving corpus (this
+      // fires at sf0.01: doc 420's 5 spans are all dups of earlier docs).
+      val rebuilt = kept.groupBy("doc_id")
         .agg(count(lit(1)).as("n_kept"),
           collect_list(struct(col("span"), col("sptext"))).as("raw"))
         .select(col("doc_id"), col("n_kept"),
           substring(sha2(concat_ws(" ",
             transform(array_sort(col("raw")), x => x.getField("sptext"))),
             256), 1, 16).as("kept_hash"))
-        .join(nSpans, "doc_id")
-        .select("doc_id", "n_spans", "n_kept", "kept_hash")
+      nSpans.join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_hash"))
         .orderBy("doc_id")
     }),
 
@@ -147,12 +149,6 @@ object Corpus {
     })
   )
 
-  private val dToks = "string_split(lower(text),' ')"
-  // (doc_id, pos, tok) with 1-based pos — DuckDB zips parallel unnests.
-  private val dTokRows =
-    s"SELECT doc_id, unnest($dToks) AS tok, " +
-      s"unnest(generate_series(1, len($dToks))) AS pos FROM documents"
-
   val oracles: Map[String, String] = Map(
     "text_repetition" ->
       s"""WITH t AS ($dTokRows),
@@ -184,8 +180,8 @@ object Corpus {
         |    substr(sha256(string_agg(sptext, ' ' ORDER BY span)), 1, 16)
         |      AS kept_hash
         |  FROM k WHERE rn = 1 GROUP BY 1)
-        |SELECT r.doc_id, n_spans, n_kept, kept_hash
-        |FROM rb r JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin,
+        |SELECT c.doc_id, n_spans, coalesce(n_kept, 0) AS n_kept, kept_hash
+        |FROM cnt c LEFT JOIN rb USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_pii_redact" ->
       """WITH a AS (SELECT doc_id, text || ' contact ' || source ||
         |  '@example.com or call +1-555-' ||

@@ -25,12 +25,6 @@ import graft.Tables
   */
 object Curation {
 
-  private def toks: Column = split(lower(col("text")), " ")
-
-  /** Portable 60-bit hash (same convention as TextSim.h60). */
-  private def h60(s: Column): Column =
-    conv(substring(sha2(s, 256), 1, 15), 16, 10).cast("long")
-
   private val ChunkLen = 32
   private val Stride = 24
   private val EvalGram = 8 // decontamination shingle width
@@ -135,13 +129,6 @@ object Curation {
         .orderBy("doc_id", "chunk")
     })
   )
-
-  private val dToks = "string_split(lower(text),' ')"
-  private def dH60(s: String): String =
-    s"CAST('0x' || substr(sha256($s),1,15) AS BIGINT)"
-  private val dTokRows =
-    s"SELECT doc_id, unnest($dToks) AS tok, " +
-      s"unnest(generate_series(1, len($dToks))) AS pos FROM documents"
 
   val oracles: Map[String, String] = Map(
     "sample_hash" ->

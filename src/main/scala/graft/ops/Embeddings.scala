@@ -28,9 +28,6 @@ import graft.Tables
   */
 object Embeddings {
 
-  private def dot(a: Column, b: Column): Column =
-    graft.functions.DotProductExpr.dot(a, b)
-
   private val K = 8 // centroid count for embed_centroid (first K vec_ids)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -86,10 +83,6 @@ object Embeddings {
         .orderBy("vec_id")
     })
   )
-
-  private def dDot(a: String, b: String): String =
-    s"list_sum(list_transform(list_zip($a,$b), " +
-      "x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
 
   val oracles: Map[String, String] = Map(
     "embed_norm" ->

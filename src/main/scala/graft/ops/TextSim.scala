@@ -53,13 +53,8 @@ import org.apache.spark.sql.functions._
   */
 object TextSim {
 
-  /** Lower-cased whitespace tokens of `text`. */
-  private def toks: Column = split(lower(col("text")), " ")
-
-  /** Portable 60-bit hash: first 15 hex chars of sha256(s), as BIGINT.
-    * Identical in DuckDB as CAST('0x'||substr(sha256(s),1,15) AS BIGINT). */
-  private def h60(s: Column): Column =
-    conv(substring(sha2(s, 256), 1, 15), 16, 10).cast("long")
+  // toks / h60 / dot and their DuckDB mirrors live in the ops package
+  // object — one home for the cross-engine tokenization + hash contract.
 
   private val NumHashes = 16
   private val Bands = 4 // 4 bands x 4 rows
@@ -73,7 +68,7 @@ object TextSim {
     * shuffle is also the shape that scales: every step is linear and
     * partition-parallel.)
     */
-  private def shingleRows(docs: org.apache.spark.sql.DataFrame, n: Int) = {
+  private[ops] def shingleRows(docs: org.apache.spark.sql.DataFrame, n: Int) = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val tokenRows = docs.select(col("doc_id"),
       posexplode(toks).as(Seq("pos", "tok")))
@@ -146,15 +141,6 @@ object TextSim {
           v => v)).cast("double") / NumHashes)
       .filter(col("est_sim") >= 0.5)
   }
-
-  /** Dot product via the native codegen'd expression
-    * (graft.functions.DotProductExpr): same ascending-index double fold as
-    * the DuckDB oracle's list_sum(list_transform(list_zip(a,b), ...)), so
-    * results stay bit-identical — but emitted as a primitive loop inside
-    * whole-stage codegen instead of an interpreted per-element lambda.
-    */
-  private def dot(a: Column, b: Column): Column =
-    graft.functions.DotProductExpr.dot(a, b)
 
   /** Full cosine — only for shapes where each vector appears once. In pair
     * generators, precompute per-vector norms first (normCol) so the sqrt
@@ -537,16 +523,14 @@ object TextSim {
     })
   )
 
-  /** Shared DuckDB SQL fragments (mirror the Scala helpers above). */
-  private val dToks = "string_split(lower(text),' ')"
-  private def dShingles(n: Int): String = {
+  /** DuckDB mirror of [[shingleRows]] — shared with Curation's
+    * decontamination grams (n=8). */
+  private[ops] def dShingles(n: Int): String = {
     val parts = (0 until n).map(o => s"$dToks[i+$o]").mkString(" || ' ' || ")
     s"CASE WHEN len($dToks) >= $n THEN list_distinct(list_transform(" +
       s"generate_series(1, len($dToks)-${n - 1}), i -> $parts)) " +
       "ELSE [] END"
   }
-  private def dH60(s: String): String =
-    s"CAST('0x' || substr(sha256($s),1,15) AS BIGINT)"
   /** DuckDB mirror of sigTable's universal-hash signatures: same (a_j, b_j)
     * constants interpolated from hashAB, same mod-P arithmetic. Recomputes
     * the base sha per j (oracle runs at sf0.01 — clarity over speed). */
@@ -574,8 +558,6 @@ object TextSim {
        |  FROM cand
        |  WHERE CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE)/$NumHashes >= 0.5)""".stripMargin
 
-  private def dDot(a: String, b: String): String =
-    s"list_sum(list_transform(list_zip($a,$b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
   private def dCos(a: String, b: String): String =
     s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
 
