@@ -22,6 +22,7 @@ object SparkEntry {
       ops.Joins.queries ++
       ops.Windows.queries ++
       ops.TextSim.queries ++
+      ops.Graph.queries ++
       ops.Corpus.queries ++
       ops.Curation.queries ++
       ops.Embeddings.queries ++
@@ -33,6 +34,7 @@ object SparkEntry {
       ops.Joins.oracles ++
       ops.Windows.oracles ++
       ops.TextSim.oracles ++
+      ops.Graph.oracles ++
       ops.Corpus.oracles ++
       ops.Curation.oracles ++
       ops.Embeddings.oracles ++

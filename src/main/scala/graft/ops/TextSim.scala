@@ -123,7 +123,7 @@ object TextSim {
     * signatures materialize once behind an exchange and both join sides
     * read them.
     */
-  private def minhashPairs(docs: org.apache.spark.sql.DataFrame) = {
+  private[ops] def minhashPairs(docs: org.apache.spark.sql.DataFrame) = {
     val sig = sigTable(shingleRows(docs, 3))
     val bands = sig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
@@ -539,7 +539,7 @@ object TextSim {
   }.mkString(",") + ")"
   /** Shared CTE chain producing `pairs(ia, ib, est_sim)` — the DuckDB
     * mirror of `minhashPairs`. */
-  private lazy val dMinhashCte: String =
+  private[ops] lazy val dMinhashCte: String =
     s"""s AS (SELECT doc_id, ${dShingles(3)} AS sh FROM documents),
        |sig AS (SELECT doc_id, $dSig AS sig FROM s),
        |bands AS (

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Connected-components invariants beyond the DuckDB recursive-CTE oracle:
+  * the oracle pins cross-engine equality on the LSH graph (near-cliques,
+  * 2-3 iterations); these pin convergence on DEEP graphs — a long path is
+  * the worst case for min-label propagation — and the partition of the
+  * vertex set.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents converges on a long path graph") {
+    // path 0-1-2-...-9 plus isolated 100, 101: one component of 10 needing
+    // ~9 propagation rounds (diameter), two singletons.
+    val verts = (0L to 9L).toDF("doc_id").union(Seq(100L, 101L).toDF("doc_id"))
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = ops.Graph.connectedComponents(verts, edges)
+      .as[(Long, Long)].collect().toMap
+    (0L to 9L).foreach(v => assert(got(v) == 0L, s"vertex $v"))
+    assert(got(100L) == 100L && got(101L) == 101L)
+    assert(got.size == 12)
+  }
+
+  test("connectedComponents merges two clusters through a bridge edge") {
+    // two triangles {0,1,2} {5,6,7} bridged by 2-5: one component rooted 0.
+    val verts = Seq(0L, 1L, 2L, 5L, 6L, 7L).toDF("doc_id")
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (5L, 6L), (6L, 7L),
+      (5L, 7L), (2L, 5L)).toDF("src", "dst")
+    val got = ops.Graph.connectedComponents(verts, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(0L), s"expected one component: $got")
+  }
+
+  test("dedup_cc partitions all documents; kept count == component count") {
+    val cc = ops.Graph.queries("dedup_cc")(spark, sf0001).cache()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(cc.count() == nDocs, "every doc must appear exactly once")
+    val nComp = cc.select("comp").distinct().count()
+    val nKept = cc.filter(col("kept") === 1).count()
+    assert(nKept == nComp, "exactly one representative per component")
+    // sizes are consistent: sum of distinct (comp, comp_size) == nDocs
+    val sizeSum = cc.select("comp", "comp_size").distinct()
+      .agg(sum("comp_size")).as[Long].head()
+    assert(sizeSum == nDocs)
+    // planted near-dups produce at least one multi-doc cluster
+    assert(cc.filter(col("comp_size") > 1).count() > 0)
+    cc.unpersist()
+    ()
+  }
+}
