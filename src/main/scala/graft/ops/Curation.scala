@@ -29,6 +29,23 @@ object Curation {
   private val Stride = 24
   private val EvalGram = 8 // decontamination shingle width
 
+  /** Distinct (doc_id, g) 8-gram rows of `df` — shared by both
+    * decontamination variants. */
+  private def grams(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tr = df.select(col("doc_id"),
+      posexplode(toks).as(Seq("pos", "tok")))
+    val leads = (1 until EvalGram).map(o =>
+      lead(col("tok"), o).over(w).as(s"t$o"))
+    tr.select(col("doc_id") +: col("tok") +: leads: _*)
+      .filter((1 until EvalGram).map(o => col(s"t$o").isNotNull)
+        .foldLeft(lit(true))(_ && _))
+      .select(col("doc_id"), concat_ws(" ",
+        col("tok") +: (1 until EvalGram).map(o => col(s"t$o")): _*)
+        .as("g"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Deterministic stratified sampling: per-language keep rates applied
@@ -82,23 +99,32 @@ object Curation {
     // and broadcast; the corpus streams through one inverted-index join.
     "decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      def grams(df: DataFrame): DataFrame = {
-        val tr = df.select(col("doc_id"),
-          posexplode(toks).as(Seq("pos", "tok")))
-        val leads = (1 until EvalGram).map(o =>
-          lead(col("tok"), o).over(w).as(s"t$o"))
-        tr.select(col("doc_id") +: col("tok") +: leads: _*)
-          .filter((1 until EvalGram).map(o => col(s"t$o").isNotNull)
-            .foldLeft(lit(true))(_ && _))
-          .select(col("doc_id"), concat_ws(" ",
-            col("tok") +: (1 until EvalGram).map(o => col(s"t$o")): _*)
-            .as("g"))
-          .distinct()
-      }
       val evalGrams = grams(docs.filter(col("doc_id") < 10))
         .select(col("g")).distinct()
       grams(docs.filter(col("doc_id") >= 10))
+        .join(broadcast(evalGrams), Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        .orderBy("doc_id")
+    }),
+
+    // Decontamination with a Bloom prefilter: at 100 TB the corpus gram
+    // stream dwarfs the eval set, so probe a KB-sized Bloom filter (built
+    // over eval grams, collected driver-side as a model parameter, embedded
+    // as a foldable literal) BEFORE the exact join. Bloom filters have no
+    // false negatives, so the prefilter is lossless; false positives die in
+    // the exact verify join — the result is identical to `decontaminate`
+    // (and shares its oracle), but the join's probe side shrinks from every
+    // corpus gram to bloom hits only.
+    "decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalGrams = grams(docs.filter(col("doc_id") < 10))
+        .select(col("g")).distinct()
+      val bloom = evalGrams
+        .agg(graft.functions.BloomFunctions.bloomAgg(col("g"), 1 << 14,
+          1 << 18))
+        .head().getAs[Array[Byte]](0)
+      grams(docs.filter(col("doc_id") >= 10))
+        .filter(graft.functions.BloomFunctions.mightContain(bloom, col("g")))
         .join(broadcast(evalGrams), Seq("g"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
         .orderBy("doc_id")
@@ -130,6 +156,21 @@ object Curation {
     })
   )
 
+  private lazy val dDecontaminate: String = {
+    val parts = (0 until EvalGram).map(o => s"tk[i+$o]")
+      .mkString(" || ' ' || ")
+    val grams = s"CASE WHEN len(tk) >= $EvalGram THEN " +
+      s"list_distinct(list_transform(" +
+      s"generate_series(1, len(tk)-${EvalGram - 1}), i -> $parts)) " +
+      "ELSE [] END"
+    s"""WITH base AS (SELECT doc_id, $dToks AS tk FROM documents),
+      |g AS (SELECT doc_id, unnest($grams) AS g FROM base),
+      |ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
+      |SELECT g.doc_id, count(*) AS n_hit
+      |FROM g JOIN ev USING (g) WHERE g.doc_id >= 10
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sample_hash" ->
       s"""SELECT doc_id, lang FROM documents
@@ -160,20 +201,10 @@ object Curation {
         |WHERE CAST(${dH60("'mix' || CAST(doc_id AS VARCHAR)")} % 10000
         |    AS DOUBLE) < rate * 10000.0
         |GROUP BY d.source, n_orig ORDER BY d.source""".stripMargin,
-    "decontaminate" -> {
-      val parts = (0 until EvalGram).map(o => s"tk[i+$o]")
-        .mkString(" || ' ' || ")
-      val grams = s"CASE WHEN len(tk) >= $EvalGram THEN " +
-        s"list_distinct(list_transform(" +
-        s"generate_series(1, len(tk)-${EvalGram - 1}), i -> $parts)) " +
-        "ELSE [] END"
-      s"""WITH base AS (SELECT doc_id, $dToks AS tk FROM documents),
-        |g AS (SELECT doc_id, unnest($grams) AS g FROM base),
-        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
-        |SELECT g.doc_id, count(*) AS n_hit
-        |FROM g JOIN ev USING (g) WHERE g.doc_id >= 10
-        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
-    },
+    "decontaminate" -> dDecontaminate,
+    // The Bloom prefilter is invisible to the oracle: no false negatives
+    // means the exact-verified result is identical to plain decontaminate.
+    "decontaminate_bloom" -> dDecontaminate,
     "text_chunk" ->
       s"""WITH t AS ($dTokRows),
         |b AS (SELECT doc_id, pos - 1 AS p, tok,

@@ -60,6 +60,34 @@ class CurationSpec extends SparkSpec {
     assert(rows.nonEmpty, "expected at least one contaminated doc")
   }
 
+  test("decontaminate_bloom: lossless prefilter, and the bloom rejects") {
+    // exact equality with the unfiltered variant (no false negatives)
+    val plain = ops.Curation.queries("decontaminate")(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val bloomed = ops.Curation.queries("decontaminate_bloom")(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(bloomed == plain)
+    // and the prefilter genuinely shrinks the join probe side: far fewer
+    // corpus grams pass the bloom than exist (otherwise it's dead weight)
+    val docs = Tables.documents(spark, sf0001)
+    val evalGrams = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), explode(expr(
+        """filter(transform(sequence(0, size(split(lower(text),' '))-8),
+          |i -> array_join(slice(split(lower(text),' '), i+1, 8), ' ')),
+          |g -> size(split(g, ' ')) = 8)""".stripMargin)).as("g"))
+      .select("g").distinct()
+    val bloom = evalGrams.agg(functions.BloomFunctions
+      .bloomAgg(col("g"), 1 << 14, 1 << 18)).head().getAs[Array[Byte]](0)
+    val corpusToks = docs.filter(col("doc_id") >= 10)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+    val total = corpusToks.count()
+    val pass = corpusToks.filter(
+      functions.BloomFunctions.mightContain(bloom, col("tok"))).count()
+    // single tokens are mostly NOT eval 8-grams: nearly all must be cut
+    assert(pass < total / 10,
+      s"bloom rejected too little: $pass of $total tokens passed")
+  }
+
   test("text_chunk windows are bounded and cover every token") {
     val chunks = ops.Curation.queries("text_chunk")(spark, sf0001)
     val bad = chunks.filter(col("n_tok") > 32 || col("n_tok") < 1).count()
