@@ -131,6 +131,28 @@ object Corpus {
         .orderBy("doc_id")
     }),
 
+    // Heavy hitters via Count-Min Sketch prefilter + exact verify: one
+    // pass builds the CMS (and the stream total) — collected driver-side
+    // as a model parameter — then token ROWS are prefiltered map-side by
+    // `cms_estimate(tok) >= T` BEFORE the exact groupBy, so the shuffle
+    // carries only candidate tokens. CMS never underestimates, so no true
+    // heavy hitter is lost; overestimates (hash collisions) survive to the
+    // exact count and die at the final `cnt >= T` — output is EXACT
+    // (threshold T = 0.1% of the stream), hence oracle-checkable.
+    "agg_cms_heavy" -> ((s, d) => {
+      val tokRows = tokenRows(Tables.documents(s, d)).select("tok")
+      val row = tokRows.agg(
+        graft.functions.CmsSketch.cmsAgg(col("tok")), count(lit(1))).head()
+      val cms = row.getAs[Array[Byte]](0)
+      val threshold = (row.getLong(1) + 999L) / 1000L
+      tokRows
+        .filter(graft.functions.CmsSketch.cmsEstimate(cms, col("tok"))
+          >= threshold)
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= threshold)
+        .orderBy("tok")
+    }),
+
     // Vocabulary statistics: global top-20 tokens by collection frequency,
     // with document frequency and idf. The rank window runs AFTER the
     // top-k prune (TakeOrderedAndProject), never over the full vocabulary.
@@ -204,6 +226,12 @@ object Corpus {
         |SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_norm,
         |  substr(sha256(norm), 1, 16) AS norm_hash
         |FROM n ORDER BY doc_id""".stripMargin,
+    "agg_cms_heavy" ->
+      s"""WITH t AS ($dTokRows),
+        |th AS (SELECT (count(*) + 999) // 1000 AS t0 FROM t)
+        |SELECT tok, count(*) AS cnt FROM t, th
+        |GROUP BY tok, t0 HAVING count(*) >= t0
+        |ORDER BY tok""".stripMargin,
     "text_vocab" ->
       s"""WITH t AS ($dTokRows),
         |st AS (SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS df
