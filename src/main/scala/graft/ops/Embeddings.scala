@@ -67,22 +67,52 @@ object Embeddings {
     // via the three-dot identity |a-c|² = a·a − 2a·c + c·c, ties broken
     // by centroid id.
     "embed_centroid" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val cent = emb.filter(col("vec_id") < K)
-        .select(col("vec_id").as("cid"), col("embedding").as("c"))
-      val d2 = dot(col("embedding"), col("embedding")) -
-        lit(2.0) * dot(col("embedding"), col("c")) +
-        dot(col("c"), col("c"))
-      emb.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("cid"), d2.as("d2"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy("d2", "cid")))
-        .filter(col("rn") === 1)
+      assign(Tables.embeddings(s, d))
         .select(col("vec_id"), col("cid").as("centroid_id"),
           round(sqrt(col("d2")), 6).as("dist"))
         .orderBy("vec_id")
+    }),
+
+    // One full Lloyd iteration (k-means): the E-step above plus the
+    // M-step — new centroid = elementwise mean of assigned vectors.
+    // Output is long-format (cid, dim_idx, c_new, n) so the oracle pins
+    // every coordinate. Means accumulate through the exact-decimal sum
+    // (ops/package.scala) — elementwise double addition is partition-order
+    // dependent; the decimal quantum is not. Plan: k·N broadcast scoring,
+    // then explode to elements and ONE shuffle on (cid, dim_idx) — the
+    // M-step is map-side combined, centroids never leave the executors
+    // until the k×dim result (model-parameter sized) is emitted.
+    "embed_kmeans_step" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      assign(emb)
+        .select(col("vec_id"), col("cid"))
+        .join(emb, "vec_id")
+        .select(col("cid"),
+          posexplode(col("embedding")).as(Seq("dim_idx", "v")))
+        .groupBy("cid", "dim_idx")
+        .agg(round(exactSum(col("v").cast("double")).cast("double") /
+            count(lit(1)), 6).as("c_new"),
+          count(lit(1)).as("n"))
+        .orderBy("cid", "dim_idx")
     })
   )
+
+  /** E-step: (vec_id, cid, d2) of the nearest of the K seed centroids —
+    * broadcast k model-parameter rows, score k·N, per-vector argmin as a
+    * k-row window. Shared by embed_centroid and embed_kmeans_step. */
+  private def assign(emb: DataFrame): DataFrame = {
+    val cent = emb.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("embedding").as("c"))
+    val d2 = dot(col("embedding"), col("embedding")) -
+      lit(2.0) * dot(col("embedding"), col("c")) +
+      dot(col("c"), col("c"))
+    emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), d2.as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy("d2", "cid")))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cid", "d2")
+  }
 
   val oracles: Map[String, String] = Map(
     "embed_norm" ->
@@ -102,15 +132,32 @@ object Embeddings {
         |    AS n_sat
         |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "embed_centroid" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS c
-        |  FROM embeddings WHERE vec_id < $K),
-        |scored AS (SELECT e.vec_id, cid,
-        |  ${dDot("e.embedding", "e.embedding")} -
-        |    2.0 * ${dDot("e.embedding", "c")} + ${dDot("c", "c")} AS d2
-        |  FROM embeddings e, cent),
-        |r AS (SELECT vec_id, cid, d2, row_number() OVER
-        |  (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM scored)
+      s"""WITH $dAssign
         |SELECT vec_id, cid AS centroid_id, round(sqrt(d2), 6) AS dist
-        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "embed_kmeans_step" ->
+      s"""WITH $dAssign,
+        |a AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+        |el AS (SELECT cid,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS dim_idx,
+        |    unnest(embedding) AS v
+        |  FROM a JOIN embeddings USING (vec_id))
+        |SELECT cid, dim_idx,
+        |  round(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,8)))
+        |    AS DOUBLE) / count(*), 6) AS c_new,
+        |  count(*) AS n
+        |FROM el GROUP BY cid, dim_idx ORDER BY cid, dim_idx""".stripMargin
   )
+
+  /** DuckDB mirror of [[assign]] — CTE chain ending in `r(vec_id, cid,
+    * d2, rn)`; the E-step rows are `WHERE rn = 1`. */
+  private lazy val dAssign: String =
+    s"""cent AS (SELECT vec_id AS cid, embedding AS c
+      |  FROM embeddings WHERE vec_id < $K),
+      |scored AS (SELECT e.vec_id, cid,
+      |  ${dDot("e.embedding", "e.embedding")} -
+      |    2.0 * ${dDot("e.embedding", "c")} + ${dDot("c", "c")} AS d2
+      |  FROM embeddings e, cent),
+      |r AS (SELECT vec_id, cid, d2, row_number() OVER
+      |  (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM scored)""".stripMargin
 }
