@@ -44,8 +44,12 @@ object Graph {
     */
   private[graft] def connectedComponents(
       vertices: DataFrame, edges: DataFrame): DataFrame = {
+    // Materialize the edge list ONCE — it is typically the output of a
+    // whole candidate-generation pipeline (MinHash+LSH here); without this
+    // checkpoint every iteration would recompute that upstream plan.
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var lab = vertices.select(col("doc_id"), col("doc_id").as("comp"))
       .localCheckpoint()
     var changed = 1L
@@ -54,14 +58,15 @@ object Graph {
       val nbrMin = sym
         .join(lab.select(col("doc_id").as("dst"), col("comp")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min("comp").as("nc"))
-      val next = lab.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+      // One join per iteration: keep old and new labels side by side in
+      // the checkpointed result so the convergence count is a scan of it,
+      // not a second join against the previous labels.
+      val merged = lab.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("comp"),
+          least(col("comp"), coalesce(col("nc"), col("comp"))).as("nxt"))
         .localCheckpoint()
-      changed = next
-        .join(lab.select(col("doc_id"), col("comp").as("old")), "doc_id")
-        .filter(col("comp") =!= col("old")).count()
-      lab = next
+      changed = merged.filter(col("nxt") < col("comp")).count()
+      lab = merged.select(col("doc_id"), col("nxt").as("comp"))
       i += 1
     }
     lab
