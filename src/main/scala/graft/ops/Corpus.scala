@@ -131,6 +131,30 @@ object Corpus {
         .orderBy("doc_id")
     }),
 
+    // Per-document TF-IDF keyword extraction: top-3 terms per doc by
+    // tf·ln(N/df). The rank window is PARTITION BY doc_id over that doc's
+    // distinct tokens — partition-local, never global. Ranking key is the
+    // round-6 score (both engines round the same double; ln agrees to the
+    // ulp — the same contract text_vocab's idf has held since it landed)
+    // with the token as tiebreak.
+    "text_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = tokenRows(docs).groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(df, "tok").crossJoin(nDocs)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          round(col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df")), 6).as("score"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(desc("score"), asc("tok"))))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "rk", "tok", "tf", "df", "score")
+        .orderBy("doc_id", "rk")
+    }),
+
     // Heavy hitters via Count-Min Sketch prefilter + exact verify: one
     // pass builds the CMS (and the stream total) — collected driver-side
     // as a model parameter — then token ROWS are prefiltered map-side by
@@ -226,6 +250,19 @@ object Corpus {
         |SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_norm,
         |  substr(sha256(norm), 1, 16) AS norm_hash
         |FROM n ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH t AS ($dTokRows),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, tok, tf, df,
+        |    round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df), 6)
+        |      AS score
+        |  FROM tf JOIN df USING (tok), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, tok) AS rk FROM sc)
+        |SELECT doc_id, rk, tok, tf, df, score
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "agg_cms_heavy" ->
       s"""WITH t AS ($dTokRows),
         |th AS (SELECT (count(*) + 999) // 1000 AS t0 FROM t)

@@ -320,6 +320,35 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // Higher moments (D6 extension): population skewness and excess
+    // kurtosis from exact decimal sums of x..x⁴ — same determinism
+    // contract as agg_stddev (built-in skewness/kurtosis merge float
+    // moments partition-order-dependently). l_quantity is integral (1-50),
+    // so x⁴ sums are exact in DECIMAL(30,8) and exact again as doubles;
+    // the downstream formula uses only IEEE-exact ops (* / + sqrt — no
+    // pow, whose libm rounding differs across engines).
+    "agg_skewkurt" -> ((s, d) => {
+      val n = col("n").cast("double")
+      val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+      val s3 = col("s3").cast("double"); val s4 = col("s4").cast("double")
+      val mu = s1 / n
+      val m2 = s2 / n - mu * mu
+      val skew = (s3 / n - lit(3.0) * mu * (s2 / n) +
+        lit(2.0) * mu * mu * mu) / (m2 * sqrt(m2))
+      val kurt = (s4 / n - lit(4.0) * mu * (s3 / n) +
+        lit(6.0) * mu * mu * (s2 / n) -
+        lit(3.0) * mu * mu * mu * mu) / (m2 * m2) - lit(3.0)
+      val x = col("l_quantity").cast("double")
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), exactSum(x).as("s1"),
+          exactSum(x * x).as("s2"), exactSum(x * x * x).as("s3"),
+          exactSum(x * x * x * x).as("s4"))
+        .select(col("l_returnflag"), col("n"),
+          round(skew, 6).as("skew"), round(kurt, 6).as("kurt"))
+        .orderBy("l_returnflag")
+    }),
+
     // Exact quantiles (D6 extension): percentile() is the exact
     // interpolated PERCENTILE_CONT — the sketch-free form the oracle can
     // replay; at 100 TB swap approx_percentile in (same call shape).
@@ -583,6 +612,24 @@ object Relational {
         |max(CASE WHEN rs = 1 THEN o_orderkey END) AS smallest_order,
         |COUNT(*) AS n
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_skewkurt" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+        |    AS s2,
+        |  CAST(SUM(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(30,8)))
+        |    AS DOUBLE) AS s3,
+        |  CAST(SUM(CAST(l_quantity*l_quantity*l_quantity*l_quantity
+        |    AS DECIMAL(30,8))) AS DOUBLE) AS s4
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT l_returnflag, n, s1/n AS mu,
+        |  s2/n - (s1/n)*(s1/n) AS m2, s2, s3, s4 FROM g)
+        |SELECT l_returnflag, n,
+        |round((s3/n - 3*mu*(s2/n) + 2*mu*mu*mu) / (m2*sqrt(m2)), 6) AS skew,
+        |round((s4/n - 4*mu*(s3/n) + 6*mu*mu*(s2/n) - 3*mu*mu*mu*mu)
+        |  / (m2*m2) - 3, 6) AS kurt
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_stddev" ->
       """WITH g AS (
         |  SELECT o_orderstatus,
