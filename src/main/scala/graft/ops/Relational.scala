@@ -442,6 +442,55 @@ object Relational {
         .intersect(orders(s, d).select(col("o_custkey").as("custkey")))
         .orderBy("custkey")),
 
+    // CDC upsert / MERGE (E extension): apply an updates batch onto a base
+    // snapshot — matched keys take the update, unmatched updates insert,
+    // the rest carry over. One full-outer shuffle join on the key (the
+    // sort-merge MERGE shape; a small CDC batch would broadcast instead).
+    // The update transform is price*2 — exact in IEEE, so no cross-engine
+    // rounding surface. This is the snapshot-maintenance op a training
+    // pipeline runs between corpus versions.
+    "merge_upsert" -> ((s, d) => {
+      val base = orders(s, d).filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus").as("b_status"),
+          col("o_totalprice").as("b_price"))
+      val upd = orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus").as("u_status"),
+          (col("o_totalprice") * 2).as("u_price"))
+      base.join(upd, Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          when(col("b_status").isNotNull && col("u_status").isNotNull,
+            "update")
+            .when(col("u_status").isNotNull, "insert")
+            .otherwise("keep").as("action"),
+          coalesce(col("u_status"), col("b_status")).as("o_orderstatus"),
+          coalesce(col("u_price"), col("b_price")).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Z-order layout (S extension): interleave the low 16 bits of two
+    // join/filter keys into one curve value and cluster on it — the
+    // data-layout op that makes BOTH per-key min/max file pruning work on
+    // a 100 TB table (sort by one key and the other's ranges span
+    // everything). Output: per 1/64-curve bucket, row count + each key's
+    // min/max span — the pruning-quality profile a layout job reports.
+    // Pure integer bit arithmetic, identical in both engines.
+    "layout_zorder" -> ((s, d) => {
+      val p = col("l_partkey").bitwiseAND(lit(65535L))
+      val sk = col("l_suppkey").bitwiseAND(lit(65535L))
+      val z = (0 until 16).map { i =>
+        shiftleft(shiftright(p, i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(
+            shiftleft(shiftright(sk, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }.reduce(_.bitwiseOR(_))
+      lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), z.as("zval"))
+        .groupBy(shiftright(col("zval"), 14).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("l_partkey").as("p_min"), max("l_partkey").as("p_max"),
+          min("l_suppkey").as("s_min"), max("l_suppkey").as("s_max"))
+        .orderBy("zbucket")
+    }),
+
     "set_except" -> ((s, d) =>
       customer(s, d).select(col("c_custkey").as("custkey"))
         .except(orders(s, d).select(col("o_custkey").as("custkey")))
@@ -678,6 +727,32 @@ object Relational {
     "set_intersect" ->
       """SELECT c_custkey AS custkey FROM customer
         |INTERSECT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin,
+    "merge_upsert" ->
+      """WITH b AS (SELECT o_orderkey, o_orderstatus AS b_status,
+        |    o_totalprice AS b_price FROM orders WHERE o_orderkey % 10 <> 0),
+        |u AS (SELECT o_orderkey, o_orderstatus AS u_status,
+        |    o_totalprice * 2 AS u_price FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT o_orderkey,
+        |  CASE WHEN b_status IS NOT NULL AND u_status IS NOT NULL
+        |         THEN 'update'
+        |       WHEN u_status IS NOT NULL THEN 'insert'
+        |       ELSE 'keep' END AS action,
+        |  coalesce(u_status, b_status) AS o_orderstatus,
+        |  coalesce(u_price, b_price) AS o_totalprice
+        |FROM b FULL OUTER JOIN u USING (o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "layout_zorder" -> {
+      val terms = (0 until 16).map(i =>
+        s"(((p >> $i) & 1) << ${2 * i}) | (((s >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH b AS (SELECT l_partkey & 65535 AS p, l_suppkey & 65535 AS s,
+        |    l_partkey, l_suppkey FROM lineitem),
+        |z AS (SELECT l_partkey, l_suppkey, $terms AS zval FROM b)
+        |SELECT zval >> 14 AS zbucket, count(*) AS n,
+        |  min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+        |  min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "set_except" ->
       """SELECT c_custkey AS custkey FROM customer
         |EXCEPT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin,
