@@ -51,7 +51,11 @@ object Corpus {
           count(lit(1)).as("n_distinct_bg"))
       val tokStats = tr.groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"), countDistinct("tok").as("n_utok"))
-      bgStats.join(tokStats, "doc_id")
+      // LEFT from tokStats: a single-token doc has no bigrams, so an inner
+      // join would drop it from the quality report — exactly the
+      // degenerate doc a filter pipeline most wants to see. Its bigram
+      // fractions are null (null arithmetic in both engines).
+      tokStats.join(bgStats, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tok"),
           round(col("n_utok").cast("double") / col("n_tok"), 6)
             .as("distinct_tok_ratio"),
@@ -208,12 +212,12 @@ object Corpus {
         |    count(*) AS n_distinct_bg FROM bgc GROUP BY 1),
         |ts AS (SELECT doc_id, count(*) AS n_tok,
         |    count(DISTINCT tok) AS n_utok FROM t GROUP BY 1)
-        |SELECT b.doc_id, n_tok,
+        |SELECT ts.doc_id, n_tok,
         |  round(CAST(n_utok AS DOUBLE) / n_tok, 6) AS distinct_tok_ratio,
         |  round(CAST(max_bg AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
         |  round(1.0 - CAST(n_distinct_bg AS DOUBLE) / n_bigrams, 6)
         |    AS dup_bigram_frac
-        |FROM bgs b JOIN ts USING (doc_id) ORDER BY doc_id""".stripMargin,
+        |FROM ts LEFT JOIN bgs USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_span" ->
       s"""WITH t AS ($dTokRows),
         |spn AS (SELECT doc_id, (pos - 1) // $SpanLen AS span,

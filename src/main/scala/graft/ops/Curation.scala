@@ -29,22 +29,10 @@ object Curation {
   private val Stride = 24
   private val EvalGram = 8 // decontamination shingle width
 
-  /** Distinct (doc_id, g) 8-gram rows of `df` — shared by both
-    * decontamination variants. */
-  private def grams(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val tr = df.select(col("doc_id"),
-      posexplode(toks).as(Seq("pos", "tok")))
-    val leads = (1 until EvalGram).map(o =>
-      lead(col("tok"), o).over(w).as(s"t$o"))
-    tr.select(col("doc_id") +: col("tok") +: leads: _*)
-      .filter((1 until EvalGram).map(o => col(s"t$o").isNotNull)
-        .foldLeft(lit(true))(_ && _))
-      .select(col("doc_id"), concat_ws(" ",
-        col("tok") +: (1 until EvalGram).map(o => col(s"t$o")): _*)
-        .as("g"))
-      .distinct()
-  }
+  /** Distinct (doc_id, g) 8-gram rows of `df` — TextSim's shared shingle
+    * builder (the n=8 instantiation), one home for the n-gram contract. */
+  private def grams(df: DataFrame): DataFrame =
+    TextSim.shingleRows(df, EvalGram)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -156,20 +144,13 @@ object Curation {
     })
   )
 
-  private lazy val dDecontaminate: String = {
-    val parts = (0 until EvalGram).map(o => s"tk[i+$o]")
-      .mkString(" || ' ' || ")
-    val grams = s"CASE WHEN len(tk) >= $EvalGram THEN " +
-      s"list_distinct(list_transform(" +
-      s"generate_series(1, len(tk)-${EvalGram - 1}), i -> $parts)) " +
-      "ELSE [] END"
-    s"""WITH base AS (SELECT doc_id, $dToks AS tk FROM documents),
-      |g AS (SELECT doc_id, unnest($grams) AS g FROM base),
+  private lazy val dDecontaminate: String =
+    s"""WITH g AS (SELECT doc_id, unnest(${TextSim.dShingles(EvalGram)}) AS g
+      |  FROM documents),
       |ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
       |SELECT g.doc_id, count(*) AS n_hit
       |FROM g JOIN ev USING (g) WHERE g.doc_id >= 10
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
-  }
 
   val oracles: Map[String, String] = Map(
     "sample_hash" ->

@@ -103,9 +103,14 @@ object Embeddings {
   private def assign(emb: DataFrame): DataFrame = {
     val cent = emb.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("embedding").as("c"))
-    val d2 = dot(col("embedding"), col("embedding")) -
+    // greatest(·, 0): the three-dot identity cancels catastrophically for
+    // near-identical vector/centroid pairs and can go fractionally
+    // NEGATIVE (≈ -1e-15) — sqrt would then be NaN in Spark but a hard
+    // ERROR in DuckDB, so one near-dup row could kill the oracle query.
+    // Mirrored in dAssign.
+    val d2 = greatest(dot(col("embedding"), col("embedding")) -
       lit(2.0) * dot(col("embedding"), col("c")) +
-      dot(col("c"), col("c"))
+      dot(col("c"), col("c")), lit(0.0))
     emb.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cid"), d2.as("d2"))
       .withColumn("rn", row_number().over(
@@ -155,8 +160,8 @@ object Embeddings {
     s"""cent AS (SELECT vec_id AS cid, embedding AS c
       |  FROM embeddings WHERE vec_id < $K),
       |scored AS (SELECT e.vec_id, cid,
-      |  ${dDot("e.embedding", "e.embedding")} -
-      |    2.0 * ${dDot("e.embedding", "c")} + ${dDot("c", "c")} AS d2
+      |  greatest(${dDot("e.embedding", "e.embedding")} -
+      |    2.0 * ${dDot("e.embedding", "c")} + ${dDot("c", "c")}, 0.0) AS d2
       |  FROM embeddings e, cent),
       |r AS (SELECT vec_id, cid, d2, row_number() OVER
       |  (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM scored)""".stripMargin

@@ -69,6 +69,16 @@ object Graph {
       lab = merged.select(col("doc_id"), col("nxt").as("comp"))
       i += 1
     }
+    // Silent truncation would return WRONG labels (one true cluster split
+    // into several, each with its own kept representative) and diverge
+    // from the exact oracle with no signal — fail loudly instead. Dup
+    // graphs are near-cliques (2-4 rounds); hitting 20 means the input is
+    // not that graph, and the O(log n) star-contraction variant is due.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $MaxIter iterations " +
+          s"($changed labels still changing) — graph diameter exceeds " +
+          "MaxIter; use star-contraction for long-chain graphs")
     lab
   }
 

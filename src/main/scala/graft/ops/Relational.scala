@@ -471,9 +471,11 @@ object Relational {
     // join/filter keys into one curve value and cluster on it — the
     // data-layout op that makes BOTH per-key min/max file pruning work on
     // a 100 TB table (sort by one key and the other's ranges span
-    // everything). Output: per 1/64-curve bucket, row count + each key's
-    // min/max span — the pruning-quality profile a layout job reports.
-    // Pure integer bit arithmetic, identical in both engines.
+    // everything). Output: per curve-prefix bucket (zval >> 14 — up to
+    // 2^18 buckets at full 16-bit key ranges; the testdata's smaller keys
+    // fill far fewer), row count + each key's min/max span — the
+    // pruning-quality profile a layout job reports. Pure integer bit
+    // arithmetic, identical in both engines.
     "layout_zorder" -> ((s, d) => {
       val p = col("l_partkey").bitwiseAND(lit(65535L))
       val sk = col("l_suppkey").bitwiseAND(lit(65535L))

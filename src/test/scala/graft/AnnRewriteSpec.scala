@@ -65,14 +65,20 @@ class AnnRewriteSpec extends SparkSpec {
       val q = naive
       val opt = q.queryExecution.optimizedPlan.toString
       assert(opt.contains("__graft_bk"), s"rule did not fire:\n$opt")
-      assert(opt.contains("Deduplicate") || opt.contains("Aggregate"))
+      // multiplicity is preserved by the first-collision filter — the
+      // rewrite must NOT dedup output rows (that would collapse genuinely
+      // duplicate input rows too)
+      assert(!opt.contains("Deduplicate") && !opt.contains("Aggregate"))
       val phys = q.queryExecution.executedPlan.toString
       assert(!phys.contains("CartesianProduct") &&
         !phys.contains("BroadcastNestedLoopJoin"),
         s"quadratic join survived:\n$phys")
       // precision exact (predicate re-verified) and, at cos≈0.9998, the
-      // 8-table miss probability is ~1e-13 per pair — equality, not recall
-      assert(q.as[(Long, Long)].collect().toSet === truth)
+      // 8-table miss probability is ~1e-13 per pair — equality, not
+      // recall; compare as a sorted MULTISET so a multi-table double-emit
+      // would fail the test
+      assert(q.as[(Long, Long)].collect().toSeq.sorted ===
+        truth.toSeq.sorted)
     } finally {
       spark.conf.set(AnnRewriteRule.ConfKey, "false")
       spark.experimental.extraOptimizations = Nil
@@ -87,6 +93,25 @@ class AnnRewriteSpec extends SparkSpec {
       val b = vecs.select($"vec_id".as("ib"), $"embedding".as("eb"))
       val q = a.crossJoin(b)
         .filter(dot($"ea", $"eb") >= -1.0 && $"ia" < $"ib") // keeps ~all pairs
+      assert(!q.queryExecution.optimizedPlan.toString.contains("__graft_bk"))
+    } finally {
+      spark.conf.set(AnnRewriteRule.ConfKey, "false")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("positive bound on an UNRELATED column must not trigger the rewrite") {
+    spark.experimental.extraOptimizations = Seq(AnnRewriteRule)
+    spark.conf.set(AnnRewriteRule.ConfKey, "true")
+    try {
+      val a = vecs.select($"vec_id".as("ia"), $"embedding".as("ea"),
+        lit(1.5).as("weight"))
+      val b = vecs.select($"vec_id".as("ib"), $"embedding".as("eb"))
+      // anti-correlated pair search + an unrelated positive bound: sign-LSH
+      // buckets would lose ~all qualifying pairs, so the rule must not fire
+      val q = a.crossJoin(b)
+        .filter(dot($"ea", $"eb") <= -0.5 && $"weight" >= 1.0 &&
+          $"ia" < $"ib")
       assert(!q.queryExecution.optimizedPlan.toString.contains("__graft_bk"))
     } finally {
       spark.conf.set(AnnRewriteRule.ConfKey, "false")
