@@ -25,6 +25,23 @@ import org.apache.spark.sql.types._
   * Scale posture: ingest is map-only (parse → explode → project), so it
   * pipelines entirely inside one codegen stage per file split; a day of
   * payloads at 100 TB is just more input splits, no shuffle anywhere.
+  *
+  * A7 (object-store put): every writer/reader here takes any Hadoop
+  * filesystem URI — pointing the same code at `s3a://bucket/path` is
+  * config, not code (untestable in this sandbox: no object store, no
+  * hadoop-aws jars). Standard production settings:
+  * {{{
+  * spark.hadoop.fs.s3a.aws.credentials.provider=
+  *   org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider
+  * spark.hadoop.fs.s3a.committer.name=magic       // no rename commit on S3
+  * spark.sql.sources.commitProtocolClass=
+  *   org.apache.spark.internal.io.cloud.PathOutputCommitProtocol
+  * spark.hadoop.fs.s3a.connection.maximum=96      // match executor cores
+  * }}}
+  * The magic committer matters at 100 TB: the default FileOutputCommitter
+  * v1 renames every task file sequentially on the driver — hours on a
+  * large write; the magic committer completes multipart uploads in O(1)
+  * per file with no rename.
   */
 object Ingest {
 
