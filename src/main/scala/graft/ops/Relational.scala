@@ -87,6 +87,32 @@ object Relational {
       s.read.parquet(out).orderBy("o_orderkey")
     }),
 
+    // ORC sink + scan (A5/A6 extension): Spark's second columnar format,
+    // same writer/reader surface as Parquet — min/max stripe pruning and
+    // column projection apply identically at scale.
+    "orc_roundtrip" -> ((s, d) => {
+      val out = scratchDir("orc_rt")
+      customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_acctbal"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy("c_custkey")
+    }),
+
+    // JSON-lines sink + scan (A3/A4 extension): the interchange format the
+    // reference's API layer emits (daily_csv_pipeline.py:36-51 stores raw
+    // JSON payloads); doubles round-trip via shortest-representation
+    // serialization, read back under an explicit schema — never inferred
+    // (schema inference is a full extra pass over 100 TB).
+    "json_roundtrip" -> ((s, d) => {
+      val out = scratchDir("json_rt")
+      nation(s, d).write.mode("overwrite").json(out)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .json(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+
     // JSON field extraction (A2/H10: API payload navigation,
     // daily_csv_pipeline.py:36-51; here over events.props JSON strings).
     "json_extract" -> ((s, d) =>
@@ -537,6 +563,12 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
         |CAST(l_shipdate AS DATE) AS l_shipdate
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "orc_roundtrip" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "json_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "parquet_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |CAST(o_orderdate AS DATE) AS o_date
