@@ -62,6 +62,22 @@ object Curation {
         .orderBy("split")
     }),
 
+    // Exact per-group quota sampling: keep exactly min(20, |group|) docs
+    // per language, chosen by content-stable hash rank — the hard-cap
+    // form of mixture control (rate sampling above only converges to the
+    // target in expectation). The rank window is partition-local per
+    // group; at 100 TB a two-phase prune (per-partition top-k, then
+    // global) bounds the window input the way sim_topk does.
+    "sample_quota" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(h60(concat(lit("quota"), col("doc_id"))), col("doc_id"))))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("rn"), col("doc_id"))
+        .orderBy("lang", "rn")
+    }),
+
     // Mixture rebalancing toward a uniform source distribution:
     // rate(src) = min(1, target/cnt(src)), applied as hash sampling.
     // Output = per-source original vs kept counts (the rebalanced corpus).
@@ -170,6 +186,13 @@ object Curation {
         |SELECT split, count(*) AS n, min(doc_id) AS min_id,
         |  max(doc_id) AS max_id
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "sample_quota" ->
+      s"""WITH r AS (SELECT lang, doc_id, row_number() OVER
+        |    (PARTITION BY lang ORDER BY
+        |      ${dH60("'quota' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, rn, doc_id FROM r WHERE rn <= 20
+        |ORDER BY lang, rn""".stripMargin,
     "mix_resample" ->
       s"""WITH st AS (SELECT source, count(*) AS n_orig FROM documents
         |  GROUP BY 1),
