@@ -134,6 +134,47 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // Capstone: the full curation pipeline a training run actually
+    // executes, composed from the library's own operators —
+    //   1. quality gate (>= 30 tokens),
+    //   2. exact dedup (global first occurrence per text),
+    //   3. near-dup collapse (MinHash/LSH candidate graph → connected
+    //      components → keep each cluster's representative),
+    //   4. eval decontamination (drop docs sharing an 8-gram with the
+    //      held-out eval set),
+    //   5. deterministic train/val/test split.
+    // Output: per (split, lang) survivor counts — the dataset card. Every
+    // stage is the same shuffle shape it has standalone; nothing here is
+    // more than linear + the CC loop.
+    "pipeline_curate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = Window.partitionBy("text").orderBy("doc_id")
+      val exact = docs.filter(size(toks) >= 30)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val edges = TextSim.minhashPairs(exact)
+        .select(col("ia").as("src"), col("ib").as("dst"))
+      val kept = exact
+        .join(Graph.connectedComponents(exact.select("doc_id"), edges),
+          "doc_id")
+        .filter(col("doc_id") === col("comp"))
+      val train = kept.filter(col("doc_id") >= 10)
+      val evalG = TextSim.shingleRows(docs.filter(col("doc_id") < 10),
+        EvalGram).select("g").distinct()
+      val contam = TextSim.shingleRows(train, EvalGram)
+        .join(broadcast(evalG), Seq("g"))
+        .select("doc_id").distinct()
+      val b = pmod(h60(concat(lit("spl"), col("doc_id"))), lit(100))
+      train.join(contam, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"),
+          when(b < 90, "train").when(b < 95, "val").otherwise("test")
+            .as("split"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+        .orderBy("split", "lang")
+    }),
+
     // Sliding-window chunking (32-token windows, stride 24): the training
     // prep / RAG shape. A token at 0-based pos p lands in chunks
     // [max(0, ceil((p-31)/24)), floor(p/24)] — both bounds in integer
@@ -209,6 +250,41 @@ object Curation {
     // The Bloom prefilter is invisible to the oracle: no false negatives
     // means the exact-verified result is identical to plain decontaminate.
     "decontaminate_bloom" -> dDecontaminate,
+    "pipeline_curate" ->
+      s"""WITH RECURSIVE
+        |q AS (SELECT doc_id, text, lang FROM documents
+        |  WHERE len($dToks) >= 30),
+        |x AS (SELECT *, row_number() OVER
+        |  (PARTITION BY text ORDER BY doc_id) AS rn FROM q),
+        |ex AS (SELECT doc_id, text, lang FROM x WHERE rn = 1),
+        |${TextSim.dMinhashCteFrom("ex")},
+        |edges AS (SELECT ia AS src, ib AS dst FROM pairs
+        |  UNION SELECT ib, ia FROM pairs),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS r FROM ex
+        |  UNION
+        |  SELECT w.doc_id, e.dst AS r FROM reach w
+        |  JOIN edges e ON w.r = e.src),
+        |labv AS (SELECT doc_id, min(r) AS comp FROM reach GROUP BY 1),
+        |kept AS (SELECT e.* FROM ex e JOIN labv USING (doc_id)
+        |  WHERE doc_id = comp),
+        |train AS (SELECT * FROM kept WHERE doc_id >= 10),
+        |evg AS (SELECT DISTINCT g FROM (SELECT
+        |    unnest(${TextSim.dShingles(EvalGram)}) AS g
+        |  FROM documents WHERE doc_id < 10)),
+        |trg AS (SELECT doc_id, unnest(${TextSim.dShingles(EvalGram)}) AS g
+        |  FROM train),
+        |contam AS (SELECT DISTINCT t.doc_id FROM trg t JOIN evg USING (g)),
+        |spl AS (SELECT doc_id, lang,
+        |  CASE WHEN ${dH60("'spl' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+        |         THEN 'train'
+        |       WHEN ${dH60("'spl' || CAST(doc_id AS VARCHAR)")} % 100 < 95
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM train WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+        |SELECT split, lang, count(*) AS n, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id
+        |FROM spl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_chunk" ->
       s"""WITH t AS ($dTokRows),
         |b AS (SELECT doc_id, pos - 1 AS p, tok,

@@ -538,9 +538,9 @@ object TextSim {
     s"list_min(list_transform(sh, g -> ($a*(${dH60("g")}%$MinHashP)+$b)%$MinHashP))"
   }.mkString(",") + ")"
   /** Shared CTE chain producing `pairs(ia, ib, est_sim)` — the DuckDB
-    * mirror of `minhashPairs`. */
-  private[ops] lazy val dMinhashCte: String =
-    s"""s AS (SELECT doc_id, ${dShingles(3)} AS sh FROM documents),
+    * mirror of `minhashPairs`, over any relation with (doc_id, text). */
+  private[ops] def dMinhashCteFrom(rel: String): String =
+    s"""s AS (SELECT doc_id, ${dShingles(3)} AS sh FROM $rel),
        |sig AS (SELECT doc_id, $dSig AS sig FROM s),
        |bands AS (
        |  SELECT doc_id, sig, unnest(generate_series(0,${Bands - 1})) AS band,
@@ -557,6 +557,8 @@ object TextSim {
        |  CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE)/$NumHashes AS est_sim
        |  FROM cand
        |  WHERE CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2])) AS DOUBLE)/$NumHashes >= 0.5)""".stripMargin
+
+  private[ops] lazy val dMinhashCte: String = dMinhashCteFrom("documents")
 
   private def dCos(a: String, b: String): String =
     s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
