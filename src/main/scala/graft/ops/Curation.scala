@@ -149,16 +149,20 @@ object Curation {
     "pipeline_curate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val w = Window.partitionBy("text").orderBy("doc_id")
+      // localCheckpoint: `exact` feeds four consumers (candidate pairs,
+      // CC vertices, the representative join, train shingles) — without
+      // materializing it each consumer would replay the text-window dedup.
       val exact = docs.filter(size(toks) >= 30)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
+        .localCheckpoint()
       val edges = TextSim.minhashPairs(exact)
         .select(col("ia").as("src"), col("ib").as("dst"))
       val kept = exact
         .join(Graph.connectedComponents(exact.select("doc_id"), edges),
           "doc_id")
         .filter(col("doc_id") === col("comp"))
-      val train = kept.filter(col("doc_id") >= 10)
+      val train = kept.filter(col("doc_id") >= 10).localCheckpoint()
       val evalG = TextSim.shingleRows(docs.filter(col("doc_id") < 10),
         EvalGram).select("g").distinct()
       val contam = TextSim.shingleRows(train, EvalGram)
