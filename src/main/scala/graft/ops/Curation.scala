@@ -34,6 +34,22 @@ object Curation {
   private def grams(df: DataFrame): DataFrame =
     TextSim.shingleRows(df, EvalGram)
 
+  /** The 90/5/5 deterministic split — ONE home for the hash prefix and
+    * thresholds, shared by split_train and pipeline_curate (and mirrored
+    * by [[dSplitCase]]). */
+  private def splitCol: Column = {
+    val b = pmod(h60(concat(lit("spl"), col("doc_id"))), lit(100))
+    when(b < 90, "train").when(b < 95, "val").otherwise("test")
+  }
+
+  /** DuckDB mirror of [[splitCol]]. */
+  private lazy val dSplitCase: String =
+    s"""CASE WHEN ${dH60("'spl' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+       |       THEN 'train'
+       |     WHEN ${dH60("'spl' || CAST(doc_id AS VARCHAR)")} % 100 < 95
+       |       THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Deterministic stratified sampling: per-language keep rates applied
@@ -51,11 +67,8 @@ object Curation {
     // Deterministic train/val/test split (90/5/5) from the same hash
     // family — the split survives re-runs and data relayout.
     "split_train" -> ((s, d) => {
-      val b = pmod(h60(concat(lit("spl"), col("doc_id"))), lit(100))
       Tables.documents(s, d)
-        .select(col("doc_id"),
-          when(b < 90, "train").when(b < 95, "val").otherwise("test")
-            .as("split"))
+        .select(col("doc_id"), splitCol.as("split"))
         .groupBy("split")
         .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
           max("doc_id").as("max_id"))
@@ -69,10 +82,21 @@ object Curation {
     // group; at 100 TB a two-phase prune (per-partition top-k, then
     // global) bounds the window input the way sim_topk does.
     "sample_quota" -> ((s, d) => {
-      Tables.documents(s, d)
+      // Two-phase prune (the win_rank/sim_topk pattern): each physical
+      // partition keeps its own top-20 per lang FIRST, so the global
+      // per-lang rank window — a handful of partitions at 100 TB — sees at
+      // most 20·n_partitions rows, never a whole language on one task.
+      // Per-partition top-k by the same ordering is a superset of the
+      // global top-k, so the result is exact.
+      val hk = h60(concat(lit("quota"), col("doc_id")))
+      val local = Tables.documents(s, d)
+        .withColumn("prn", row_number().over(
+          Window.partitionBy(col("lang"), spark_partition_id())
+            .orderBy(hk, col("doc_id"))))
+        .filter(col("prn") <= 20)
+      local
         .withColumn("rn", row_number().over(
-          Window.partitionBy("lang")
-            .orderBy(h60(concat(lit("quota"), col("doc_id"))), col("doc_id"))))
+          Window.partitionBy("lang").orderBy(hk, col("doc_id"))))
         .filter(col("rn") <= 20)
         .select(col("lang"), col("rn"), col("doc_id"))
         .orderBy("lang", "rn")
@@ -148,10 +172,14 @@ object Curation {
     // more than linear + the CC loop.
     "pipeline_curate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val w = Window.partitionBy("text").orderBy("doc_id")
+      val w = Window.partitionBy(h60(col("text")), col("text"))
+        .orderBy("doc_id")
       // localCheckpoint: `exact` feeds four consumers (candidate pairs,
       // CC vertices, the representative join, train shingles) — without
       // materializing it each consumer would replay the text-window dedup.
+      // The window partitions on (h60(text), text): same groups as raw
+      // text, but the exchange compares 8-byte hashes instead of multi-KB
+      // document bodies in the common case.
       val exact = docs.filter(size(toks) >= 30)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
@@ -163,16 +191,13 @@ object Curation {
           "doc_id")
         .filter(col("doc_id") === col("comp"))
       val train = kept.filter(col("doc_id") >= 10).localCheckpoint()
-      val evalG = TextSim.shingleRows(docs.filter(col("doc_id") < 10),
-        EvalGram).select("g").distinct()
-      val contam = TextSim.shingleRows(train, EvalGram)
+      val evalG = grams(docs.filter(col("doc_id") < 10))
+        .select("g").distinct()
+      val contam = grams(train)
         .join(broadcast(evalG), Seq("g"))
         .select("doc_id").distinct()
-      val b = pmod(h60(concat(lit("spl"), col("doc_id"))), lit(100))
       train.join(contam, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("lang"),
-          when(b < 90, "train").when(b < 95, "val").otherwise("test")
-            .as("split"))
+        .select(col("doc_id"), col("lang"), splitCol.as("split"))
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
           max("doc_id").as("max_id"))
