@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Corpus-preparation operators a large-scale training-data pipeline runs
@@ -181,6 +182,41 @@ object Corpus {
         .orderBy("tok")
     }),
 
+    // CCNet-style LM quality scoring: train a unigram language model with
+    // add-one smoothing on the English docs (the "clean reference corpus"
+    // stand-in for CCNet's Wikipedia-trained KenLM), then score EVERY doc
+    // by its average per-token negative log-likelihood. Low avg_nll ≈
+    // reference-like text; high ≈ OOV-heavy / off-distribution (non-English
+    // docs surface immediately) — the canonical perplexity filter of a
+    // pretraining pipeline.
+    // Cross-engine float contract: each token's nll is rounded to 4 decimals
+    // and cast to DECIMAL before the per-doc sum, so the sum is partition-
+    // order-independent AND immune to a last-ulp ln() divergence (a 1e-15
+    // disagreement cannot move a round-4 value off its quantum); the final
+    // avg divides two identical numbers in both engines.
+    // Scale: the LM is vocab-sized (≪ corpus) — groupBy(tok) with map-side
+    // combine; the scoring join shuffles token rows on tok (or broadcasts
+    // when the LM fits); the two global scalars ride a 1-row broadcast.
+    "text_lm_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lm = docs.filter(col("lang") === "en")
+        .select(explode(toks).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val scal = lm.agg(sum("c").as("n_ref"), count(lit(1)).as("v_ref"))
+      docs.select(col("doc_id"), explode(toks).as("tok"))
+        .join(lm, Seq("tok"), "left")
+        .crossJoin(broadcast(scal))
+        .select(col("doc_id"),
+          round(-log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+            (col("n_ref") + col("v_ref")).cast("double")), 4)
+            .cast(DecimalType(30, 8)).as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("nll").as("snll"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("snll").cast("double") / col("n_tok"), 6).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary statistics: global top-20 tokens by collection frequency,
     // with document frequency and idf. The rank window runs AFTER the
     // top-k prune (TakeOrderedAndProject), never over the full vocabulary.
@@ -273,6 +309,19 @@ object Corpus {
         |SELECT tok, count(*) AS cnt FROM t, th
         |GROUP BY tok, t0 HAVING count(*) >= t0
         |ORDER BY tok""".stripMargin,
+    "text_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, unnest($dToks) AS tok FROM documents),
+        |rt AS (SELECT t.tok FROM t JOIN documents d USING (doc_id)
+        |  WHERE d.lang = 'en'),
+        |lm AS (SELECT tok, count(*) AS c FROM rt GROUP BY 1),
+        |scal AS (SELECT sum(c) AS n_ref, count(*) AS v_ref FROM lm),
+        |nll AS (SELECT doc_id,
+        |    CAST(round(-ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) /
+        |      CAST(n_ref + v_ref AS DOUBLE)), 4) AS DECIMAL(30,8)) AS nll
+        |  FROM t LEFT JOIN lm USING (tok), scal)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+        |FROM nll GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_vocab" ->
       s"""WITH t AS ($dTokRows),
         |st AS (SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS df

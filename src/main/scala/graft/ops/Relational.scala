@@ -552,7 +552,52 @@ object Relational {
       lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
-        .limit(100))
+        .limit(100)),
+
+    // Deequ-style data-quality profile in ONE pass: per-column non-null
+    // count, exact distinct count, and min/max, over the orders table plus
+    // one derived column with real nulls (nullif) so the null-accounting
+    // path is exercised. The multi-countDistinct agg plans as a single scan
+    // with an Expand (one row per distinct-column grouping) — the standard
+    // one-pass profile shape; no per-column re-scans. min/max reprs go
+    // through type-stable casts (decimal for doubles, date for timestamps)
+    // so the stringification is engine-independent.
+    // At 100 TB this is the pre-ingest contract check a curation pipeline
+    // runs on every drop: linear, map-side combined, output is k rows.
+    "dq_profile" -> ((s, d) => {
+      val base = orders(s, d)
+        .withColumn("o_priority_nullif",
+          nullif(col("o_orderpriority"), lit("1-URGENT")))
+      // (name, value column, min/max representation cast)
+      val profiled: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
+        ("o_orderkey", (c: org.apache.spark.sql.Column) => c.cast("string")),
+        ("o_custkey", (c: org.apache.spark.sql.Column) => c.cast("string")),
+        ("o_orderstatus", (c: org.apache.spark.sql.Column) => c),
+        ("o_totalprice", (c: org.apache.spark.sql.Column) =>
+          c.cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("string")),
+        ("o_orderdate", (c: org.apache.spark.sql.Column) =>
+          c.cast("date").cast("string")),
+        ("o_priority_nullif", (c: org.apache.spark.sql.Column) => c)
+      )
+      val aggs = count(lit(1)).as("n_rows") +: profiled.flatMap { case (n, repr) =>
+        Seq(count(col(n)).as(s"nn_$n"),
+          countDistinct(col(n)).as(s"nd_$n"),
+          repr(min(col(n))).as(s"mn_$n"),
+          repr(max(col(n))).as(s"mx_$n"))
+      }
+      val one = base.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = profiled.map { case (n, _) =>
+        s"'$n', nn_$n, nd_$n, mn_$n, mx_$n"
+      }.mkString(", ")
+      one.selectExpr("n_rows",
+        s"stack(${profiled.size}, $stackArgs) AS " +
+          "(col_name, n_nonnull, n_distinct, min_repr, max_repr)")
+        .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+          round((col("n_rows") - col("n_nonnull")).cast("double") /
+            col("n_rows"), 6).as("null_frac"),
+          col("n_distinct"), col("min_repr"), col("max_repr"))
+        .orderBy("col_name")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -803,6 +848,32 @@ object Relational {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "limit_n" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "dq_profile" -> {
+      // generated in lockstep with the Spark side's column list
+      val reprs: Seq[(String, String => String)] = Seq(
+        ("o_orderkey", (e: String) => s"CAST($e AS VARCHAR)"),
+        ("o_custkey", (e: String) => s"CAST($e AS VARCHAR)"),
+        ("o_orderstatus", (e: String) => e),
+        ("o_totalprice",
+          (e: String) => s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"),
+        ("o_orderdate", (e: String) => s"CAST(CAST($e AS DATE) AS VARCHAR)"),
+        ("o_priority_nullif", (e: String) => e))
+      val aggExprs = reprs.map { case (n, r) =>
+        s"count($n) AS nn_$n, count(DISTINCT $n) AS nd_$n, " +
+          s"${r(s"min($n)")} AS mn_$n, ${r(s"max($n)")} AS mx_$n"
+      }.mkString(",\n")
+      val arms = reprs.map { case (n, _) =>
+        s"SELECT '$n' AS col_name, n_rows, nn_$n AS n_nonnull, " +
+          s"round(CAST(n_rows - nn_$n AS DOUBLE) / n_rows, 6) AS null_frac, " +
+          s"nd_$n AS n_distinct, mn_$n AS min_repr, mx_$n AS max_repr FROM a"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH b AS (SELECT *, nullif(o_orderpriority, '1-URGENT')
+        |  AS o_priority_nullif FROM orders),
+        |a AS (SELECT count(*) AS n_rows,
+        |$aggExprs
+        |FROM b)
+        |SELECT * FROM ($arms) ORDER BY col_name""".stripMargin
+    }
   )
 }

@@ -127,6 +127,54 @@ object Windows {
         .orderBy("order_month", "o_orderkey")
     }),
 
+    // Gaps-and-islands sessionization in BATCH: lag-gap break flag, running
+    // sum for the session id, then per-session aggregates — the window-
+    // function twin of `stream_session` (which uses session_window and can
+    // only carry count/min/max through the session state). This form attaches
+    // arbitrary aggregates (here the exact-decimal value sum) to each
+    // session. Same 30-minute half-open gap rule as the streaming query.
+    // Scale: both windows and the final groupBy partition on user_id —
+    // high-cardinality, one shuffle, no global state.
+    "sessionize_batch" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("brk",
+          when(lag("ts", 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w))
+              >= 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("sid", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(unix_micros(min("ts")).as("sess_start_us"),
+          unix_micros(max("ts")).as("sess_end_us"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value"), 4).as("sum_value"))
+        .drop("sid")
+        .orderBy("user_id", "sess_start_us")
+    }),
+
+    // Interval RANGE frame per key: trailing-30-day order count and spend
+    // for every order, over the customer's own history. Unlike the ROWS
+    // frames above, the frame is defined on the time axis (day numbers), so
+    // sparse/bursty histories window correctly. Decimal accumulation inside
+    // the frame keeps the sum order-independent; day numbers (not dates)
+    // because Spark's rangeBetween needs a numeric order key.
+    "win_range_30d" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("d_num")
+        .rangeBetween(-29, 0)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("d_num",
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01"))))
+        .withColumn("n_30d", count(lit(1)).over(w))
+        .withColumn("spend_30d",
+          round(exactSum(col("o_totalprice")).over(w), 2).cast("double"))
+        .drop("d_num")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // W7: trailing-7-day revenue trendline (README.md:193-196). Daily
     // pre-aggregation first, then a RANGE window over day numbers. The daily
     // sum accumulates as decimal (exactSum) and the trailing window sums the
@@ -204,6 +252,35 @@ object Windows {
         |WINDOW w AS (PARTITION BY strftime(o_orderdate,'%Y-%m')
         |ORDER BY o_totalprice, o_orderkey)
         |ORDER BY order_month, o_orderkey""".stripMargin,
+    // Same break rule as stream_session's oracle (half-open session: a gap
+    // of exactly 30 min starts a new session); event_id tiebreaks equal
+    // timestamps so lag/cumsum are deterministic in both engines.
+    "sessionize_batch" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, epoch_us(min(ts)) AS sess_start_us,
+        |epoch_us(max(ts)) AS sess_end_us, COUNT(*) AS n_events,
+        |CAST(round(SUM(CAST(value AS DECIMAL(30,8))),4) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start_us""".stripMargin,
+    "win_range_30d" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |COUNT(*) OVER w AS n_30d,
+        |CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER w, 2) AS DOUBLE)
+        |  AS spend_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+        |RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_trailing7" ->
       """WITH daily AS (
         |SELECT CAST(l_shipdate AS DATE) AS ship_d,
