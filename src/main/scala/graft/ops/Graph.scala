@@ -82,6 +82,48 @@ object Graph {
     lab
   }
 
+  /** Fixed-iteration PageRank over an undirected edge list — the second
+    * iterative-graph shape after connected components (domain/source
+    * authority scoring in a curation pipeline: rank sources by how central
+    * they are in the co-citation/link graph, then weight sampling by rank).
+    *
+    * Determinism contract: per-edge contributions (`pr/deg`, IEEE double on
+    * identical inputs) are cast to DECIMAL(30,15) before the per-node SUM,
+    * so accumulation is partition-order-independent and both engines see
+    * the exact same decimal total; the damping update then runs in double
+    * on identical operands. Three fixed iterations — the oracle unrolls
+    * the same three.
+    *
+    * Scale: each iteration is one shuffle join of edges⋈ranks on src plus
+    * one aggregation on dst — linear in |E|, the Pregel message-passing
+    * shape. Edges and degrees are computed once and localCheckpoint'ed
+    * (reliable checkpoint on a cluster); N is a driver-side scalar (model
+    * parameter). Dangling nodes don't arise: symmetrized edges give every
+    * node out-degree ≥ 1.
+    */
+  private[graft] def pageRank(edges0: DataFrame, iters: Int): DataFrame = {
+    val sym = edges0.select(col("src"), col("dst"))
+      .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val n = deg.count()
+    var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("id"),
+          (col("pr") / col("deg"))
+            .cast(org.apache.spark.sql.types.DecimalType(30, 15)).as("c"))
+      ranks = contrib.groupBy("id")
+        .agg((lit(0.15 / n) +
+          lit(0.85) * sum("c").cast("double")).as("pr"))
+    }
+    ranks
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cluster-level dedup: connected components over the MinHash/LSH
     // candidate-pair graph (TextSim.minhashPairs, est_sim >= 0.5). Every
@@ -99,6 +141,24 @@ object Graph {
         .select(col("doc_id"), col("comp"), col("comp_size"),
           (col("doc_id") === col("comp")).cast("int").as("kept"))
         .orderBy("doc_id")
+    }),
+
+    // PageRank (3 iterations, damping 0.85) over the bipartite
+    // customer–supplier graph induced by orders⋈lineitem: an edge links a
+    // customer to every supplier that shipped one of its orders. Supplier
+    // node ids are offset by 10^9 to keep the id spaces disjoint.
+    "graph_pagerank" -> ((s, d) => {
+      val edges = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(1000000000L) + col("l_suppkey")).as("dst"))
+      pageRank(edges, 3)
+        .select(col("id"),
+          when(col("id") >= 1000000000L, "supplier").otherwise("customer")
+            .as("kind"),
+          round(col("pr"), 9).as("pr"))
+        .orderBy("id")
     })
   )
 
@@ -119,6 +179,34 @@ object Graph {
         |SELECT doc_id, comp,
         |  count(*) OVER (PARTITION BY comp) AS comp_size,
         |  CAST(doc_id = comp AS INT) AS kept
-        |FROM lab ORDER BY doc_id""".stripMargin
+        |FROM lab ORDER BY doc_id""".stripMargin,
+    // Unrolled 3-iteration mirror of pageRank: same decimal-accumulated
+    // contribution sums, same double damping arithmetic on identical
+    // operands (0.15/n, 0.85 both cast to DOUBLE before use).
+    "graph_pagerank" -> {
+      def iter(k: Int) =
+        s"""r$k AS (
+          |  SELECT e.dst AS id,
+          |    CAST(0.15 AS DOUBLE)/nn.n + CAST(0.85 AS DOUBLE) *
+          |      CAST(sum(CAST(r.pr/deg.deg AS DECIMAL(30,15))) AS DOUBLE) AS pr
+          |  FROM e JOIN r${k - 1} r ON e.src = r.id
+          |  JOIN deg ON e.src = deg.src, nn
+          |  GROUP BY e.dst, nn.n)""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+        |    1000000000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |r0 AS (SELECT src AS id, CAST(1 AS DOUBLE)/nn.n AS pr FROM deg, nn),
+        |${iter(1)},
+        |${iter(2)},
+        |${iter(3)}
+        |SELECT id,
+        |  CASE WHEN id >= 1000000000 THEN 'supplier' ELSE 'customer' END
+        |    AS kind,
+        |  round(pr, 9) AS pr
+        |FROM r3 ORDER BY id""".stripMargin
+    }
   )
 }

@@ -238,6 +238,22 @@ object TextSim {
         .select(col("doc_id"), col("tok"), (col("pos0") + 1).as("pos"))
         .orderBy("doc_id", "pos")),
 
+    // Native Generator UDTF: word trigrams emitted row-by-row by
+    // functions.NGramGenerator through GenerateExec (no intermediate
+    // array-of-ngrams per row, unlike a transform(sequence(...)) HOF —
+    // which also drops out of codegen; see the Generator's scaladoc). The
+    // per-doc aggregate keeps the oracle row count bounded; docs with
+    // fewer than 3 tokens generate nothing and are absent in both engines.
+    "text_ngram_gen" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.NGramGenerator.ngrams(toks, 3))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("ngram")).as("n_unique"),
+          min("ngram").as("first_gram"))
+        .orderBy("doc_id")),
+
     // U2: corpus term frequency.
     "text_wordcount" -> ((s, d) =>
       documents(s, d)
@@ -572,6 +588,17 @@ object TextSim {
       s"""SELECT tok, COUNT(*) AS n FROM
         |(SELECT unnest($dToks) AS tok FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ALL positional trigrams (no list_distinct — the generator emits
+    // duplicates too, unlike dShingles' deduped set).
+    "text_ngram_gen" ->
+      s"""WITH t AS (SELECT doc_id, $dToks AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ngram
+        |  FROM t)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  count(DISTINCT ngram) AS n_unique, min(ngram) AS first_gram
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id, len(string_split(text,' ')) AS n_ws,
         |len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpe

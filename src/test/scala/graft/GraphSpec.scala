@@ -49,4 +49,28 @@ class GraphSpec extends SparkSpec {
     cc.unpersist()
     ()
   }
+
+  test("pageRank: mass conservation and hub dominance on a star graph") {
+    // star: center 0 connected to leaves 1..8 (symmetrized internally).
+    val edges = (1L to 8L).map(l => (0L, l)).toDF("src", "dst")
+    val pr = ops.Graph.pageRank(edges, 3).as[(Long, Double)].collect().toMap
+    assert(pr.size == 9)
+    // total rank mass stays ~1 (damping redistributes, never leaks: every
+    // node has out-degree >= 1 after symmetrization)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, s"mass=${pr.values.sum}")
+    // the hub out-ranks every leaf, and all leaves tie by symmetry
+    val leaves = (1L to 8L).map(pr)
+    assert(leaves.forall(l => pr(0L) > l), s"hub must dominate: $pr")
+    assert(leaves.distinct.size == 1, s"leaves must tie: $leaves")
+  }
+
+  test("pageRank: uniform ranks on a cycle (regular graph fixpoint)") {
+    // on a k-regular graph the uniform vector is the exact fixpoint, so
+    // even 3 iterations must return exactly 1/N per node (up to fp noise).
+    val n = 6L
+    val edges = (0L until n).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+    val pr = ops.Graph.pageRank(edges, 3).as[(Long, Double)].collect().toMap
+    assert(pr.size == n)
+    pr.values.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-12, s"$pr"))
+  }
 }
