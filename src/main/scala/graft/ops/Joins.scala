@@ -146,6 +146,53 @@ object Joins {
         .groupBy("err_id")
         .agg(count(col("clk_ts")).as("n_prior_clicks"))
         .orderBy("err_id")
+    }),
+
+    // Composite analytic 1 (TPC-H Q3 shape): shipping priority — segment-
+    // filtered customers ⋈ pre-cutoff orders ⋈ post-cutoff shipments,
+    // revenue per open order, top 10. The selective dimension filters sit
+    // ON the scans (pushed to parquet), the filtered customer side is
+    // small enough for AQE to broadcast, and the final order+limit plans
+    // as TakeOrderedAndProject — at 100 TB only the 10×partitions
+    // survivors ever reach the driver.
+    "q3_shipping_priority" -> ((s, d) => {
+      val cutoff = to_timestamp(lit("1998-06-15"))
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = orders(s, d).filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = lineitem(s, d).filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Composite analytic 2 (TPC-H Q10 shape): returned-item losses by
+    // customer in one quarter — returns-filtered fact ⋈ quarter-filtered
+    // orders ⋈ customers ⋈ broadcast nation, top 20 by lost revenue.
+    "q10_returned" -> ((s, d) => {
+      val li = lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-10-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .select("o_orderkey", "o_custkey")
+      val c = customer(s, d)
+      val n = nation(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+          .as("lost_revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("lost_revenue"), asc("c_custkey"))
+        .limit(20)
     })
   )
 
@@ -204,6 +251,32 @@ object Joins {
         |FROM e a LEFT JOIN e b ON b.user_id = a.user_id AND b.event_type = 'click'
         |AND b.tsm >= a.tsm - INTERVAL 10 MINUTE AND b.tsm < a.tsm
         |WHERE a.event_type = 'error'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        |CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |  AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-15'
+        |  AND l_shipdate > TIMESTAMP '1998-06-15'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, n_name,
+        |CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |  AS DECIMAL(30,8))), 2) AS DOUBLE) AS lost_revenue,
+        |COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-10-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin
   )
 }

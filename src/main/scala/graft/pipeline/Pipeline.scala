@@ -22,6 +22,29 @@ import org.apache.spark.sql.DataFrame
   */
 final case class Stage(name: String, f: DataFrame => DataFrame)
 
+object Pipeline {
+  import org.apache.spark.sql.{functions => F, Observation}
+
+  /** Runtime data-quality counters at a stage boundary — rows seen and
+    * null join-keys — ridden on the NEXT action as `Dataset.observe`
+    * accumulators (zero extra scans, unlike a separate `count()`, which
+    * at 100 TB would re-run the stage). Read them from the Observation
+    * after any action on the returned frame:
+    * {{{
+    *   val obs = Observation("ingest")
+    *   val staged = Pipeline.observed(df, obs, "o_custkey")
+    *   staged.write.parquet(out)           // the real action
+    *   val m = obs.get                      // Map(n_rows -> ..., n_null_key -> ...)
+    * }}}
+    * This is the Airflow-era "row count check task" (a second full read
+    * in the reference's warehouse) collapsed into the writing pass itself.
+    */
+  def observed(df: DataFrame, obs: Observation, keyCol: String): DataFrame =
+    df.observe(obs,
+      F.count(F.lit(1)).as("n_rows"),
+      F.sum(F.when(F.col(keyCol).isNull, 1L).otherwise(0L)).as("n_null_key"))
+}
+
 final class Pipeline(
     stages: Seq[Stage],
     retries: Int = 1,

@@ -272,4 +272,19 @@ class PipelineSpec extends SparkSpec {
     assert(k13.except(k14).count() === 1)    // MovieB dropped out
     assert(k14.except(k13).count() === 1)    // MovieC entered
   }
+
+  test("observed: DQ counters ride the action, no second scan") {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{col, when}
+    val obs = Observation("stage_dq")
+    val df = Seq((1L, "a"), (2L, null), (3L, "c"), (4L, null))
+      .toDF("k", "v")
+    val staged = pipeline.Pipeline.observed(
+      df.withColumn("key", when(col("v").isNotNull, col("k"))), obs, "key")
+    val n = staged.count() // the "real" action; metrics ride along
+    assert(n === 4)
+    val m = obs.get
+    assert(m("n_rows") === 4L)
+    assert(m("n_null_key") === 2L)
+  }
 }
