@@ -107,13 +107,16 @@ object Graph {
       .distinct()
       .localCheckpoint()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    // Degree rides WITH the edge list (one materialized (src, dst, deg)
+    // table) so each iteration is ONE join + one agg, not two joins; ranks
+    // is node-sized, so AQE broadcasts it and the join is map-side — the
+    // only per-iteration shuffle is the contribution agg on dst.
+    val msgs = sym.join(deg, "src").localCheckpoint()
     val n = deg.count()
     var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("pr"))
     for (_ <- 1 to iters) {
-      val contrib = sym
+      val contrib = msgs
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .join(deg, "src")
         .select(col("dst").as("id"),
           (col("pr") / col("deg"))
             .cast(org.apache.spark.sql.types.DecimalType(30, 15)).as("c"))

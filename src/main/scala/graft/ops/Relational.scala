@@ -565,7 +565,13 @@ object Relational {
     // At 100 TB this is the pre-ingest contract check a curation pipeline
     // runs on every drop: linear, map-side combined, output is k rows.
     "dq_profile" -> ((s, d) => {
+      // testdata artifact guard (same as Tables.documents): orders ships as
+      // ONE parquet file = one input split, which would run the 7-way
+      // Expand + partial aggregate on a single task; round-robin the rows
+      // across the default parallelism first. A real multi-file table at
+      // 100 TB already has the splits and skips this shuffle.
       val base = orders(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("o_priority_nullif",
           nullif(col("o_orderpriority"), lit("1-URGENT")))
       // (name, value column, min/max representation cast)

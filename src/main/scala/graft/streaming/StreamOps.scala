@@ -89,6 +89,17 @@ object StreamOps {
       .select(col("err_id"), col("user_id"), col("click_ts"), col("err_ts"))
   }
 
+  /** Stream–static enrichment: every micro-batch joins the bounded
+    * dimension table — the streaming form of the batch broadcast join
+    * (C1). No watermark and no join state: the static side is fully known,
+    * so Spark re-plans it per micro-batch (picking up dimension updates
+    * between batches) and broadcasts it map-side. LEFT join so an event
+    * with an unknown key flows through with nulls instead of silently
+    * disappearing from the stream.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** Idempotent micro-batch sink (T1/A8): each batch overwrites exactly the
     * daily partitions it contains (dynamic partition overwrite), so
     * re-processing a batch after a failure rewrites the same partitions

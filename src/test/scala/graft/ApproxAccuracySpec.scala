@@ -35,6 +35,21 @@ class ApproxAccuracySpec extends SparkSpec {
       s"HLL orderkey estimate $approxOrders vs exact $exactOrders")
   }
 
+  test("approx_percentile within 1% of exact percentile at sf0.01") {
+    // approx_percentile (Greenwald-Khanna) with accuracy 10000 → rank error
+    // <= n/10000; pin the VALUE error against the exact percentiles the
+    // oracle-checked agg_percentile query computes.
+    val o = Tables.orders(spark, sf001)
+    val Row(a50: Double, a95: Double) = o.agg(
+      expr("approx_percentile(o_totalprice, 0.5, 10000)"),
+      expr("approx_percentile(o_totalprice, 0.95, 10000)")).collect().head
+    val Row(e50: Double, e95: Double) = o.agg(
+      expr("percentile(o_totalprice, 0.5)"),
+      expr("percentile(o_totalprice, 0.95)")).collect().head
+    assert(math.abs(a50 - e50) / e50 < 0.01, s"p50 approx $a50 vs exact $e50")
+    assert(math.abs(a95 - e95) / e95 < 0.01, s"p95 approx $a95 vs exact $e95")
+  }
+
   test("KMV above-k estimation on real table data (distinct >> k)") {
     val o = Tables.orders(spark, sf001)
     val exact = o.agg(countDistinct(col("o_orderkey"))).collect().head.getLong(0)

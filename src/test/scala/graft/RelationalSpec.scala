@@ -57,4 +57,27 @@ class RelationalSpec extends SparkSpec {
       .take(5).map(_.getLong(0)).toSeq
     assert(topk === full)
   }
+
+  test("parquet schema evolution: mergeSchema unifies drops across eras") {
+    // era 1 writes (k, a); era 2 adds column b — the daily-drop layout
+    // where a field appears mid-history. mergeSchema reconciles the
+    // footers; era-1 rows surface b as null. (At 100 TB set the merged
+    // schema explicitly via .schema(...) instead — mergeSchema reads every
+    // file footer; same read path, no footer sweep.)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_evolve_").toString
+    Seq((1L, "x"), (2L, "y")).toDF("k", "a")
+      .write.parquet(s"$dir/day=2024-01-01")
+    Seq((3L, "z", 30L)).toDF("k", "a", "b")
+      .write.parquet(s"$dir/day=2024-01-02")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("a", "b", "day", "k"))
+    val byK = merged.select("k", "b").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(byK === Map(1L -> None, 2L -> None, 3L -> Some(30L)))
+    // partition-column pruning still applies on the evolved layout
+    val pruned = merged.filter(col("day") === "2024-01-02")
+    assert(pruned.count() === 1)
+    ()
+  }
 }

@@ -189,6 +189,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches micro-batches from a bounded dim") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.enrichWithDim(ms.toDF(), dim)
+      .writeStream.format("memory").queryName("ss_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(Ev(1, ts(10), 1, 1.0), Ev(2, ts(10), 2, 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(3, ts(11), 3, 1.0)) // unknown user must survive as null
+      q.processAllAvailable()
+      val got = spark.table("ss_out")
+        .select("event_id", "tier").as[(Long, Option[String])]
+        .collect().toMap
+      assert(got === Map(1L -> Some("gold"), 2L -> Some("silver"),
+        3L -> None))
+    } finally q.stop()
+  }
+
   test("foreachBatch daily sink is idempotent under batch replay") {
     val out = java.nio.file.Files.createTempDirectory("graft_fb_").toString
     val batch = Tables.events(spark, sf0001)
