@@ -311,6 +311,48 @@ object Relational {
         ORDER BY n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
     }),
 
+    // Correlated EXISTS / NOT EXISTS subqueries — Catalyst decorrelates
+    // them into a left-semi and a left-anti join on l_orderkey (same
+    // physical shape as join_semi/join_anti, reached from the SQL surface):
+    // orders with a big-quantity line and no returned lines.
+    "filter_exists" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("g_orders")
+      lineitem(s, d).createOrReplaceTempView("g_lineitem")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM g_orders o
+        WHERE EXISTS (SELECT 1 FROM g_lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+          AND NOT EXISTS (SELECT 1 FROM g_lineitem l2
+                WHERE l2.l_orderkey = o.o_orderkey AND l2.l_returnflag = 'R')
+        ORDER BY o_orderkey""")
+    }),
+
+    // Scalar subquery: global average as a one-row broadcast into every
+    // row's predicate. The average is computed as exact-decimal sum over
+    // count (DuckDB's AVG(DECIMAL) returns DOUBLE with its own summation
+    // order, so the explicit SUM/COUNT form is the cross-engine contract).
+    "scalar_subquery" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("g_orders")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM g_orders
+        WHERE o_totalprice >
+          (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+                  / COUNT(*) FROM g_orders)
+        ORDER BY o_orderkey""")
+    }),
+
+    // Equi-width histogram: bucket bounds from one global min/max scalar
+    // pass (broadcast), then a 10-bucket count — the profile-page
+    // distribution summary. Bucket arithmetic is pure double on identical
+    // operands in both engines; the top edge folds into bucket 9.
+    "agg_histogram" -> ((s, d) => {
+      val o = orders(s, d)
+      val mm = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      o.crossJoin(broadcast(mm))
+        .select(least(floor((col("o_totalprice") - col("lo")) /
+          (col("hi") - col("lo")) * 10).cast("long"), lit(9L)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
     // argmax/argmin aggregates: which order was each customer's biggest —
     // deterministic tiebreak via the struct's secondary key.
     "agg_maxby" -> ((s, d) =>
@@ -855,6 +897,26 @@ object Relational {
     "limit_n" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "filter_exists" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+        |        WHERE l2.l_orderkey = o.o_orderkey AND l2.l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
+    "scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice >
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+        |          / COUNT(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "agg_histogram" ->
+      """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |  FROM orders),
+        |b AS (SELECT least(CAST(floor((o_totalprice - lo) / (hi - lo) * 10)
+        |    AS BIGINT), 9) AS bucket FROM orders, mm)
+        |SELECT bucket, count(*) AS n FROM b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dq_profile" -> {
       // generated in lockstep with the Spark side's column list
       val reprs: Seq[(String, String => String)] = Seq(
