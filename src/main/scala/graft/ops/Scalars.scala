@@ -159,7 +159,44 @@ object Scalars {
             .when(month(col("o_orderdate")).isin(6, 7, 8), "summer")
             .otherwise("fall").as("season"))
         .agg(dsum(col("o_totalprice"), 2).as("sum_price"), count(lit(1)).as("n"))
-        .orderBy("season"))
+        .orderBy("season")),
+
+    // Array/collection function battery over the token arrays: size,
+    // distinct, slice, element_at, membership/position, order-insensitive
+    // content hash — the complex-type surface a document pipeline leans on
+    // constantly. All built-ins, all codegen'd; position semantics are
+    // aligned cross-engine (Spark's array_position returns 0 when absent,
+    // DuckDB's list_position NULL → coalesce in the oracle).
+    "array_funcs" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), toks.as("w"))
+        .select(col("doc_id"),
+          size(col("w")).as("n"),
+          size(array_distinct(col("w"))).as("n_distinct"),
+          concat_ws("_", slice(col("w"), 1, 3)).as("first3"),
+          element_at(col("w"), -1).as("last_tok"),
+          array_contains(col("w"), "the").cast("int").as("has_the"),
+          array_position(col("w"), "the").as("the_pos"),
+          substring(sha2(concat_ws(" ", array_sort(col("w"))), 256), 1, 16)
+            .as("sorted_hash"))
+        .orderBy("doc_id")),
+
+    // UNPIVOT / melt: the four lineitem measures to long form, then one
+    // aggregate per measure — the wide→long inverse of the D3 pivot. The
+    // unpivot itself is a zero-shuffle Expand (4 output rows per input
+    // row, map-side); only the 4-group aggregate exchanges.
+    "unpivot_melt" -> ((s, d) =>
+      lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
+        .orderBy("measure"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -243,6 +280,27 @@ object Scalars {
         |WHEN month(o_orderdate) IN (6,7,8) THEN 'summer'
         |ELSE 'fall' END AS season,
         |CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))),2) AS DOUBLE) AS sum_price, COUNT(*) AS n
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "array_funcs" ->
+      s"""WITH t AS (SELECT doc_id, $dToks AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(w) AS INT) AS n,
+        |  CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+        |  array_to_string(w[1:3], '_') AS first3,
+        |  w[-1] AS last_tok,
+        |  CAST(list_contains(w, 'the') AS INT) AS has_the,
+        |  CAST(coalesce(list_position(w, 'the'), 0) AS BIGINT) AS the_pos,
+        |  substr(sha256(array_to_string(list_sort(w), ' ')), 1, 16)
+        |    AS sorted_hash
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "unpivot_melt" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure, count(*) AS n,
+        |CAST(round(SUM(CAST(value AS DECIMAL(30,8))),4) AS DOUBLE) AS sum_value
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

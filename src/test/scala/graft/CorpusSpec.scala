@@ -126,4 +126,17 @@ class CorpusSpec extends SparkSpec {
     assert(got.filter(col("centroid_id") >= 8 || col("centroid_id") < 0)
       .count() === 0)
   }
+
+  test("text_lm_score discriminates: English scores below non-English") {
+    // the LM is trained on the English slice, so the perplexity proxy must
+    // separate in-distribution from out-of-distribution docs on average —
+    // the property the CCNet-style filter exists for.
+    val scored = ops.Corpus.queries("text_lm_score")(spark, sf0001)
+      .join(Tables.documents(spark, sf0001).select("doc_id", "lang"), "doc_id")
+    val avg = scored.groupBy(($"lang" === "en").as("is_en"))
+      .agg(org.apache.spark.sql.functions.avg("avg_nll").as("m"))
+      .as[(Boolean, Double)].collect().toMap
+    assert(avg(true) < avg(false),
+      s"en=${avg(true)} must beat non-en=${avg(false)}")
+  }
 }
