@@ -32,9 +32,14 @@ object Bench {
       spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     } catch { case _: Throwable => () }
     var failed = List.empty[String]
+    // dev-only: comma-separated subset for timing iteration (driver unsets)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
     // (name, median | None if failed, max-min spread)
     val results: Seq[(String, Option[Double], Double)] =
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
+      SparkEntry.queries.toSeq
+        .filter { case (name, _) => only.forall(_(name)) }
+        .map { case (name, fn) =>
         val times = scala.collection.mutable.ArrayBuffer.empty[Double]
         var ok = true
         var i = 0

@@ -102,17 +102,26 @@ object Graph {
     * node out-degree ≥ 1.
     */
   private[graft] def pageRank(edges0: DataFrame, iters: Int): DataFrame = {
+    // Precondition: `edges0` carries each undirected edge as ONE distinct
+    // (src, dst) pair (callers dedupe where they know the structure — the
+    // bipartite query below dedupes 600k pairs instead of this helper
+    // re-deduping the 1.2M-row symmetrized set, halving the distinct
+    // shuffle). Symmetrizing distinct pairs of distinct endpoints cannot
+    // introduce duplicates.
     val sym = edges0.select(col("src"), col("dst"))
       .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .localCheckpoint()
+    // deg is node-sized — materialize it (and ride every later use through
+    // a broadcast) instead of materializing the edge×deg join: recomputing
+    // msgs per iteration is a map-side broadcast join over the checkpointed
+    // edges, strictly cheaper than writing/reading an edge-wide checkpoint.
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-    // Degree rides WITH the edge list (one materialized (src, dst, deg)
-    // table) so each iteration is ONE join + one agg, not two joins; ranks
-    // is node-sized, so AQE broadcasts it and the join is map-side — the
-    // only per-iteration shuffle is the contribution agg on dst.
-    val msgs = sym.join(deg, "src").localCheckpoint()
+      .localCheckpoint()
+    // No broadcast() hints on deg/ranks: they are node-sized, small here
+    // (AQE broadcasts them) but |V|-scale on a web graph, where these
+    // joins must fall back to shuffles on src — still linear per iteration.
     val n = deg.count()
+    val msgs = sym.join(deg, "src")
     var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("pr"))
     for (_ <- 1 to iters) {
       val contrib = msgs
@@ -156,6 +165,7 @@ object Graph {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"),
           (lit(1000000000L) + col("l_suppkey")).as("dst"))
+        .distinct() // pageRank precondition: one row per undirected edge
       pageRank(edges, 3)
         .select(col("id"),
           when(col("id") >= 1000000000L, "supplier").otherwise("customer")
