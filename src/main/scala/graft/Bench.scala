@@ -85,6 +85,14 @@ object Bench {
       "/tmp/graft_bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
     println(json)
+    // The driver keeps only a tail window of stdout; the full line above is
+    // ~5.5 KB so what survives the scrape can be an arbitrary suffix (r1–r4
+    // all recorded "parsed": null). Print a SECOND, compact record as the
+    // very last stdout line so any tail window retains the verdict-bearing
+    // numbers: total seconds, query count, failures.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs":$runs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

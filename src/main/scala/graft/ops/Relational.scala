@@ -311,18 +311,28 @@ object Relational {
         ORDER BY n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
     }),
 
-    // Correlated EXISTS / NOT EXISTS subqueries — Catalyst decorrelates
-    // them into a left-semi and a left-anti join on l_orderkey (same
-    // physical shape as join_semi/join_anti, reached from the SQL surface):
-    // orders with a big-quantity line and no returned lines.
+    // Correlated EXISTS subquery predicate (B9), single-pass form: orders
+    // with a big-quantity line and no returned lines. The naive
+    // EXISTS + NOT EXISTS pair decorrelates into a semi AND an anti join —
+    // TWO full lineitem scans and two shuffles. Folding both conditions
+    // into one per-orderkey aggregate inside the subquery keeps the EXISTS
+    // surface but scans lineitem ONCE: aggregate (map-side partial combine)
+    // → filter → one left-semi join. At 100 TB that halves the shuffled
+    // volume; an order with no lineitems is excluded either way (EXISTS
+    // over an empty group is false, matching the original NOT EXISTS pair
+    // which required at least one qualifying line).
     "filter_exists" -> ((s, d) => {
       orders(s, d).createOrReplaceTempView("g_orders")
       lineitem(s, d).createOrReplaceTempView("g_lineitem")
       s.sql("""SELECT o_orderkey, o_totalprice FROM g_orders o
-        WHERE EXISTS (SELECT 1 FROM g_lineitem l
-                WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
-          AND NOT EXISTS (SELECT 1 FROM g_lineitem l2
-                WHERE l2.l_orderkey = o.o_orderkey AND l2.l_returnflag = 'R')
+        WHERE EXISTS (
+          SELECT 1 FROM (
+            SELECT l_orderkey,
+                   max(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END) AS has_big,
+                   max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_ret
+            FROM g_lineitem GROUP BY l_orderkey) f
+          WHERE f.l_orderkey = o.o_orderkey
+            AND f.has_big = 1 AND f.has_ret = 0)
         ORDER BY o_orderkey""")
     }),
 
@@ -899,10 +909,14 @@ object Relational {
         |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
     "filter_exists" ->
       """SELECT o_orderkey, o_totalprice FROM orders o
-        |WHERE EXISTS (SELECT 1 FROM lineitem l
-        |        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
-        |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
-        |        WHERE l2.l_orderkey = o.o_orderkey AND l2.l_returnflag = 'R')
+        |WHERE EXISTS (
+        |  SELECT 1 FROM (
+        |    SELECT l_orderkey,
+        |           max(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END) AS has_big,
+        |           max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_ret
+        |    FROM lineitem GROUP BY l_orderkey) f
+        |  WHERE f.l_orderkey = o.o_orderkey
+        |    AND f.has_big = 1 AND f.has_ret = 0)
         |ORDER BY o_orderkey""".stripMargin,
     "scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -33,8 +33,10 @@ import org.apache.spark.sql.functions._
   *  - dedup_hash: shuffle-distinct on a 256-bit key; uniform by construction.
   *  - dedup_ngram_jaccard: inverted-index join on 3-gram shingles (NOT an
   *    all-pairs cross join) — cost is Σ_g df(g)², the standard
-  *    candidate-pair bound; 3-grams keep df(g) small. Skew guard at scale:
-  *    drop ultra-frequent shingles (stop-shingles) before the join.
+  *    candidate-pair bound; 3-grams keep df(g) small. The stop-shingle
+  *    guard (df(g) <= StopShingleDf, enforced in the plan and mirrored in
+  *    the oracle) caps any one reducer key at τ² pairs regardless of
+  *    corpus size, and df = 1 shingles skip the join entirely.
   *  - dedup_minhash: 16-perm signature, 4 bands × 4 rows LSH — candidate
   *    pairs only from band-key collisions; verification on the 16-slot
   *    signatures, never the raw text. This is the linear-ish scale path.
@@ -58,6 +60,18 @@ object TextSim {
 
   private val NumHashes = 16
   private val Bands = 4 // 4 bands x 4 rows
+
+  /** Stop-shingle document-frequency cap for dedup_ngram_jaccard: shingles
+    * appearing in more than this many documents are dropped from the
+    * Jaccard universe before the inverted-index self-join (each such
+    * shingle costs df² candidate pairs on a single reducer key). 1000 caps
+    * any one key at ~10⁶ pairs — a single-task workload — independent of
+    * corpus size. Tests override via the session conf to exercise the
+    * guard on small fixtures; the DuckDB oracle hardcodes the default, so
+    * correctness runs leave the conf unset. */
+  private[ops] val StopShingleDfDefault = 1000
+  private[ops] def stopShingleDf(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.get("graft.ngram.stopShingleDf", StopShingleDfDefault.toString).toInt
 
   /** Distinct word n-gram shingle ROWS (doc_id, g) — explode-first so the
     * split/gram/hash work is flat codegen'd projections over rows, never a
@@ -349,11 +363,32 @@ object TextSim {
     // Near-dup detection: 3-gram shingle Jaccard >= 0.5 via inverted-index
     // join (cost Σ_g df(g)² — never an all-pairs cross join). Pairs with
     // zero shared shingles have J=0 and are correctly absent.
+    //
+    // Stop-shingle guard (the 100 TB skew bound): a shingle shared by df
+    // documents contributes df² candidate pairs to ONE reducer key — one
+    // boilerplate phrase across 1% of a 100 TB corpus is a quadratic hot
+    // key. Shingles with df > StopShingleDf are dropped from the universe
+    // BEFORE the join (and from n_sh, so Jaccard is over the guarded
+    // universe — the DuckDB oracle mirrors the identical filter, so parity
+    // holds by construction). df is annotated with one count-over-window
+    // pass on g — the same exchange the self-join needs, so AQE can reuse
+    // the partitioning. df = 1 rows additionally skip the join: a shingle
+    // in exactly one doc can never produce an ia < ib pair (result-neutral
+    // prune that typically halves the join input).
+    //
+    // localCheckpoint: the guarded shingle table feeds THREE consumers
+    // (doc sizes + both join sides); without it the scan→window→distinct
+    // pipeline re-runs once per consumer.
     "dedup_ngram_jaccard" -> ((s, d) => {
+      val tau = stopShingleDf(s)
       val sh = shingleRows(documents(s, d), 3)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+        .filter(col("df") <= tau)
+        .localCheckpoint()
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val a = sh.select(col("doc_id").as("ia"), col("g"))
-      val b = sh.select(col("doc_id").as("ib"), col("g"))
+      val joinable = sh.filter(col("df") >= 2)
+      val a = joinable.select(col("doc_id").as("ia"), col("g"))
+      val b = joinable.select(col("doc_id").as("ib"), col("g"))
       a.join(b, Seq("g")).filter(col("ia") < col("ib"))
         .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
         .join(broadcast(sz.select(col("doc_id").as("ia"),
@@ -635,18 +670,24 @@ object TextSim {
     "dedup_hash" ->
       """SELECT sha256(text) AS h, min(doc_id) AS keep_id, COUNT(*) AS dup_cnt
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    // Mirrors the Spark plan's stop-shingle guard (df <= StopShingleDf)
+    // so Jaccard is computed over the identical guarded universe in both
+    // engines — parity by construction at any scale factor.
     "dedup_ngram_jaccard" ->
       s"""WITH s AS (SELECT doc_id, ${dShingles(3)} AS sh FROM documents),
-        |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s),
+        |e0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |e AS (SELECT doc_id, g FROM (
+        |  SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM e0)
+        |  WHERE df <= $StopShingleDfDefault),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY 1),
         |inter AS (
-        |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.n_sh AS na, b.n_sh AS nb,
-        |         COUNT(*) AS inter
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1,2,3,4)
+        |  GROUP BY 1,2)
         |SELECT ia, ib, inter,
-        |round(CAST(inter AS DOUBLE)/(na + nb - inter), 6) AS jaccard
-        |FROM inter
-        |WHERE round(CAST(inter AS DOUBLE)/(na + nb - inter), 6) >= 0.5
+        |round(CAST(inter AS DOUBLE)/(sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+        |FROM inter JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+        |WHERE round(CAST(inter AS DOUBLE)/(sa.n_sh + sb.n_sh - inter), 6) >= 0.5
         |ORDER BY ia, ib""".stripMargin,
     "dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, tok, count(*) AS w FROM

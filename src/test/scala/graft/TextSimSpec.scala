@@ -106,6 +106,35 @@ class TextSimSpec extends SparkSpec {
     assert(math.abs(cos(3L) - 1.0) < 1e-12)
   }
 
+  test("stop-shingle guard bounds the candidate join on hot shingles") {
+    // 12 identical pure-boilerplate docs: every shingle has df = 12, so an
+    // unguarded inverted-index join generates all 66 pairs (J = 1) — the
+    // quadratic-hot-key shape. One planted near-dup pair whose shingles are
+    // rare (df <= 2) must survive the guard.
+    val boiler = "the quick brown fox jumps over the lazy dog"
+    val docs = (0 until 12).map(i => (i.toLong, boiler)) ++
+      Seq((100L, "alpha beta gamma delta epsilon zeta"),
+        (101L, "alpha beta gamma delta epsilon eta"))
+    val dir = java.nio.file.Files.createTempDirectory("ngram_guard").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    try {
+      // tau = 4: the df=12 boilerplate shingles must be dropped BEFORE
+      // candidate generation — zero hot pairs, only the planted pair
+      // (J over the guarded universe = 3/(4+4-3) = 0.6) remains.
+      spark.conf.set("graft.ngram.stopShingleDf", "4")
+      val guarded = ops.TextSim.queries("dedup_ngram_jaccard")(spark, dir)
+        .select("ia", "ib").as[(Long, Long)].collect().toSet
+      assert(guarded === Set((100L, 101L)))
+    } finally spark.conf.unset("graft.ngram.stopShingleDf")
+    // default tau (1000): nothing is dropped; all 66 identical-doc pairs
+    // plus the planted pair come back — the guard is a no-op below the cap
+    val unguarded = ops.TextSim.queries("dedup_ngram_jaccard")(spark, dir)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(unguarded.size === 67)
+    assert(unguarded.contains((100L, 101L)))
+  }
+
   test("dedup_embed: oversized blocks are LSH-sub-blocked with high recall") {
     // Skewed fixture: one hot label far above the cap (forces the sign-LSH
     // sub-blocked path) plus one small label (exact path), with planted
