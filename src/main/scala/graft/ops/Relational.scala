@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Q
 import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Core relational operators: scans, projections, filters, aggregations,
@@ -440,6 +441,23 @@ object Relational {
           count(lit(1)).as("n"))
         .orderBy("o_orderstatus")),
 
+    // D7 extension: approximate percentiles (Greenwald-Khanna sketch) —
+    // the 100 TB companion to the exact `agg_percentile` oracle form.
+    // Exact percentile materializes every group's values on one reducer;
+    // GK is a mergeable bounded-memory sketch, map-side combined, with
+    // rank error <= n/accuracy. Rows-only at the driver (sketch
+    // implementations differ across engines); ApproxAccuracySpec pins the
+    // declared query's value error <= 1% against the exact percentiles.
+    "agg_approx_percentile" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50"),
+          expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90"),
+          expr("approx_percentile(o_totalprice, 0.99, 10000)").as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
     // Conditional / filtered aggregation — count_if and the SQL FILTER
     // clause (one pass over the data computing N conditional metrics, the
     // dashboard-tile workhorse).
@@ -607,56 +625,71 @@ object Relational {
         .limit(100)),
 
     // Deequ-style data-quality profile in ONE pass: per-column non-null
-    // count, exact distinct count, and min/max, over the orders table plus
+    // count, distinct count, and min/max, over the orders table plus
     // one derived column with real nulls (nullif) so the null-accounting
-    // path is exercised. The multi-countDistinct agg plans as a single scan
-    // with an Expand (one row per distinct-column grouping) — the standard
-    // one-pass profile shape; no per-column re-scans. min/max reprs go
-    // through type-stable casts (decimal for doubles, date for timestamps)
-    // so the stringification is engine-independent.
-    // At 100 TB this is the pre-ingest contract check a curation pipeline
-    // runs on every drop: linear, map-side combined, output is k rows.
-    "dq_profile" -> ((s, d) => {
-      // testdata artifact guard (same as Tables.documents): orders ships as
-      // ONE parquet file = one input split, which would run the 7-way
-      // Expand + partial aggregate on a single task; round-robin the rows
-      // across the default parallelism first. A real multi-file table at
-      // 100 TB already has the splits and skips this shuffle.
-      val base = orders(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("o_priority_nullif",
-          nullif(col("o_orderpriority"), lit("1-URGENT")))
-      // (name, value column, min/max representation cast)
-      val profiled: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
-        ("o_orderkey", (c: org.apache.spark.sql.Column) => c.cast("string")),
-        ("o_custkey", (c: org.apache.spark.sql.Column) => c.cast("string")),
-        ("o_orderstatus", (c: org.apache.spark.sql.Column) => c),
-        ("o_totalprice", (c: org.apache.spark.sql.Column) =>
-          c.cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("string")),
-        ("o_orderdate", (c: org.apache.spark.sql.Column) =>
-          c.cast("date").cast("string")),
-        ("o_priority_nullif", (c: org.apache.spark.sql.Column) => c)
-      )
-      val aggs = count(lit(1)).as("n_rows") +: profiled.flatMap { case (n, repr) =>
-        Seq(count(col(n)).as(s"nn_$n"),
-          countDistinct(col(n)).as(s"nd_$n"),
-          repr(min(col(n))).as(s"mn_$n"),
-          repr(max(col(n))).as(s"mx_$n"))
-      }
-      val one = base.agg(aggs.head, aggs.tail: _*)
-      val stackArgs = profiled.map { case (n, _) =>
-        s"'$n', nn_$n, nd_$n, mn_$n, mx_$n"
-      }.mkString(", ")
-      one.selectExpr("n_rows",
-        s"stack(${profiled.size}, $stackArgs) AS " +
-          "(col_name, n_nonnull, n_distinct, min_repr, max_repr)")
-        .select(col("col_name"), col("n_rows"), col("n_nonnull"),
-          round((col("n_rows") - col("n_nonnull")).cast("double") /
-            col("n_rows"), 6).as("null_frac"),
-          col("n_distinct"), col("min_repr"), col("max_repr"))
-        .orderBy("col_name")
-    })
+    // path is exercised. Two declared forms:
+    //  - dq_profile: EXACT distincts — the oracle-checkable form. The
+    //    multi-countDistinct agg plans one scan + an Expand that multiplies
+    //    every row ×(k+1) before the shuffle; fine at verify scale, the
+    //    WRONG default at 100 TB (~700 TB of shuffle input for 6 columns).
+    //  - dq_profile_approx: the PRODUCTION default — approx_count_distinct
+    //    (HLL++, rsd 0.05) is a mergeable map-side sketch, so the plan is
+    //    one scan, no Expand, no row multiplication. Rows-only at the
+    //    driver (sketch impls differ across engines); ApproxAccuracySpec
+    //    pins every estimate within 5% of the exact profile.
+    // min/max reprs go through type-stable casts (decimal for doubles,
+    // date for timestamps) so the stringification is engine-independent.
+    "dq_profile" -> (dqProfile(_, _, exact = true)),
+    "dq_profile_approx" -> (dqProfile(_, _, exact = false))
   )
+
+  /** Shared plan for dq_profile / dq_profile_approx (see the queries-map
+    * comment for the exact-vs-approx 100 TB tradeoff). */
+  private def dqProfile(s: SparkSession, d: String, exact: Boolean): DataFrame = {
+    // testdata artifact guard (same as Tables.documents): orders ships as
+    // ONE parquet file = one input split, which would run the Expand +
+    // partial aggregate on a single task; round-robin the rows across the
+    // default parallelism first — after pruning to the 6 profiled columns,
+    // so the guard shuffle carries no dead bytes. A real multi-file table
+    // at 100 TB already has the splits and skips this shuffle.
+    val base = orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("o_priority_nullif",
+        nullif(col("o_orderpriority"), lit("1-URGENT")))
+    // (name, min/max representation cast)
+    val profiled: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
+      ("o_orderkey", (c: org.apache.spark.sql.Column) => c.cast("string")),
+      ("o_custkey", (c: org.apache.spark.sql.Column) => c.cast("string")),
+      ("o_orderstatus", (c: org.apache.spark.sql.Column) => c),
+      ("o_totalprice", (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("string")),
+      ("o_orderdate", (c: org.apache.spark.sql.Column) =>
+        c.cast("date").cast("string")),
+      ("o_priority_nullif", (c: org.apache.spark.sql.Column) => c)
+    )
+    def distinctAgg(n: String) =
+      if (exact) countDistinct(col(n)) else approx_count_distinct(col(n), 0.05)
+    val aggs = count(lit(1)).as("n_rows") +: profiled.flatMap { case (n, repr) =>
+      Seq(count(col(n)).as(s"nn_$n"),
+        distinctAgg(n).as(s"nd_$n"),
+        repr(min(col(n))).as(s"mn_$n"),
+        repr(max(col(n))).as(s"mx_$n"))
+    }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = profiled.map { case (n, _) =>
+      s"'$n', nn_$n, nd_$n, mn_$n, mx_$n"
+    }.mkString(", ")
+    one.selectExpr("n_rows",
+      s"stack(${profiled.size}, $stackArgs) AS " +
+        "(col_name, n_nonnull, n_distinct, min_repr, max_repr)")
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        round((col("n_rows") - col("n_nonnull")).cast("double") /
+          col("n_rows"), 6).as("null_frac"),
+        col("n_distinct"), col("min_repr"), col("max_repr"))
+      .orderBy("col_name")
+  }
 
   val oracles: Map[String, String] = Map(
     "scan_parquet" ->
