@@ -48,6 +48,10 @@ object Bench {
           try {
             fn(spark, sfDir).count()
             times += (System.nanoTime() - t0) / 1e9
+            // drop any persist()ed intermediates (e.g. dedup_ngram_jaccard's
+            // shingle table) OUTSIDE the timed window, so run 2/3 measure
+            // the cold path rather than reading run 1's cache
+            spark.catalog.clearCache()
           } catch {
             case e: Throwable =>
               // a failing query must be VISIBLE, not a fast-looking timing

@@ -66,12 +66,11 @@ object TextSim {
     * Jaccard universe before the inverted-index self-join (each such
     * shingle costs df² candidate pairs on a single reducer key). 1000 caps
     * any one key at ~10⁶ pairs — a single-task workload — independent of
-    * corpus size. Tests override via the session conf to exercise the
-    * guard on small fixtures; the DuckDB oracle hardcodes the default, so
-    * correctness runs leave the conf unset. */
+    * corpus size. The declared query is pinned to this constant — the
+    * DuckDB oracle hardcodes the same value, so the two can never diverge
+    * (there is deliberately NO runtime knob on the declared path); tests
+    * exercise other caps through `ngramJaccard`'s explicit tau parameter. */
   private[ops] val StopShingleDfDefault = 1000
-  private[ops] def stopShingleDf(s: org.apache.spark.sql.SparkSession): Int =
-    s.conf.get("graft.ngram.stopShingleDf", StopShingleDfDefault.toString).toInt
 
   /** Distinct word n-gram shingle ROWS (doc_id, g) — explode-first so the
     * split/gram/hash work is flat codegen'd projections over rows, never a
@@ -244,6 +243,35 @@ object TextSim {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
+  /** Inverted-index 3-gram Jaccard with an explicit stop-shingle cap.
+    * The declared `dedup_ngram_jaccard` query pins tau =
+    * StopShingleDfDefault — the same constant the DuckDB oracle
+    * interpolates, so the two engines compute over the identical guarded
+    * universe by construction (no runtime knob to diverge on); tests pass
+    * small taus here directly to exercise the guard on fixtures. */
+  private[graft] def ngramJaccard(s: org.apache.spark.sql.SparkSession,
+      d: String, tau: Int): org.apache.spark.sql.DataFrame = {
+    val sh = shingleRows(documents(s, d), 3)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("df") <= tau)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val joinable = sh.filter(col("df") >= 2)
+    val a = joinable.select(col("doc_id").as("ia"), col("g"))
+    val b = joinable.select(col("doc_id").as("ib"), col("g"))
+    a.join(b, Seq("g")).filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sz.select(col("doc_id").as("ia"),
+        col("n_sh").as("na"))), Seq("ia"))
+      .join(broadcast(sz.select(col("doc_id").as("ib"),
+        col("n_sh").as("nb"))), Seq("ib"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("ia", "ib", "inter", "jaccard")
+      .orderBy("ia", "ib")
+  }
+
   val queries: Map[String, Q] = Map(
     // U1: tokenize + explode (UDTF shape) with 1-based position.
     "text_tokens" -> ((s, d) =>
@@ -376,31 +404,16 @@ object TextSim {
     // in exactly one doc can never produce an ia < ib pair (result-neutral
     // prune that typically halves the join input).
     //
-    // localCheckpoint: the guarded shingle table feeds THREE consumers
-    // (doc sizes + both join sides); without it the scan→window→distinct
-    // pipeline re-runs once per consumer.
-    "dedup_ngram_jaccard" -> ((s, d) => {
-      val tau = stopShingleDf(s)
-      val sh = shingleRows(documents(s, d), 3)
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
-        .filter(col("df") <= tau)
-        .localCheckpoint()
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val joinable = sh.filter(col("df") >= 2)
-      val a = joinable.select(col("doc_id").as("ia"), col("g"))
-      val b = joinable.select(col("doc_id").as("ib"), col("g"))
-      a.join(b, Seq("g")).filter(col("ia") < col("ib"))
-        .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
-        .join(broadcast(sz.select(col("doc_id").as("ia"),
-          col("n_sh").as("na"))), Seq("ia"))
-        .join(broadcast(sz.select(col("doc_id").as("ib"),
-          col("n_sh").as("nb"))), Seq("ib"))
-        .withColumn("jaccard", round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 6))
-        .filter(col("jaccard") >= 0.5)
-        .select("ia", "ib", "inter", "jaccard")
-        .orderBy("ia", "ib")
-    }),
+    // persist(MEMORY_AND_DISK): the guarded shingle table feeds THREE
+    // consumers (doc sizes + both join sides); without it the
+    // scan→window→distinct pipeline re-runs once per consumer. Persist —
+    // not localCheckpoint — because persist keeps the lineage: a lost
+    // executor recomputes its blocks from the scan, while localCheckpoint
+    // truncates lineage into non-reliable executor-local storage and makes
+    // any executor loss fatal at scale. Blocks are reclaimed by the
+    // ContextCleaner once the plan is unreachable; Bench additionally
+    // clears the cache between timed runs so medians stay cold-path.
+    "dedup_ngram_jaccard" -> (ngramJaccard(_, _, StopShingleDfDefault)),
 
     // SimHash near-dup: 60-bit fingerprints from token-frequency-weighted
     // sha hashes; candidate pairs from 4x15-bit band blocking, verified by

@@ -35,19 +35,46 @@ class ApproxAccuracySpec extends SparkSpec {
       s"HLL orderkey estimate $approxOrders vs exact $exactOrders")
   }
 
-  test("approx_percentile within 1% of exact percentile at sf0.01") {
+  test("agg_approx_percentile (declared query) within 1% of declared exact " +
+      "per group at sf0.01") {
     // approx_percentile (Greenwald-Khanna) with accuracy 10000 → rank error
-    // <= n/10000; pin the VALUE error against the exact percentiles the
-    // oracle-checked agg_percentile query computes.
-    val o = Tables.orders(spark, sf001)
-    val Row(a50: Double, a95: Double) = o.agg(
-      expr("approx_percentile(o_totalprice, 0.5, 10000)"),
-      expr("approx_percentile(o_totalprice, 0.95, 10000)")).collect().head
-    val Row(e50: Double, e95: Double) = o.agg(
-      expr("percentile(o_totalprice, 0.5)"),
-      expr("percentile(o_totalprice, 0.95)")).collect().head
-    assert(math.abs(a50 - e50) / e50 < 0.01, s"p50 approx $a50 vs exact $e50")
-    assert(math.abs(a95 - e95) / e95 < 0.01, s"p95 approx $a95 vs exact $e95")
+    // <= n/10000; pin the DECLARED grouped query's per-group VALUE error
+    // against the oracle-checked agg_percentile query (its exact mirror —
+    // same groups, same percentiles).
+    def byGroup(name: String): Map[String, Seq[Double]] =
+      SparkEntry.queries(name)(spark, sf001).collect().map { r =>
+        r.getString(0) -> Seq(1, 2, 3).map(i =>
+          r.get(i).toString.toDouble)
+      }.toMap
+    val approx = byGroup("agg_approx_percentile")
+    val exact = byGroup("agg_percentile")
+    assert(approx.keySet === exact.keySet)
+    for ((g, es) <- exact; ((a, e), p) <- approx(g).zip(es).zip(
+        Seq("p50", "p90", "p99"))) {
+      assert(math.abs(a - e) / e < 0.01,
+        s"group $g $p: approx $a vs exact $e")
+    }
+  }
+
+  test("dq_profile_approx (declared query) nd_* within 5% of exact profile " +
+      "at sf0.01") {
+    // The production HLL profile must agree with the oracle-checked exact
+    // profile on everything it shares: non-distinct fields EXACTLY (same
+    // plan modulo the distinct aggregate), distinct estimates within the
+    // sketch's documented rsd (0.05).
+    def profile(name: String): Map[String, Row] =
+      SparkEntry.queries(name)(spark, sf001).collect()
+        .map(r => r.getString(0) -> r).toMap
+    val exact = profile("dq_profile")
+    val approx = profile("dq_profile_approx")
+    assert(approx.keySet === exact.keySet)
+    for ((cn, e) <- exact) {
+      val a = approx(cn)
+      for (f <- Seq("n_rows", "n_nonnull", "null_frac", "min_repr", "max_repr"))
+        assert(a.getAs[Any](f) === e.getAs[Any](f), s"$cn.$f differs")
+      val (ndA, ndE) = (a.getAs[Long]("n_distinct"), e.getAs[Long]("n_distinct"))
+      assert(relErr(ndA, ndE) < 0.05, s"$cn: HLL nd $ndA vs exact $ndE")
+    }
   }
 
   test("KMV above-k estimation on real table data (distinct >> k)") {

@@ -118,15 +118,14 @@ class TextSimSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("ngram_guard").toString
     docs.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
-    try {
-      // tau = 4: the df=12 boilerplate shingles must be dropped BEFORE
-      // candidate generation — zero hot pairs, only the planted pair
-      // (J over the guarded universe = 3/(4+4-3) = 0.6) remains.
-      spark.conf.set("graft.ngram.stopShingleDf", "4")
-      val guarded = ops.TextSim.queries("dedup_ngram_jaccard")(spark, dir)
-        .select("ia", "ib").as[(Long, Long)].collect().toSet
-      assert(guarded === Set((100L, 101L)))
-    } finally spark.conf.unset("graft.ngram.stopShingleDf")
+    // tau = 4: the df=12 boilerplate shingles must be dropped BEFORE
+    // candidate generation — zero hot pairs, only the planted pair
+    // (J over the guarded universe = 3/(4+4-3) = 0.6) remains. Explicit
+    // tau parameter, NOT a conf knob: the declared query is pinned to
+    // StopShingleDfDefault so it can never diverge from the oracle.
+    val guarded = ops.TextSim.ngramJaccard(spark, dir, tau = 4)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(guarded === Set((100L, 101L)))
     // default tau (1000): nothing is dropped; all 66 identical-doc pairs
     // plus the planted pair come back — the guard is a no-op below the cap
     val unguarded = ops.TextSim.queries("dedup_ngram_jaccard")(spark, dir)
