@@ -10,10 +10,16 @@ import org.apache.spark.sql.types._
   * batch operators over that column.
   *
   * Codecs: IMAGES decode for real via pure-JVM `javax.imageio`
-  * (`decodeImage`/`decodeImageBatch` — PNG/BMP/GIF/JPEG). Audio/video
-  * remain STUBBED — `decodeStub` is a deterministic fake (this container
-  * has no audio/video codec libraries) and is clearly marked as the swap
-  * point. Everything around both is real Spark:
+  * (`decodeImage`/`decodeImageBatch` — PNG/BMP/GIF/JPEG); AUDIO decodes
+  * for real via pure-JVM `javax.sound.sampled` (`decodeWav` — WAV/PCM,
+  * AIFF, AU, including format conversion for 8-bit/unsigned payloads);
+  * VIDEO decodes for real for the one container the JDK reads, animated
+  * GIF (`decodeGifFrames` — per-frame luminance features). Only non-GIF
+  * video (mp4/webm) remains STUBBED — `decodeStub` is a deterministic
+  * fake (this container image has no such codec libraries) and is the
+  * clearly-marked swap point; `decodeAuto` sniffs magic bytes and routes
+  * each payload to the right real codec. Everything around the codecs is
+  * real Spark:
   *  - the schema (binary payload + metadata struct) round-trips Parquet;
   *  - feature extraction is `Dataset.mapPartitions` with an explicit batch
   *    shape (Iterator.grouped(batchSize)) — the JVM twin of a vectorized
@@ -63,8 +69,10 @@ object Multimodal {
         col("m").cast(mediaSchema("meta").dataType).as("meta"))
   }
 
-  /** THE STUB: a real pipeline swaps this one function for an actual codec
-    * (libjpeg / ffmpeg / an ONNX encoder). Deterministic here: a 16-bin
+  /** THE STUB — now only the fallback for modalities without a pure-JVM
+    * codec (non-GIF video); images and audio decode for real below. A real
+    * pipeline swaps this one function for an actual codec
+    * (ffmpeg / an ONNX encoder). Deterministic here: a 16-bin
     * byte histogram, L1-normalized — shaped like an embedding so the
     * downstream plumbing (schema, batching) is exercised for real.
     */
@@ -91,6 +99,12 @@ object Multimodal {
   def decodeImage(bytes: Array[Byte]): Array[Float] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, "payload is not a decodable image")
+    lumaHist(img)
+  }
+
+  /** 16-bin BT.601 luminance histogram, L1-normalized over pixels — the
+    * shared feature kernel for single images and per-frame video decode. */
+  private def lumaHist(img: java.awt.image.BufferedImage): Array[Float] = {
     val hist = new Array[Float](16)
     val (w, h) = (img.getWidth, img.getHeight)
     var y = 0
@@ -127,6 +141,152 @@ object Multimodal {
       finally r.dispose()
     } finally in.close()
   }
+
+  /** REAL audio codec — pure-JVM `javax.sound.sampled` (WAV/PCM, AIFF and
+    * AU readers ship with the JDK, no native libs). Decodes the payload to
+    * normalized mono samples and emits a 16-segment RMS-energy profile —
+    * the same `Array[Float](16)` shape as the image/stub features, so it
+    * slots into `extractFeatures(decodeBatch = decodeWavBatch)` unchanged.
+    * With this, audio is no longer behind `decodeStub`; only non-GIF video
+    * containers remain stubbed (see `decodeGifFrames`).
+    */
+  def decodeWav(bytes: Array[Byte]): Array[Float] = {
+    val samples = pcmSamples(bytes)
+    val seg = new Array[Float](16)
+    val n = samples.length
+    if (n == 0) return seg
+    val acc = new Array[Double](16)
+    val cnt = new Array[Int](16)
+    var i = 0
+    while (i < n) {
+      val b = ((i.toLong * 16) / n).toInt
+      acc(b) += samples(i).toDouble * samples(i)
+      cnt(b) += 1
+      i += 1
+    }
+    var b = 0
+    while (b < 16) {
+      if (cnt(b) > 0) seg(b) = math.sqrt(acc(b) / cnt(b)).toFloat
+      b += 1
+    }
+    seg
+  }
+
+  def decodeWavBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+    batch.map(decodeWav)
+
+  /** Container → normalized mono float samples in [-1, 1]. Non-PCM or
+    * non-16-bit encodings are converted through the JDK's format-conversion
+    * providers, so 8-bit and unsigned WAVs decode too. */
+  private def pcmSamples(bytes: Array[Byte]): Array[Float] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val raw = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val src = raw.getFormat
+      val tgt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels,
+        src.getChannels * 2, src.getSampleRate, false)
+      val in =
+        if (src.matches(tgt)) raw else AudioSystem.getAudioInputStream(tgt, raw)
+      val data = in.readAllBytes()
+      val ch = tgt.getChannels
+      val nFrames = data.length / (2 * ch)
+      val out = new Array[Float](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var s = 0f
+        var c = 0
+        while (c < ch) {
+          val o = (f * ch + c) * 2 // little-endian signed 16-bit
+          s += (((data(o + 1) << 8) | (data(o) & 0xFF)).toShort) / 32768f
+          c += 1
+        }
+        out(f) = s / ch
+        f += 1
+      }
+      out
+    } finally raw.close()
+  }
+
+  /** Header-only audio probe: (sample_rate, n_frames, duration_ms) from
+    * the container header without decoding samples — the audio twin of
+    * `imageMeta`, cheap enough to populate `meta` truthfully at ingest. */
+  def audioMeta(bytes: Array[Byte]): (Int, Long, Long) = {
+    val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(bytes))
+    val sr = aff.getFormat.getSampleRate.toInt
+    val nf = aff.getFrameLength.toLong
+    (sr, nf, if (sr > 0) nf * 1000L / sr else 0L)
+  }
+
+  /** REAL multi-frame video decode for the one container the JDK can read:
+    * animated GIF. Returns a per-sampled-frame luminance histogram
+    * (`everyN` mirrors `sampleFrames`' stride, but here the frames are
+    * actually decoded). Other video containers (mp4/webm) have no pure-JVM
+    * codec in this container image — they stay behind `decodeStub`, and
+    * this function is the documented swap shape for a real ffmpeg/JNI
+    * binding: bytes in, k frame-features out.
+    */
+  def decodeGifFrames(bytes: Array[Byte], everyN: Int = 1)
+      : Seq[Array[Float]] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      require(readers.hasNext, "payload is not a decodable image container")
+      val r = readers.next()
+      try {
+        r.setInput(in)
+        val n = r.getNumImages(true)
+        (0 until n by everyN).map(i => lumaHist(r.read(i)))
+      } finally r.dispose()
+    } finally in.close()
+  }
+
+  /** Frame count from the GIF container (decodes structure, not pixels). */
+  def gifFrameCount(bytes: Array[Byte]): Int = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      require(readers.hasNext, "payload is not a decodable image container")
+      val r = readers.next()
+      try { r.setInput(in); r.getNumImages(true) } finally r.dispose()
+    } finally in.close()
+  }
+
+  /** Content-sniffing dispatcher: route each payload to the right REAL
+    * codec by magic bytes (the `kind` column can lie; bytes don't) —
+    * PNG/JPEG/BMP/single-frame GIF → `decodeImage`, RIFF/WAVE → `decodeWav`,
+    * animated GIF → mean of `decodeGifFrames`, anything else →
+    * `decodeStub`. This is the default production decoder for a mixed
+    * media table: `extractFeatures(media, decodeBatch = decodeAutoBatch)`.
+    */
+  def decodeAuto(bytes: Array[Byte]): Array[Float] = {
+    def startsWith(sig: Int*) = bytes.length >= sig.length &&
+      sig.zipWithIndex.forall { case (b, i) => (bytes(i) & 0xFF) == b }
+    val isWav = startsWith('R', 'I', 'F', 'F') && bytes.length >= 12 &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+    val isGif = startsWith('G', 'I', 'F', '8')
+    val isStillImage = startsWith(0x89, 'P', 'N', 'G') ||
+      startsWith(0xFF, 0xD8) || startsWith('B', 'M')
+    if (isWav) decodeWav(bytes)
+    else if (isGif) {
+      val frames = decodeGifFrames(bytes)
+      if (frames.length <= 1) frames.headOption.getOrElse(new Array[Float](16))
+      else { // animated: average the per-frame histograms
+        val out = new Array[Float](16)
+        frames.foreach(f => (0 until 16).foreach(i => out(i) += f(i)))
+        out.map(_ / frames.length)
+      }
+    }
+    else if (isStillImage) decodeImage(bytes)
+    else decodeStub(bytes)
+  }
+
+  def decodeAutoBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+    batch.map(decodeAuto)
 
   final case class MediaFeature(media_id: Long, kind: String,
     n_bytes: Int, feature: Array[Float])
