@@ -31,4 +31,17 @@ SPARK_GRAFT_BENCH_OUT="$OUT" java \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp "$CLASSES:/opt/spark/jars/*" \
   graft.Bench 1>&2
+# Durability (r6 verdict task 1): the driver's BENCH_r{N}.json keeps only a
+# tail window of the ~5.5 KB line, which in r5/r6 landed inside the
+# `spread` map — per-query MEDIANS survived only by luck in /tmp. Persist
+# the full machine line into the repo as BENCH_r{N}_full.json, with N
+# inferred as (highest existing driver BENCH_r*.json) + 1 = the round in
+# progress. Skipped for dev-subset runs so partial timings never
+# masquerade as a round artifact.
+if [ -z "${SPARK_GRAFT_BENCH_ONLY:-}" ]; then
+  last=$(ls BENCH_r[0-9]*.json 2>/dev/null \
+    | sed -nE 's/^BENCH_r0*([0-9]+)\.json$/\1/p' | sort -n | tail -1)
+  round=$(( ${last:-0} + 1 ))
+  cp "$OUT" "$(printf 'BENCH_r%02d_full.json' "$round")"
+fi
 cat "$OUT"

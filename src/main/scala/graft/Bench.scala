@@ -94,8 +94,17 @@ object Bench {
     // all recorded "parsed": null). Print a SECOND, compact record as the
     // very last stdout line so any tail window retains the verdict-bearing
     // numbers: total seconds, query count, failures.
+    // top-10 slowest medians ride in the compact line too: r5/r6 showed
+    // the tail scrape can land inside the big line's `spread` map, making
+    // per-query medians unrecoverable from the artifact — these ten are
+    // the ones any round-over-round regression hunt needs.
+    val top10 = results
+      .collect { case (k, Some(m), _) => (k, m) }
+      .sortBy(-_._2).take(10)
+      .map { case (k, m) => s"\"" + k + "\":" + f(m) }
+      .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs":$runs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs":$runs,"failed":$failedJson,"top10_median":$top10,"sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

@@ -26,6 +26,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Some queries persist() intermediates (ngramJaccard's shingle
+      // table, pipeline_curate's dedup stages) for multi-consumer reuse
+      // within ONE query; drop them here so a 126-query sweep doesn't
+      // accumulate cached blocks across queries (mirrors Bench's
+      // per-run clearCache).
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -14,12 +14,15 @@ import org.apache.spark.sql.types._
   * for real via pure-JVM `javax.sound.sampled` (`decodeWav` — WAV/PCM,
   * AIFF, AU, including format conversion for 8-bit/unsigned payloads);
   * VIDEO decodes for real for the one container the JDK reads, animated
-  * GIF (`decodeGifFrames` — per-frame luminance features). Only non-GIF
-  * video (mp4/webm) remains STUBBED — `decodeStub` is a deterministic
+  * GIF (`decodeGifFrames` — per-VISIBLE-frame luminance features,
+  * delta frames composited onto the logical screen). Only non-GIF video
+  * (mp4/webm) PIXELS remain STUBBED — `decodeStub` is a deterministic
   * fake (this container image has no such codec libraries) and is the
-  * clearly-marked swap point; `decodeAuto` sniffs magic bytes and routes
-  * each payload to the right real codec. Everything around the codecs is
-  * real Spark:
+  * clearly-marked swap point — while their HEADERS parse for real
+  * (`videoMeta`: mp4 mvhd / webm EBML duration), so metadata-only
+  * pruning stays truthful even for stub-decoded rows. `decodeAuto`
+  * sniffs magic bytes and routes each payload to the right real codec.
+  * Everything around the codecs is real Spark:
   *  - the schema (binary payload + metadata struct) round-trips Parquet;
   *  - feature extraction is `Dataset.mapPartitions` with an explicit batch
   *    shape (Iterator.grouped(batchSize)) — the JVM twin of a vectorized
@@ -216,17 +219,25 @@ object Multimodal {
     val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
       new java.io.ByteArrayInputStream(bytes))
     val sr = aff.getFormat.getSampleRate.toInt
-    val nf = aff.getFrameLength.toLong
+    // getFrameLength is AudioSystem.NOT_SPECIFIED (-1) for containers whose
+    // header declares no length — report 0 rather than a negative duration.
+    val nf = aff.getFrameLength.toLong.max(0L)
     (sr, nf, if (sr > 0) nf * 1000L / sr else 0L)
   }
 
   /** REAL multi-frame video decode for the one container the JDK can read:
     * animated GIF. Returns a per-sampled-frame luminance histogram
     * (`everyN` mirrors `sampleFrames`' stride, but here the frames are
-    * actually decoded). Other video containers (mp4/webm) have no pure-JVM
-    * codec in this container image — they stay behind `decodeStub`, and
-    * this function is the documented swap shape for a real ffmpeg/JNI
-    * binding: bytes in, k frame-features out.
+    * actually decoded). Delta-encoded animations store each frame as a
+    * partial rect over the previous canvas, so frames are COMPOSITED onto
+    * the logical screen (honoring per-frame offsets and the
+    * restore-to-background disposal; the rare restore-to-previous is
+    * treated as no-disposal) — features describe the VISIBLE frame, not
+    * the delta region. Other video containers (mp4/webm) have no pure-JVM
+    * codec in this container image — they stay behind `decodeStub` for
+    * pixels ([[videoMeta]] still reads their headers), and this function
+    * is the documented swap shape for a real ffmpeg/JNI binding: bytes
+    * in, k frame-features out.
     */
   def decodeGifFrames(bytes: Array[Byte], everyN: Int = 1)
       : Seq[Array[Float]] = {
@@ -239,10 +250,73 @@ object Multimodal {
       try {
         r.setInput(in)
         val n = r.getNumImages(true)
-        (0 until n by everyN).map(i => lumaHist(r.read(i)))
+        if (!r.getFormatName.equalsIgnoreCase("gif"))
+          return (0 until n by everyN).map(i => lumaHist(r.read(i)))
+        val (cw, ch) = gifCanvasSize(r)
+          .getOrElse((r.getWidth(0), r.getHeight(0)))
+        val canvas = new java.awt.image.BufferedImage(
+          cw, ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = canvas.createGraphics()
+        try {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+          var i = 0
+          while (i < n) {
+            val frame = r.read(i)
+            val (x, y, disposal) = gifFrameInfo(r, i)
+            g.drawImage(frame, x, y, null)
+            if (i % everyN == 0) out += lumaHist(canvas)
+            if (disposal == "restoreToBackgroundColor") {
+              g.setColor(java.awt.Color.BLACK)
+              g.fillRect(x, y, frame.getWidth, frame.getHeight)
+            }
+            i += 1
+          }
+          out.toSeq
+        } finally g.dispose()
       } finally r.dispose()
     } finally in.close()
   }
+
+  /** (left, top, disposalMethod) of frame `i` from the GIF image metadata. */
+  private def gifFrameInfo(r: javax.imageio.ImageReader, i: Int)
+      : (Int, Int, String) = {
+    var x = 0; var y = 0; var disposal = "none"
+    try {
+      var c = r.getImageMetadata(i)
+        .getAsTree("javax_imageio_gif_image_1.0").getFirstChild
+      while (c != null) {
+        val at = c.getAttributes
+        c.getNodeName match {
+          case "ImageDescriptor" =>
+            x = at.getNamedItem("imageLeftPosition").getNodeValue.toInt
+            y = at.getNamedItem("imageTopPosition").getNodeValue.toInt
+          case "GraphicControlExtension" =>
+            disposal = at.getNamedItem("disposalMethod").getNodeValue
+          case _ => ()
+        }
+        c = c.getNextSibling
+      }
+    } catch { case _: Exception => () } // absent metadata = full-frame at 0,0
+    (x, y, disposal)
+  }
+
+  /** Logical screen (width, height) from the GIF stream metadata. */
+  private def gifCanvasSize(r: javax.imageio.ImageReader)
+      : Option[(Int, Int)] = try {
+    var c = r.getStreamMetadata
+      .getAsTree("javax_imageio_gif_stream_1.0").getFirstChild
+    var res: Option[(Int, Int)] = None
+    while (c != null && res.isEmpty) {
+      if (c.getNodeName == "LogicalScreenDescriptor") {
+        val at = c.getAttributes
+        res = Some((
+          at.getNamedItem("logicalScreenWidth").getNodeValue.toInt,
+          at.getNamedItem("logicalScreenHeight").getNodeValue.toInt))
+      }
+      c = c.getNextSibling
+    }
+    res
+  } catch { case _: Exception => None }
 
   /** Frame count from the GIF container (decodes structure, not pixels). */
   def gifFrameCount(bytes: Array[Byte]): Int = {
@@ -256,10 +330,119 @@ object Multimodal {
     } finally in.close()
   }
 
+  /** Header-only video-container probe for the formats whose PIXELS stay
+    * stubbed: (container, duration_ms) from mp4 (ISO BMFF `moov/mvhd`:
+    * timescale + duration) and webm/Matroska (EBML `Segment→Info`:
+    * TimestampScale × Duration) headers, no codec needed. This is the
+    * metadata-only pruning path for non-GIF video — `sampleFrames` /
+    * duration filters run over truthful `meta` populated at ingest, and
+    * only rows that survive ever reach the (stubbed) pixel decode.
+    * Returns duration 0 when the header declares none. Throws on payloads
+    * that are neither container — the caller's signal to fall back to
+    * `decodeStub`-style handling.
+    */
+  def videoMeta(bytes: Array[Byte]): (String, Long) = {
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+        ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+    def fourcc(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val isMp4 = bytes.length >= 12 && fourcc(4) == "ftyp"
+    val isWebm = bytes.length >= 4 && (bytes(0) & 0xFF) == 0x1A &&
+      (bytes(1) & 0xFF) == 0x45 && (bytes(2) & 0xFF) == 0xDF &&
+      (bytes(3) & 0xFF) == 0xA3
+    if (isMp4) ("mp4", mp4DurationMs(bytes))
+    else if (isWebm) ("webm", ebmlDurationMs(bytes))
+    else throw new IllegalArgumentException(
+      "payload is neither an ISO-BMFF (mp4) nor an EBML (webm) container")
+  }
+
+  /** Walk top-level ISO BMFF boxes to moov→mvhd; duration/timescale → ms. */
+  private def mp4DurationMs(bytes: Array[Byte]): Long = {
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+        ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def fourcc(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // find a box type among the children of [from, to)
+    def findBox(from: Int, to: Int, typ: String): Option[(Int, Int)] = {
+      var o = from
+      while (o + 8 <= to) {
+        val size0 = be32(o)
+        val (size, hdr) =
+          if (size0 == 1L && o + 16 <= to) (be64(o + 8), 16)
+          else if (size0 == 0L) (to.toLong - o, 8) // box runs to end
+          else (size0, 8)
+        if (size < hdr) return None // malformed: stop rather than loop
+        if (fourcc(o + 4) == typ)
+          return Some((o + hdr, math.min(o + size, to.toLong).toInt))
+        o += size.toInt
+      }
+      None
+    }
+    (for {
+      (ms, me) <- findBox(0, bytes.length, "moov")
+      (vs, _) <- findBox(ms, me, "mvhd")
+    } yield {
+      val version = bytes(vs) & 0xFF
+      val (timescale, duration) =
+        if (version == 1) (be32(vs + 20), be64(vs + 24))
+        else (be32(vs + 12), be32(vs + 16))
+      if (timescale > 0) duration * 1000L / timescale else 0L
+    }).getOrElse(0L)
+  }
+
+  /** Minimal EBML walk: Segment→Info→(TimestampScale, Duration) → ms.
+    * TimestampScale defaults to 1e6 ns per tick per the Matroska spec.
+    */
+  private def ebmlDurationMs(bytes: Array[Byte]): Long = {
+    // (value, nextOffset); IDs keep their marker bits, sizes strip them
+    def varint(o: Int, stripMarker: Boolean): (Long, Int) = {
+      val first = bytes(o) & 0xFF
+      val len = 8 - (31 - Integer.numberOfLeadingZeros(first))
+      require(len >= 1 && len <= 8 && o + len <= bytes.length,
+        "malformed EBML varint")
+      var v = if (stripMarker) (first & (0xFF >>> len)).toLong else first.toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (bytes(o + i) & 0xFFL); i += 1 }
+      (v, o + len)
+    }
+    // scan children of [from, to) for element `id`, return payload bounds
+    def findEl(from: Int, to: Int, id: Long): Option[(Int, Int)] = {
+      var o = from
+      while (o < to) {
+        val (eid, o1) = varint(o, stripMarker = false)
+        val (sz, o2) = varint(o1, stripMarker = true)
+        val end = math.min(o2 + sz, to.toLong).toInt
+        if (eid == id) return Some((o2, end))
+        o = end
+      }
+      None
+    }
+    (for {
+      (ss, se) <- findEl(0, bytes.length, 0x18538067L) // Segment
+      (is, ie) <- findEl(ss, se, 0x1549A966L) // Info
+    } yield {
+      val scaleNs = findEl(is, ie, 0x2AD7B1L).map { case (f, t) =>
+        (f until t).foldLeft(0L)((a, i) => (a << 8) | (bytes(i) & 0xFFL))
+      }.getOrElse(1000000L)
+      val durTicks = findEl(is, ie, 0x4489L).map { case (f, t) =>
+        if (t - f == 4) java.lang.Float.intBitsToFloat(
+          (f until t).foldLeft(0)((a, i) => (a << 8) | (bytes(i) & 0xFF)))
+          .toDouble
+        else java.lang.Double.longBitsToDouble(
+          (f until t).foldLeft(0L)((a, i) => (a << 8) | (bytes(i) & 0xFFL)))
+      }.getOrElse(0.0)
+      math.round(durTicks * scaleNs / 1e6)
+    }).getOrElse(0L)
+  }
+
   /** Content-sniffing dispatcher: route each payload to the right REAL
     * codec by magic bytes (the `kind` column can lie; bytes don't) —
-    * PNG/JPEG/BMP/single-frame GIF → `decodeImage`, RIFF/WAVE → `decodeWav`,
-    * animated GIF → mean of `decodeGifFrames`, anything else →
+    * PNG/JPEG/BMP/single-frame GIF → `decodeImage`; RIFF/WAVE, FORM/AIFF
+    * and .snd/AU → `decodeWav` (all three are `javax.sound` containers);
+    * animated GIF → mean of composited `decodeGifFrames`; anything else →
     * `decodeStub`. This is the default production decoder for a mixed
     * media table: `extractFeatures(media, decodeBatch = decodeAutoBatch)`.
     */
@@ -268,10 +451,15 @@ object Multimodal {
       sig.zipWithIndex.forall { case (b, i) => (bytes(i) & 0xFF) == b }
     val isWav = startsWith('R', 'I', 'F', 'F') && bytes.length >= 12 &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+    // FORM....AIFF/AIFC (big-endian IFF) and Sun/NeXT .snd — decodeWav's
+    // javax.sound backend reads both; only the container sniff differs.
+    val isAiff = startsWith('F', 'O', 'R', 'M') && bytes.length >= 12 &&
+      bytes(8) == 'A' && bytes(9) == 'I' && bytes(10) == 'F'
+    val isAu = startsWith('.', 's', 'n', 'd')
     val isGif = startsWith('G', 'I', 'F', '8')
     val isStillImage = startsWith(0x89, 'P', 'N', 'G') ||
       startsWith(0xFF, 0xD8) || startsWith('B', 'M')
-    if (isWav) decodeWav(bytes)
+    if (isWav || isAiff || isAu) decodeWav(bytes)
     else if (isGif) {
       val frames = decodeGifFrames(bytes)
       if (frames.length <= 1) frames.headOption.getOrElse(new Array[Float](16))

@@ -174,23 +174,29 @@ object Curation {
       val docs = Tables.documents(s, d)
       val w = Window.partitionBy(h60(col("text")), col("text"))
         .orderBy("doc_id")
-      // localCheckpoint: `exact` feeds four consumers (candidate pairs,
-      // CC vertices, the representative join, train shingles) — without
-      // materializing it each consumer would replay the text-window dedup.
+      // persist (MEMORY_AND_DISK), not localCheckpoint: `exact` feeds four
+      // consumers (candidate pairs, CC vertices, the representative join,
+      // train shingles) — without materializing it each consumer would
+      // replay the text-window dedup. persist keeps the lineage, so a lost
+      // executor recomputes its blocks from the scan; localCheckpoint
+      // discards it and makes executor loss fatal at cluster scale (same
+      // rationale as TextSim.ngramJaccard's shingle table). Blocks are
+      // dropped by Bench/Verify's clearCache after materialization.
       // The window partitions on (h60(text), text): same groups as raw
       // text, but the exchange compares 8-byte hashes instead of multi-KB
       // document bodies in the common case.
       val exact = docs.filter(size(toks) >= 30)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn")
-        .localCheckpoint()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val edges = TextSim.minhashPairs(exact)
         .select(col("ia").as("src"), col("ib").as("dst"))
       val kept = exact
         .join(Graph.connectedComponents(exact.select("doc_id"), edges),
           "doc_id")
         .filter(col("doc_id") === col("comp"))
-      val train = kept.filter(col("doc_id") >= 10).localCheckpoint()
+      val train = kept.filter(col("doc_id") >= 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val evalG = grams(docs.filter(col("doc_id") < 10))
         .select("g").distinct()
       val contam = grams(train)

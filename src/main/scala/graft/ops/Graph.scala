@@ -32,7 +32,8 @@ import graft.Tables
   *    size (collision pairs only, est_sim >= 0.5 filtered).
   *  - For graphs with long chains, the O(log n) alternating large-star /
   *    small-star contraction (Kiveris et al., "Connected Components in
-  *    MapReduce and Beyond") replaces this loop; dup graphs don't need it.
+  *    MapReduce and Beyond") takes over AUTOMATICALLY when propagation
+  *    hits MaxIter (see [[starContract]]); dup graphs never trigger it.
   */
 object Graph {
 
@@ -71,15 +72,81 @@ object Graph {
     }
     // Silent truncation would return WRONG labels (one true cluster split
     // into several, each with its own kept representative) and diverge
-    // from the exact oracle with no signal — fail loudly instead. Dup
-    // graphs are near-cliques (2-4 rounds); hitting 20 means the input is
-    // not that graph, and the O(log n) star-contraction variant is due.
-    if (changed > 0)
+    // from the exact oracle with no signal. Dup graphs are near-cliques
+    // (2-4 rounds); hitting MaxIter means the graph has long chains —
+    // switch to the O(log n) star-contraction algorithm, whose round count
+    // is independent of diameter, instead of failing or truncating.
+    if (changed > 0) starContract(vertices, sym) else lab
+  }
+
+  /** Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the long-chain
+    * escape hatch documented above. Min-label propagation needs
+    * O(diameter) rounds; contraction needs O(log n) regardless of
+    * diameter, because large-star halves chain height every round. Each
+    * round is two grouped aggregations + two joins over the edge list —
+    * same linear shuffle shape as one propagation step, so the fallback
+    * changes round COUNT, not per-round cost.
+    *
+    * Invariants per the paper: both operations preserve connectivity, and
+    * a set fixed under BOTH is a star forest whose centers are component
+    * minima — so the final labels read directly off the edges.
+    */
+  private def starContract(vertices: DataFrame, sym: DataFrame): DataFrame = {
+    // canonical undirected form (lo < hi), deduped once up front
+    var e = sym
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint()
+    var eCnt = e.count()
+    var converged = false
+    var i = 0
+    val maxRounds = 64 // log2-bounded: 2^64 vertices is beyond any input
+    while (!converged && i < maxRounds) {
+      // large-star: every node u attaches each LARGER neighbor v directly
+      // to m = min(N(u) ∪ {u}) — m <= u < v keeps edges canonical by
+      // construction and halves the height of long chains.
+      val both = e.select(col("lo").as("u"), col("hi").as("v"))
+        .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      val mL = both.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = both.join(mL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .filter(col("lo") =!= col("hi")).distinct()
+        .localCheckpoint()
+      val lsCnt = ls.count()
+      // small-star: on the hi→lo orientation, node u=hi attaches each
+      // smaller neighbor (and itself) to m = min of its smaller neighbors.
+      val mS = ls.groupBy("hi").agg(min("lo").as("m"))
+      val ss = ls.join(mS, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("m").as("lo"), col("lo").as("hi"))
+        .union(mS.select(col("m").as("lo"), col("hi")))
+        .distinct()
+        .localCheckpoint()
+      val ssCnt = ss.count()
+      // converged iff the edge set is fixed under BOTH operations: equal
+      // sizes and an empty one-sided difference ⇒ set equality.
+      converged = lsCnt == eCnt && ssCnt == lsCnt &&
+        ls.except(e).count() == 0 && ss.except(ls).count() == 0
+      e = ss
+      eCnt = ssCnt
+      i += 1
+    }
+    if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $MaxIter iterations " +
-          s"($changed labels still changing) — graph diameter exceeds " +
-          "MaxIter; use star-contraction for long-chain graphs")
-    lab
+        s"starContract did not converge in $maxRounds rounds — " +
+          "edge set is not stabilizing; input graph is malformed")
+    // star forest: every non-center vertex appears as `hi` in exactly the
+    // edge to its component min; centers and isolated vertices label
+    // themselves.
+    val lab = e.groupBy(col("hi").as("doc_id")).agg(min("lo").as("comp"))
+    vertices.select("doc_id")
+      .join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"))
   }
 
   /** Fixed-iteration PageRank over an undirected edge list — the second

@@ -148,6 +148,26 @@ object Joins {
         .orderBy("err_id")
     }),
 
+    // L24 skew-mitigation join, oracle-checked: lineitem keyed on
+    // l_returnflag is the worst-case hot-key layout — 3 distinct keys over
+    // the whole fact table, so a plain shuffle join lands EVERYTHING on 3
+    // reducers no matter the cluster size. saltedJoin spreads each key
+    // over 16 replicas (deterministic per-row replica pick), and the
+    // result must hash-match the plain-join oracle exactly — salting is a
+    // layout change, never a semantics change.
+    "join_skew_salted" -> ((s, d) => {
+      import s.implicits._
+      val li = lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      val dim = Seq(("A", 1), ("N", 2), ("R", 3))
+        .toDF("l_returnflag", "w")
+      Skew.saltedJoin(li, dim, "l_returnflag", 16)
+        .groupBy("l_returnflag", "w")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity") * col("w"), 2).as("wsum"))
+        .orderBy("l_returnflag")
+    }),
+
     // Composite analytic 1 (TPC-H Q3 shape): shipping priority — segment-
     // filtered customers ⋈ pre-cutoff orders ⋈ post-cutoff shipments,
     // revenue per open order, top 10. The selective dimension filters sit
@@ -252,6 +272,14 @@ object Joins {
         |AND b.tsm >= a.tsm - INTERVAL 10 MINUTE AND b.tsm < a.tsm
         |WHERE a.event_type = 'error'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Plain (unsalted) join: the salted plan must reproduce it bit-for-bit.
+    "join_skew_salted" ->
+      """SELECT l_returnflag, w, COUNT(*) AS n,
+        |CAST(round(SUM(CAST(l_quantity * w AS DECIMAL(30,8))),2) AS DOUBLE) AS wsum
+        |FROM lineitem
+        |JOIN (VALUES ('A',1),('N',2),('R',3)) AS dim(l_returnflag, w)
+        |  USING (l_returnflag)
+        |GROUP BY 1,2 ORDER BY 1""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate,
         |CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)

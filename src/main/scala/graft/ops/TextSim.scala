@@ -255,6 +255,10 @@ object TextSim {
       .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("df") <= tau)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Lifecycle: the blocks live until the caller's sweep-level
+    // clearCache (Bench after each timed run, Verify after each query);
+    // a long-lived session embedding this operator should unpersist the
+    // returned plan's cached input after materialization.
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val joinable = sh.filter(col("df") >= 2)
     val a = joinable.select(col("doc_id").as("ia"), col("g"))

@@ -23,6 +23,26 @@ class GraphSpec extends SparkSpec {
     assert(got.size == 12)
   }
 
+  test("connectedComponents falls back to star contraction on a diameter-50 path") {
+    // path 0-1-...-50: diameter 50 > MaxIter=20, so min-label propagation
+    // cannot finish and the Kiveris large-star/small-star fallback must
+    // take over (O(log n) rounds, diameter-independent). Offset by 7 so a
+    // wrong label can't accidentally equal a position index; add two
+    // singletons and a disjoint triangle to pin the partition.
+    val chain = (0L to 50L).map(_ + 7L)
+    val verts = (chain ++ Seq(1000L, 1001L, 2000L, 2001L, 2002L))
+      .toDF("doc_id")
+    val edges = chain.sliding(2).map(p => (p(0), p(1))).toSeq
+      .++(Seq((2000L, 2001L), (2001L, 2002L), (2000L, 2002L)))
+      .toDF("src", "dst")
+    val got = ops.Graph.connectedComponents(verts, edges)
+      .as[(Long, Long)].collect().toMap
+    chain.foreach(v => assert(got(v) == 7L, s"vertex $v -> ${got(v)}"))
+    Seq(2000L, 2001L, 2002L).foreach(v => assert(got(v) == 2000L))
+    assert(got(1000L) == 1000L && got(1001L) == 1001L)
+    assert(got.size == 56)
+  }
+
   test("connectedComponents merges two clusters through a bridge edge") {
     // two triangles {0,1,2} {5,6,7} bridged by 2-5: one component rooted 0.
     val verts = Seq(0L, 1L, 2L, 5L, 6L, 7L).toDF("doc_id")

@@ -113,6 +113,122 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).count(_ != 0f) === 1)
   }
 
+  test("real audio decode: synthesized WAV tone has the expected RMS profile") {
+    // 1600 mono samples at 8 kHz: first half silence, second half a ±0.5
+    // full-scale square wave — segments 0-7 must read 0, segments 8-15
+    // must read 0.5 (RMS of a square wave equals its amplitude).
+    val sr = 8000f
+    val samples = Array.tabulate[Short](1600)(i =>
+      if (i < 800) 0 else if (i % 2 == 0) 16384 else -16384)
+    def encode(t: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+      import javax.sound.sampled._
+      val bigEndian = t != AudioFileFormat.Type.WAVE // AIFF/AU are BE
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sr, 16, 1,
+        2, sr, bigEndian)
+      val data = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        val (lo, hi) = ((samples(i) & 0xFF).toByte, (samples(i) >> 8).toByte)
+        if (bigEndian) { data(2 * i) = hi; data(2 * i + 1) = lo }
+        else { data(2 * i) = lo; data(2 * i + 1) = hi }
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length), t, out)
+      out.toByteArray
+    }
+    val wav = encode(javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    // header probe reads the declared geometry, not the samples
+    assert(Multimodal.audioMeta(wav) === ((8000, 1600L, 200L)))
+    // through the full Spark plumbing with the AUTO dispatcher: the RIFF
+    // magic must land on the real audio codec, not the stub
+    val feats = Multimodal.extractFeatures(
+        Seq((1L, "audio", wav)).toDF("media_id", "kind", "content"),
+        decodeBatch = Multimodal.decodeAutoBatch)
+      .collect().head.feature
+    (0 until 8).foreach(b => assert(math.abs(feats(b)) < 1e-4, s"seg $b"))
+    (8 until 16).foreach(b =>
+      assert(math.abs(feats(b) - 0.5f) < 1e-3, s"seg $b = ${feats(b)}"))
+    // AIFF (FORM/AIFF) and AU (.snd) route to the same real codec: byte
+    // containers differ, decoded profiles must agree with the WAV's
+    for (t <- Seq(javax.sound.sampled.AudioFileFormat.Type.AIFF,
+        javax.sound.sampled.AudioFileFormat.Type.AU)) {
+      val alt = Multimodal.decodeAuto(encode(t))
+      feats.indices.foreach(i =>
+        assert(math.abs(alt(i) - feats(i)) < 1e-4, s"$t seg $i"))
+    }
+  }
+
+  test("real video decode: 2-frame GIF composites deltas onto the canvas") {
+    def frame(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      img
+    }
+    def gif(frames: java.awt.image.BufferedImage*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        w.setOutput(ios)
+        w.prepareWriteSequence(null)
+        frames.foreach(f =>
+          w.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+        w.endWriteSequence()
+      } finally { w.dispose(); ios.close() }
+      out.toByteArray
+    }
+    // full-frame animation: black 8x8 then white 8x8
+    val full = gif(frame(8, 8, 0x000000), frame(8, 8, 0xFFFFFF))
+    assert(Multimodal.gifFrameCount(full) === 2)
+    val hists = Multimodal.decodeGifFrames(full)
+    assert(hists.length === 2)
+    assert(hists(0)(0) === 1.0f, "frame 1 is all black")
+    assert(hists(1)(15) === 1.0f, "frame 2 is all white")
+    // the AUTO dispatcher averages the per-frame histograms
+    val avg = Multimodal.decodeAuto(full)
+    assert(math.abs(avg(0) - 0.5f) < 1e-6 && math.abs(avg(15) - 0.5f) < 1e-6)
+    // DELTA frame: white 8x8 then a 4x8 black rect — frame 2's VISIBLE
+    // canvas is half black, half still-white; a raw-raster histogram
+    // (the pre-compositing bug) would read all black.
+    val delta = gif(frame(8, 8, 0xFFFFFF), frame(4, 8, 0x000000))
+    val dh = Multimodal.decodeGifFrames(delta)
+    assert(math.abs(dh(1)(0) - 0.5f) < 1e-6,
+      s"composited frame 2 must be half black: ${dh(1).toSeq}")
+    assert(math.abs(dh(1)(15) - 0.5f) < 1e-6,
+      s"composited frame 2 must keep frame 1's white right half: ${dh(1).toSeq}")
+  }
+
+  test("videoMeta reads mp4 and webm durations from headers alone") {
+    // minimal ISO BMFF: ftyp + moov(mvhd v0, timescale 600, duration 1200)
+    val mp4 = java.nio.ByteBuffer.allocate(16 + 36)
+    mp4.putInt(16).put("ftypisom".getBytes("US-ASCII")).putInt(0)
+    mp4.putInt(36).put("moov".getBytes("US-ASCII"))
+    mp4.putInt(28).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(600).putInt(1200) // timescale, duration -> 2000 ms
+    assert(Multimodal.videoMeta(mp4.array()) === (("mp4", 2000L)))
+    // minimal EBML: header + Segment(Info(TimestampScale 1e6, Duration
+    // 5000.0f ticks)) -> 5000 ms
+    val webm = java.nio.ByteBuffer.allocate(5 + 5 + 5 + 7 + 7)
+    webm.put(Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte, 0x80.toByte))
+    webm.put(Array[Byte](0x18, 0x53, 0x80.toByte, 0x67)) // Segment
+      .put((0x80 | 19).toByte) // payload: 19 bytes
+    webm.put(Array[Byte](0x15, 0x49, 0xA9.toByte, 0x66)) // Info
+      .put((0x80 | 14).toByte)
+    webm.put(Array[Byte](0x2A, 0xD7.toByte, 0xB1.toByte)) // TimestampScale
+      .put((0x80 | 3).toByte).put(Array[Byte](0x0F, 0x42, 0x40))
+    webm.put(Array[Byte](0x44, 0x89.toByte)) // Duration (float32 5000.0)
+      .put((0x80 | 4).toByte).putFloat(5000.0f)
+    assert(Multimodal.videoMeta(webm.array()) === (("webm", 5000L)))
+    // neither container -> loud failure, not fake metadata
+    intercept[IllegalArgumentException] {
+      Multimodal.videoMeta(Array[Byte](1, 2, 3, 4, 5))
+    }
+    ()
+  }
+
   test("resize planning preserves aspect and never upscales") {
     val plan = Multimodal.planResize(media, maxDim = 32)
     val bad = plan.filter($"dst_w" > 32 || $"dst_h" > 32 ||
