@@ -28,6 +28,8 @@ object Curation {
   private val ChunkLen = 32
   private val Stride = 24
   private val EvalGram = 8 // decontamination shingle width
+  private val PackBudget = 512L // tokens per packed training sequence
+  private val PackShards = 8 // packing parallelism (see pack_sequences)
 
   /** Distinct (doc_id, g) 8-gram rows of `df` — TextSim's shared shingle
     * builder (the n=8 instantiation), one home for the n-gram contract. */
@@ -233,6 +235,35 @@ object Curation {
             transform(array_sort(col("raw")), x => x.getField("tok"))),
             256), 1, 16).as("chunk_hash"))
         .orderBy("doc_id", "chunk")
+    }),
+
+    // Sequence packing: concatenate documents in a deterministic order and
+    // cut the stream into fixed token-budget training sequences — the
+    // "concat-then-chunk" packing every LLM data loader runs before
+    // training. A doc lands in the sequence where its first token falls
+    // (seq = floor(tokens_before / budget)), so sequences can overhang the
+    // budget by at most one partial doc — the standard no-doc-splitting
+    // trade. Packing is SHARDED by a content-stable hash: each shard packs
+    // its own substream with one partition-local cumsum, so there is no
+    // global window — at 100 TB, shard count (here 8, in production
+    // ~4×cores) is the parallelism knob, and any contiguous order is as
+    // good as any other because document order is arbitrary by design.
+    // Output: the packing manifest (per-sequence doc count, token load,
+    // doc-id range) a loader would mmap.
+    "pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).cast("long").as("n_tok"),
+          pmod(h60(concat(lit("pck"), col("doc_id"))), lit(PackShards))
+            .as("shard"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs
+        .withColumn("cum0", coalesce(sum("n_tok").over(w), lit(0L)))
+        .withColumn("seq", expr(s"cum0 div $PackBudget"))
+        .groupBy("shard", "seq")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("seq_tok"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("shard", "seq")
     })
   )
 
@@ -331,6 +362,20 @@ object Curation {
         |SELECT doc_id, chunk, count(*) AS n_tok,
         |  substr(sha256(string_agg(tok, ' ' ORDER BY p)), 1, 16)
         |    AS chunk_hash
-        |FROM c GROUP BY doc_id, chunk ORDER BY doc_id, chunk""".stripMargin
+        |FROM c GROUP BY doc_id, chunk ORDER BY doc_id, chunk""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+        |  CAST(len($dToks) AS BIGINT) AS n_tok,
+        |  ${dH60("'pck' || CAST(doc_id AS VARCHAR)")} % $PackShards AS shard
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok, shard,
+        |  CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cum0
+        |  FROM t)
+        |SELECT shard, cum0 // $PackBudget AS seq, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS seq_tok,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

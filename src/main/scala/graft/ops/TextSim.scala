@@ -120,7 +120,7 @@ object TextSim {
     * variant was also benchmarked and LOST: the join shuffle costs more
     * than recomputing the base hash.)
     */
-  private def sigTable(sh: org.apache.spark.sql.DataFrame) = {
+  private[ops] def sigTable(sh: org.apache.spark.sql.DataFrame) = {
     val base = sh.select(col("doc_id"), (h60(col("g")) % MinHashP).as("hm"))
     val mins = hashAB.zipWithIndex.map { case ((a, b), j) =>
       min((col("hm") * a + b) % MinHashP).as(s"s$j")
@@ -148,6 +148,45 @@ object TextSim {
     val r = bands.select(col("doc_id").as("ib"), col("sig").as("sb"),
       col("band"), col("key"))
     l.join(r, Seq("band", "key")).filter(col("ia") < col("ib"))
+      .select("ia", "ib", "sa", "sb").distinct()
+      .withColumn("est_sim",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          v => v)).cast("double") / NumHashes)
+      .filter(col("est_sim") >= 0.5)
+  }
+
+  /** Boundary between the "prior snapshot" index and the "new batch" for
+    * the incremental-dedup shape: docs below are the already-curated
+    * corpus, docs at/above are today's arrivals. Pinned into both the
+    * declared query and its oracle (same contract style as
+    * [[StopShingleDfDefault]]). */
+  private[ops] val SnapshotBoundary = 250
+
+  /** Cross-corpus MinHash candidate pairs (index side × batch side) via
+    * the same LSH banding as [[minhashPairs]], but with the two corpora
+    * kept separate: only the BATCH is shingled-and-signed fresh; the
+    * index signatures are computed once and, in the production shape,
+    * would be READ from the signature store written at snapshot time —
+    * incremental dedup's whole point is that the 100 TB corpus is never
+    * re-hashed per daily batch. Band keys are per-doc deterministic, so
+    * index×batch collisions here are bit-identical to the crossing subset
+    * of a whole-corpus [[minhashPairs]] run (which is what the oracle
+    * mirrors). Output: (ia ∈ index, ib ∈ batch, est_sim ≥ 0.5).
+    */
+  private[ops] def minhashPairsBetween(
+      index: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame) = {
+    def bandRows(docs: org.apache.spark.sql.DataFrame) =
+      sigTable(shingleRows(docs, 3)).select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+          bd => concat_ws(",", slice(col("sig"),
+            bd * (NumHashes / Bands) + 1,
+            lit(NumHashes / Bands))))).as(Seq("band", "key")))
+    val l = bandRows(index).select(col("doc_id").as("ia"),
+      col("sig").as("sa"), col("band"), col("key"))
+    val r = bandRows(batch).select(col("doc_id").as("ib"),
+      col("sig").as("sb"), col("band"), col("key"))
+    l.join(r, Seq("band", "key"))
       .select("ia", "ib", "sa", "sb").distinct()
       .withColumn("est_sim",
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
@@ -482,6 +521,36 @@ object TextSim {
       exactKeep.join(drops, Seq("doc_id"), "left_anti").orderBy("doc_id")
     }),
 
+    // Incremental dedup: today's batch (doc_id >= SnapshotBoundary) checked
+    // against the already-curated snapshot (doc_id < SnapshotBoundary)
+    // WITHOUT re-pairing the snapshot against itself. Exact dups via an
+    // index semi-join on (h60(text), text); near-dups via the cross-corpus
+    // LSH banding of minhashPairsBetween — at 100 TB the index side's
+    // signatures are read back from the store written when the snapshot was
+    // curated, so per-batch cost scales with the BATCH, not the corpus.
+    // Output: each flagged new doc with its exact-dup flag and its count /
+    // best score of near-dup snapshot partners.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = documents(s, d)
+      val index = docs.filter(col("doc_id") < SnapshotBoundary)
+      val batch = docs.filter(col("doc_id") >= SnapshotBoundary)
+      val idx = index
+        .select(h60(col("text")).as("ht"), col("text").as("itext")).distinct()
+      val exact = batch
+        .join(idx, h60(batch("text")) === idx("ht") &&
+          batch("text") === idx("itext"), "left_semi")
+        .select(col("doc_id"), lit(1L).as("exact_dup"))
+      val near = minhashPairsBetween(index, batch)
+        .groupBy(col("ib").as("doc_id"))
+        .agg(count(lit(1)).as("n_near"), max(col("est_sim")).as("best_sim"))
+      near.join(exact, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("exact_dup"), lit(0L)).as("exact_dup"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          coalesce(col("best_sim"), lit(0.0)).as("best_sim"))
+        .orderBy("doc_id")
+    }),
+
     // U4: cosine of every vector against the vec_id=0 probe (broadcast) —
     // explicit double fold so the oracle's identical fold agrees bitwise.
     "sim_cosine" -> ((s, d) => {
@@ -734,6 +803,25 @@ object TextSim {
         |          GROUP BY sha256(text))
         |SELECT doc_id FROM exact
         |WHERE doc_id NOT IN (SELECT ib FROM pairs)
+        |ORDER BY doc_id""".stripMargin,
+    // Whole-corpus pairs restricted to crossing (index < boundary <= batch)
+    // mirror minhashPairsBetween exactly: band keys are per-doc, so the
+    // crossing subset of the self-join equals the index×batch join.
+    "dedup_incremental" ->
+      s"""WITH $dMinhashCte,
+        |ex AS (SELECT DISTINCT b.doc_id FROM documents b JOIN documents i
+        |  ON b.text = i.text AND i.doc_id < $SnapshotBoundary
+        |  WHERE b.doc_id >= $SnapshotBoundary),
+        |nr AS (SELECT ib AS doc_id, count(*) AS n_near,
+        |    max(est_sim) AS best_sim
+        |  FROM pairs WHERE ia < $SnapshotBoundary AND ib >= $SnapshotBoundary
+        |  GROUP BY 1)
+        |SELECT coalesce(nr.doc_id, ex.doc_id) AS doc_id,
+        |  CAST(CASE WHEN ex.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS exact_dup,
+        |  coalesce(n_near, 0) AS n_near,
+        |  coalesce(best_sim, 0.0) AS best_sim
+        |FROM nr FULL OUTER JOIN ex ON nr.doc_id = ex.doc_id
         |ORDER BY doc_id""".stripMargin,
     "sim_cosine" ->
       s"""WITH p AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)

@@ -106,4 +106,30 @@ class CurationSpec extends SparkSpec {
       .filter(col("covered") < col("n")).count()
     assert(uncovered === 0)
   }
+
+  test("pack_sequences assigns every doc once, conserves tokens, " +
+    "keeps shard ranges disjoint") {
+    val q = ops.Curation.queries("pack_sequences")
+    val m = q(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+    val nDocs = docs.count()
+    val nToks = docs
+      .agg(sum(size(split(lower(col("text")), " ")))).head().getLong(0)
+    assert(m.map(_.getAs[Long]("n_docs")).sum === nDocs,
+      "every document must land in exactly one sequence")
+    assert(m.map(_.getAs[Long]("seq_tok")).sum === nToks,
+      "packing must conserve the total token count")
+    // within a shard, sequences cover disjoint ascending doc-id ranges
+    m.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getAs[Long]("seq"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"),
+            "sequence doc ranges must not overlap within a shard")
+        case _ =>
+      }
+    }
+    // deterministic: the manifest is identical run-to-run
+    assert(q(spark, sf0001).collect().toSeq === m.toSeq)
+  }
 }

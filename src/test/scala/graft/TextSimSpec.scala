@@ -176,4 +176,29 @@ class TextSimSpec extends SparkSpec {
       got.count(_._1 == "hot").toDouble / truth.count(_._1 == "hot")
     assert(hotRecall >= 0.9, s"hot-label recall $hotRecall")
   }
+
+  test("dedup_incremental equals the crossing subset of whole-corpus " +
+    "minhash pairs") {
+    import org.apache.spark.sql.functions._
+    val K = 250 // TextSim.SnapshotBoundary, pinned in query and oracle
+    val inc = ops.TextSim.queries("dedup_incremental")(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("exact_dup"), r.getAs[Long]("n_near"),
+          r.getAs[Double]("best_sim")))).toMap
+    // every flagged doc is on the batch side of the boundary
+    assert(inc.keySet.forall(_ >= K))
+    // near-dup counts must match the crossing subset of dedup_minhash
+    val expected = ops.TextSim.queries("dedup_minhash")(spark, sf0001)
+      .filter(col("ia") < K && col("ib") >= K)
+      .groupBy(col("ib").as("doc_id"))
+      .agg(count(lit(1)).as("n"), max("est_sim").as("best"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n"), r.getAs[Double]("best")))).toMap
+    val nearGot = inc.collect { case (id, (_, n, best)) if n > 0 =>
+      (id, (n, best)) }
+    assert(nearGot === expected,
+      "cross-corpus banding must equal the crossing subset of the " +
+        "whole-corpus pair set")
+  }
 }
