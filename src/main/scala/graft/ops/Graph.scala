@@ -24,9 +24,11 @@ import graft.Tables
   *
   * Scale notes (100 TB):
   *  - `localCheckpoint` truncates plan lineage each iteration — without it
-  *    the plan doubles per round and analysis time blows up long before
-  *    data does. On a real cluster use reliable `checkpoint` to also drop
-  *    shuffle-replay chains.
+  *    the plan doubles per round (labels feed the next round through TWO
+  *    paths) and analysis blows up long before data does; measured as an
+  *    OOM at diameter > 20 under a lineage-keeping persist. On a real
+  *    cluster use reliable `checkpoint` for the same truncation without
+  *    losing executor-failure recovery.
   *  - Each iteration shuffles edges on `dst` and labels on `doc_id` —
   *    linear in |E|, and |E| out of LSH banding is near-linear in corpus
   *    size (collision pairs only, est_sim >= 0.5 filtered).
@@ -51,8 +53,9 @@ object Graph {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
+    // No materialization of the seed labels: vertices is a cheap projection
+    // (usually of an already-cached relation) consumed once by iteration 1.
     var lab = vertices.select(col("doc_id"), col("doc_id").as("comp"))
-      .localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < MaxIter) {
@@ -62,6 +65,13 @@ object Graph {
       // One join per iteration: keep old and new labels side by side in
       // the checkpointed result so the convergence count is a scan of it,
       // not a second join against the previous labels.
+      // localCheckpoint here is LOAD-BEARING, not a tuning choice: `merged`
+      // references `lab` twice (through nbrMin and through the join), so a
+      // lineage-keeping persist doubles the LOGICAL plan every iteration —
+      // 2^20 nodes by MaxIter (measured: OOM composing the explain string
+      // on a diameter-20+ graph). Truncating to a LogicalRDD leaf per
+      // iteration keeps the plan O(1); on a real cluster use reliable
+      // `checkpoint` for the same truncation with executor-loss safety.
       val merged = lab.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("comp"),
           least(col("comp"), coalesce(col("nc"), col("comp"))).as("nxt"))
@@ -164,9 +174,11 @@ object Graph {
     * Scale: each iteration is one shuffle join of edges⋈ranks on src plus
     * one aggregation on dst — linear in |E|, the Pregel message-passing
     * shape. Edges and degrees are computed once and localCheckpoint'ed
-    * (reliable checkpoint on a cluster); N is a driver-side scalar (model
-    * parameter). Dangling nodes don't arise: symmetrized edges give every
-    * node out-degree ≥ 1.
+    * (A/B-measured faster than a lineage-keeping persist here: the three
+    * chained iterations replan over the cached relation each time, and
+    * LogicalRDD leaves keep the plan small; reliable `checkpoint` on a
+    * cluster); N is a driver-side scalar (model parameter). Dangling
+    * nodes don't arise: symmetrized edges give every node out-degree ≥ 1.
     */
   private[graft] def pageRank(edges0: DataFrame, iters: Int): DataFrame = {
     // Precondition: `edges0` carries each undirected edge as ONE distinct
@@ -178,10 +190,11 @@ object Graph {
     val sym = edges0.select(col("src"), col("dst"))
       .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    // deg is node-sized — materialize it (and ride every later use through
-    // a broadcast) instead of materializing the edge×deg join: recomputing
-    // msgs per iteration is a map-side broadcast join over the checkpointed
-    // edges, strictly cheaper than writing/reading an edge-wide checkpoint.
+    // deg is node-sized — cache it (and ride every later use through a
+    // broadcast) instead of materializing the edge×deg join: recomputing
+    // msgs per iteration is a map-side broadcast join over the
+    // checkpointed edges, strictly cheaper than writing/reading an
+    // edge-wide checkpoint.
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     // No broadcast() hints on deg/ranks: they are node-sized, small here
