@@ -213,6 +213,39 @@ object Joins {
           count(lit(1)).as("n_items"))
         .orderBy(desc("lost_revenue"), asc("c_custkey"))
         .limit(20)
+    }),
+
+    // Composite analytic 3 (TPC-H Q5 shape): local-supplier revenue by
+    // nation — the 6-table join with the co-location predicate
+    // (s_nationkey = c_nationkey) riding on the fact join. Plan shape at
+    // scale: region→nation prune first (broadcast, 1 region → ~5 nations),
+    // the pruned customer/supplier dims broadcast into the two fact joins,
+    // the year filter pushes to the orders scan, and the only big shuffle
+    // is lineitem⋈orders on orderkey. The same-nation equality adds
+    // s_nationkey to the supplier join key — no extra exchange.
+    "q5_local_supplier" -> ((s, d) => {
+      val r = region(s, d).filter(col("r_name") === "ASIA")
+      val n = nation(s, d)
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val c = customer(s, d)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .select("o_orderkey", "o_custkey")
+      val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+      lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
     })
   )
 
@@ -305,6 +338,21 @@ object Joins {
         |  AND o_orderdate >= TIMESTAMP '1997-10-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3
-        |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin
+        |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |  AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |  AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
   )
 }
