@@ -312,6 +312,26 @@ object Relational {
         ORDER BY n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
     }),
 
+    // D8 completion: explicit GROUPING SETS — the non-hierarchical shape
+    // neither rollup nor cube can express: (status, priority) and
+    // (status, year) side by side plus the grand total, one scan, one
+    // Expand. GROUPING() flags disambiguate a real NULL from a
+    // rolled-up slot. Same SQL-path rationale as agg_rollup.
+    "agg_grouping_sets" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("gs_orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, yr,
+        grouping(o_orderpriority) AS g_pri, grouping(yr) AS g_yr,
+        CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))),2) AS DOUBLE)
+          AS sum_price,
+        COUNT(*) AS n
+        FROM (SELECT o_orderstatus, o_orderpriority,
+                year(o_orderdate) AS yr, o_totalprice FROM gs_orders)
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus, yr), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST,
+          o_orderpriority ASC NULLS FIRST, yr ASC NULLS FIRST""")
+    }),
+
     // Correlated EXISTS subquery predicate (B9), single-pass form: orders
     // with a big-quantity line and no returned lines. The naive
     // EXISTS + NOT EXISTS pair decorrelates into a semi AND an anti join —
@@ -816,6 +836,18 @@ object Relational {
       """SELECT o_orderpriority, COUNT(DISTINCT o_orderstatus) AS n_status,
         |COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, yr,
+        |grouping(o_orderpriority) AS g_pri, grouping(yr) AS g_yr,
+        |CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))),2) AS DOUBLE)
+        |  AS sum_price,
+        |COUNT(*) AS n
+        |FROM (SELECT o_orderstatus, o_orderpriority,
+        |        year(o_orderdate) AS yr, o_totalprice FROM orders)
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus, yr), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin,
     "agg_rollup" ->
       """SELECT n_name, o_orderpriority,
         |CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))),2) AS DOUBLE) AS sum_price,
