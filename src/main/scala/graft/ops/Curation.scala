@@ -174,22 +174,25 @@ object Curation {
     // more than linear + the CC loop.
     "pipeline_curate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val w = Window.partitionBy(h60(col("text")), col("text"))
-        .orderBy("doc_id")
       // persist (MEMORY_AND_DISK), not localCheckpoint: `exact` feeds four
       // consumers (candidate pairs, CC vertices, the representative join,
       // train shingles) — without materializing it each consumer would
-      // replay the text-window dedup. persist keeps the lineage, so a lost
-      // executor recomputes its blocks from the scan; localCheckpoint
-      // discards it and makes executor loss fatal at cluster scale (same
-      // rationale as TextSim.ngramJaccard's shingle table). Blocks are
-      // dropped by Bench/Verify's clearCache after materialization.
-      // The window partitions on (h60(text), text): same groups as raw
-      // text, but the exchange compares 8-byte hashes instead of multi-KB
-      // document bodies in the common case.
+      // replay the dedup. persist keeps the lineage, so a lost executor
+      // recomputes its blocks from the scan; localCheckpoint discards it
+      // and makes executor loss fatal at cluster scale (same rationale as
+      // TextSim.ngramJaccard's shingle table). Blocks are dropped by
+      // Bench/Verify's clearCache after materialization.
+      // min_by-over-groupBy, NOT a row_number window: an aggregate
+      // partial-combines map-side, so the exchange carries at most one
+      // candidate row per (hash, text) per input partition — a window
+      // must shuffle and sort EVERY row. Grouping on (h60(text), text)
+      // keeps the common-case exchange comparisons on 8-byte hashes.
       val exact = docs.filter(size(toks) >= 30)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
+        .groupBy(h60(col("text")).as("ht"), col("text"))
+        .agg(min_by(struct(col("doc_id"), col("lang")), col("doc_id"))
+          .as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("text"),
+          col("r.lang").as("lang"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val edges = TextSim.minhashPairs(exact)
         .select(col("ia").as("src"), col("ib").as("dst"))

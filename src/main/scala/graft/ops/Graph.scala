@@ -53,9 +53,15 @@ object Graph {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    // No materialization of the seed labels: vertices is a cheap projection
-    // (usually of an already-cached relation) consumed once by iteration 1.
-    var lab = vertices.select(col("doc_id"), col("doc_id").as("comp"))
+    // Propagate over EDGE-ENDPOINT vertices only: a vertex with no edges
+    // is its own component and its label can never change, so it has no
+    // business riding every iteration's shuffle. For dedup graphs the
+    // endpoint set is typically 10-100× smaller than the corpus (most
+    // documents are not near-dups of anything), so this shrinks the
+    // per-iteration label shuffle by the same factor; isolated vertices
+    // are labeled `comp = doc_id` in the final stitch join below.
+    var lab = sym.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("comp"))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < MaxIter) {
@@ -86,7 +92,13 @@ object Graph {
     // (2-4 rounds); hitting MaxIter means the graph has long chains —
     // switch to the O(log n) star-contraction algorithm, whose round count
     // is independent of diameter, instead of failing or truncating.
-    if (changed > 0) starContract(vertices, sym) else lab
+    if (changed > 0) starContract(vertices, sym)
+    else
+      // stitch: isolated vertices (absent from the endpoint label table)
+      // are their own component. starContract does the same internally.
+      vertices.select("doc_id")
+        .join(lab, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
   }
 
   /** Alternating large-star / small-star contraction (Kiveris et al.,
