@@ -30,6 +30,14 @@ object Embeddings {
 
   private val K = 8 // centroid count for embed_centroid (first K vec_ids)
 
+  /** Cosine threshold for dedup_semantic — same near-dup bar as
+    * dedup_embed, pinned into the declared query AND its oracle (no
+    * runtime knob on the declared path, mirroring the StopShingleDf
+    * contract). Safe as an exact `>=`: both engines fold the dot product
+    * in ascending index order over doubles, so the cosine is bit-identical
+    * and the comparison can never straddle the threshold differently. */
+  private val TauSem = 0.35
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // L2 norm + first normalized component per vector. Map-only.
@@ -70,6 +78,44 @@ object Embeddings {
       assign(Tables.embeddings(s, d))
         .select(col("vec_id"), col("cid").as("centroid_id"),
           round(sqrt(col("d2")), 6).as("dist"))
+        .orderBy("vec_id")
+    }),
+
+    // Semantic dedup (SemDeDup shape, Abbas et al. 2023, arXiv:2303.09540):
+    // cluster by nearest seed centroid, then drop any vector whose cluster
+    // contains an EARLIER (smaller vec_id) vector with cosine ≥ TauSem —
+    // near-duplicate *meaning*, not near-duplicate bytes. Differs from
+    // dedup_embed (label-blocked): blocks here are LEARNED cells, so
+    // cross-label semantic dups are caught.
+    //
+    // Scale (100 TB): this is exactly SemDeDup's recipe — k grows with N
+    // (they use 11k cells for 5B embeddings) so cell population stays
+    // bounded and the per-cell all-pairs cost is cap² with cap ≈ N/k;
+    // the E-step is a broadcast k·N scan (no shuffle of the big side
+    // beyond the one hash partition on cid). A runaway cell would be
+    // sub-blocked by the same sign-LSH machinery as
+    // TextSim.embedNearDupPairs — not wired here because the declared
+    // query pins the exact-within-cell semantics the oracle can mirror.
+    // The keep-lowest-id rule is SemDeDup's "keep one random point per
+    // near-dup neighborhood" made deterministic (and oracle-expressible:
+    // NOT EXISTS an earlier in-cell neighbor above threshold).
+    "dedup_semantic" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val v = assign(emb).select(col("vec_id"), col("cid"))
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .select(col("vec_id"), col("cid"), col("embedding"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      val xa = v.select(col("cid"), col("vec_id").as("i"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val xb = v.select(col("cid"), col("vec_id").as("j"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val dups = xa.join(xb, Seq("cid"))
+        .filter(col("i") > col("j") &&
+          dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= TauSem)
+        .select(col("i").as("vec_id")).distinct()
+      v.join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid").as("centroid_id"),
+          when(col("dup").isNotNull, 0).otherwise(1).as("kept"))
         .orderBy("vec_id")
     }),
 
@@ -140,6 +186,20 @@ object Embeddings {
       s"""WITH $dAssign
         |SELECT vec_id, cid AS centroid_id, round(sqrt(d2), 6) AS dist
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH $dAssign,
+        |a AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+        |v AS (SELECT a.vec_id, cid, embedding,
+        |    sqrt(${dDot("embedding", "embedding")}) AS nrm
+        |  FROM a JOIN embeddings USING (vec_id)),
+        |dups AS (SELECT DISTINCT x.vec_id FROM v x JOIN v y
+        |  ON x.cid = y.cid AND x.vec_id > y.vec_id
+        |  WHERE ${dDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm)
+        |    >= $TauSem)
+        |SELECT v.vec_id, cid AS centroid_id,
+        |  CASE WHEN dups.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+        |FROM v LEFT JOIN dups ON v.vec_id = dups.vec_id
+        |ORDER BY v.vec_id""".stripMargin,
     "embed_kmeans_step" ->
       s"""WITH $dAssign,
         |a AS (SELECT vec_id, cid FROM r WHERE rn = 1),

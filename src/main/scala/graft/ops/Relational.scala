@@ -114,6 +114,28 @@ object Relational {
         .orderBy("n_nationkey")
     }),
 
+    // XML sink + scan (A3/A4 extension; Spark 4 native XML datasource —
+    // the spark-xml donation, SPARK-44265). Third-party feeds still arrive
+    // as XML; row-tag framing makes the format splittable enough for
+    // ingestion, after which everything lands in columnar formats — this
+    // is an EDGE format, never a working-set format at 100 TB. Strings and
+    // integers only: XML has no numeric type system, so doubles would
+    // round-trip through decimal text — a cross-engine formatting trap the
+    // other roundtrips dodge by shortest-representation JSON/CSV writers.
+    "xml_roundtrip" -> ((s, d) => {
+      val out = scratchDir("xml_rt")
+      supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        .write.mode("overwrite")
+        .option("rootTag", "suppliers").option("rowTag", "supplier")
+        .xml(out)
+      s.read.option("rowTag", "supplier")
+        .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT")
+        .xml(out)
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    }),
+
     // JSON field extraction (A2/H10: API payload navigation,
     // daily_csv_pipeline.py:36-51; here over events.props JSON strings).
     "json_extract" -> ((s, d) =>
@@ -730,6 +752,9 @@ object Relational {
     "json_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "xml_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "parquet_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |CAST(o_orderdate AS DATE) AS o_date

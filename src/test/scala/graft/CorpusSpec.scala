@@ -127,6 +127,26 @@ class CorpusSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("dedup_semantic: cluster minima kept, dups real, partition total") {
+    val got = ops.Embeddings.queries("dedup_semantic")(spark, sf0001).cache()
+    // every vector classified exactly once, verdict is binary
+    assert(got.count() === 500)
+    assert(got.select("vec_id").distinct().count() === 500)
+    assert(got.filter(col("kept") =!= 0 && col("kept") =!= 1).count() === 0)
+    // the lowest vec_id of each cell has no earlier in-cell neighbor by
+    // construction — the keep-first rule must never drop it
+    val mins = got.groupBy("centroid_id")
+      .agg(org.apache.spark.sql.functions.min("vec_id").as("vec_id"))
+    assert(got.join(mins, Seq("centroid_id", "vec_id"))
+      .filter(col("kept") === 0).count() === 0)
+    // threshold is meaningful on this corpus: some semantic near-dups are
+    // dropped, but the corpus doesn't collapse
+    val nDup = got.filter(col("kept") === 0).count()
+    assert(nDup > 0 && nDup < 250, s"implausible dup count $nDup")
+    got.unpersist()
+    ()
+  }
+
   test("text_lm_score discriminates: English scores below non-English") {
     // the LM is trained on the English slice, so the perplexity proxy must
     // separate in-distribution from out-of-distribution docs on average —

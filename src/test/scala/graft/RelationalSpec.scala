@@ -80,4 +80,19 @@ class RelationalSpec extends SparkSpec {
     assert(pruned.count() === 1)
     ()
   }
+
+  test("xml sink/scan round-trips markup-significant characters") {
+    // the oracle row pins supplier data (no markup in it); this pins the
+    // escaping contract — &, <, >, quotes must survive the XML hop intact
+    val rows = Seq((1L, "a < b & c > d"), (2L, "say \"hi\" & 'bye'"),
+      (3L, "plain"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_xml_").toString
+    rows.toDF("id", "s").write.mode("overwrite")
+      .option("rootTag", "rows").option("rowTag", "row").xml(dir)
+    val back = spark.read.option("rowTag", "row")
+      .schema("id BIGINT, s STRING").xml(dir)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(back === rows)
+  }
 }
