@@ -65,9 +65,14 @@ object Relational {
     // SURVEY §3.3). Writes a temp CSV then re-reads with an explicit schema.
     "csv_roundtrip" -> ((s, d) => {
       val out = scratchDir("csv_rt")
+      // testdata artifact guard (same rationale as dqProfile's): lineitem
+      // ships as ONE parquet file = one input split, so without this the
+      // 600k-row CSV format+write runs on a single task. Real multi-file
+      // tables at scale already have the splits and skip this shuffle.
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_quantity"), col("l_shipdate").cast("date").as("l_shipdate"))
+        .repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite").option("header", "true").csv(out)
       s.read.option("header", "true")
         .schema("l_orderkey BIGINT, l_linenumber INT, l_returnflag STRING, " +

@@ -39,6 +39,9 @@ class PlanAuditSpec extends SparkSpec {
     // every vector against all k centroids — that IS the operator.
     "embed_centroid" -> Set("BroadcastNestedLoopJoin"),
     "embed_kmeans_step" -> Set("BroadcastNestedLoopJoin"),
+    // same k=8 broadcast-centroid E-step as embed_centroid (shared
+    // `assign`); the in-cell pair generation itself is an equi join on cid
+    "dedup_semantic" -> Set("BroadcastNestedLoopJoin"),
     // 1-row broadcast vocab-size/token-total smoothing constants
     "text_lm_score" -> Set("BroadcastNestedLoopJoin"),
     // 1-row broadcast n_docs scalar for the idf term
