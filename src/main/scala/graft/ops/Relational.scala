@@ -119,6 +119,28 @@ object Relational {
         .orderBy("n_nationkey")
     }),
 
+    // Schema-evolution read (L38 as a declared query; the invariants spec
+    // stays in RelationalSpec): odd orderkeys land in an era-1 drop
+    // WITHOUT o_orderstatus, even orderkeys in era 2 WITH it — the
+    // field-appears-mid-history layout of real daily drops. mergeSchema
+    // reconciles the footers and era-1 rows surface the late column as
+    // NULL. At 100 TB pass the merged schema explicitly via .schema(...)
+    // instead — mergeSchema reads every file footer; same read path,
+    // no footer sweep.
+    "evolve_merge_read" -> ((s, d) => {
+      val out = scratchDir("evolve")
+      val o = orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$out/era=1")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$out/era=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
     // XML sink + scan (A3/A4 extension; Spark 4 native XML datasource —
     // the spark-xml donation, SPARK-44265). Third-party feeds still arrive
     // as XML; row-tag framing makes the format splittable enough for
@@ -760,6 +782,11 @@ object Relational {
     "xml_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "evolve_merge_read" ->
+      """SELECT o_orderkey, o_totalprice,
+        |CASE WHEN o_orderkey % 2 = 1 THEN NULL ELSE o_orderstatus END
+        |  AS o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "parquet_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |CAST(o_orderdate AS DATE) AS o_date
