@@ -503,6 +503,30 @@ object TextSim {
         .select(col("ia"), col("ib"), col("est_sim"))
         .orderBy("ia", "ib")),
 
+    // Cross-source near-dup overlap matrix: the dataset-card analytic a
+    // mixture designer reads before weighting sources — how much of source
+    // A is (nearly) inside source B. Reuses the MinHash/LSH candidate
+    // pairs and joins each side to its source tag; (least, greatest)
+    // canonicalizes the unordered source pair. avg_sim accumulates through
+    // the exact-decimal sum (est_sim is k/16 — exactly representable, but
+    // the decimal quantum keeps the contract uniform). Scale: two
+    // node-sized hash joins on the candidate-bounded pair set, then a
+    // groupBy on a |sources|² key space — all linear past the banding.
+    "overlap_sources" -> ((s, d) => {
+      val docs = documents(s, d)
+      val sa = docs.select(col("doc_id").as("ia"), col("source").as("srcTagA"))
+      val sb = docs.select(col("doc_id").as("ib"), col("source").as("srcTagB"))
+      minhashPairs(docs)
+        .join(sa, "ia").join(sb, "ib")
+        .select(least(col("srcTagA"), col("srcTagB")).as("source_a"),
+          greatest(col("srcTagA"), col("srcTagB")).as("source_b"),
+          col("est_sim"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          dsum(col("est_sim"), 6).as("sum_sim"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // The composed training-data dedup pipeline as ONE declarative plan:
     // exact content-hash dedup (keep min doc_id per sha) followed by
     // near-dup removal (greedy keep-the-smaller-id over the MinHash pair
@@ -794,6 +818,17 @@ object TextSim {
     "dedup_minhash" ->
       s"""WITH $dMinhashCte
         |SELECT ia, ib, est_sim FROM pairs ORDER BY ia, ib""".stripMargin,
+    "overlap_sources" ->
+      s"""WITH $dMinhashCte
+        |SELECT least(da.source, db.source) AS source_a,
+        |  greatest(da.source, db.source) AS source_b,
+        |  count(*) AS n_pairs,
+        |  CAST(round(SUM(CAST(est_sim AS DECIMAL(30,8))), 6) AS DOUBLE)
+        |    AS sum_sim
+        |FROM pairs
+        |JOIN documents da ON pairs.ia = da.doc_id
+        |JOIN documents db ON pairs.ib = db.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_pipeline" ->
       s"""WITH $dMinhashCte,
         |exact AS (SELECT min(doc_id) AS doc_id FROM documents
