@@ -106,6 +106,21 @@ class TextSimSpec extends SparkSpec {
     assert(math.abs(cos(3L) - 1.0) < 1e-12)
   }
 
+  test("overlap_sources: canonical source pairs, totals match the pair set") {
+    val m = ops.TextSim.queries("overlap_sources")(spark, sf0001).cache()
+    val rows = m.select("source_a", "source_b", "n_pairs")
+      .as[(String, String, Long)].collect()
+    assert(rows.nonEmpty)
+    // (least, greatest) canonicalization: never a reversed duplicate row
+    rows.foreach { case (a, b, _) => assert(a <= b, s"non-canonical ($a,$b)") }
+    assert(rows.map(r => (r._1, r._2)).distinct.length === rows.length)
+    // the matrix partitions the candidate pair set: counts must total it
+    val nPairs = ops.TextSim.queries("dedup_minhash")(spark, sf0001).count()
+    assert(rows.map(_._3).sum === nPairs)
+    m.unpersist()
+    ()
+  }
+
   test("stop-shingle guard bounds the candidate join on hot shingles") {
     // 12 identical pure-boilerplate docs: every shingle has df = 12, so an
     // unguarded inverted-index join generates all 66 pairs (J = 1) — the
