@@ -160,6 +160,42 @@ object Corpus {
         .orderBy("doc_id", "rk")
     }),
 
+    // BM25 ranked retrieval (L43; Robertson's Okapi BM25 with the
+    // Lucene-style +1 inside the idf ln, which keeps every term
+    // contribution non-negative): score the corpus against the probe
+    // query — doc 0's distinct tokens, the same fixed-probe convention
+    // sim_cosine uses for vectors. Per-term scores are rounded to 6
+    // BEFORE the exact-decimal per-doc sum, so accumulation is
+    // partition-order-independent and immune to last-ulp ln() skew (the
+    // text_lm_score contract). Scale: token rows are semi-joined to the
+    // |q|-sized term list BEFORE the tf groupBy, so everything past the
+    // tokenizer is |q|-bounded, not vocabulary-bounded; (n_docs, avgdl)
+    // is a 1-row broadcast stat; the final top-20 is TakeOrderedAndProject
+    // (never a global sort).
+    "text_bm25" -> ((s, d) => {
+      val t = tokenRows(Tables.documents(s, d))
+      val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val q = t.filter(col("doc_id") === 0).select("tok").distinct()
+      val tf = t.join(q, "tok")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(df, "tok").join(dl, "doc_id").crossJoin(stats)
+        .select(col("doc_id"),
+          round(
+            log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+                (col("df") + lit(0.5)) + lit(1.0)) *
+            (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+                col("avgdl"))),
+            6).as("sc"))
+        .groupBy("doc_id")
+        .agg(dsum(col("sc"), 6).as("score"), count(lit(1)).as("n_terms"))
+        .orderBy(desc("score"), asc("doc_id")).limit(20)
+    }),
+
     // Heavy hitters via Count-Min Sketch prefilter + exact verify: one
     // pass builds the CMS (and the stream total) — collected driver-side
     // as a model parameter — then token ROWS are prefiltered map-side by
@@ -303,6 +339,28 @@ object Corpus {
         |    ORDER BY score DESC, tok) AS rk FROM sc)
         |SELECT doc_id, rk, tok, tf, df, score
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "text_bm25" ->
+      s"""WITH t AS ($dTokRows),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |q AS (SELECT DISTINCT tok FROM t WHERE doc_id = 0),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf
+        |  FROM t JOIN q USING (tok) GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |    round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+        |        + 1.0) *
+        |      (CAST(tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf AS DOUBLE) + 1.2 *
+        |        (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)), 6) AS sc
+        |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st)
+        |SELECT doc_id,
+        |  CAST(round(SUM(CAST(sc AS DECIMAL(30,8))), 6) AS DOUBLE)
+        |    AS score,
+        |  count(*) AS n_terms
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "agg_cms_heavy" ->
       s"""WITH t AS ($dTokRows),
         |th AS (SELECT (count(*) + 999) // 1000 AS t0 FROM t)

@@ -127,6 +127,23 @@ class CorpusSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("text_bm25: positive descending scores, probe doc retrieved") {
+    val got = ops.Corpus.queries("text_bm25")(spark, sf0001)
+      .select("doc_id", "score", "n_terms")
+      .as[(Long, Double, Long)].collect()
+    assert(got.length === 20)
+    // the probe doc matches every query term by construction — it must
+    // surface in the top-20 (though tf-density can rank others above it)
+    assert(got.exists(_._1 === 0L), "probe doc missing from its own top-20")
+    // +1-style idf keeps every term contribution positive
+    got.foreach { case (id, s, nt) =>
+      assert(s > 0, s"non-positive BM25 score $s for doc $id")
+      assert(nt >= 1, s"doc $id retrieved with zero matching terms")
+    }
+    // the declared ordering (score desc, doc_id asc) is what came back
+    assert(got.sortBy(r => (-r._2, r._1)).toSeq === got.toSeq)
+  }
+
   test("dedup_semantic: cluster minima kept, dups real, partition total") {
     val got = ops.Embeddings.queries("dedup_semantic")(spark, sf0001).cache()
     // every vector classified exactly once, verdict is binary

@@ -44,6 +44,9 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_semantic" -> Set("BroadcastNestedLoopJoin"),
     // 1-row broadcast vocab-size/token-total smoothing constants
     "text_lm_score" -> Set("BroadcastNestedLoopJoin"),
+    // 1-row broadcast (n_docs, avgdl) corpus stats crossed into the
+    // |q|-bounded tf/df join
+    "text_bm25" -> Set("BroadcastNestedLoopJoin"),
     // 1-row broadcast n_docs scalar for the idf term
     "text_tfidf" -> Set("BroadcastNestedLoopJoin"),
     // 1-row n_docs scalar, and the rank window runs AFTER the
