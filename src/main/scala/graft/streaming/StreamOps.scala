@@ -163,31 +163,81 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
          state: org.apache.spark.sql.streaming.GroupState[SessState]) =>
-          // gaps-and-islands over the batch events PLUS the open session
-          // (as an interval), sorted by start: consecutive intervals merge
-          // when the gap is < gapMs. This handles late BURSTS correctly —
-          // several old events coalesce into one session rather than N
-          // singletons — and a late in-session event can only widen the
-          // session, never rewind it.
-          val intervals = (rows.map { r =>
-            val t = r._2.getTime; SessState(t, t, 1)
-          } ++ state.getOption.iterator).toArray
-            .sortBy(i => (i.startMs, i.lastMs))
-          var merged = List.empty[SessState]
-          intervals.foreach { i =>
-            merged = merged match {
-              case h :: rest if i.startMs - h.lastMs < gapMs =>
-                SessState(h.startMs, math.max(h.lastMs, i.lastMs),
-                  h.n + i.n) :: rest
-              case acc => i :: acc
-            }
-          }
+          val merged = mergeSessions(rows, state.getOption, gapMs)
           // head of `merged` is the latest interval — it stays open in
           // state; every earlier one is closed and emitted.
           val open = merged.head
           state.update(open)
           merged.tail.reverse.iterator.map(s =>
             SessionOut(user, s.startMs * 1000, s.lastMs * 1000, s.n))
+      }
+  }
+
+  /** Gaps-and-islands over the batch events PLUS the open session (as an
+    * interval), sorted by start: consecutive intervals merge when the gap
+    * is < gapMs. This handles late BURSTS correctly — several old events
+    * coalesce into one session rather than N singletons — and a late
+    * in-session event can only widen the session, never rewind it.
+    * Head of the returned list is the LATEST interval. */
+  private def mergeSessions(rows: Iterator[(Long, java.sql.Timestamp)],
+      prior: Option[SessState], gapMs: Long): List[SessState] = {
+    val intervals = (rows.map { r =>
+      val t = r._2.getTime; SessState(t, t, 1)
+    } ++ prior.iterator).toArray
+      .sortBy(i => (i.startMs, i.lastMs))
+    var merged = List.empty[SessState]
+    intervals.foreach { i =>
+      merged = merged match {
+        case h :: rest if i.startMs - h.lastMs < gapMs =>
+          SessState(h.startMs, math.max(h.lastMs, i.lastMs),
+            h.n + i.n) :: rest
+        case acc => i :: acc
+      }
+    }
+    merged
+  }
+
+  /** Idle-session flush — the PRODUCTION variant of [[sessionizeStateful]]
+    * (whose NoTimeout trade is documented above): EventTimeTimeout closes
+    * a session once the WATERMARK passes its last event + gap, so a user
+    * who goes silent stops pinning state — without this, state size is
+    * unbounded in the number of ever-seen keys, the thing that actually
+    * kills a 100 TB streaming job. Requires `withWatermark` on `ts`
+    * upstream (Spark enforces this); the flush fires in the first
+    * micro-batch whose watermark exceeds lastMs + gap — the same close
+    * boundary an arriving event would have triggered, so the two variants
+    * emit identical sessions, just on different clocks. */
+  def sessionizeStatefulTimeout(events: DataFrame, gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: org.apache.spark.sql.streaming.GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(user, s.startMs * 1000, s.lastMs * 1000, s.n))
+          } else {
+            val merged = mergeSessions(rows, state.getOption, gapMs)
+            val open = merged.head
+            state.update(open)
+            // a timeout timestamp at or behind the watermark is illegal —
+            // clamp just past it (fires on the next batch), which only
+            // happens when the open interval itself arrived later than
+            // watermark + gap allows
+            state.setTimeoutTimestamp(
+              math.max(open.lastMs + gapMs, state.getCurrentWatermarkMs + 1))
+            merged.tail.reverse.iterator.map(s =>
+              SessionOut(user, s.startMs * 1000, s.lastMs * 1000, s.n))
+          }
       }
   }
 }

@@ -137,6 +137,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer with event-time timeout flushes idle users") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.sessionizeStatefulTimeout(
+        ms.toDF().withWatermark("ts", "0 seconds"), gapMinutes = 30)
+      .writeStream.format("memory").queryName("fmgs_timeout")
+      .outputMode("append").start()
+    try {
+      // user 7's session [10:00, 10:10] forms, then the user goes SILENT —
+      // the NoTimeout variant would hold this state forever
+      ms.addData(Ev(1, ts(10), 7, 1.0), Ev(2, ts(10, 10), 7, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("fmgs_timeout").isEmpty)
+      // other users' traffic advances the watermark: batch 2 runs with
+      // watermark 10:10 (no flush — 10:40 not passed), batch 3 with 12:00
+      ms.addData(Ev(3, ts(12), 8, 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(4, ts(12, 5), 8, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("fmgs_timeout")
+        .as[StreamOps.SessionOut].collect().toSeq
+      assert(out === Seq(StreamOps.SessionOut(7,
+        ts(10).getTime * 1000, ts(10, 10).getTime * 1000, 2)),
+        s"idle session not flushed by watermark passage: $out")
+    } finally q.stop()
+  }
+
   test("sessionizer: a late in-session event never moves bounds backwards") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
