@@ -40,4 +40,41 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // the OTHER half of the skew story beside Skew.saltedJoin: with AQE's
+    // skew-join rewrite, a hot key's oversized shuffle partition is split
+    // into parallel sub-joins AT RUNTIME, no salting rewrite needed. The
+    // thresholds are shrunk so the local fixture trips the same code path
+    // a 100 TB hot key would; the salted join remains the escape hatch for
+    // engines/paths AQE can't touch (e.g. aggregations over the hot key).
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // left: one hot key (0) carrying 200k rows + a uniform tail;
+      // right: small per-key dimension — the classic hot-join shape
+      val left = spark.range(200000).select(lit(0L).as("k"), col("id"))
+        .union(spark.range(20000).select((col("id") % 64 + 1).as("k"),
+          col("id")))
+      val right = spark.range(65).select(col("id").as("k"),
+        (col("id") * 10).as("w"))
+      val joined = left.join(right, "k")
+      // execute THIS dataframe's plan (count() builds a different query
+      // execution, leaving joined's adaptive plan unfinalized)
+      assert(joined.collect().length === 220000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(2000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
