@@ -532,4 +532,32 @@ object Multimodal {
         floor(w * scale).cast("int").as("dst_w"),
         floor(h * scale).cast("int").as("dst_h"))
   }
+
+  /** REAL pixel resize executing a [[planResize]] row — pure-JVM
+    * Graphics2D with bilinear interpolation, re-encoded as PNG (lossless,
+    * so the only information change is the scaling itself). Pass target
+    * dims from planResize so plan and execution cannot disagree; never
+    * upscales by the same `min(1, ·)` rule. Batch form for the
+    * mapPartitions decode stage, same shape as decodeImageBatch.
+    */
+  def resizeImage(bytes: Array[Byte], dstW: Int, dstH: Int): Array[Byte] = {
+    val src = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(src != null, "payload is not a decodable image")
+    require(dstW > 0 && dstH > 0, s"bad target ${dstW}x$dstH")
+    val dst = new java.awt.image.BufferedImage(dstW, dstH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, dstW, dstH, null)
+    } finally g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", out)
+    out.toByteArray
+  }
+
+  def resizeImageBatch(batch: Seq[(Array[Byte], Int, Int)]): Seq[Array[Byte]] =
+    batch.map { case (b, w, h) => resizeImage(b, w, h) }
 }

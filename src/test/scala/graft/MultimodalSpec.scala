@@ -239,6 +239,28 @@ class MultimodalSpec extends SparkSpec {
       $"src_w" + $"src_h")
     assert(off.isEmpty)
   }
+
+  test("real pixel resize executes the plan: dims, content, PNG payload") {
+    def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // 64x32 solid red, planned into maxDim=16 → 16x8
+    val red = png(64, 32, (_, _) => 0xFF0000)
+    val small = Multimodal.resizeImage(red, 16, 8)
+    assert(Multimodal.imageMeta(small) === ((16, 8)))
+    // bilinear over a solid color stays solid: luma hist all in bin 4
+    val feats = Multimodal.decodeImage(small)
+    assert(feats(4) === 1.0f, s"solid color bled: ${feats.toSeq}")
+    // batch form matches element-wise application
+    val batch = Multimodal.resizeImageBatch(
+      Seq((red, 16, 8), (red, 32, 16)))
+    assert(batch.map(Multimodal.imageMeta) === Seq((16, 8), (32, 16)))
+  }
 }
 
 object MultimodalSpec {
