@@ -160,6 +160,38 @@ object Corpus {
         .orderBy("doc_id", "rk")
     }),
 
+    // Winnowing fingerprints (L45; Schleimer-Wilkerson-Aiken, SIGMOD 2003
+    // — the MOSS local fingerprinting scheme): hash every positional word
+    // 3-gram, then every window of 4 consecutive hashes selects its MIN.
+    // Guarantee: any token run of length >= w+k-1 = 7 shared by two
+    // documents shares at least one selected fingerprint, while only
+    // ~2/(w+1) of all hashes are stored — local dedup/plagiarism evidence
+    // at a fraction of the index size. Value-set form (distinct selected
+    // hashes per doc, pinned by count/min/max) — position-free, and pure
+    // integers end to end: no float parity surface. Scale: both windows
+    // are per-doc partitions (partition-local, never global); the rest is
+    // one map + one groupBy.
+    "text_winnow" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val g3 = tokenRows(Tables.documents(s, d))
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", col("tok"), lead("tok", 1).over(w),
+            lead("tok", 2).over(w)).as("g"),
+          lead("tok", 2).over(w).isNotNull.as("full"))
+        .filter(col("full"))
+        .select(col("doc_id"), col("pos"), h60(col("g")).as("h"))
+      val fps = g3
+        .select(col("doc_id"), col("pos"),
+          min("h").over(w.rowsBetween(0, 3)).as("fp"),
+          lead("h", 3).over(w).isNotNull.as("fullw"))
+        .filter(col("fullw"))
+        .select(col("doc_id"), col("fp")).distinct()
+      fps.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"),
+          max("fp").as("max_fp"))
+        .orderBy("doc_id")
+    }),
+
     // BM25 ranked retrieval (L43; Robertson's Okapi BM25 with the
     // Lucene-style +1 inside the idf ln, which keeps every term
     // contribution non-negative): score the corpus against the probe
@@ -339,6 +371,25 @@ object Corpus {
         |    ORDER BY score DESC, tok) AS rk FROM sc)
         |SELECT doc_id, rk, tok, tf, df, score
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "text_winnow" ->
+      s"""WITH t AS ($dTokRows),
+        |g3 AS (SELECT doc_id, pos,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+        |      lead(tok, 2) OVER w AS g,
+        |    lead(tok, 2) OVER w IS NOT NULL AS is_full
+        |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |h3 AS (SELECT doc_id, pos, ${dH60("g")} AS h
+        |  FROM g3 WHERE is_full),
+        |sel AS (SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos)
+        |      IS NOT NULL AS is_fullw
+        |  FROM h3),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM sel WHERE is_fullw)
+        |SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp,
+        |  max(fp) AS max_fp
+        |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_bm25" ->
       s"""WITH t AS ($dTokRows),
         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),

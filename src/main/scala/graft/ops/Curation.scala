@@ -104,6 +104,34 @@ object Curation {
         .orderBy("lang", "rn")
     }),
 
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    // per-item key ln(u)/w with u a content-stable uniform in (0,1) and
+    // w = n_chars; the top-3 keys per source are a draw of 3 docs with
+    // probability proportional to length, without replacement — the
+    // quality-weighted subsample a mixture designer takes when longer
+    // (or higher-scored) documents should win slots. ln(u)/w is the
+    // monotone log of the textbook u^(1/w), avoiding pow; the ranking key
+    // is rounded to 9 with doc_id tiebreak (the tfidf ln-parity
+    // contract). Same two-phase top-k as sample_quota: per-partition
+    // top-3 first, so the per-source window never sees a whole source.
+    "sample_weighted" -> ((s, d) => {
+      val u = (pmod(h60(concat(lit("wsm"), col("doc_id"))), lit(1000000L))
+        .cast("double") + lit(1.0)) / lit(1000002.0)
+      val key = round(log(u) / col("n_chars").cast("double"), 9)
+      val local = Tables.documents(s, d)
+        .withColumn("es_key", key)
+        .withColumn("prn", row_number().over(
+          Window.partitionBy(col("source"), spark_partition_id())
+            .orderBy(desc("es_key"), col("doc_id"))))
+        .filter(col("prn") <= 3)
+      local
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(desc("es_key"), col("doc_id"))))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("rn"), col("doc_id"), col("es_key"))
+        .orderBy("source", "rn")
+    }),
+
     // Mixture rebalancing toward a uniform source distribution:
     // rate(src) = min(1, target/cnt(src)), applied as hash sampling.
     // Output = per-source original vs kept counts (the rebalanced corpus).
@@ -305,6 +333,17 @@ object Curation {
         |  FROM documents)
         |SELECT lang, rn, doc_id FROM r WHERE rn <= 20
         |ORDER BY lang, rn""".stripMargin,
+    "sample_weighted" ->
+      s"""WITH b AS (SELECT source, doc_id,
+        |    round(ln((CAST(${dH60("'wsm' || CAST(doc_id AS VARCHAR)")}
+        |        % 1000000 AS DOUBLE) + 1.0) / 1000002.0)
+        |      / CAST(n_chars AS DOUBLE), 9) AS es_key
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, es_key, row_number() OVER
+        |    (PARTITION BY source ORDER BY es_key DESC, doc_id) AS rn
+        |  FROM b)
+        |SELECT source, rn, doc_id, es_key FROM r WHERE rn <= 3
+        |ORDER BY source, rn""".stripMargin,
     "mix_resample" ->
       s"""WITH st AS (SELECT source, count(*) AS n_orig FROM documents
         |  GROUP BY 1),

@@ -127,6 +127,43 @@ class CorpusSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("text_winnow: fingerprints are a bounded, non-empty selection") {
+    val fp = ops.Corpus.queries("text_winnow")(spark, sf0001)
+      .join(Tables.documents(spark, sf0001)
+        .select(col("doc_id"), size(ops.toks).as("n_tok")), "doc_id")
+      .select("doc_id", "n_fp", "min_fp", "max_fp", "n_tok")
+      .as[(Long, Long, Long, Long, Int)].collect()
+    assert(fp.nonEmpty)
+    fp.foreach { case (id, n, mn, mx, nTok) =>
+      // windows = n_grams - 3 = n_tok - 5; selection is ≥1 and can never
+      // exceed the window count (w-sized windows each pick one hash)
+      val nWindows = nTok - 5
+      assert(n >= 1 && n <= nWindows.max(1),
+        s"doc $id: $n fingerprints from $nWindows windows")
+      assert(mn <= mx)
+    }
+    // winnowing stores ~2/(w+1) of hashes — the corpus-wide density must
+    // be well under 1 (the whole point of the scheme)
+    val (nFp, nWin) = (fp.map(_._2).sum, fp.map(r => (r._5 - 5).max(1)).sum)
+    assert(nFp.toDouble / nWin < 0.8, s"selection not sparse: $nFp/$nWin")
+  }
+
+  test("sample_weighted: exactly 3 per source, keys ordered, reproducible") {
+    val q = ops.Curation.queries("sample_weighted")
+    val a = q(spark, sf0001).collect()
+    // structure: every source contributes exactly rn = 1, 2, 3
+    val bySrc = a.groupBy(_.getString(0))
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === Seq(1, 2, 3), src)
+      // ES keys are ln(u)/w with u < 1: strictly negative, descending in rn
+      val keys = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(keys.forall(_ < 0))
+      assert(keys.sorted(Ordering[Double].reverse).toSeq === keys.toSeq)
+    }
+    // content-stable: a re-run draws the identical sample
+    assert(q(spark, sf0001).collect().toSeq === a.toSeq)
+  }
+
   test("text_bm25: positive descending scores, probe doc retrieved") {
     val got = ops.Corpus.queries("text_bm25")(spark, sf0001)
       .select("doc_id", "score", "n_terms")
