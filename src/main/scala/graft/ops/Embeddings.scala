@@ -140,6 +140,42 @@ object Embeddings {
             count(lit(1)), 6).as("c_new"),
           count(lit(1)).as("n"))
         .orderBy("cid", "dim_idx")
+    }),
+
+  /** Product-quantization codes (FAISS PQ shape, Jégou et al. 2011,
+    * "Product quantization for nearest neighbor search"): the 64-dim
+    * vector splits into M=8 subspaces of 8 dims; each subvector is
+    * assigned to the nearest of k=4 sub-centroids (seeded from the first
+    * 4 vectors' subvectors — the deterministic-codebook convention of
+    * embed_centroid). Output per vector: the packed 16-bit code word
+    * (Σ code_s · 4^s) and the total squared reconstruction error — a
+    * 64-float vector compressed to 2 bytes, the memory step that makes
+    * billion-scale ANN indexes fit. Per-subspace distances accumulate in
+    * exact decimal (element count is tiny but the partial-agg order is
+    * not guaranteed), so codes and error are layout-independent.
+    * Scale: element-explode is n·dim·k linear work — the PQ-encode map —
+    * with both groupBys map-side combined; the codebook is k×dim model
+    * parameters.
+    */
+    "embed_pq" -> ((s, d) => {
+      val el = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
+        .select(col("vec_id"), col("idx"), col("x").cast("double").as("x"),
+          expr("idx div 8").as("sub"))
+      val cb = el.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("idx"), col("x").as("cx"))
+      val d2 = el.join(cb, Seq("idx")) // idx determines the subspace
+        .groupBy("vec_id", "sub", "cid")
+        .agg(exactSum((col("x") - col("cx")) * (col("x") - col("cx")))
+          .cast("double").as("d2"))
+      d2.withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id", "sub").orderBy("d2", "cid")))
+        .filter(col("rn") === 1)
+        .groupBy("vec_id")
+        .agg(sum(col("cid") * pow(lit(4.0), col("sub")).cast("long"))
+          .as("code"),
+          dsum(col("d2"), 6).as("err"))
+        .orderBy("vec_id")
     })
   )
 
@@ -211,7 +247,26 @@ object Embeddings {
         |  round(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,8)))
         |    AS DOUBLE) / count(*), 6) AS c_new,
         |  count(*) AS n
-        |FROM el GROUP BY cid, dim_idx ORDER BY cid, dim_idx""".stripMargin
+        |FROM el GROUP BY cid, dim_idx ORDER BY cid, dim_idx""".stripMargin,
+    "embed_pq" ->
+      """WITH el AS (SELECT vec_id,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS idx,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |e2 AS (SELECT vec_id, idx, x, idx // 8 AS sub FROM el),
+        |cb AS (SELECT vec_id AS cid, idx, x AS cx FROM e2
+        |  WHERE vec_id < 4),
+        |d2 AS (SELECT e2.vec_id, sub, cid,
+        |    CAST(SUM(CAST((x - cx) * (x - cx) AS DECIMAL(30,8)))
+        |      AS DOUBLE) AS d2
+        |  FROM e2 JOIN cb USING (idx)
+        |  GROUP BY 1, 2, 3),
+        |best AS (SELECT vec_id, sub, cid, d2, row_number() OVER
+        |    (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM d2)
+        |SELECT vec_id,
+        |  CAST(SUM(cid * CAST(pow(4, sub) AS BIGINT)) AS BIGINT) AS code,
+        |  CAST(round(SUM(CAST(d2 AS DECIMAL(30,8))), 6) AS DOUBLE) AS err
+        |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )
 
   /** DuckDB mirror of [[assign]] — CTE chain ending in `r(vec_id, cid,

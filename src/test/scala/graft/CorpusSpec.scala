@@ -127,6 +127,25 @@ class CorpusSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("embed_pq: codebook vectors self-encode at zero error") {
+    val got = ops.Embeddings.queries("embed_pq")(spark, sf0001).cache()
+    assert(got.count() === 500)
+    // vec k < 4 IS sub-centroid k in every subspace: code = k·Σ4^s =
+    // k·21845, err = 0 — the self-encoding identity of a seeded codebook
+    val seeds = got.filter(col("vec_id") < 4)
+      .select("vec_id", "code", "err").as[(Long, Long, Double)].collect()
+    assert(seeds.length === 4)
+    seeds.foreach { case (v, code, err) =>
+      assert(code === v * 21845L, s"vec $v code $code != ${v * 21845L}")
+      assert(err === 0.0, s"seed vec $v reconstruction error $err")
+    }
+    // codes are 16-bit words; errors non-negative
+    assert(got.filter(col("code") < 0 || col("code") > 65535).count() === 0)
+    assert(got.filter(col("err") < 0).count() === 0)
+    got.unpersist()
+    ()
+  }
+
   test("text_winnow: fingerprints are a bounded, non-empty selection") {
     val fp = ops.Corpus.queries("text_winnow")(spark, sf0001)
       .join(Tables.documents(spark, sf0001)
