@@ -30,6 +30,11 @@ object Embeddings {
 
   private val K = 8 // centroid count for embed_centroid (first K vec_ids)
 
+  /** PQ codebook size per subspace: 16 sub-centroids (4-bit codes x 8
+    * subspaces = a 32-bit code word), seeded from the first 16 vectors'
+    * subvectors. */
+  private val PqK = 16
+
   /** Cosine threshold for dedup_semantic — same near-dup bar as
     * dedup_embed, pinned into the declared query AND its oracle (no
     * runtime knob on the declared path, mirroring the StopShingleDf
@@ -145,11 +150,11 @@ object Embeddings {
   /** Product-quantization codes (FAISS PQ shape, Jégou et al. 2011,
     * "Product quantization for nearest neighbor search"): the 64-dim
     * vector splits into M=8 subspaces of 8 dims; each subvector is
-    * assigned to the nearest of k=4 sub-centroids (seeded from the first
-    * 4 vectors' subvectors — the deterministic-codebook convention of
-    * embed_centroid). Output per vector: the packed 16-bit code word
-    * (Σ code_s · 4^s) and the total squared reconstruction error — a
-    * 64-float vector compressed to 2 bytes, the memory step that makes
+    * assigned to the nearest of k=16 sub-centroids (seeded from the
+    * first 16 vectors' subvectors — the deterministic-codebook convention
+    * of embed_centroid). Output per vector: the packed 32-bit code word
+    * (Σ code_s · 16^s) and the total squared reconstruction error — a
+    * 64-float vector compressed to 4 bytes, the memory step that makes
     * billion-scale ANN indexes fit. Per-subspace distances accumulate in
     * exact decimal (element count is tiny but the partial-agg order is
     * not guaranteed), so codes and error are layout-independent.
@@ -158,26 +163,70 @@ object Embeddings {
     * parameters.
     */
     "embed_pq" -> ((s, d) => {
-      val el = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
-        .select(col("vec_id"), col("idx"), col("x").cast("double").as("x"),
-          expr("idx div 8").as("sub"))
-      val cb = el.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("idx"), col("x").as("cx"))
-      val d2 = el.join(cb, Seq("idx")) // idx determines the subspace
-        .groupBy("vec_id", "sub", "cid")
-        .agg(exactSum((col("x") - col("cx")) * (col("x") - col("cx")))
-          .cast("double").as("d2"))
-      d2.withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id", "sub").orderBy("d2", "cid")))
-        .filter(col("rn") === 1)
+      pqBest(Tables.embeddings(s, d))
         .groupBy("vec_id")
-        .agg(sum(col("cid") * pow(lit(4.0), col("sub")).cast("long"))
+        .agg(sum(col("cid") * pow(lit(16.0), col("sub")).cast("long"))
           .as("code"),
           dsum(col("d2"), 6).as("err"))
         .orderBy("vec_id")
+    }),
+
+    // ADC search over the PQ codes, two-stage (the full FAISS recipe —
+    // asymmetric distance computation, then exact re-rank): the probe
+    // (vec 0) precomputes its squared distance to every sub-centroid — an
+    // 8×16 lookup table, pure model parameters, broadcast — and each
+    // database vector's approximate distance is the sum of 8 table
+    // lookups selected by its code, never touching the original floats.
+    // The ADC top-100 shortlist (20% of this corpus; a fixed small
+    // multiple of k in production) is then re-ranked by EXACT L2 over the
+    // shortlisted floats only — coarse 32-bit codes shortlist, exact math
+    // decides, which is how IVF-PQ deployments actually answer queries.
+    // Approximate by construction (rows-only; the recall spec quantifies
+    // it against exact L2). Scale: stage 1 reads ONLY the 4-byte codes
+    // (n·M code rows joined to a 128-row broadcast, then
+    // TakeOrderedAndProject); stage 2 fetches |shortlist| full vectors.
+    "sim_topk_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val lut = pqD2(emb).filter(col("vec_id") === 0)
+        .select(col("sub"), col("cid"), col("d2").as("pd2"))
+      val shortlist = pqBest(emb).filter(col("vec_id") =!= 0)
+        .join(broadcast(lut), Seq("sub", "cid"))
+        .groupBy("vec_id")
+        .agg(dsum(col("pd2"), 6).as("approx_d2"))
+        .orderBy(asc("approx_d2"), asc("vec_id")).limit(100)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p"))
+      shortlist.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("approx_d2"),
+          round(greatest(dot(col("embedding"), col("embedding")) -
+            lit(2.0) * dot(col("embedding"), col("p")) +
+            dot(col("p"), col("p")), lit(0.0)), 6).as("exact_d2"))
+        .orderBy(asc("exact_d2"), asc("vec_id")).limit(5)
     })
   )
+
+  /** All subspace distances (vec_id, sub, cid, d2): elements joined to the
+    * 16-seed codebook, squared distances accumulated in exact decimal.
+    * Shared by embed_pq and sim_topk_pq. */
+  private def pqD2(emb: DataFrame): DataFrame = {
+    val el = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
+      .select(col("vec_id"), col("idx"), col("x").cast("double").as("x"),
+        expr("idx div 8").as("sub"))
+    val cb = el.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("cid"), col("idx"), col("x").as("cx"))
+    el.join(cb, Seq("idx")) // idx determines the subspace
+      .groupBy("vec_id", "sub", "cid")
+      .agg(exactSum((col("x") - col("cx")) * (col("x") - col("cx")))
+        .cast("double").as("d2"))
+  }
+
+  /** Per-(vector, subspace) nearest sub-centroid rows — the PQ encoding. */
+  private def pqBest(emb: DataFrame): DataFrame =
+    pqD2(emb).withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "sub").orderBy("d2", "cid")))
+      .filter(col("rn") === 1)
 
   /** E-step: (vec_id, cid, d2) of the nearest of the K seed centroids —
     * broadcast k model-parameter rows, score k·N, per-vector argmin as a
@@ -255,7 +304,7 @@ object Embeddings {
         |  FROM embeddings),
         |e2 AS (SELECT vec_id, idx, x, idx // 8 AS sub FROM el),
         |cb AS (SELECT vec_id AS cid, idx, x AS cx FROM e2
-        |  WHERE vec_id < 4),
+        |  WHERE vec_id < 16),
         |d2 AS (SELECT e2.vec_id, sub, cid,
         |    CAST(SUM(CAST((x - cx) * (x - cx) AS DECIMAL(30,8)))
         |      AS DOUBLE) AS d2
@@ -264,7 +313,7 @@ object Embeddings {
         |best AS (SELECT vec_id, sub, cid, d2, row_number() OVER
         |    (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM d2)
         |SELECT vec_id,
-        |  CAST(SUM(cid * CAST(pow(4, sub) AS BIGINT)) AS BIGINT) AS code,
+        |  CAST(SUM(cid * CAST(pow(16, sub) AS BIGINT)) AS BIGINT) AS code,
         |  CAST(round(SUM(CAST(d2 AS DECIMAL(30,8))), 6) AS DOUBLE) AS err
         |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )

@@ -130,17 +130,20 @@ class CorpusSpec extends SparkSpec {
   test("embed_pq: codebook vectors self-encode at zero error") {
     val got = ops.Embeddings.queries("embed_pq")(spark, sf0001).cache()
     assert(got.count() === 500)
-    // vec k < 4 IS sub-centroid k in every subspace: code = k·Σ4^s =
-    // k·21845, err = 0 — the self-encoding identity of a seeded codebook
-    val seeds = got.filter(col("vec_id") < 4)
+    // vec k < 16 IS sub-centroid k in every subspace: code = k·Σ16^s =
+    // k·0x11111111, err = 0 — the self-encoding identity of a seeded
+    // codebook
+    val unit = 0x11111111L // Σ 16^s for s = 0..7
+    val seeds = got.filter(col("vec_id") < 16)
       .select("vec_id", "code", "err").as[(Long, Long, Double)].collect()
-    assert(seeds.length === 4)
+    assert(seeds.length === 16)
     seeds.foreach { case (v, code, err) =>
-      assert(code === v * 21845L, s"vec $v code $code != ${v * 21845L}")
+      assert(code === v * unit, s"vec $v code $code != ${v * unit}")
       assert(err === 0.0, s"seed vec $v reconstruction error $err")
     }
-    // codes are 16-bit words; errors non-negative
-    assert(got.filter(col("code") < 0 || col("code") > 65535).count() === 0)
+    // codes are 32-bit words; errors non-negative
+    assert(got.filter(col("code") < 0 || col("code") > 0xFFFFFFFFL)
+      .count() === 0)
     assert(got.filter(col("err") < 0).count() === 0)
     got.unpersist()
     ()

@@ -42,6 +42,9 @@ class PlanAuditSpec extends SparkSpec {
     // same k=8 broadcast-centroid E-step as embed_centroid (shared
     // `assign`); the in-cell pair generation itself is an equi join on cid
     "dedup_semantic" -> Set("BroadcastNestedLoopJoin"),
+    // 1-row broadcast probe vector crossed into the ≤100-row exact
+    // re-rank stage (the ADC shortlist join itself is an equi join)
+    "sim_topk_pq" -> Set("BroadcastNestedLoopJoin"),
     // 1-row broadcast vocab-size/token-total smoothing constants
     "text_lm_score" -> Set("BroadcastNestedLoopJoin"),
     // 1-row broadcast (n_docs, avgdl) corpus stats crossed into the

@@ -50,6 +50,24 @@ class TextSimSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall@5 too low: $recall")
   }
 
+  test("sim_topk_pq: two-stage ADC achieves >=60% recall@5 vs exact L2") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("p"))
+    val exact = emb.filter(col("vec_id") =!= 0).crossJoin(probe)
+      .select(col("vec_id"),
+        (ops.dot(col("embedding"), col("embedding")) -
+          lit(2.0) * ops.dot(col("embedding"), col("p")) +
+          ops.dot(col("p"), col("p"))).as("d2"))
+      .orderBy("d2", "vec_id").limit(5)
+      .select("vec_id").as[Long].collect().toSet
+    val pq = ops.Embeddings.queries("sim_topk_pq")(spark, sf0001)
+      .select("vec_id").as[Long].collect().toSet
+    assert(pq.size === 5)
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ-ADC recall@5 too low: $recall")
+  }
+
   test("IVF quantizer assigns every vector to a valid cell") {
     val emb = Tables.embeddings(spark, sf0001)
     val centroids = ops.Ivf.fitCentroids(emb, k = 8, iters = 2)
