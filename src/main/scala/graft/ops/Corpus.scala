@@ -160,6 +160,28 @@ object Corpus {
         .orderBy("doc_id", "rk")
     }),
 
+    // Dataset card: the summary table a corpus release ships — doc/token
+    // counts, average length, and exact-dup uniqueness per (source, lang)
+    // with rollup subtotals and the corpus-total row, grouping() flags
+    // disambiguating rolled-up slots. One scan, one Expand; every number
+    // a mixture designer quotes comes from this card. (Single-table
+    // rollup — the DataFrame API is safe here; the SQL-path workaround is
+    // only needed after multi-joins, see agg_rollup.)
+    "dataset_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("lang"), size(toks).cast("long").as("n_tok"),
+          sha2(col("text"), 256).as("h"))
+      docs.rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tok_total"),
+          round(sum(col("n_tok")).cast("double") / count(lit(1)), 6)
+            .as("avg_tok"),
+          countDistinct(col("h")).as("n_unique_text"),
+          grouping(col("source")).as("g_src"),
+          grouping(col("lang")).as("g_lang"))
+        .orderBy(col("g_src"), col("g_lang"), col("source"), col("lang"))
+    }),
+
     // Winnowing fingerprints (L45; Schleimer-Wilkerson-Aiken, SIGMOD 2003
     // — the MOSS local fingerprinting scheme): hash every positional word
     // 3-gram, then every window of 4 consecutive hashes selects its MIN.
@@ -371,6 +393,15 @@ object Corpus {
         |    ORDER BY score DESC, tok) AS rk FROM sc)
         |SELECT doc_id, rk, tok, tf, df, score
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "dataset_card" ->
+      s"""SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(len($dToks)) AS BIGINT) AS n_tok_total,
+        |  round(CAST(sum(len($dToks)) AS DOUBLE) / count(*), 6)
+        |    AS avg_tok,
+        |  count(DISTINCT sha256(text)) AS n_unique_text,
+        |  GROUPING(source) AS g_src, GROUPING(lang) AS g_lang
+        |FROM documents GROUP BY ROLLUP(source, lang)
+        |ORDER BY g_src, g_lang, source, lang""".stripMargin,
     "text_winnow" ->
       s"""WITH t AS ($dTokRows),
         |g3 AS (SELECT doc_id, pos,
