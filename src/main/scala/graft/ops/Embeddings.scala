@@ -187,7 +187,11 @@ object Embeddings {
     // TakeOrderedAndProject); stage 2 fetches |shortlist| full vectors.
     "sim_topk_pq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val lut = pqD2(emb).filter(col("vec_id") === 0)
+      // LUT from the seed slice only (probe vec 0 is inside vec_id < PqK):
+      // 16 vectors × 16 centroids, not a full-corpus distance pass — the
+      // whole-corpus pqD2 runs ONCE, for the codes.
+      val lut = pqD2(emb.filter(col("vec_id") < PqK))
+        .filter(col("vec_id") === 0)
         .select(col("sub"), col("cid"), col("d2").as("pd2"))
       val shortlist = pqBest(emb).filter(col("vec_id") =!= 0)
         .join(broadcast(lut), Seq("sub", "cid"))
