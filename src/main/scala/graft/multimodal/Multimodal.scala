@@ -545,8 +545,11 @@ object Multimodal {
       new java.io.ByteArrayInputStream(bytes))
     require(src != null, "payload is not a decodable image")
     require(dstW > 0 && dstH > 0, s"bad target ${dstW}x$dstH")
+    // ARGB target: an RGB canvas starts black and SrcOver-composites any
+    // source alpha onto it, silently recoloring transparent pixels —
+    // alpha must survive the hop for "only the scaling changes" to hold
     val dst = new java.awt.image.BufferedImage(dstW, dstH,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
     val g = dst.createGraphics()
     try {
       g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,

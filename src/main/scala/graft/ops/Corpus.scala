@@ -227,13 +227,16 @@ object Corpus {
     // is a 1-row broadcast stat; the final top-20 is TakeOrderedAndProject
     // (never a global sort).
     "text_bm25" -> ((s, d) => {
-      val t = tokenRows(Tables.documents(s, d))
-      val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // ONE corpus-wide explode: tfAll's groupBy yields tf directly, and
+      // dl / the query-term list derive from it — the tokenizer (the
+      // dominant cost at scale) runs once, not once per statistic.
+      val tfAll = tokenRows(Tables.documents(s, d))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dl = tfAll.groupBy("doc_id").agg(sum("tf").as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"),
         (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-      val q = t.filter(col("doc_id") === 0).select("tok").distinct()
-      val tf = t.join(q, "tok")
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val q = tfAll.filter(col("doc_id") === 0).select("tok")
+      val tf = tfAll.join(q, "tok")
       val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       tf.join(df, "tok").join(dl, "doc_id").crossJoin(stats)
         .select(col("doc_id"),

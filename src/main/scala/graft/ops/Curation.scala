@@ -117,7 +117,13 @@ object Curation {
     "sample_weighted" -> ((s, d) => {
       val u = (pmod(h60(concat(lit("wsm"), col("doc_id"))), lit(1000000L))
         .cast("double") + lit(1.0)) / lit(1000002.0)
-      val key = round(log(u) / col("n_chars").cast("double"), 9)
+      // least(·, -1e-9): for u near 1 and large w, ln(u)/w can round to
+      // ±0.0 at 9 decimals — Spark's HALF_UP drops the sign while a C
+      // round may keep -0.0, and the "strictly negative key" invariant
+      // breaks. Clamping the measure-zero top band to -1e-9 keeps keys
+      // negative in both engines; ties there fall to the doc_id tiebreak.
+      val key = least(round(log(u) / col("n_chars").cast("double"), 9),
+        lit(-1e-9))
       val local = Tables.documents(s, d)
         .withColumn("es_key", key)
         .withColumn("prn", row_number().over(
@@ -335,9 +341,9 @@ object Curation {
         |ORDER BY lang, rn""".stripMargin,
     "sample_weighted" ->
       s"""WITH b AS (SELECT source, doc_id,
-        |    round(ln((CAST(${dH60("'wsm' || CAST(doc_id AS VARCHAR)")}
+        |    least(round(ln((CAST(${dH60("'wsm' || CAST(doc_id AS VARCHAR)")}
         |        % 1000000 AS DOUBLE) + 1.0) / 1000002.0)
-        |      / CAST(n_chars AS DOUBLE), 9) AS es_key
+        |      / CAST(n_chars AS DOUBLE), 9), -0.000000001) AS es_key
         |  FROM documents),
         |r AS (SELECT source, doc_id, es_key, row_number() OVER
         |    (PARTITION BY source ORDER BY es_key DESC, doc_id) AS rn

@@ -165,7 +165,7 @@ object Embeddings {
     "embed_pq" -> ((s, d) => {
       pqBest(Tables.embeddings(s, d))
         .groupBy("vec_id")
-        .agg(sum(col("cid") * pow(lit(16.0), col("sub")).cast("long"))
+        .agg(sum(col("cid") * pow(lit(PqK.toDouble), col("sub")).cast("long"))
           .as("code"),
           dsum(col("d2"), 6).as("err"))
         .orderBy("vec_id")
@@ -302,13 +302,13 @@ object Embeddings {
         |  count(*) AS n
         |FROM el GROUP BY cid, dim_idx ORDER BY cid, dim_idx""".stripMargin,
     "embed_pq" ->
-      """WITH el AS (SELECT vec_id,
+      s"""WITH el AS (SELECT vec_id,
         |    unnest(generate_series(0, len(embedding) - 1)) AS idx,
         |    CAST(unnest(embedding) AS DOUBLE) AS x
         |  FROM embeddings),
         |e2 AS (SELECT vec_id, idx, x, idx // 8 AS sub FROM el),
         |cb AS (SELECT vec_id AS cid, idx, x AS cx FROM e2
-        |  WHERE vec_id < 16),
+        |  WHERE vec_id < $PqK),
         |d2 AS (SELECT e2.vec_id, sub, cid,
         |    CAST(SUM(CAST((x - cx) * (x - cx) AS DECIMAL(30,8)))
         |      AS DOUBLE) AS d2
@@ -317,7 +317,7 @@ object Embeddings {
         |best AS (SELECT vec_id, sub, cid, d2, row_number() OVER
         |    (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM d2)
         |SELECT vec_id,
-        |  CAST(SUM(cid * CAST(pow(16, sub) AS BIGINT)) AS BIGINT) AS code,
+        |  CAST(SUM(cid * CAST(pow($PqK, sub) AS BIGINT)) AS BIGINT) AS code,
         |  CAST(round(SUM(CAST(d2 AS DECIMAL(30,8))), 6) AS DOUBLE) AS err
         |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )

@@ -260,6 +260,18 @@ class MultimodalSpec extends SparkSpec {
     val batch = Multimodal.resizeImageBatch(
       Seq((red, 16, 8), (red, 32, 16)))
     assert(batch.map(Multimodal.imageMeta) === Seq((16, 8), (32, 16)))
+    // transparency survives the hop: an RGB canvas would SrcOver-composite
+    // transparent pixels onto black, recoloring them instead of scaling
+    val argb = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      argb.setRGB(x, y, if (x < 4) 0xFFFF0000 else 0x00000000)
+    val out2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(argb, "png", out2)
+    val rsz = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.resizeImage(out2.toByteArray, 4, 4)))
+    assert((rsz.getRGB(0, 0) >>> 24) === 0xFF, "opaque half lost alpha")
+    assert((rsz.getRGB(3, 0) >>> 24) === 0x00, "transparent half opaqued")
   }
 }
 
