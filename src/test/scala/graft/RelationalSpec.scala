@@ -81,6 +81,49 @@ class RelationalSpec extends SparkSpec {
     ()
   }
 
+  test("z-order layout prunes file min/max on BOTH keys; linear only one") {
+    // The claim behind layout_zorder, demonstrated on actual parquet
+    // files: range-partitioning by the interleaved key gives every file a
+    // narrow min/max box in BOTH dimensions, so a stripe predicate on
+    // EITHER key skips files; a linear layout prunes only its leading
+    // key. Deterministic 256×256 grid (balanced 8-bit domains — the
+    // normalization a real layout job applies before interleaving).
+    val grid = spark.range(65536).select(
+      (col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+    val z = (0 until 8).map { i =>
+      shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+    val dirA = java.nio.file.Files.createTempDirectory("graft_lin_").toString
+    val dirZ = java.nio.file.Files.createTempDirectory("graft_zrd_").toString
+    grid.repartitionByRange(8, col("x")).write.mode("overwrite").parquet(dirA)
+    grid.withColumn("zv", z).repartitionByRange(8, col("zv")).drop("zv")
+      .write.mode("overwrite").parquet(dirZ)
+    def spans(dir: String, c: String): Seq[(Long, Long)] =
+      new java.io.File(dir).listFiles
+        .filter(f => f.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.toString)
+            .agg(min(col(c)), max(col(c))).head
+          (r.getLong(0), r.getLong(1))
+        }
+    def hits(ss: Seq[(Long, Long)], lo: Long, hi: Long): Int =
+      ss.count { case (a, b) => a <= hi && b >= lo }
+    // stripe inside one quadrant so the boxes are unambiguous: [96, 111]
+    val (lo, hi) = (96L, 111L)
+    val (ax, ay) = (hits(spans(dirA, "x"), lo, hi), hits(spans(dirA, "y"), lo, hi))
+    val (zx, zy) = (hits(spans(dirZ, "x"), lo, hi), hits(spans(dirZ, "y"), lo, hi))
+    // linear: leading key prunes hard, second key not at all
+    assert(ax <= 2, s"linear leading-key pruning broken: $ax files")
+    assert(ay === 8, s"linear layout should span y fully in every file: $ay")
+    // z-order: BOTH keys prune — the second far better than linear's 8/8,
+    // the leading one worse than linear's best (the documented trade)
+    assert(zy <= 4, s"z-order y-stripe should skip half the files: $zy")
+    assert(zx <= 6, s"z-order x-stripe should still skip files: $zx")
+    assert(zy < ay && zx < ay)
+  }
+
   test("xml sink/scan round-trips markup-significant characters") {
     // the oracle row pins supplier data (no markup in it); this pins the
     // escaping contract — &, <, >, quotes must survive the XML hop intact
