@@ -101,6 +101,25 @@ object Graph {
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
   }
 
+  /** Synchronous label-propagation rounds over a symmetrized edge list:
+    * every node adopts its neighborhood's most frequent label, ties to
+    * the smallest. Returns (id, lbl) after `rounds` rounds. */
+  private[graft] def labelPropagate(sym: DataFrame, rounds: Int): DataFrame = {
+    var lab = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to rounds) {
+      lab = sym
+        .join(lab.select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("id").orderBy(desc("c"), asc("lbl"))))
+        .filter(col("rn") === 1)
+        .select("id", "lbl")
+    }
+    lab
+  }
+
   /** Alternating large-star / small-star contraction (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond") — the long-chain
     * escape hatch documented above. Min-label propagation needs
@@ -264,6 +283,36 @@ object Graph {
             .as("kind"),
           round(col("pr"), 9).as("pr"))
         .orderBy("id")
+    }),
+
+    // Community detection: 3 rounds of SYNCHRONOUS label propagation
+    // (Raghavan et al. 2007) over the same customer–supplier graph —
+    // each node adopts its neighborhood's most frequent label, ties to
+    // the smallest label. Fixed iteration count makes the snapshot
+    // deterministic (synchronous LPA can oscillate on bipartite graphs;
+    // a fixed-round snapshot is the standard remedy and what the oracle
+    // unrolls). Integer-only — no float surface. Scale: per round one
+    // shuffle join (labels to edge endpoints) + one grouped count + a
+    // per-node window over that node's distinct incoming labels (bounded
+    // by its degree) — the Pregel message shape, linear in |E| per round.
+    "graph_label_prop" -> ((s, d) => {
+      val edges0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(1000000000L) + col("l_suppkey")).as("dst"))
+        .distinct()
+      val sym = edges0
+        .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint() // edge base computed once, like pageRank's sym
+      labelPropagate(sym, 3)
+        .withColumn("comm_size", count(lit(1)).over(
+          Window.partitionBy("lbl")))
+        .select(col("id"),
+          when(col("id") >= 1000000000L, "supplier").otherwise("customer")
+            .as("kind"),
+          col("lbl").as("community"), col("comm_size"))
+        .orderBy("id")
     })
   )
 
@@ -312,6 +361,32 @@ object Graph {
         |    AS kind,
         |  round(pr, 9) AS pr
         |FROM r3 ORDER BY id""".stripMargin
+    },
+    // Unrolled 3-round mirror of the synchronous label propagation: each
+    // round is the same grouped neighbor-label count with the identical
+    // (count DESC, label ASC) deterministic argmax.
+    "graph_label_prop" -> {
+      def round(k: Int) =
+        s"""l$k AS (SELECT id, lbl FROM (
+          |  SELECT e.src AS id, l.lbl, count(*) AS c,
+          |    row_number() OVER (PARTITION BY e.src
+          |      ORDER BY count(*) DESC, l.lbl) AS rn
+          |  FROM e JOIN l${k - 1} l ON e.dst = l.id
+          |  GROUP BY e.src, l.lbl) WHERE rn = 1)""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+        |    1000000000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+        |${round(1)},
+        |${round(2)},
+        |${round(3)}
+        |SELECT id,
+        |  CASE WHEN id >= 1000000000 THEN 'supplier' ELSE 'customer' END
+        |    AS kind,
+        |  lbl AS community,
+        |  count(*) OVER (PARTITION BY lbl) AS comm_size
+        |FROM l3 ORDER BY id""".stripMargin
     }
   )
 }

@@ -53,6 +53,24 @@ class GraphSpec extends SparkSpec {
     assert(got.values.toSet == Set(0L), s"expected one component: $got")
   }
 
+  test("labelPropagate separates bridged cliques that CC would merge") {
+    // two triangles {0,1,2} {10,11,12} with bridge 2-10: connected
+    // components collapses them into ONE cluster; label propagation keeps
+    // them apart — the community structure survives the weak link, which
+    // is exactly what it adds over dedup_cc.
+    val e0 = Seq((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (2L, 10L)).toDF("src", "dst")
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val lab = ops.Graph.labelPropagate(sym, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lab.keySet === Set(0L, 1L, 2L, 10L, 11L, 12L))
+    val left = Set(0L, 1L, 2L).map(lab)
+    val right = Set(10L, 11L, 12L).map(lab)
+    assert(left.size === 1, s"left clique not uniform: $lab")
+    assert(right.size === 1, s"right clique not uniform: $lab")
+    assert(left != right, s"bridge merged the communities: $lab")
+  }
+
   test("dedup_cc partitions all documents; kept count == component count") {
     val cc = ops.Graph.queries("dedup_cc")(spark, sf0001).cache()
     val nDocs = Tables.documents(spark, sf0001).count()
