@@ -503,6 +503,39 @@ object TextSim {
         .select(col("ia"), col("ib"), col("est_sim"))
         .orderBy("ia", "ib")),
 
+    // Containment dedup (L50): Jaccard CONTAINMENT C(A,B) = |A∩B|/|A| —
+    // the asymmetric signal symmetric Jaccard misses. A small doc fully
+    // quoted inside a much larger one has tiny Jaccard (|A∩B|/|A∪B|) but
+    // containment ≈ 1; C4-style boilerplate/quotation removal keys on
+    // exactly this. Same inverted-index join and stop-shingle cap as
+    // dedup_ngram_jaccard (Σ df(g)² bound, never all-pairs); emits pairs
+    // where either direction's containment ≥ 0.8, with both directions
+    // reported so the caller knows which side is the quoted one.
+    "dedup_containment" -> ((s, d) => {
+      val sh = shingleRows(documents(s, d), 3)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+        .filter(col("df") <= StopShingleDfDefault)
+      // sizes over the capped universe (df=1 shingles included) — the
+      // same "informative-shingle" denominator dedup_ngram_jaccard uses
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val joinable = sh.filter(col("df") >= 2)
+      val a = joinable.select(col("doc_id").as("ia"), col("g"))
+      val b = joinable.select(col("doc_id").as("ib"), col("g"))
+      a.join(b, Seq("g")).filter(col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+        .join(broadcast(sz.select(col("doc_id").as("ia"),
+          col("n_sh").as("na"))), Seq("ia"))
+        .join(broadcast(sz.select(col("doc_id").as("ib"),
+          col("n_sh").as("nb"))), Seq("ib"))
+        .withColumn("c_ab",
+          round(col("inter").cast("double") / col("na"), 6))
+        .withColumn("c_ba",
+          round(col("inter").cast("double") / col("nb"), 6))
+        .filter(col("c_ab") >= 0.8 || col("c_ba") >= 0.8)
+        .select("ia", "ib", "inter", "c_ab", "c_ba")
+        .orderBy("ia", "ib")
+    }),
+
     // Cross-source near-dup overlap matrix: the dataset-card analytic a
     // mixture designer reads before weighting sources — how much of source
     // A is (nearly) inside source B. Reuses the MinHash/LSH candidate
@@ -795,6 +828,25 @@ object TextSim {
         |round(CAST(inter AS DOUBLE)/(sa.n_sh + sb.n_sh - inter), 6) AS jaccard
         |FROM inter JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
         |WHERE round(CAST(inter AS DOUBLE)/(sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+        |ORDER BY ia, ib""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH s AS (SELECT doc_id, ${dShingles(3)} AS sh FROM documents),
+        |e0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |e AS (SELECT doc_id, g, df FROM (
+        |  SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM e0)
+        |  WHERE df <= $StopShingleDfDefault),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  WHERE a.df >= 2
+        |  GROUP BY 1,2)
+        |SELECT ia, ib, inter,
+        |  round(CAST(inter AS DOUBLE) / sa.n_sh, 6) AS c_ab,
+        |  round(CAST(inter AS DOUBLE) / sb.n_sh, 6) AS c_ba
+        |FROM inter JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+        |WHERE round(CAST(inter AS DOUBLE) / sa.n_sh, 6) >= 0.8
+        |   OR round(CAST(inter AS DOUBLE) / sb.n_sh, 6) >= 0.8
         |ORDER BY ia, ib""".stripMargin,
     "dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, tok, count(*) AS w FROM

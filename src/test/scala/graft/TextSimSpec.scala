@@ -124,6 +124,28 @@ class TextSimSpec extends SparkSpec {
     assert(math.abs(cos(3L) - 1.0) < 1e-12)
   }
 
+  test("dedup_containment: asymmetric signal well-formed, threshold honored") {
+    val rows = ops.TextSim.queries("dedup_containment")(spark, sf0001)
+      .select("ia", "ib", "inter", "c_ab", "c_ba")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty, "corpus has planted near-dups; containment must fire")
+    rows.foreach { case (ia, ib, inter, cab, cba) =>
+      assert(ia < ib)
+      assert(inter >= 1)
+      assert(cab > 0 && cab <= 1.0 && cba > 0 && cba <= 1.0,
+        s"containment out of range: ($ia,$ib) $cab $cba")
+      assert(cab >= 0.8 || cba >= 0.8, s"below threshold: ($ia,$ib)")
+    }
+    // directionality is reported correctly: c_ab/c_ba differ whenever the
+    // two docs' informative-shingle sizes differ (inter/na vs inter/nb).
+    // (This corpus's planted near-dups are SYMMETRIC — whole-doc
+    // mutations, not subset quotes — so a one-sided pair existing is a
+    // property of the data, not the operator; the asymmetric formula
+    // itself is pinned by the oracle.)
+    assert(rows.exists { case (_, _, _, cab, cba) => cab != cba },
+      "expected some pair with asymmetric containment values")
+  }
+
   test("overlap_sources: canonical source pairs, totals match the pair set") {
     val m = ops.TextSim.queries("overlap_sources")(spark, sf0001).cache()
     val rows = m.select("source_a", "source_b", "n_pairs")
