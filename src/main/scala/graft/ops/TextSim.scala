@@ -515,6 +515,11 @@ object TextSim {
       val sh = shingleRows(documents(s, d), 3)
         .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
         .filter(col("df") <= StopShingleDfDefault)
+        // persist, same rationale as ngramJaccard (:290): this subplan
+        // feeds both join sides AND both size lookups — without
+        // materializing it the shingle+window-df pass re-executes per
+        // consumer; blocks are dropped by Bench/Verify's clearCache
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // sizes over the capped universe (df=1 shingles included) — the
       // same "informative-shingle" denominator dedup_ngram_jaccard uses
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))

@@ -228,15 +228,28 @@ object StreamOps {
           } else {
             val merged = mergeSessions(rows, state.getOption, gapMs)
             val open = merged.head
-            state.update(open)
-            // a timeout timestamp at or behind the watermark is illegal —
-            // clamp just past it (fires on the next batch), which only
-            // happens when the open interval itself arrived later than
-            // watermark + gap allows
-            state.setTimeoutTimestamp(
-              math.max(open.lastMs + gapMs, state.getCurrentWatermarkMs + 1))
-            merged.tail.reverse.iterator.map(s =>
-              SessionOut(user, s.startMs * 1000, s.lastMs * 1000, s.n))
+            val closed = merged.tail.reverse
+            if (open.lastMs + gapMs <= state.getCurrentWatermarkMs) {
+              // Defensive: the freshest interval is ALREADY past its close
+              // boundary. Emit it NOW rather than parking a timeout the
+              // watermark may never cross again. UNREACHABLE under current
+              // Spark semantics — FlatMapGroupsWithStateExec filters input
+              // rows behind the watermark before they reach this function
+              // (verified by StreamingSpec's late-burst test), so every
+              // surviving event has ts >= watermark and the open interval
+              // can't be expired — but that filter is an executor-side
+              // policy this function shouldn't silently depend on: if it
+              // ever admits late rows, a parked watermark+1 timeout would
+              // strand the session in state on a quiet stream.
+              state.remove()
+              (closed :+ open).iterator.map(s =>
+                SessionOut(user, s.startMs * 1000, s.lastMs * 1000, s.n))
+            } else {
+              state.update(open)
+              state.setTimeoutTimestamp(open.lastMs + gapMs)
+              closed.iterator.map(s =>
+                SessionOut(user, s.startMs * 1000, s.lastMs * 1000, s.n))
+            }
           }
       }
   }

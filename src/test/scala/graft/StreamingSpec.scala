@@ -164,6 +164,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer timeout: rows behind the watermark are dropped, no ghost state") {
+    // pins the input-filtering contract the timeout variant depends on:
+    // FlatMapGroupsWithStateExec drops rows older than the watermark
+    // BEFORE they reach the state function, so a late burst can neither
+    // emit a session nor park never-firing state (the in-function
+    // expired-interval guard stays as defense in depth).
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.sessionizeStatefulTimeout(
+        ms.toDF().withWatermark("ts", "0 seconds"), gapMinutes = 30)
+      .writeStream.format("memory").queryName("fmgs_expired")
+      .outputMode("append").start()
+    try {
+      // watermark advances to 12:00 on other traffic first
+      ms.addData(Ev(1, ts(12), 8, 1.0))
+      q.processAllAvailable()
+      // user 7's burst is entirely behind the 12:00 watermark → filtered
+      ms.addData(Ev(2, ts(10), 7, 1.0), Ev(3, ts(10, 5), 7, 1.0))
+      q.processAllAvailable()
+      // further watermark advance: if ghost state HAD been parked for
+      // user 7, a timeout would now fire and emit a bogus session
+      ms.addData(Ev(4, ts(14), 8, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("fmgs_expired")
+        .as[StreamOps.SessionOut].collect().toSeq.filter(_.user_id == 7L)
+      assert(out.isEmpty,
+        s"late rows behind the watermark must be dropped, got: $out")
+    } finally q.stop()
+  }
+
   test("sessionizer: a late in-session event never moves bounds backwards") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
