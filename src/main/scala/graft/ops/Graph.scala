@@ -108,14 +108,19 @@ object Graph {
     var lab = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
     for (_ <- 1 to rounds) {
+      // argmax as max_by over struct(c, -lbl) — (count desc, label asc)
+      // with a UNIQUE ordinal per (id, lbl), so max_by is deterministic.
+      // An aggregate partial-combines map-side where a row_number window
+      // must shuffle and sort every (id, lbl) row (A/B median-of-5:
+      // 3.2-3.6s → 2.2s for the 3-round query); tiny int keys make the combine effective here,
+      // unlike the full-text capstone case where the window won.
       lab = sym
         .join(lab.select(col("id").as("dst"), col("lbl")), "dst")
         .groupBy(col("src").as("id"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("id").orderBy(desc("c"), asc("lbl"))))
-        .filter(col("rn") === 1)
-        .select("id", "lbl")
+        .groupBy("id")
+        .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl")))
+          .as("lbl"))
     }
     lab
   }
