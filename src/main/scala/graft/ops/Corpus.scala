@@ -325,6 +325,91 @@ object Corpus {
         .select(col("rk"), col("tok"), col("cnt"), col("df"),
           round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
         .orderBy("rk")
+    }),
+
+    // L51 — BPE merge-selection statistics: the pair-counting step of
+    // byte-pair-encoding tokenizer training (Sennrich et al. 2016,
+    // arXiv:1508.07909). Adjacent character-pair frequencies, weighted by
+    // token frequency, ranked; rank-1 is the merge BPE would apply next.
+    // Scale shape: the corpus collapses to the VOCABULARY first (groupBy
+    // tok, map-side combined — vocab ≪ corpus at any SF), so the pair
+    // explosion and its HOF lambda run over vocab rows only; corpus size
+    // touches exactly one linear aggregation. Top-20 via
+    // TakeOrderedAndProject; the rank window sees ≤20 rows.
+    "bpe_pair_count" -> ((s, d) => {
+      val vocab = tokenRows(Tables.documents(s, d))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .filter(length(col("tok")) >= 2)
+      val pairs = vocab.select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+      pairs.groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(desc("n"), asc("pair")).limit(20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(desc("n"), asc("pair"))))
+        .select("rk", "pair", "n").orderBy("rk")
+    }),
+
+    // L52 — distribution drift (PSI): the dataset-monitoring gate a corpus
+    // refresh runs before a new snapshot is accepted. Population Stability
+    // Index of the doc-length distribution, "current" slice (odd doc_id)
+    // vs "reference" slice (even doc_id), over 10 equal-width buckets
+    // derived from the REFERENCE slice's [min, max] — integer-only bucket
+    // math (`div` after a greatest(0,·) clamp, so trunc == floor in both
+    // engines), Laplace-smoothed ratios (+1/+10) so empty buckets stay
+    // finite. Per-bucket terms are emitted (sum downstream for the scalar;
+    // PSI > 0.2 is the conventional "shifted" alarm). Scale shape: two
+    // linear bucket-count aggregations + a 10-row spine join; the global
+    // window runs over exactly 10 rows. ln under round-6 follows the
+    // text_vocab idf precedent in the cross-engine contract.
+    "dq_drift_psi" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+      val cur = docs.filter(col("doc_id") % 2 === 1)
+      val edges = ref.agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+      def hist(slice: DataFrame, as: String): DataFrame =
+        slice.crossJoin(broadcast(edges))
+          .select(least(lit(9), expr(
+            "greatest(0, n_chars - lo) * 10 div (hi - lo + 1)"))
+            .cast("int").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as(as))
+      val spine = s.range(0, 10).select(col("id").cast("int").as("bucket"))
+      val wAll = Window.partitionBy()
+      def p(n: Column, tot: Column): Column =
+        (n + 1).cast("double") / (tot + 10)
+      spine.join(hist(ref, "n_ref"), Seq("bucket"), "left")
+        .join(hist(cur, "n_cur"), Seq("bucket"), "left")
+        .na.fill(0L, Seq("n_ref", "n_cur"))
+        .withColumn("tr", sum("n_ref").over(wAll))
+        .withColumn("tc", sum("n_cur").over(wAll))
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          round((p(col("n_ref"), col("tr")) - p(col("n_cur"), col("tc"))) *
+            log(p(col("n_ref"), col("tr")) / p(col("n_cur"), col("tc"))), 6)
+            .as("psi_term"))
+        .orderBy("bucket")
+    }),
+
+    // L53 — robust outlier flagging (median/MAD): the quality gate that
+    // survives the heavy-tailed length distributions a mean/stddev z-score
+    // chokes on. Per-source median and median-absolute-deviation of
+    // n_chars; a doc is flagged when |x − med| > 3·MAD. All comparisons
+    // are exact in binary: medians of ints interpolate to at worst .5
+    // (representable), 3·MAD likewise — no float-boundary risk in the
+    // cross-engine contract. Exact `percentile` materializes each group's
+    // value multiset on its reducer — fine for per-source doc counts; at
+    // 100 TB swap `approx_percentile` (GK sketch, mergeable, map-side)
+    // exactly as dq_profile does for its distinct counts.
+    "dq_outlier_mad" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      val med = docs.groupBy("source")
+        .agg(expr("percentile(n_chars, 0.5)").as("med"))
+      val mad = docs.join(broadcast(med), "source")
+        .groupBy("source", "med")
+        .agg(expr("percentile(abs(n_chars - med), 0.5)").as("mad"))
+      docs.join(broadcast(mad), "source")
+        .filter(abs(col("n_chars") - col("med")) > lit(3) * col("mad"))
+        .select("source", "doc_id", "n_chars", "med", "mad")
+        .orderBy("source", "doc_id")
     })
   )
 
@@ -474,6 +559,50 @@ object Corpus {
         |    (ORDER BY cnt DESC, tok) AS rk FROM st, n)
         |SELECT rk, tok, cnt, df,
         |  round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS idf
-        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "bpe_pair_count" ->
+      s"""WITH t AS ($dTokRows),
+        |v AS (SELECT tok, count(*) AS freq FROM t
+        |  WHERE len(tok) >= 2 GROUP BY 1),
+        |px AS (SELECT tok, freq,
+        |  unnest(generate_series(1, len(tok) - 1)) AS i FROM v),
+        |p AS (SELECT substr(tok, CAST(i AS INT), 2) AS pair, freq FROM px),
+        |g AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY 1),
+        |r AS (SELECT pair, n,
+        |  row_number() OVER (ORDER BY n DESC, pair) AS rk FROM g)
+        |SELECT rk, pair, n FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "dq_drift_psi" ->
+      """WITH ref AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
+        |cur AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),
+        |e AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM ref),
+        |hr AS (SELECT least(9, greatest(0, n_chars - lo) * 10
+        |    // (hi - lo + 1)) AS bucket, count(*) AS n_ref
+        |  FROM ref, e GROUP BY 1),
+        |hc AS (SELECT least(9, greatest(0, n_chars - lo) * 10
+        |    // (hi - lo + 1)) AS bucket, count(*) AS n_cur
+        |  FROM cur, e GROUP BY 1),
+        |sp AS (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bucket),
+        |j AS (SELECT sp.bucket, coalesce(n_ref, 0) AS n_ref,
+        |    coalesce(n_cur, 0) AS n_cur
+        |  FROM sp LEFT JOIN hr USING (bucket) LEFT JOIN hc USING (bucket)),
+        |t AS (SELECT bucket, n_ref, n_cur, sum(n_ref) OVER () AS tr,
+        |    sum(n_cur) OVER () AS tc FROM j)
+        |SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  round((CAST(n_ref + 1 AS DOUBLE) / (tr + 10)
+        |      - CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
+        |    * ln((CAST(n_ref + 1 AS DOUBLE) / (tr + 10))
+        |      / (CAST(n_cur + 1 AS DOUBLE) / (tc + 10))), 6) AS psi_term
+        |FROM t ORDER BY bucket""".stripMargin,
+    "dq_outlier_mad" ->
+      """WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+        |  FROM documents GROUP BY 1),
+        |mad AS (SELECT d.source, med,
+        |    quantile_cont(abs(n_chars - med), 0.5) AS mad
+        |  FROM documents d JOIN med USING (source) GROUP BY 1, 2)
+        |SELECT d.source, doc_id, n_chars, med, mad
+        |FROM documents d JOIN mad USING (source)
+        |WHERE abs(n_chars - med) > 3 * mad
+        |ORDER BY source, doc_id""".stripMargin
   )
 }

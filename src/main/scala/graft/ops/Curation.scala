@@ -303,6 +303,36 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("seq_tok"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("shard", "seq")
+    }),
+
+    // L54 — snapshot diff: the audit a corpus release runs between two
+    // curated versions — which docs were added, removed, changed, kept.
+    // Snapshots are derived deterministically from the one documents
+    // table (old = doc_id % 7 ≠ 0; new = doc_id % 5 ≠ 0, with every
+    // 11th doc's text revised) so the oracle sees identical inputs.
+    // Scale shape: both sides reduce to (doc_id, 60-bit content hash)
+    // BEFORE the full-outer join — the shuffle carries 16 bytes/doc, not
+    // document text, and the join is hash-partitioned on doc_id, linear.
+    // This is the read-side complement of merge_upsert (CDC write path)
+    // and dedup_incremental (cross-snapshot near-dup).
+    "corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), h60(col("text")).as("h_old"))
+      val nw = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          h60(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h_new"))
+      old.join(nw, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") =!= col("h_new"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+        .orderBy("status")
     })
   )
 
@@ -426,6 +456,22 @@ object Curation {
         |SELECT shard, cum0 // $PackBudget AS seq, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS seq_tok,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "corpus_diff" ->
+      s"""WITH old AS (SELECT doc_id, ${dH60("text")} AS h_old
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |nw AS (SELECT doc_id, ${dH60(
+             "CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END")}
+        |    AS h_new
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |cls AS (SELECT coalesce(old.doc_id, nw.doc_id) AS doc_id,
+        |    CASE WHEN old.doc_id IS NULL THEN 'added'
+        |         WHEN nw.doc_id IS NULL THEN 'removed'
+        |         WHEN h_old <> h_new THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id)
+        |SELECT status, count(*) AS n, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id
+        |FROM cls GROUP BY status ORDER BY status""".stripMargin
   )
 }

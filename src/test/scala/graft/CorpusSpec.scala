@@ -235,4 +235,69 @@ class CorpusSpec extends SparkSpec {
     assert(avg(true) < avg(false),
       s"en=${avg(true)} must beat non-en=${avg(false)}")
   }
+
+  test("bpe_pair_count: rank-1 matches an independent brute-force count") {
+    val got = ops.Corpus.queries("bpe_pair_count")(spark, sf0001)
+      .as[(Int, String, Long)].collect()
+    assert(got.length === 20)
+    assert(got.map(_._1).toSeq === (1 to 20))
+    got.foreach { case (_, p, n) =>
+      assert(p.length === 2, s"pair '$p' is not 2 chars")
+      assert(n > 0)
+    }
+    // non-increasing frequency down the ranks
+    got.sliding(2).foreach { case Array(a, b) => assert(a._3 >= b._3) }
+    // brute force on the 50-doc slice: count weighted char bigrams
+    val texts = Tables.documents(spark, sf0001)
+      .select("text").as[String].collect()
+    val brute = texts.iterator
+      .flatMap(_.toLowerCase.split(" "))
+      .filter(_.length >= 2)
+      .flatMap(t => t.sliding(2))
+      .foldLeft(Map.empty[String, Long].withDefaultValue(0L)) {
+        (m, p) => m.updated(p, m(p) + 1)
+      }
+    val (topPair, topN) = brute.toSeq.sortBy { case (p, n) => (-n, p) }.head
+    assert(got.head._2 === topPair && got.head._3 === topN,
+      s"rank-1 ${got.head} != brute ($topPair, $topN)")
+  }
+
+  test("dq_drift_psi: 10 non-negative terms, counts conserve the slices") {
+    val got = ops.Corpus.queries("dq_drift_psi")(spark, sf0001)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq === (0 to 9))
+    // (p-q)·ln(p/q) has matching signs in both factors — every term >= 0
+    got.foreach { case (b, _, _, t) =>
+      assert(t >= 0.0, s"bucket $b psi_term $t negative") }
+    val docs = Tables.documents(spark, sf0001)
+    val nEven = docs.filter($"doc_id" % 2 === 0).count()
+    val nOdd = docs.filter($"doc_id" % 2 === 1).count()
+    assert(got.map(_._2).sum === nEven)
+    assert(got.map(_._3).sum === nOdd)
+  }
+
+  test("dq_outlier_mad: flags exactly the docs outside the 3-MAD band") {
+    val got = ops.Corpus.queries("dq_outlier_mad")(spark, sf0001)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(got.nonEmpty, "word-soup lengths should produce some outliers")
+    got.foreach { case (src, id, x, med, mad) =>
+      assert(math.abs(x - med) > 3 * mad,
+        s"$src/$id inside the band: |$x - $med| <= 3*$mad")
+    }
+    // independent per-source median/MAD on the small slice
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val bySrc = Tables.documents(spark, sf0001)
+      .select("source", "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    val expected = bySrc.toSeq.flatMap { case (src, rows) =>
+      val med = median(rows.map(_._3.toDouble).toSeq)
+      val mad = median(rows.map(r => math.abs(r._3 - med)).toSeq)
+      rows.filter(r => math.abs(r._3 - med) > 3 * mad)
+        .map(r => (src, r._2))
+    }.toSet
+    assert(got.map(r => (r._1, r._2)).toSet === expected)
+  }
 }

@@ -132,4 +132,22 @@ class CurationSpec extends SparkSpec {
     // deterministic: the manifest is identical run-to-run
     assert(q(spark, sf0001).collect().toSeq === m.toSeq)
   }
+
+  test("corpus_diff: statuses match set arithmetic over the doc_id space") {
+    val got = ops.Curation.queries("corpus_diff")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ids = Tables.documents(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val old = ids.filter(_ % 7 != 0)
+    val nw = ids.filter(_ % 5 != 0)
+    // every 11th doc's text is revised in the new snapshot, so any doc in
+    // both snapshots with doc_id % 11 == 0 must read 'changed'
+    val expect = Map(
+      "added" -> (nw -- old).size.toLong,
+      "removed" -> (old -- nw).size.toLong,
+      "changed" -> (old & nw).count(_ % 11 == 0).toLong,
+      "unchanged" -> (old & nw).count(_ % 11 != 0).toLong)
+    assert(got === expect.filter(_._2 > 0))
+    assert(got.values.sum === (old | nw).size.toLong)
+  }
 }
