@@ -59,7 +59,14 @@ class PlanAuditSpec extends SparkSpec {
     // trailing-7-day RANGE window over the per-day PRE-AGGREGATE: input
     // cardinality is the calendar (≤ a few thousand rows at any corpus
     // size), fixed by the daily groupBy that precedes it.
-    "win_trailing7" -> Set("GlobalWindow")
+    "win_trailing7" -> Set("GlobalWindow"),
+    // rank window AFTER the TakeOrderedAndProject top-20 prune — the
+    // text_vocab pattern: the window sees ≤20 rows, never the pair table.
+    "bpe_pair_count" -> Set("GlobalWindow"),
+    // 1-row broadcast (lo, hi) reference bucket edges crossed into both
+    // slices (the agg_histogram pattern); the totals window runs over the
+    // 10-row bucket spine — both bounded by construction, not by data.
+    "dq_drift_psi" -> Set("GlobalWindow", "BroadcastNestedLoopJoin")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {
