@@ -446,6 +446,26 @@ object Relational {
           count(lit(1)).as("n"))
         .orderBy("o_custkey")),
 
+    // D6 extension: deterministic per-group MODE (most frequent value,
+    // ties to the smallest value) — the categorical DQ stat built-in
+    // `mode()` can't give portably (its tie-break is engine-arbitrary).
+    // Two-phase: a map-side-combinable (group, value) count first, then
+    // the rank window runs over the tiny value-cardinality aggregate
+    // (|statuses| × |priorities| rows), never the fact table.
+    "agg_mode" -> ((s, d) => {
+      val cnt = orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus")
+        .orderBy(desc("n"), asc("o_orderpriority"))
+      cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("n"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Dispersion statistics (D6 extension): sample stddev/variance derived
     // from exact decimal sums of x and x² — built-in stddev_samp/var_samp
     // accumulate in floating point with partition-order-dependent merge
@@ -925,6 +945,13 @@ object Relational {
         |max(CASE WHEN rs = 1 THEN o_orderkey END) AS smallest_order,
         |COUNT(*) AS n
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY n DESC, o_orderpriority) AS rn FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
     "agg_skewkurt" ->
       """WITH g AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

@@ -191,6 +191,41 @@ object Windows {
         .select(col("ship_d"), round(col("rev"), 2).cast("double").as("rev"),
           col("rev7"))
         .orderBy("ship_d")
+    }),
+
+    // Funnel conversion (view → click → purchase, strictly ordered in
+    // event time, first week of the corpus): the product-analytics shape
+    // behind every "conversion dashboard" — how many users reach each
+    // stage, where stage N+1 must happen AFTER the user's first stage-N
+    // event. Three user-keyed min-aggregations chained by joins on
+    // user_id (the same shuffle key each time — one exchange reused);
+    // stage totals are 1-row frames crossed into the summary, the same
+    // model-parameter BNLJ shape as mix_resample. Timestamps compare
+    // exactly (microsecond longs) in both engines.
+    "funnel_conversion" -> ((s, d) => {
+      val ev = events(s, d)
+        .filter(col("ts") < to_timestamp(lit("2024-01-08")))
+        .select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("tv"))
+      val c = ev.join(v, "user_id")
+        .filter(col("event_type") === "click" && col("ts") > col("tv"))
+        .groupBy("user_id").agg(min("ts").as("tc"))
+      val p = ev.join(c, "user_id")
+        .filter(col("event_type") === "purchase" && col("ts") > col("tc"))
+        .groupBy("user_id").agg(min("ts").as("tp"))
+      val rate = (n: org.apache.spark.sql.Column,
+                  of: org.apache.spark.sql.Column) =>
+        round(n.cast("double") / of, 6)
+      ev.agg(countDistinct("user_id").as("n_users"))
+        .crossJoin(v.agg(count(lit(1)).as("n_view")))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+        .select(col("n_users"), col("n_view"), col("n_click"),
+          col("n_purchase"),
+          rate(col("n_view"), col("n_users")).as("view_rate"),
+          rate(col("n_click"), col("n_view")).as("click_through"),
+          rate(col("n_purchase"), col("n_click")).as("purchase_through"))
     })
   )
 
@@ -290,6 +325,25 @@ object Windows {
         |SELECT ship_d, CAST(round(rev,2) AS DOUBLE) AS rev,
         |CAST(round(SUM(rev) OVER (ORDER BY d_num
         |RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rev7
-        |FROM daily ORDER BY ship_d""".stripMargin
+        |FROM daily ORDER BY ship_d""".stripMargin,
+    "funnel_conversion" ->
+      """WITH w AS (SELECT user_id, event_type, ts FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-08'),
+        |v AS (SELECT user_id, min(ts) AS tv FROM w
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts) AS tc FROM w e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND ts > tv GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts) AS tp FROM w e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > tc GROUP BY 1)
+        |SELECT (SELECT count(DISTINCT user_id) FROM w) AS n_users,
+        |  (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click,
+        |  (SELECT count(*) FROM p) AS n_purchase,
+        |  round(CAST((SELECT count(*) FROM v) AS DOUBLE)
+        |    / (SELECT count(DISTINCT user_id) FROM w), 6) AS view_rate,
+        |  round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+        |    / (SELECT count(*) FROM v), 6) AS click_through,
+        |  round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+        |    / (SELECT count(*) FROM c), 6) AS purchase_through""".stripMargin
   )
 }

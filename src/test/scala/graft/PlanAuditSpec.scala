@@ -66,7 +66,10 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row broadcast (lo, hi) reference bucket edges crossed into both
     // slices (the agg_histogram pattern); the totals window runs over the
     // 10-row bucket spine — both bounded by construction, not by data.
-    "dq_drift_psi" -> Set("GlobalWindow", "BroadcastNestedLoopJoin")
+    "dq_drift_psi" -> Set("GlobalWindow", "BroadcastNestedLoopJoin"),
+    // four 1-row stage-total frames crossed into the single summary row
+    // (the mix_resample model-parameter shape)
+    "funnel_conversion" -> Set("BroadcastNestedLoopJoin")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {

@@ -58,6 +58,19 @@ class RelationalSpec extends SparkSpec {
     assert(topk === full)
   }
 
+  test("agg_mode picks the max-count value, smallest value on ties (D11)") {
+    val got = ops.Relational.queries("agg_mode")(spark, sf0001)
+      .as[(String, String, Long)].collect()
+    val counts = orders.select("o_orderstatus", "o_orderpriority")
+      .as[(String, String)].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.map { case ((s, p), n) => (s, p, n) }
+    val expect = counts.groupBy(_._1).view.mapValues { rows =>
+      rows.minBy { case (_, p, n) => (-n, p) }
+    }.values.toSeq.sortBy(_._1)
+    assert(got.toSeq === expect)
+  }
+
   test("parquet schema evolution: mergeSchema unifies drops across eras") {
     // era 1 writes (k, a); era 2 adds column b — the daily-drop layout
     // where a field appears mid-history. mergeSchema reconciles the

@@ -58,4 +58,33 @@ class WindowsSpec extends SparkSpec {
       .groupBy("o_orderdate").agg(sum("share").as("s"))
     assert(shares.filter(abs($"s" - 1.0) > 1e-9).isEmpty)
   }
+
+  test("funnel stages shrink monotonically and match a brute-force walk") {
+    val r = ops.Windows.queries("funnel_conversion")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    val (nu, nv, nc, np, rv, rc, rp) = r
+    assert(nu >= nv && nv >= nc && nc >= np && np >= 0)
+    Seq(rv, rc, rp).foreach(x => assert(x >= 0.0 && x <= 1.0))
+    // brute force: per-user ordered event walk on the collected slice
+    val evs = Tables.events(spark, sf0001)
+      .filter($"ts" < to_timestamp(lit("2024-01-08")))
+      .select($"user_id", $"event_type", unix_micros($"ts").as("t"))
+      .as[(Long, String, Long)].collect()
+    val byUser = evs.groupBy(_._1)
+    def stage(u: Long): Int = {
+      val es = byUser(u).sortBy(_._3)
+      val tv = es.collectFirst { case (_, "view", t) => t }
+      val tc = tv.flatMap(v =>
+        es.collectFirst { case (_, "click", t) if t > v => t })
+      val tp = tc.flatMap(c =>
+        es.collectFirst { case (_, "purchase", t) if t > c => t })
+      if (tp.isDefined) 3 else if (tc.isDefined) 2
+      else if (tv.isDefined) 1 else 0
+    }
+    val stages = byUser.keys.toSeq.map(stage)
+    assert(nu === byUser.size.toLong)
+    assert(nv === stages.count(_ >= 1).toLong)
+    assert(nc === stages.count(_ >= 2).toLong)
+    assert(np === stages.count(_ >= 3).toLong)
+  }
 }
