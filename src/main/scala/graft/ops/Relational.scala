@@ -488,6 +488,43 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // Time-series anomaly days (D6/monitoring extension): daily revenue
+    // against its own day-of-week seasonal baseline — a day is anomalous
+    // when |rev − dow_mean| > 2·dow_stddev. The corpus-monitoring twin of
+    // dq_drift_psi on the time axis. Determinism contract: daily revenue
+    // and the per-DOW moment sums accumulate as DECIMAL (order-independent,
+    // the agg_stddev pattern); mean/sd derive from those exact sums with
+    // IEEE-exact arithmetic, so the band comparison lands identically in
+    // both engines. DOW is Monday-anchored day-number mod 7 (Spark's
+    // dayofweek and DuckDB's disagree on the week start; date arithmetic
+    // doesn't). Scale: two linear aggregations (daily, then 7-row DOW
+    // stats broadcast back over the calendar) — the fact table is touched
+    // once.
+    "ts_anomaly" -> ((s, d) => {
+      val daily = lineitem(s, d)
+        .groupBy(col("l_shipdate").cast("date").as("ship_d"))
+        .agg(exactSum(col("l_extendedprice")).as("rev"))
+        .select(col("ship_d"),
+          pmod(datediff(col("ship_d"), to_date(lit("1970-01-05"))), lit(7))
+            .as("dow"),
+          col("rev").cast("double").as("revd"))
+      val st = daily.groupBy("dow").agg(
+        count(lit(1)).as("n"),
+        exactSum(col("revd")).as("sx"),
+        exactSum(col("revd") * col("revd")).as("sxx"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
+      val mu = sx / n
+      val sd = sqrt((sxx - sx * sx / n) / (n - 1))
+      daily.join(broadcast(st), "dow")
+        .filter(abs(col("revd") - mu) > lit(2.0) * sd)
+        .select(col("ship_d"), col("dow"),
+          round(col("revd"), 2).as("rev"),
+          round(mu, 2).as("dow_avg"),
+          round(sd, 2).as("dow_sd"))
+        .orderBy("ship_d")
+    }),
+
     // Higher moments (D6 extension): population skewness and excess
     // kurtosis from exact decimal sums of x..x⁴ — same determinism
     // contract as agg_stddev (built-in skewness/kurtosis merge float
@@ -982,6 +1019,28 @@ object Relational {
         |round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)/(n-1), 4) AS var,
         |n
         |FROM g ORDER BY 1""".stripMargin,
+    "ts_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS ship_d,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |d2 AS (SELECT ship_d,
+        |    date_diff('day', DATE '1970-01-05', ship_d) % 7 AS dow,
+        |    CAST(rev AS DOUBLE) AS revd FROM daily),
+        |st AS (SELECT dow, count(*) AS n,
+        |    SUM(CAST(revd AS DECIMAL(30,8))) AS sx,
+        |    SUM(CAST(revd * revd AS DECIMAL(30,8))) AS sxx
+        |  FROM d2 GROUP BY 1)
+        |SELECT ship_d, dow, round(revd, 2) AS rev,
+        |  round(CAST(sx AS DOUBLE) / n, 2) AS dow_avg,
+        |  round(sqrt((CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 2)
+        |    AS dow_sd
+        |FROM d2 JOIN st USING (dow)
+        |WHERE abs(revd - CAST(sx AS DOUBLE) / n)
+        |  > 2 * sqrt((CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))
+        |ORDER BY ship_d""".stripMargin,
     "agg_percentile" ->
       """SELECT o_orderstatus,
         |round(quantile_cont(o_totalprice, 0.5),4) AS p50,

@@ -71,6 +71,35 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq === expect)
   }
 
+  test("ts_anomaly flags exactly the days outside their DOW 2-sigma band") {
+    val got = ops.Relational.queries("ts_anomaly")(spark, sf0001)
+      .select("ship_d").as[java.sql.Date].collect().map(_.toString).toSet
+    // independent reconstruction from the raw slice
+    val daily = Tables.lineitem(spark, sf0001)
+      .select(col("l_shipdate").cast("date").as("d"), col("l_extendedprice"))
+      .as[(java.sql.Date, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(rs => BigDecimal(rs.map(r => BigDecimal(r._2)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum.toString).toDouble)
+      .toMap
+    val byDow = daily.groupBy { case (d, _) =>
+      Math.floorMod(d.toLocalDate.toEpochDay + 3, 7) } // 1970-01-05 = Monday
+    val expect = byDow.flatMap { case (_, days) =>
+      val xs = days.values.toSeq
+      val n = xs.length.toDouble
+      // mirror the query's DECIMAL(·,8) accumulation, not a float sum —
+      // a last-ulp difference here could flip a borderline band test
+      def dsum8(vs: Seq[Double]): Double =
+        vs.map(BigDecimal(_).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble
+      val sx = dsum8(xs); val sxx = dsum8(xs.map(x => x * x))
+      val mu = sx / n; val sd = math.sqrt((sxx - sx * sx / n) / (n - 1))
+      days.keys.filter(d => math.abs(daily(d) - mu) > 2 * sd)
+    }.map(_.toString).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "a year of word-soup revenue should have outliers")
+  }
+
   test("parquet schema evolution: mergeSchema unifies drops across eras") {
     // era 1 writes (k, a); era 2 adds column b — the daily-drop layout
     // where a field appears mid-history. mergeSchema reconciles the
