@@ -497,9 +497,10 @@ object Relational {
     // IEEE-exact arithmetic, so the band comparison lands identically in
     // both engines. DOW is Monday-anchored day-number mod 7 (Spark's
     // dayofweek and DuckDB's disagree on the week start; date arithmetic
-    // doesn't). Scale: two linear aggregations (daily, then 7-row DOW
-    // stats broadcast back over the calendar) — the fact table is touched
-    // once.
+    // doesn't). Scale: the fact table is scanned ONCE into the daily
+    // aggregate (≤ the calendar in rows at any SF); the DOW moment sums
+    // are windows over that tiny table — no second scan, no join, and the
+    // decimal window sums stay order-independent.
     "ts_anomaly" -> ((s, d) => {
       val daily = lineitem(s, d)
         .groupBy(col("l_shipdate").cast("date").as("ship_d"))
@@ -508,20 +509,20 @@ object Relational {
           pmod(datediff(col("ship_d"), to_date(lit("1970-01-05"))), lit(7))
             .as("dow"),
           col("rev").cast("double").as("revd"))
-      val st = daily.groupBy("dow").agg(
-        count(lit(1)).as("n"),
-        exactSum(col("revd")).as("sx"),
-        exactSum(col("revd") * col("revd")).as("sxx"))
-      val n = col("n").cast("double")
-      val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
-      val mu = sx / n
-      val sd = sqrt((sxx - sx * sx / n) / (n - 1))
-      daily.join(broadcast(st), "dow")
-        .filter(abs(col("revd") - mu) > lit(2.0) * sd)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("dow")
+      val dec = org.apache.spark.sql.types.DecimalType(30, 8)
+      val n = count(lit(1)).over(w).cast("double")
+      val sx = sum(col("revd").cast(dec)).over(w).cast("double")
+      val sxx = sum((col("revd") * col("revd")).cast(dec)).over(w)
+        .cast("double")
+      daily
+        .withColumn("mu", sx / n)
+        .withColumn("sd", sqrt((sxx - sx * sx / n) / (n - 1)))
+        .filter(abs(col("revd") - col("mu")) > lit(2.0) * col("sd"))
         .select(col("ship_d"), col("dow"),
           round(col("revd"), 2).as("rev"),
-          round(mu, 2).as("dow_avg"),
-          round(sd, 2).as("dow_sd"))
+          round(col("mu"), 2).as("dow_avg"),
+          round(col("sd"), 2).as("dow_sd"))
         .orderBy("ship_d")
     }),
 
