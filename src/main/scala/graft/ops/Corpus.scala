@@ -361,7 +361,10 @@ object Corpus {
     // PSI > 0.2 is the conventional "shifted" alarm). Scale shape: two
     // linear bucket-count aggregations + a 10-row spine join; the global
     // window runs over exactly 10 rows. ln under round-6 follows the
-    // text_vocab idf precedent in the cross-engine contract.
+    // text_vocab idf precedent in the cross-engine contract. The bucket
+    // spine derives from the (non-null) edges row, so an EMPTY reference
+    // slice yields an empty result — a loud monitoring failure — instead
+    // of 10 smoothed zero-PSI rows silently accepting any snapshot.
     "dq_drift_psi" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
       val ref = docs.filter(col("doc_id") % 2 === 0)
@@ -373,7 +376,8 @@ object Corpus {
             "greatest(0, n_chars - lo) * 10 div (hi - lo + 1)"))
             .cast("int").as("bucket"))
           .groupBy("bucket").agg(count(lit(1)).as(as))
-      val spine = s.range(0, 10).select(col("id").cast("int").as("bucket"))
+      val spine = edges.filter(col("lo").isNotNull)
+        .select(explode(sequence(lit(0), lit(9))).as("bucket"))
       val wAll = Window.partitionBy()
       def p(n: Column, tot: Column): Column =
         (n + 1).cast("double") / (tot + 10)
@@ -581,7 +585,8 @@ object Corpus {
         |hc AS (SELECT least(9, greatest(0, n_chars - lo) * 10
         |    // (hi - lo + 1)) AS bucket, count(*) AS n_cur
         |  FROM cur, e GROUP BY 1),
-        |sp AS (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bucket),
+        |sp AS (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bucket
+        |  FROM e WHERE lo IS NOT NULL),
         |j AS (SELECT sp.bucket, coalesce(n_ref, 0) AS n_ref,
         |    coalesce(n_cur, 0) AS n_cur
         |  FROM sp LEFT JOIN hr USING (bucket) LEFT JOIN hc USING (bucket)),

@@ -491,16 +491,22 @@ object Relational {
     // Time-series anomaly days (D6/monitoring extension): daily revenue
     // against its own day-of-week seasonal baseline — a day is anomalous
     // when |rev − dow_mean| > 2·dow_stddev. The corpus-monitoring twin of
-    // dq_drift_psi on the time axis. Determinism contract: daily revenue
-    // and the per-DOW moment sums accumulate as DECIMAL (order-independent,
-    // the agg_stddev pattern); mean/sd derive from those exact sums with
-    // IEEE-exact arithmetic, so the band comparison lands identically in
-    // both engines. DOW is Monday-anchored day-number mod 7 (Spark's
-    // dayofweek and DuckDB's disagree on the week start; date arithmetic
-    // doesn't). Scale: the fact table is scanned ONCE into the daily
-    // aggregate (≤ the calendar in rows at any SF); the DOW moment sums
-    // are windows over that tiny table — no second scan, no join, and the
-    // decimal window sums stay order-independent.
+    // dq_drift_psi on the time axis. Determinism contract: STRICTER than
+    // the agg_stddev double→decimal pattern — daily revenue is projected
+    // to integer CENTS (floor(x·100 + 0.5), the contract's portable
+    // double→int rounding; prices are 2-decimal so the projection is
+    // exact), and the per-DOW moment sums run entirely in integer-exact
+    // decimals (cents, and DECIMAL(19,0)² products for the squares — a
+    // wider quantum than exactSum's (30,8) because cents² at 100 TB
+    // overflows 22 integer digits). Mean/sd then derive from identical
+    // exact operands with IEEE-exact arithmetic, so the 2σ band test
+    // cannot flip between engines even at a sub-ulp boundary (the
+    // residual risk the double-squaring formulation carries). DOW is
+    // Monday-anchored day-number mod 7 (Spark's dayofweek and DuckDB's
+    // disagree on the week start; date arithmetic doesn't). Scale: the
+    // fact table is scanned ONCE into the daily aggregate (≤ the calendar
+    // in rows at any SF); the DOW moments are windows over that tiny
+    // table — no second scan, no join, order-independent sums.
     "ts_anomaly" -> ((s, d) => {
       val daily = lineitem(s, d)
         .groupBy(col("l_shipdate").cast("date").as("ship_d"))
@@ -508,21 +514,23 @@ object Relational {
         .select(col("ship_d"),
           pmod(datediff(col("ship_d"), to_date(lit("1970-01-05"))), lit(7))
             .as("dow"),
-          col("rev").cast("double").as("revd"))
+          floor(col("rev").cast("double") * 100 + 0.5).cast("long")
+            .as("c"))
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
       val w = org.apache.spark.sql.expressions.Window.partitionBy("dow")
-      val dec = org.apache.spark.sql.types.DecimalType(30, 8)
       val n = count(lit(1)).over(w).cast("double")
-      val sx = sum(col("revd").cast(dec)).over(w).cast("double")
-      val sxx = sum((col("revd") * col("revd")).cast(dec)).over(w)
+      val sc = sum(col("c").cast(dec19)).over(w).cast("double")
+      val scc = sum(col("c").cast(dec19) * col("c").cast(dec19)).over(w)
         .cast("double")
       daily
-        .withColumn("mu", sx / n)
-        .withColumn("sd", sqrt((sxx - sx * sx / n) / (n - 1)))
-        .filter(abs(col("revd") - col("mu")) > lit(2.0) * col("sd"))
+        .withColumn("cd", col("c").cast("double"))
+        .withColumn("mu", sc / n)
+        .withColumn("sd", sqrt((scc - sc * sc / n) / (n - 1)))
+        .filter(abs(col("cd") - col("mu")) > lit(2.0) * col("sd"))
         .select(col("ship_d"), col("dow"),
-          round(col("revd"), 2).as("rev"),
-          round(col("mu"), 2).as("dow_avg"),
-          round(col("sd"), 2).as("dow_sd"))
+          round(col("cd") / 100, 2).as("rev"),
+          round(col("mu") / 100, 2).as("dow_avg"),
+          round(col("sd") / 100, 2).as("dow_sd"))
         .orderBy("ship_d")
     }),
 
@@ -1020,27 +1028,29 @@ object Relational {
         |round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)/(n-1), 4) AS var,
         |n
         |FROM g ORDER BY 1""".stripMargin,
+    // ((x % 7) + 7) % 7 mirrors Spark's pmod — DuckDB's % keeps the sign
+    // of the dividend, which would misplace any pre-anchor date.
     "ts_anomaly" ->
       """WITH daily AS (
         |  SELECT CAST(l_shipdate AS DATE) AS ship_d,
         |    SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS rev
         |  FROM lineitem GROUP BY 1),
         |d2 AS (SELECT ship_d,
-        |    date_diff('day', DATE '1970-01-05', ship_d) % 7 AS dow,
-        |    CAST(rev AS DOUBLE) AS revd FROM daily),
+        |    ((date_diff('day', DATE '1970-01-05', ship_d) % 7) + 7) % 7
+        |      AS dow,
+        |    CAST(floor(CAST(rev AS DOUBLE) * 100 + 0.5) AS BIGINT) AS c
+        |  FROM daily),
         |st AS (SELECT dow, count(*) AS n,
-        |    SUM(CAST(revd AS DECIMAL(30,8))) AS sx,
-        |    SUM(CAST(revd * revd AS DECIMAL(30,8))) AS sxx
+        |    CAST(SUM(CAST(c AS DECIMAL(19,0))) AS DOUBLE) AS sc,
+        |    CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+        |      AS DOUBLE) AS scc
         |  FROM d2 GROUP BY 1)
-        |SELECT ship_d, dow, round(revd, 2) AS rev,
-        |  round(CAST(sx AS DOUBLE) / n, 2) AS dow_avg,
-        |  round(sqrt((CAST(sxx AS DOUBLE)
-        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 2)
-        |    AS dow_sd
+        |SELECT ship_d, dow, round(CAST(c AS DOUBLE) / 100, 2) AS rev,
+        |  round(sc / n / 100, 2) AS dow_avg,
+        |  round(sqrt((scc - sc * sc / n) / (n - 1)) / 100, 2) AS dow_sd
         |FROM d2 JOIN st USING (dow)
-        |WHERE abs(revd - CAST(sx AS DOUBLE) / n)
-        |  > 2 * sqrt((CAST(sxx AS DOUBLE)
-        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))
+        |WHERE abs(CAST(c AS DOUBLE) - sc / n)
+        |  > 2 * sqrt((scc - sc * sc / n) / (n - 1))
         |ORDER BY ship_d""".stripMargin,
     "agg_percentile" ->
       """SELECT o_orderstatus,

@@ -251,7 +251,7 @@ class CorpusSpec extends SparkSpec {
     val texts = Tables.documents(spark, sf0001)
       .select("text").as[String].collect()
     val brute = texts.iterator
-      .flatMap(_.toLowerCase.split(" "))
+      .flatMap(_.toLowerCase(java.util.Locale.ROOT).split(" "))
       .filter(_.length >= 2)
       .flatMap(t => t.sliding(2))
       .foldLeft(Map.empty[String, Long].withDefaultValue(0L)) {

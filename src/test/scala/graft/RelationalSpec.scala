@@ -85,16 +85,17 @@ class RelationalSpec extends SparkSpec {
     val byDow = daily.groupBy { case (d, _) =>
       Math.floorMod(d.toLocalDate.toEpochDay + 3, 7) } // 1970-01-05 = Monday
     val expect = byDow.flatMap { case (_, days) =>
-      val xs = days.values.toSeq
+      // mirror the query's integer-cents moments exactly
+      val cents = days.view.mapValues(x =>
+        math.floor(x * 100 + 0.5).toLong).toMap
+      val xs = cents.values.toSeq
       val n = xs.length.toDouble
-      // mirror the query's DECIMAL(·,8) accumulation, not a float sum —
-      // a last-ulp difference here could flip a borderline band test
-      def dsum8(vs: Seq[Double]): Double =
-        vs.map(BigDecimal(_).setScale(8, BigDecimal.RoundingMode.HALF_UP))
-          .sum.toDouble
-      val sx = dsum8(xs); val sxx = dsum8(xs.map(x => x * x))
-      val mu = sx / n; val sd = math.sqrt((sxx - sx * sx / n) / (n - 1))
-      days.keys.filter(d => math.abs(daily(d) - mu) > 2 * sd)
+      val sc = xs.map(BigInt(_)).sum.toDouble
+      val scc = xs.map(c => BigInt(c) * BigInt(c)).sum.toDouble
+      val mu = sc / n; val sd = math.sqrt((scc - sc * sc / n) / (n - 1))
+      cents.collect {
+        case (d, c) if math.abs(c.toDouble - mu) > 2 * sd => d
+      }
     }.map(_.toString).toSet
     assert(got === expect)
     assert(got.nonEmpty, "a year of word-soup revenue should have outliers")
