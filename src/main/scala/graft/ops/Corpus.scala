@@ -327,6 +327,28 @@ object Corpus {
         .orderBy("rk")
     }),
 
+    // Per-doc Shannon entropy (nats) over the doc's own token
+    // distribution — the diversity twin of text_repetition's ratio
+    // signals: template/generated text scores low, natural text tracks
+    // log(n_types). Determinism: each −p·ln(p) term rounds to 6dp and is
+    // quantized to decimal BEFORE the per-doc sum (the text_lm_score
+    // contract — identical double inputs give identical ln outputs, and
+    // the decimal sum is partition-order-independent). Linear: one
+    // (doc, tok) count, one per-doc rollup.
+    "text_entropy" -> ((s, d) => {
+      val tf = tokenRows(Tables.documents(s, d))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val nt = tf.groupBy("doc_id").agg(sum("c").as("n_tok"),
+        count(lit(1)).as("n_types"))
+      val p = col("c").cast("double") / col("n_tok")
+      tf.join(nt, "doc_id")
+        .select(col("doc_id"), col("n_tok"), col("n_types"),
+          round(-p * log(p), 6).cast(DecimalType(30, 8)).as("term"))
+        .groupBy("doc_id", "n_tok", "n_types")
+        .agg(round(sum("term").cast("double"), 6).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // L51 — BPE merge-selection statistics: the pair-counting step of
     // byte-pair-encoding tokenizer training (Sennrich et al. 2016,
     // arXiv:1508.07909). Adjacent character-pair frequencies, weighted by
@@ -564,6 +586,17 @@ object Corpus {
         |SELECT rk, tok, cnt, df,
         |  round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS idf
         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "text_entropy" ->
+      s"""WITH t AS ($dTokRows),
+        |tf AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |nt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |    count(*) AS n_types FROM tf GROUP BY 1)
+        |SELECT doc_id, n_tok, n_types,
+        |  round(CAST(SUM(CAST(round(-(CAST(c AS DOUBLE) / n_tok)
+        |    * ln(CAST(c AS DOUBLE) / n_tok), 6) AS DECIMAL(30,8)))
+        |    AS DOUBLE), 6) AS entropy
+        |FROM tf JOIN nt USING (doc_id)
+        |GROUP BY doc_id, n_tok, n_types ORDER BY doc_id""".stripMargin,
     "bpe_pair_count" ->
       s"""WITH t AS ($dTokRows),
         |v AS (SELECT tok, count(*) AS freq FROM t

@@ -158,6 +158,34 @@ object Curation {
         .orderBy("source")
     }),
 
+    // Temperature-scaled mixture weights (T = 2): the multilingual-corpus
+    // sampling formula (exponent 1/T on source shares, renormalized —
+    // the mBERT/XLM exponential-smoothing recipe) that upweights tail
+    // sources without letting head sources dominate. T = 2 makes the
+    // exponent a SQUARE ROOT, which IEEE requires correctly rounded —
+    // identical in both engines — unlike pow, whose libm rounding
+    // differs (the agg_skewkurt rule). The |sources| sqrt terms quantize
+    // to the exactSum decimal before the normalizing sum (order-
+    // independent); the global window runs over |sources| rows only.
+    "mix_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = docs.groupBy("source").agg(count(lit(1)).as("n_orig"))
+      val total = docs.agg(count(lit(1)).as("total"))
+      val wAll = Window.partitionBy()
+      stats.crossJoin(broadcast(total))
+        .withColumn("p", col("n_orig").cast("double") / col("total"))
+        .withColumn("sq", sqrt(col("p")))
+        .withColumn("z",
+          sum(col("sq").cast(org.apache.spark.sql.types.DecimalType(30, 8)))
+            .over(wAll).cast("double"))
+        .select(col("source"), col("n_orig"),
+          round(col("p"), 6).as("p"),
+          round(col("sq") / col("z"), 6).as("w_t2"),
+          floor(col("sq") / col("z") * col("total") + 0.5).cast("long")
+            .as("n_target"))
+        .orderBy("source")
+    }),
+
     // Eval-set decontamination: flag corpus docs sharing any 8-gram with
     // the held-out eval docs (doc_id < 10). The eval shingle set is tiny
     // and broadcast; the corpus streams through one inverted-index join.
@@ -392,6 +420,20 @@ object Curation {
         |WHERE CAST(${dH60("'mix' || CAST(doc_id AS VARCHAR)")} % 10000
         |    AS DOUBLE) < rate * 10000.0
         |GROUP BY d.source, n_orig ORDER BY d.source""".stripMargin,
+    "mix_temperature" ->
+      """WITH st AS (SELECT source, count(*) AS n_orig FROM documents
+        |  GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM documents),
+        |p AS (SELECT source, n_orig, total,
+        |    CAST(n_orig AS DOUBLE) / total AS p,
+        |    sqrt(CAST(n_orig AS DOUBLE) / total) AS sq
+        |  FROM st, t),
+        |z AS (SELECT *, CAST(SUM(CAST(sq AS DECIMAL(30,8))) OVER ()
+        |    AS DOUBLE) AS z FROM p)
+        |SELECT source, n_orig, round(p, 6) AS p,
+        |  round(sq / z, 6) AS w_t2,
+        |  CAST(floor(sq / z * total + 0.5) AS BIGINT) AS n_target
+        |FROM z ORDER BY source""".stripMargin,
     "decontaminate" -> dDecontaminate,
     // The Bloom prefilter is invisible to the oracle: no false negatives
     // means the exact-verified result is identical to plain decontaminate.

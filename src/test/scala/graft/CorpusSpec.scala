@@ -236,6 +236,33 @@ class CorpusSpec extends SparkSpec {
       s"en=${avg(true)} must beat non-en=${avg(false)}")
   }
 
+  test("text_entropy: bounded by ln(n_types), matches a brute-force doc") {
+    val got = ops.Corpus.queries("text_entropy")(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length ===
+      Tables.documents(spark, sf0001).count().toInt)
+    got.foreach { case (id, nTok, nTypes, h) =>
+      assert(h >= 0.0, s"doc $id negative entropy $h")
+      // uniform distribution maximizes H at ln(n_types); allow the 6dp
+      // per-term rounding to push marginally over
+      assert(h <= math.log(nTypes.toDouble) + 1e-4,
+        s"doc $id entropy $h exceeds ln($nTypes)")
+      assert(nTypes <= nTok)
+    }
+    // brute-force one doc
+    val (id0, _, _, h0) = got.head
+    val text = Tables.documents(spark, sf0001)
+      .filter($"doc_id" === id0).select("text").as[String].head()
+    val counts = text.toLowerCase(java.util.Locale.ROOT).split(" ")
+      .groupBy(identity).values.map(_.length).toSeq
+    val n = counts.sum.toDouble
+    val brute = counts.map { c =>
+      BigDecimal(-(c / n) * math.log(c / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(math.abs(h0 - brute) < 1e-6, s"doc $id0: $h0 vs brute $brute")
+  }
+
   test("bpe_pair_count: rank-1 matches an independent brute-force count") {
     val got = ops.Corpus.queries("bpe_pair_count")(spark, sf0001)
       .as[(Int, String, Long)].collect()

@@ -133,6 +133,31 @@ class CurationSpec extends SparkSpec {
     assert(q(spark, sf0001).collect().toSeq === m.toSeq)
   }
 
+  test("mix_temperature: weights normalize, tail sources gain share") {
+    val got = ops.Curation.queries("mix_temperature")(spark, sf0001)
+      .select("n_orig", "p", "w_t2").as[(Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-4,
+      "temperature weights must renormalize to 1")
+    // sqrt flattening: w > p exactly when p < 1/Z² and Z = Σ√p ≤ √k, so
+    // every below-mean source is strictly upweighted (p < 1/k ≤ 1/Z²);
+    // above the mean the crossover is data-dependent — assert instead
+    // that flattening preserves order while compressing ratios
+    val meanP = 1.0 / got.length
+    got.foreach { case (_, p, w) =>
+      if (p < meanP - 1e-9) assert(w > p, s"tail source not upweighted: $p $w")
+    }
+    val byP = got.sortBy(_._2)
+    byP.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3 + 1e-12, "weights must preserve share order")
+    }
+    val (pMin, wMin) = (byP.head._2, byP.head._3)
+    val (pMax, wMax) = (byP.last._2, byP.last._3)
+    if (pMin < pMax - 1e-9)
+      assert(wMax / wMin < pMax / pMin,
+        "temperature must compress the head/tail ratio")
+  }
+
   test("corpus_diff: statuses match set arithmetic over the doc_id space") {
     val got = ops.Curation.queries("corpus_diff")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

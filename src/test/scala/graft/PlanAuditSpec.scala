@@ -69,7 +69,10 @@ class PlanAuditSpec extends SparkSpec {
     "dq_drift_psi" -> Set("GlobalWindow", "BroadcastNestedLoopJoin"),
     // four 1-row stage-total frames crossed into the single summary row
     // (the mix_resample model-parameter shape)
-    "funnel_conversion" -> Set("BroadcastNestedLoopJoin")
+    "funnel_conversion" -> Set("BroadcastNestedLoopJoin"),
+    // 1-row corpus total crossed into per-source shares (mix_resample's
+    // shape); the normalizing-sum window runs over |sources| rows
+    "mix_temperature" -> Set("BroadcastNestedLoopJoin", "GlobalWindow")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {
