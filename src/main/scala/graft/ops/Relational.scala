@@ -433,6 +433,59 @@ object Relational {
         .orderBy("bucket")
     }),
 
+    // D9 complement: EQUI-DEPTH histogram (the optimizer-statistics /
+    // data-skipping shape — equal mass per bucket, not equal width).
+    // Decile boundaries from one exact-percentile pass, rounded to the
+    // price grain (2dp) so bucket assignment compares exact doubles on
+    // both engines (an interpolated boundary can differ across engines at
+    // sub-ulp scale; on the cent grid it cannot). Boundaries are a 1-row
+    // broadcast; assignment is one codegen'd 9-element array filter per
+    // row; at 100 TB swap the exact percentile for approx_percentile as
+    // dq_profile does for its distinct counts.
+    "agg_histogram_eqdepth" -> ((s, d) => {
+      val o = orders(s, d)
+      val bounds = o.agg(expr(
+        "transform(percentile(o_totalprice, " +
+          "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), b -> round(b, 2))")
+        .as("bs"))
+      o.crossJoin(broadcast(bounds))
+        .select(expr("size(filter(bs, b -> o_totalprice > b))")
+          .cast("int").as("bucket"), col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"))
+        .orderBy("bucket")
+    }),
+
+    // D10 extension: Deequ-style CONSTRAINT SUITE — the pass/fail data
+    // contract a pipeline gates ingest on, as one single-scan aggregate
+    // unpivoted to a (rule, violations, passed) report. Completeness,
+    // uniqueness, positivity, domain membership, and an amount ceiling,
+    // all map-side-combinable counts.
+    "dq_rule_check" -> ((s, d) => {
+      val a = orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("o_custkey"))).as("v_cust"),
+        (count(col("o_orderkey")) - countDistinct(col("o_orderkey")))
+          .as("v_key"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_pos"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)).as("v_dom"),
+        sum(when(col("o_totalprice") > 450000, 1L).otherwise(0L))
+          .as("v_amt"))
+      a.select(expr(
+        """stack(5,
+          |  'amount_below_450k', v_amt,
+          |  'custkey_complete', v_cust,
+          |  'orderkey_unique', v_key,
+          |  'price_positive', v_pos,
+          |  'status_in_domain', v_dom) AS (rule, violations)""".stripMargin),
+        col("n_rows"))
+        .withColumn("passed", (col("violations") === 0).cast("int"))
+        .orderBy("rule")
+    }),
+
     // argmax/argmin aggregates: which order was each customer's biggest —
     // deterministic tiebreak via the struct's secondary key.
     "agg_maxby" -> ((s, d) =>
@@ -991,6 +1044,37 @@ object Relational {
         |max(CASE WHEN rs = 1 THEN o_orderkey END) AS smallest_order,
         |COUNT(*) AS n
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_histogram_eqdepth" ->
+      """WITH b AS (SELECT list_transform(quantile_cont(o_totalprice,
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), x -> round(x, 2)) AS bs
+        |  FROM orders)
+        |SELECT CAST(len(list_filter(bs, x -> o_totalprice > x)) AS INT)
+        |    AS bucket,
+        |  count(*) AS n, round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM orders, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dq_rule_check" ->
+      """WITH a AS (SELECT count(*) AS n_rows,
+        |    count(*) - count(o_custkey) AS v_cust,
+        |    count(o_orderkey) - count(DISTINCT o_orderkey) AS v_key,
+        |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_pos,
+        |    sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |      THEN 1 ELSE 0 END) AS v_dom,
+        |    sum(CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END) AS v_amt
+        |  FROM orders)
+        |SELECT rule, violations, n_rows,
+        |  CAST(violations = 0 AS INT) AS passed FROM (
+        |  SELECT 'amount_below_450k' AS rule, CAST(v_amt AS BIGINT)
+        |    AS violations, n_rows FROM a
+        |  UNION ALL SELECT 'custkey_complete', CAST(v_cust AS BIGINT),
+        |    n_rows FROM a
+        |  UNION ALL SELECT 'orderkey_unique', CAST(v_key AS BIGINT),
+        |    n_rows FROM a
+        |  UNION ALL SELECT 'price_positive', CAST(v_pos AS BIGINT),
+        |    n_rows FROM a
+        |  UNION ALL SELECT 'status_in_domain', CAST(v_dom AS BIGINT),
+        |    n_rows FROM a)
+        |ORDER BY rule""".stripMargin,
     "agg_mode" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |  FROM orders GROUP BY 1, 2),

@@ -72,7 +72,10 @@ class PlanAuditSpec extends SparkSpec {
     "funnel_conversion" -> Set("BroadcastNestedLoopJoin"),
     // 1-row corpus total crossed into per-source shares (mix_resample's
     // shape); the normalizing-sum window runs over |sources| rows
-    "mix_temperature" -> Set("BroadcastNestedLoopJoin", "GlobalWindow")
+    "mix_temperature" -> Set("BroadcastNestedLoopJoin", "GlobalWindow"),
+    // 1-row broadcast decile-boundary array crossed into the scan
+    // (agg_histogram's min/max shape, nine values instead of two)
+    "agg_histogram_eqdepth" -> Set("BroadcastNestedLoopJoin")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {

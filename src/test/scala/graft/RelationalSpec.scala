@@ -71,6 +71,38 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq === expect)
   }
 
+  test("agg_histogram_eqdepth: 10 buckets, near-equal mass, ordered ranges") {
+    val got = ops.Relational.queries("agg_histogram_eqdepth")(spark, sf0001)
+      .as[(Int, Long, Double, Double)].collect()
+    assert(got.map(_._1).toSeq === (0 to 9))
+    val n = got.map(_._2).sum
+    // equi-depth: every bucket within ±2 of the ideal decile (exact
+    // percentile boundaries; ties on the cent grid shift at most a few)
+    got.foreach { case (b, c, lo, hi) =>
+      assert(math.abs(c - n / 10.0) <= math.max(2, n * 0.02),
+        s"bucket $b holds $c of $n — not equi-depth")
+      assert(lo <= hi)
+    }
+    // bucket value ranges are disjoint and ascending
+    got.sliding(2).foreach { case Array(a, b) => assert(a._4 <= b._3) }
+  }
+
+  test("dq_rule_check: five rules, violation counts match direct queries") {
+    val got = ops.Relational.queries("dq_rule_check")(spark, sf0001)
+      .as[(String, Long, Long, Int)].collect()
+    assert(got.length === 5)
+    val m = got.map(r => r._1 -> r._2).toMap
+    assert(m("custkey_complete") ===
+      orders.filter($"o_custkey".isNull).count())
+    assert(m("orderkey_unique") === orders.count() -
+      orders.select("o_orderkey").distinct().count())
+    assert(m("price_positive") ===
+      orders.filter($"o_totalprice" <= 0).count())
+    assert(m("amount_below_450k") ===
+      orders.filter($"o_totalprice" > 450000).count())
+    got.foreach { case (_, v, _, p) => assert(p === (if (v == 0) 1 else 0)) }
+  }
+
   test("ts_anomaly flags exactly the days outside their DOW 2-sigma band") {
     val got = ops.Relational.queries("ts_anomaly")(spark, sf0001)
       .select("ship_d").as[java.sql.Date].collect().map(_.toString).toSet
