@@ -458,6 +458,40 @@ object Relational {
         .orderBy("bucket")
     }),
 
+    // Customer RFM segmentation (recency / frequency / monetary quintile
+    // scores) — the classic CRM dashboard analytic. Deliberately NOT the
+    // textbook ntile(5)-over-everything: a global ntile window sorts the
+    // whole customer table on one task (the scale red flag PlanAuditSpec
+    // bans). Instead quintile boundaries come from one exact-percentile
+    // pass (a 1-row broadcast, the agg_histogram_eqdepth machinery) and
+    // each customer scores by comparing against 4 boundaries — fully
+    // parallel, same result semantics up to boundary-tie handling, which
+    // the rounded-to-grain boundaries make deterministic cross-engine.
+    // Recency scores INVERTED (recent = high score, the RFM convention).
+    "customer_rfm" -> ((s, d) => {
+      val o = orders(s, d)
+      val today = o.agg(max(col("o_orderdate").cast("date")).as("today"))
+      val base = o.groupBy("o_custkey")
+        .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+          count(lit(1)).as("f"),
+          round(exactSum(col("o_totalprice")), 2).cast("double").as("m"))
+        .crossJoin(broadcast(today))
+        .select(col("o_custkey"),
+          datediff(col("today"), col("last_d")).as("r"),
+          col("f"), col("m"))
+      val qs = "array(0.2,0.4,0.6,0.8)"
+      val bounds = base.agg(
+        expr(s"transform(percentile(r, $qs), b -> round(b, 2))").as("rb"),
+        expr(s"transform(percentile(f, $qs), b -> round(b, 2))").as("fb"),
+        expr(s"transform(percentile(m, $qs), b -> round(b, 2))").as("mb"))
+      base.crossJoin(broadcast(bounds))
+        .select(col("o_custkey"), col("r"), col("f"), col("m"),
+          (lit(5) - expr("size(filter(rb, b -> r > b))")).as("r_score"),
+          (lit(1) + expr("size(filter(fb, b -> f > b))")).as("f_score"),
+          (lit(1) + expr("size(filter(mb, b -> m > b))")).as("m_score"))
+        .orderBy("o_custkey")
+    }),
+
     // D10 extension: Deequ-style CONSTRAINT SUITE — the pass/fail data
     // contract a pipeline gates ingest on, as one single-scan aggregate
     // unpivoted to a (rule, violations, passed) report. Completeness,
@@ -1044,6 +1078,29 @@ object Relational {
         |max(CASE WHEN rs = 1 THEN o_orderkey END) AS smallest_order,
         |COUNT(*) AS n
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "customer_rfm" ->
+      """WITH t AS (SELECT max(CAST(o_orderdate AS DATE)) AS today
+        |  FROM orders),
+        |base AS (SELECT o_custkey,
+        |    date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |      (SELECT today FROM t)) AS r,
+        |    count(*) AS f,
+        |    CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2)
+        |      AS DOUBLE) AS m
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT
+        |    list_transform(quantile_cont(r, [0.2,0.4,0.6,0.8]),
+        |      x -> round(x, 2)) AS rb,
+        |    list_transform(quantile_cont(f, [0.2,0.4,0.6,0.8]),
+        |      x -> round(x, 2)) AS fb,
+        |    list_transform(quantile_cont(m, [0.2,0.4,0.6,0.8]),
+        |      x -> round(x, 2)) AS mb
+        |  FROM base)
+        |SELECT o_custkey, CAST(r AS INT) AS r, f, m,
+        |  CAST(5 - len(list_filter(rb, x -> r > x)) AS INT) AS r_score,
+        |  CAST(1 + len(list_filter(fb, x -> f > x)) AS INT) AS f_score,
+        |  CAST(1 + len(list_filter(mb, x -> m > x)) AS INT) AS m_score
+        |FROM base, b ORDER BY o_custkey""".stripMargin,
     "agg_histogram_eqdepth" ->
       """WITH b AS (SELECT list_transform(quantile_cont(o_totalprice,
         |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), x -> round(x, 2)) AS bs

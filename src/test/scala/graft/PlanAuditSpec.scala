@@ -75,7 +75,12 @@ class PlanAuditSpec extends SparkSpec {
     "mix_temperature" -> Set("BroadcastNestedLoopJoin", "GlobalWindow"),
     // 1-row broadcast decile-boundary array crossed into the scan
     // (agg_histogram's min/max shape, nine values instead of two)
-    "agg_histogram_eqdepth" -> Set("BroadcastNestedLoopJoin")
+    "agg_histogram_eqdepth" -> Set("BroadcastNestedLoopJoin"),
+    // two 1-row broadcasts (global max date; the 3×4 quintile boundary
+    // arrays) crossed into the customer aggregate — the same
+    // model-parameter shape, chosen PRECISELY to avoid the textbook
+    // global-ntile window this audit would ban
+    "customer_rfm" -> Set("BroadcastNestedLoopJoin")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {

@@ -87,6 +87,27 @@ class RelationalSpec extends SparkSpec {
     got.sliding(2).foreach { case Array(a, b) => assert(a._4 <= b._3) }
   }
 
+  test("customer_rfm: scores in 1..5, monotone in the underlying metric") {
+    val got = ops.Relational.queries("customer_rfm")(spark, sf0001)
+      .as[(Long, Int, Long, Double, Int, Int, Int)].collect()
+    assert(got.length ===
+      orders.select("o_custkey").distinct().count().toInt)
+    got.foreach { case (_, r, f, m, rs, fs, ms) =>
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      assert(r >= 0 && f >= 1 && m > 0)
+    }
+    // monotone: a strictly larger metric can never score lower (and
+    // recency inverts: a LONGER gap can never score higher)
+    val byF = got.sortBy(_._3)
+    byF.sliding(2).foreach { case Array(a, b) => assert(a._6 <= b._6) }
+    val byM = got.sortBy(_._4)
+    byM.sliding(2).foreach { case Array(a, b) => assert(a._7 <= b._7) }
+    val byR = got.sortBy(_._2)
+    byR.sliding(2).foreach { case Array(a, b) => assert(a._5 >= b._5) }
+    // quintiles actually spread on this data
+    assert(got.map(_._6).distinct.length >= 3)
+  }
+
   test("dq_rule_check: five rules, violation counts match direct queries") {
     val got = ops.Relational.queries("dq_rule_check")(spark, sf0001)
       .as[(String, Long, Long, Int)].collect()
