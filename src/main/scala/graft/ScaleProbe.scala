@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-side SCALING probe (not part of the driver contract, not CI): the
+  * testdata tops out at sf0.1, so this main synthesizes one more decade —
+  * a stacked ~sf1 (10 key-offset copies of the sf0.1 tables, document
+  * texts salted with a per-copy prefix token so the copies are distinct
+  * rows but deliberately remain NEAR-DUPLICATES of each other, the
+  * heavily-duplicated-crawl shape a dedup pipeline actually faces) — and
+  * runs a set of DECLARED queries, unchanged, at sf0.01 → sf0.1 → sf1ish,
+  * printing per-decade wall-clock ratios. A linear operator on 32 local
+  * cores should scale well under the 10× data ratio (fixed overheads
+  * amortize); anything super-linear here would be a red flag the sf0.1
+  * bench cannot see. Results are recorded in BASELINE.md ("Scale
+  * evidence"); re-run with `sbt "runMain graft.ScaleProbe"` or plain java
+  * with the bench classpath.
+  *
+  * The stack writes to /tmp/graft_sf1ish (left in place for re-runs;
+  * ~10× sf0.1 on disk).
+  */
+object ScaleProbe {
+
+  private val Probes = Seq(
+    "agg_sum_groupby", "join_sortmerge", "win_cumsum", "dq_profile",
+    "sessionize_batch", "dedup_hash", "dedup_minhash",
+    "dedup_ngram_jaccard", "dedup_cc", "text_tfidf")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sf1ish = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1ish")
+    buildStack(spark, "/root/testdata/sf0.1", sf1ish)
+
+    val dirs = Seq(
+      "sf0.01" -> "/root/testdata/sf0.01",
+      "sf0.1" -> "/root/testdata/sf0.1",
+      "sf1ish" -> sf1ish)
+    // warmup each dir's footers once
+    dirs.foreach { case (_, d) =>
+      spark.read.parquet(s"$d/lineitem.parquet").count()
+      spark.read.parquet(s"$d/documents.parquet").count()
+    }
+    val rows = Probes.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = dirs.map { case (_, d) =>
+        // median of 3, cold path (Bench protocol)
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, d).count()
+          spark.catalog.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        ts(1)
+      }
+      val r01 = times(1) / times(0)
+      val r1 = times(2) / times(1)
+      println(f"""{"probe":"$name","sf0.01":${times(0)}%.3f,""" +
+        f""""sf0.1":${times(1)}%.3f,"sf1ish":${times(2)}%.3f,""" +
+        f""""x10_ratio_a":$r01%.2f,"x10_ratio_b":$r1%.2f}""")
+      (name, times, r01, r1)
+    }
+    val worst = rows.maxBy(_._4)
+    println(f"""{"metric":"scale_probe","probes":${rows.length},""" +
+      f""""worst_decade_ratio":${worst._4}%.2f,""" +
+      f""""worst_probe":"${worst._1}"}""")
+    spark.stop()
+  }
+
+  /** 10 key-offset copies of the sf0.1 tables the probes touch. Offsets
+    * keep every key space disjoint (orderkey/custkey/suppkey/doc_id);
+    * document texts get a distinct leading token per copy, so exact dedup
+    * sees distinct rows while MinHash/Jaccard correctly finds each
+    * original's 10 salted copies as a near-dup cluster. */
+  private def buildStack(s: SparkSession, src: String, dst: String): Unit = {
+    val marker = new java.io.File(s"$dst/_STACK_OK")
+    if (marker.exists()) return
+    // events ships as TIMESTAMP(NANOS); read raw nanos as long (the
+    // Tables.events convention) — the stacked copy then stores plain
+    // INT64, which Tables.events converts identically.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def stacked(t: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = s.read.parquet(s"$src/$t.parquet")
+      (0 until 10).map(i => f(base, i)).reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    stacked("lineitem") { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * 1000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * 1000000L))
+    }
+    stacked("orders") { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * 1000000L))
+    }
+    stacked("customer") { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * 1000000L))
+    }
+    stacked("documents") { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text", concat(lit(s"cp$i "), col("text")))
+        .withColumn("n_chars", col("n_chars") + lit(4L))
+    }
+    stacked("events") { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+    }
+    stacked("supplier") { (df, i) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(i * 1000000L))
+    }
+    stacked("part") { (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * 1000000L))
+    }
+    // dimension keys referenced unchanged from the stacked facts — the
+    // copies share the same 25 nations / 5 regions, copied through as-is
+    Seq("nation", "region").foreach { t =>
+      s.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    new java.io.FileOutputStream(marker).close()
+  }
+}

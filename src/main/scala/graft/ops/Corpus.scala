@@ -335,13 +335,16 @@ object Corpus {
     // contract — identical double inputs give identical ln outputs, and
     // the decimal sum is partition-order-independent). Linear: one
     // (doc, tok) count, one per-doc rollup.
+    // (single corpus pass: the per-doc totals are doc-partitioned windows
+    // over the tf aggregate — no second explode, and the final rollup
+    // reuses the same doc_id partitioning)
     "text_entropy" -> ((s, d) => {
       val tf = tokenRows(Tables.documents(s, d))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      val nt = tf.groupBy("doc_id").agg(sum("c").as("n_tok"),
-        count(lit(1)).as("n_types"))
+      val wd = Window.partitionBy("doc_id")
       val p = col("c").cast("double") / col("n_tok")
-      tf.join(nt, "doc_id")
+      tf.withColumn("n_tok", sum("c").over(wd))
+        .withColumn("n_types", count(lit(1)).over(wd))
         .select(col("doc_id"), col("n_tok"), col("n_types"),
           round(-p * log(p), 6).cast(DecimalType(30, 8)).as("term"))
         .groupBy("doc_id", "n_tok", "n_types")
