@@ -77,4 +77,37 @@ class BucketingSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("runtime bloom-filter join pruning injects on a selective dim join") {
+    // The third shuffle-reduction lever beside bucketing and AQE skew
+    // handling: when one join side carries a selective filter, Catalyst
+    // can inject a bloom_filter_agg on that side and a might_contain
+    // probe on the fact scan, shrinking the shuffled fact rows BEFORE the
+    // exchange — at 100 TB this is the difference between shuffling the
+    // full fact table and shuffling only rows that can possibly match.
+    // Thresholds are shrunk so the local fixture trips the same rewrite a
+    // production fact⋈filtered-dim join would.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.lineitem(spark, sf0001)
+      val o = Tables.orders(spark, sf0001).filter($"o_totalprice" > 450000)
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter_agg") && opt.contains("might_contain"),
+        s"runtime bloom filter not injected:\n${opt.take(1500)}")
+      // the rewrite must not change results
+      val expected = li.join(o.hint("broadcast"),
+        li("l_orderkey") === o("o_orderkey")).count()
+      assert(j.count() === expected)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
