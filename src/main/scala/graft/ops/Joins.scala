@@ -246,6 +246,50 @@ object Joins {
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
           .as("revenue"))
         .orderBy(desc("revenue"), asc("n_name"))
+    }),
+
+    // TPC-H Q1 (pricing summary): the canonical one-scan multi-aggregate
+    // benchmark query — pushed date filter, six aggregates per group in a
+    // single pass, every money sum and average derived from exact decimal
+    // accumulation (the dsum contract; built-in avg would merge doubles
+    // partition-order-dependently).
+    "q1_pricing_summary" -> ((s, d) => {
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(disc, 2).as("sum_disc_price"),
+          dsum(disc * (lit(1) + col("l_tax")), 2).as("sum_charge"),
+          round(exactSum(col("l_quantity")).cast("double") /
+            count(lit(1)), 4).as("avg_qty"),
+          round(exactSum(col("l_extendedprice")).cast("double") /
+            count(lit(1)), 4).as("avg_price"),
+          round(exactSum(col("l_discount")).cast("double") /
+            count(lit(1)), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q18 (large-volume customers): HAVING-filtered semi-join shape
+    // — the inner per-order quantity rollup keeps only orders over the
+    // threshold (a tiny set), which then drives semi-join-style lookups
+    // into orders/customer; top-20 via TakeOrderedAndProject, never a
+    // global sort.
+    "q18_large_volume" -> ((s, d) => {
+      val big = lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity"), 2).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(20)
     })
   )
 
@@ -353,6 +397,35 @@ object Joins {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(round(SUM(CAST(l_quantity AS DECIMAL(30,8))), 2) AS DOUBLE)
+        |  AS sum_qty,
+        |CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(30,8))), 2)
+        |  AS DOUBLE) AS sum_base_price,
+        |CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |  AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_disc_price,
+        |CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |  * (1 + l_tax) AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_charge,
+        |round(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+        |  / count(*), 4) AS avg_qty,
+        |round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)
+        |  / count(*), 4) AS avg_price,
+        |round(CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE)
+        |  / count(*), 4) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q18_large_volume" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(round(SUM(CAST(l_quantity AS DECIMAL(30,8))), 2)
+        |      AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING total_qty > 300)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
   )
 }
