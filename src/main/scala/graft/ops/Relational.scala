@@ -3,6 +3,7 @@ package graft.ops
 import graft.Q
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core relational operators: scans, projections, filters, aggregations,
@@ -479,11 +480,10 @@ object Relational {
         .select(col("o_custkey"),
           datediff(col("today"), col("last_d")).as("r"),
           col("f"), col("m"))
-      val qs = "array(0.2,0.4,0.6,0.8)"
-      val bounds = base.agg(
-        expr(s"transform(percentile(r, $qs), b -> round(b, 2))").as("rb"),
-        expr(s"transform(percentile(f, $qs), b -> round(b, 2))").as("fb"),
-        expr(s"transform(percentile(m, $qs), b -> round(b, 2))").as("mb"))
+      def quintiles(c: String) = expr(
+        s"transform(percentile($c, array(0.2,0.4,0.6,0.8)), " +
+          "b -> round(b, 2))").as(c + "b")
+      val bounds = base.agg(quintiles("r"), quintiles("f"), quintiles("m"))
       base.crossJoin(broadcast(bounds))
         .select(col("o_custkey"), col("r"), col("f"), col("m"),
           (lit(5) - expr("size(filter(rb, b -> r > b))")).as("r_score"),
@@ -543,8 +543,7 @@ object Relational {
       val cnt = orders(s, d)
         .groupBy("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("o_orderstatus")
+      val w = Window.partitionBy("o_orderstatus")
         .orderBy(desc("n"), asc("o_orderpriority"))
       cnt.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -604,7 +603,7 @@ object Relational {
           floor(col("rev").cast("double") * 100 + 0.5).cast("long")
             .as("c"))
       val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("dow")
+      val w = Window.partitionBy("dow")
       val n = count(lit(1)).over(w).cast("double")
       val sc = sum(col("c").cast(dec19)).over(w).cast("double")
       val scc = sum(col("c").cast(dec19) * col("c").cast(dec19)).over(w)
