@@ -620,6 +620,37 @@ object Relational {
         .orderBy("ship_d")
     }),
 
+    // Calendar gap-fill (time-series extension): the sparse daily series
+    // of large urgent orders made calendar-complete — every day between
+    // the first and last observation gets a row, missing days filled two
+    // ways: n_fill = 0 (additive metrics) and n_locf = last observation
+    // carried forward (level metrics). The calendar spine is generated
+    // from the 1-row (min, max) bounds with sequence() and LEFT-joined to
+    // the daily aggregate — an equi join between two tables bounded by
+    // the CALENDAR, not the data (the fact table is reduced by the daily
+    // groupBy first: one linear scan, map-side combine). The LOCF window
+    // is global by construction but runs over the calendar spine (≤ a few
+    // thousand rows at any SF — the win_trailing7 precedent, allowlisted
+    // in PlanAuditSpec). Outputs are integer counts and dates — no float
+    // contract surface.
+    "ts_gapfill" -> ((s, d) => {
+      val daily = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 200000)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_obs"))
+      val cal = daily.agg(min("day").as("lo"), max("day").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      cal.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n_obs"), lit(0L)).as("n_fill"),
+          last(col("n_obs"), ignoreNulls = true)
+            .over(Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("n_locf"))
+        .orderBy("day")
+    }),
+
     // Higher moments (D6 extension): population skewness and excess
     // kurtosis from exact decimal sums of x..x⁴ — same determinism
     // contract as agg_stddev (built-in skewness/kurtosis merge float
@@ -646,6 +677,39 @@ object Relational {
           exactSum(x * x * x * x).as("s4"))
         .select(col("l_returnflag"), col("n"),
           round(skew, 6).as("skew"), round(kurt, 6).as("kurt"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Regression aggregates (D6 extension): per-group OLS slope/intercept
+    // and R² of extendedprice on quantity. Both engines ship built-in
+    // regr_slope/regr_intercept/regr_r2, but their float moments merge in
+    // partition order, so the declared form derives the identical
+    // statistics under the agg_stddev determinism contract instead: x, y,
+    // x², xy, y² accumulate as exact DECIMAL(30,8) sums (the double
+    // products are IEEE-identical in both engines BEFORE the cast), and
+    // the closed-form below then uses only IEEE-exact ops (* / + -) on
+    // identical operands. One scan, map-side combine, |groups| output
+    // rows — linear at any SF; at 100 TB the same five sums are what
+    // regr_* would accumulate anyway.
+    "agg_regr" -> ((s, d) => {
+      val n = col("n").cast("double")
+      val mx = col("sx").cast("double") / n
+      val my = col("sy").cast("double") / n
+      val vx = col("sxx").cast("double") / n - mx * mx
+      val vy = col("syy").cast("double") / n - my * my
+      val cxy = col("sxy").cast("double") / n - mx * my
+      val slope = cxy / vx
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          exactSum(x).as("sx"), exactSum(y).as("sy"),
+          exactSum(x * x).as("sxx"), exactSum(x * y).as("sxy"),
+          exactSum(y * y).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round(slope, 6).as("slope"),
+          round(my - slope * mx, 4).as("intercept"),
+          round((cxy * cxy) / (vx * vy), 6).as("r2"))
         .orderBy("l_returnflag")
     }),
 
@@ -1168,6 +1232,27 @@ object Relational {
         |round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)/(n-1), 4) AS var,
         |n
         |FROM g ORDER BY 1""".stripMargin,
+    "agg_regr" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+        |    AS sxx,
+        |  CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(30,8)))
+        |    AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(30,8)))
+        |    AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT l_returnflag, n, sx/n AS mx, sy/n AS my,
+        |  sxx/n - (sx/n)*(sx/n) AS vx,
+        |  syy/n - (sy/n)*(sy/n) AS vy,
+        |  sxy/n - (sx/n)*(sy/n) AS cxy FROM g)
+        |SELECT l_returnflag, n,
+        |round(cxy/vx, 6) AS slope,
+        |round(my - (cxy/vx)*mx, 4) AS intercept,
+        |round((cxy*cxy)/(vx*vy), 6) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     // ((x % 7) + 7) % 7 mirrors Spark's pmod — DuckDB's % keeps the sign
     // of the dividend, which would misplace any pre-anchor date.
     "ts_anomaly" ->
@@ -1192,6 +1277,21 @@ object Relational {
         |WHERE abs(CAST(c AS DOUBLE) - sc / n)
         |  > 2 * sqrt((scc - sc * sc / n) / (n - 1))
         |ORDER BY ship_d""".stripMargin,
+    "ts_gapfill" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_obs
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+        |  GROUP BY 1),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |cal AS (SELECT CAST(unnest(generate_series(lo, hi,
+        |  INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+        |SELECT day, COALESCE(n_obs, 0) AS n_fill,
+        |  last_value(n_obs IGNORE NULLS) OVER
+        |    (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS n_locf
+        |FROM cal LEFT JOIN daily USING (day)
+        |ORDER BY day""".stripMargin,
     "agg_percentile" ->
       """SELECT o_orderstatus,
         |round(quantile_cont(o_totalprice, 0.5),4) AS p50,

@@ -60,6 +60,9 @@ class PlanAuditSpec extends SparkSpec {
     // cardinality is the calendar (≤ a few thousand rows at any corpus
     // size), fixed by the daily groupBy that precedes it.
     "win_trailing7" -> Set("GlobalWindow"),
+    // LOCF window over the calendar spine — same bound as win_trailing7:
+    // the daily groupBy reduces the facts before the window ever runs.
+    "ts_gapfill" -> Set("GlobalWindow"),
     // rank window AFTER the TakeOrderedAndProject top-20 prune — the
     // text_vocab pattern: the window sees ≤20 rows, never the pair table.
     "bpe_pair_count" -> Set("GlobalWindow"),
