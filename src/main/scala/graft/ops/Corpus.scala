@@ -185,7 +185,7 @@ object Corpus {
     // Winnowing fingerprints (L45; Schleimer-Wilkerson-Aiken, SIGMOD 2003
     // — the MOSS local fingerprinting scheme): hash every positional word
     // 3-gram, then every window of 4 consecutive hashes selects its MIN.
-    // Guarantee: any token run of length >= w+k-1 = 7 shared by two
+    // Guarantee: any token run of length >= w+k-1 = 6 shared by two
     // documents shares at least one selected fingerprint, while only
     // ~2/(w+1) of all hashes are stored — local dedup/plagiarism evidence
     // at a fraction of the index size. Value-set form (distinct selected

@@ -438,17 +438,48 @@ object Relational {
     // data-skipping shape — equal mass per bucket, not equal width).
     // Decile boundaries from one exact-percentile pass, rounded to the
     // price grain (2dp) so bucket assignment compares exact doubles on
-    // both engines (an interpolated boundary can differ across engines at
-    // sub-ulp scale; on the cent grid it cannot). Boundaries are a 1-row
-    // broadcast; assignment is one codegen'd 9-element array filter per
-    // row; at 100 TB swap the exact percentile for approx_percentile as
-    // dq_profile does for its distinct counts.
+    // both engines. Caveat: rounding kills the generic sub-ulp drift but
+    // NOT the half-cent midpoint — interpolation at frac = 0.5 between
+    // adjacent cents lands exactly on .xx5, where Spark's BigDecimal
+    // HALF_UP and DuckDB's binary-double rounding can still disagree; the
+    // oracle run is the safety net for that residual case. Boundaries are
+    // a 1-row broadcast; assignment is one codegen'd 9-element array filter per
+    // row. The exact percentile materializes the full value multiset in
+    // ONE aggregation buffer — fine at test SF, an OOM at 100 TB — so the
+    // production boundary pass is the declared `agg_histogram_eqdepth_approx`
+    // twin below (GK sketch, mergeable, map-side combined); this exact
+    // form stays as the oracle row that pins the semantics.
     "agg_histogram_eqdepth" -> ((s, d) => {
       val o = orders(s, d)
       val bounds = o.agg(expr(
         "transform(percentile(o_totalprice, " +
           "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), b -> round(b, 2))")
         .as("bs"))
+      o.crossJoin(broadcast(bounds))
+        .select(expr("size(filter(bs, b -> o_totalprice > b))")
+          .cast("int").as("bucket"), col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"))
+        .orderBy("bucket")
+    }),
+
+    // The 100 TB boundary pass for the equi-depth histogram: identical
+    // plan shape, but decile boundaries come from approx_percentile
+    // (Greenwald-Khanna, accuracy 10000 → rank error ≤ n/10000) — a
+    // mergeable bounded-memory sketch that map-side combines instead of
+    // hauling every value into one reducer buffer. GK returns actual data
+    // values (no interpolation), so boundaries sit on the cent grid for
+    // free. Rows-only at the driver (sketch outputs differ across
+    // engines); ApproxAccuracySpec pins per-bucket mass within 2% of the
+    // ideal n/10 against the exact oracle form.
+    "agg_histogram_eqdepth_approx" -> ((s, d) => {
+      val o = orders(s, d)
+      val bounds = o.agg(expr(
+        "transform(approx_percentile(o_totalprice, " +
+          "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000), " +
+          "b -> round(b, 2))").as("bs"))
       o.crossJoin(broadcast(bounds))
         .select(expr("size(filter(bs, b -> o_totalprice > b))")
           .cast("int").as("bucket"), col("o_totalprice"))
@@ -469,6 +500,8 @@ object Relational {
     // parallel, same result semantics up to boundary-tie handling, which
     // the rounded-to-grain boundaries make deterministic cross-engine.
     // Recency scores INVERTED (recent = high score, the RFM convention).
+    // Like agg_histogram_eqdepth, the exact boundary pass is the oracle
+    // form only — `customer_rfm_approx` below is the wired 100 TB path.
     "customer_rfm" -> ((s, d) => {
       val o = orders(s, d)
       val today = o.agg(max(col("o_orderdate").cast("date")).as("today"))
@@ -482,6 +515,37 @@ object Relational {
           col("f"), col("m"))
       def quintiles(c: String) = expr(
         s"transform(percentile($c, array(0.2,0.4,0.6,0.8)), " +
+          "b -> round(b, 2))").as(c + "b")
+      val bounds = base.agg(quintiles("r"), quintiles("f"), quintiles("m"))
+      base.crossJoin(broadcast(bounds))
+        .select(col("o_custkey"), col("r"), col("f"), col("m"),
+          (lit(5) - expr("size(filter(rb, b -> r > b))")).as("r_score"),
+          (lit(1) + expr("size(filter(fb, b -> f > b))")).as("f_score"),
+          (lit(1) + expr("size(filter(mb, b -> m > b))")).as("m_score"))
+        .orderBy("o_custkey")
+    }),
+
+    // The 100 TB boundary pass for RFM: same per-customer base aggregate
+    // and broadcast-boundary scoring, but quintile boundaries from
+    // approx_percentile (GK sketch, accuracy 10000) instead of the exact
+    // percentile whose single aggregation buffer holds every customer's
+    // r/f/m value. The base aggregate (|customers| rows) is already
+    // distributed; only the boundary pass changes. Rows-only at the
+    // driver; ApproxAccuracySpec pins score drift ≤1 quintile and
+    // fraction-of-customers-drifted against the exact oracle form.
+    "customer_rfm_approx" -> ((s, d) => {
+      val o = orders(s, d)
+      val today = o.agg(max(col("o_orderdate").cast("date")).as("today"))
+      val base = o.groupBy("o_custkey")
+        .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+          count(lit(1)).as("f"),
+          round(exactSum(col("o_totalprice")), 2).cast("double").as("m"))
+        .crossJoin(broadcast(today))
+        .select(col("o_custkey"),
+          datediff(col("today"), col("last_d")).as("r"),
+          col("f"), col("m"))
+      def quintiles(c: String) = expr(
+        s"transform(approx_percentile($c, array(0.2,0.4,0.6,0.8), 10000), " +
           "b -> round(b, 2))").as(c + "b")
       val bounds = base.agg(quintiles("r"), quintiles("f"), quintiles("m"))
       base.crossJoin(broadcast(bounds))
@@ -690,14 +754,19 @@ object Relational {
     // the closed-form below then uses only IEEE-exact ops (* / + -) on
     // identical operands. One scan, map-side combine, |groups| output
     // rows — linear at any SF; at 100 TB the same five sums are what
-    // regr_* would accumulate anyway.
+    // regr_* would accumulate anyway. Degenerate groups (constant x ⇒
+    // vx = 0) are NULLed explicitly on both sides: Spark's Divide yields
+    // NULL on /0 but DuckDB's IEEE division yields inf/NaN, so without
+    // the guard the engines disagree exactly when the data degenerates.
     "agg_regr" -> ((s, d) => {
       val n = col("n").cast("double")
       val mx = col("sx").cast("double") / n
       val my = col("sy").cast("double") / n
-      val vx = col("sxx").cast("double") / n - mx * mx
-      val vy = col("syy").cast("double") / n - my * my
+      val vx0 = col("sxx").cast("double") / n - mx * mx
+      val vy0 = col("syy").cast("double") / n - my * my
       val cxy = col("sxy").cast("double") / n - mx * my
+      val vx = when(vx0 === 0d, lit(null)).otherwise(vx0)
+      val vy = when(vy0 === 0d, lit(null)).otherwise(vy0)
       val slope = cxy / vx
       val x = col("l_quantity"); val y = col("l_extendedprice")
       lineitem(s, d)
@@ -1245,8 +1314,8 @@ object Relational {
         |    AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY 1),
         |m AS (SELECT l_returnflag, n, sx/n AS mx, sy/n AS my,
-        |  sxx/n - (sx/n)*(sx/n) AS vx,
-        |  syy/n - (sy/n)*(sy/n) AS vy,
+        |  nullif(sxx/n - (sx/n)*(sx/n), 0) AS vx,
+        |  nullif(syy/n - (sy/n)*(sy/n), 0) AS vy,
         |  sxy/n - (sx/n)*(sy/n) AS cxy FROM g)
         |SELECT l_returnflag, n,
         |round(cxy/vx, 6) AS slope,

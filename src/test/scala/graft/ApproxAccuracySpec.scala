@@ -77,6 +77,57 @@ class ApproxAccuracySpec extends SparkSpec {
     }
   }
 
+  test("agg_histogram_eqdepth_approx: per-bucket mass within 2% of ideal " +
+      "n/10 at sf0.01") {
+    // The GK-boundary twin is the wired 100 TB path for the exact
+    // oracle-checked agg_histogram_eqdepth. Equal-depth semantics =
+    // every decile bucket holds ~n/10 rows; with accuracy 10000 the rank
+    // error per boundary is <= n/10000, so each bucket's mass can drift
+    // at most ~2·n/10000 = 0.2% of n (2% of the bucket). Assert with a
+    // little slack for the cent-grid boundary rounding.
+    val approx = SparkEntry.queries("agg_histogram_eqdepth_approx")(
+      spark, sf001).collect()
+    assert(approx.map(_.getAs[Int]("bucket")).toSeq == (0 to 9),
+      "expected exactly buckets 0..9")
+    val n = approx.map(_.getAs[Long]("n")).sum
+    for (r <- approx) {
+      val mass = r.getAs[Long]("n").toDouble
+      assert(math.abs(mass - n / 10.0) / (n / 10.0) < 0.02,
+        s"bucket ${r.getAs[Int]("bucket")}: mass $mass vs ideal ${n / 10.0}")
+    }
+  }
+
+  test("customer_rfm_approx: scores drift <=1 quintile vs exact, <10% of " +
+      "customers drift at all, at sf0.01") {
+    // r and f are coarse discrete variables (days, order counts): the
+    // exact form INTERPOLATES quintile boundaries while GK returns actual
+    // data values, so a boundary moving across one tie-class (say f=8)
+    // legitimately shifts every customer in that class by one quintile.
+    // Hence the per-score bound is hard (<=1) but the drifted-fraction
+    // bound is sized to a couple of tie-classes, not sketch error.
+    def scores(name: String): Map[Long, (Int, Int, Int)] =
+      SparkEntry.queries(name)(spark, sf001).collect().map { r =>
+        r.getAs[Long]("o_custkey") ->
+          ((r.getAs[Int]("r_score"), r.getAs[Int]("f_score"),
+            r.getAs[Int]("m_score")))
+      }.toMap
+    val exact = scores("customer_rfm")
+    val approx = scores("customer_rfm_approx")
+    assert(approx.keySet === exact.keySet)
+    var drifted = 0
+    for ((k, (re, fe, me)) <- exact) {
+      val (ra, fa, ma) = approx(k)
+      for (((a, e), nm) <- Seq(ra -> re, fa -> fe, ma -> me)
+          .zip(Seq("r", "f", "m"))) {
+        assert(math.abs(a - e) <= 1,
+          s"custkey $k ${nm}_score: approx $a vs exact $e")
+      }
+      if ((ra, fa, ma) != ((re, fe, me))) drifted += 1
+    }
+    assert(drifted.toDouble / exact.size < 0.10,
+      s"$drifted/${exact.size} customers drifted a quintile")
+  }
+
   test("KMV above-k estimation on real table data (distinct >> k)") {
     val o = Tables.orders(spark, sf001)
     val exact = o.agg(countDistinct(col("o_orderkey"))).collect().head.getLong(0)

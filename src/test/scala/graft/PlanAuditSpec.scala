@@ -79,11 +79,15 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row broadcast decile-boundary array crossed into the scan
     // (agg_histogram's min/max shape, nine values instead of two)
     "agg_histogram_eqdepth" -> Set("BroadcastNestedLoopJoin"),
+    // identical 1-row boundary broadcast, GK-sketch twin
+    "agg_histogram_eqdepth_approx" -> Set("BroadcastNestedLoopJoin"),
     // two 1-row broadcasts (global max date; the 3×4 quintile boundary
     // arrays) crossed into the customer aggregate — the same
     // model-parameter shape, chosen PRECISELY to avoid the textbook
     // global-ntile window this audit would ban
-    "customer_rfm" -> Set("BroadcastNestedLoopJoin")
+    "customer_rfm" -> Set("BroadcastNestedLoopJoin"),
+    // identical two 1-row broadcasts, GK-sketch twin
+    "customer_rfm_approx" -> Set("BroadcastNestedLoopJoin")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {
