@@ -290,6 +290,89 @@ object Joins {
           col("o_orderdate").cast("date").as("o_orderdate"),
           col("o_totalprice"), col("total_qty"))
         .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(20)
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the
+    // MULTI-EXISTENTIAL decorrelated plan — a semi- AND an anti-self-join
+    // of the fact table per supplier, the shape nothing else in the suite
+    // exercises. Adapted to this schema (no l_commitdate/l_receiptdate):
+    // a line is "late" when it ships >90 days after the order date. For
+    // each late line of a finished order: EXISTS another supplier on the
+    // order (semi) and NOT EXISTS another LATE supplier (anti) — i.e. the
+    // one supplier who single-handedly held up a multi-supplier order.
+    // Plan at scale (verified via QDebug .explain): Catalyst defers l1's
+    // orders join + late filter until AFTER the anti join (legal: orders
+    // is 1:1 on orderkey and every predicate is a row filter on l1), so
+    // the probe side is ONE bare 2-column lineitem scan shuffled ONCE on
+    // l_orderkey, and the semi and the anti consume that same
+    // partitioning back-to-back with no intermediate exchange — the
+    // shuffle-reuse this shape is meant to exercise. l2 deliberately
+    // skips the orders join: whether ANOTHER supplier has a line in the
+    // same order is independent of order status (l1 already pins the
+    // order to 'F'), so the semi's build side is a bare 2-column scan
+    // too. Only l3 ("another LATE supplier") genuinely needs
+    // lineitem⋈orders. Supplier (dim-sized) broadcasts into the count.
+    "q21_waiting" -> ((s, d) => {
+      val fl = lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate").cast("date") >
+            date_add(col("o_orderdate").cast("date"), 90)).as("late"))
+      val l1 = fl.filter(col("late")).select("l_orderkey", "l_suppkey")
+      val l2 = lineitem(s, d)
+        .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = fl.filter(col("late"))
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      l1.join(l2, col("l_orderkey") === col("o2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("o3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+        .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+    }),
+
+    // TPC-H Q2 shape (min-cost supplier): the PER-GROUP SCALAR SUBQUERY
+    // plan — for every part, the minimum unit cost any supplier charged,
+    // then the supplier rows achieving exactly that minimum. Adapted to
+    // this schema (no partsupp): unit cost = l_extendedprice/l_quantity
+    // observed on lineitem; Q2's region filter becomes the p_type filter.
+    // The equality join back onto the min is safe cross-engine because
+    // the division runs on identical double operands in both engines
+    // (IEEE-identical, the dot-fold contract) and min() is
+    // order-independent. Plan at scale: the filtered part dim broadcasts
+    // into the lineitem scan BEFORE the min pass (prune early), the
+    // groupBy and the join-back share the l_partkey shuffle key, and the
+    // final order+limit is TakeOrderedAndProject.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      val p = part(s, d).filter(col("p_type") === "STANDARD")
+        .select("p_partkey", "p_name")
+      val li = lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val minc = li.groupBy("l_partkey")
+        .agg(min("unit_cost").as("min_cost"))
+        .withColumnRenamed("l_partkey", "mk")
+      li.join(minc, col("l_partkey") === col("mk") &&
+          col("unit_cost") === col("min_cost"))
+        .select("p_partkey", "p_name", "l_suppkey", "min_cost")
+        .distinct()
+        .join(broadcast(supplier(s, d)
+          .select("s_suppkey", "s_name", "s_acctbal")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("s_acctbal"),
+          // floor(x·10⁴+0.5), not round(): the unit-cost quotient lands on
+          // .xxxx5 midpoints where the engines' round() disagree
+          (floor(col("min_cost") * 10000 + 0.5) / 10000).as("min_cost"))
+        .orderBy(desc("s_acctbal"), asc("p_partkey"), asc("s_suppkey"))
+        .limit(100)
     })
   )
 
@@ -426,6 +509,37 @@ object Joins {
         |  CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, total_qty
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q21_waiting" ->
+      """WITH fl AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90
+        |      AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM fl l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM fl l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM fl l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_name""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part
+        |  WHERE p_type = 'STANDARD'),
+        |li AS (SELECT p_partkey, p_name, l_suppkey,
+        |    l_extendedprice / l_quantity AS unit_cost
+        |  FROM lineitem JOIN p ON l_partkey = p_partkey),
+        |mc AS (SELECT p_partkey AS mk, min(unit_cost) AS min_cost
+        |  FROM li GROUP BY 1),
+        |hit AS (SELECT DISTINCT p_partkey, p_name, l_suppkey, min_cost
+        |  FROM li JOIN mc ON p_partkey = mk AND unit_cost = min_cost)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
+        |  floor(min_cost * 10000 + 0.5) / 10000 AS min_cost
+        |FROM hit JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100""".stripMargin
   )
 }
