@@ -41,7 +41,59 @@ object Embeddings {
     * contract). Safe as an exact `>=`: both engines fold the dot product
     * in ascending index order over doubles, so the cosine is bit-identical
     * and the comparison can never straddle the threshold differently. */
-  private val TauSem = 0.35
+  private[ops] val TauSem = 0.35
+
+  /** Per-cell population cap for dedup_semantic: cells at/below the cap
+    * do the exact all-pairs the oracle mirrors; cells ABOVE it are
+    * sub-blocked by sign-LSH before pairing. 4096 sits far above every
+    * testdata cell (≤2000 vectors TOTAL at sf0.1), so the declared
+    * query's oracle row is byte-identical — the runaway path is pinned
+    * by SemanticCellCapSpec on a synthetic hot cell instead. At 100 TB
+    * the cap bounds the worst cell's pair stage at cap² regardless of
+    * how skewed the centroid assignment gets. */
+  private[ops] val SemCellCap = 4096
+
+  /** Duplicate vec_ids within centroid cells, bounded per-cell cost.
+    *
+    * Input `v`: (vec_id, cid, embedding, nrm). Cells with ≤ `cap`
+    * members: exact all-pairs inside the cell (cap² worst case, the
+    * SemDeDup recipe). Cells above `cap`: candidates only from
+    * same-(cid, table, bucket) sign-LSH collisions — the
+    * TextSim.embedNearDupPairs machinery keyed by learned cell instead
+    * of label (8 tables × 4-bit buckets, same deterministic planes).
+    * Every candidate is verified with the exact cosine, so precision is
+    * exact; recall above the cap is the documented LSH trade (cos ≥ 0.9
+    * collides in ≥1 table with p ≈ 0.99). A dup = any vector with an
+    * EARLIER (smaller vec_id) in-cell neighbor at cosine ≥ `tau`. */
+  private[ops] def semanticDupIds(
+      v: DataFrame, cap: Int, tau: Double): DataFrame = {
+    val vc = v.withColumn("cnt",
+      count(lit(1)).over(Window.partitionBy("cid")))
+    val cos = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+    val small = vc.filter(col("cnt") <= cap)
+    val sa = small.select(col("cid"), col("vec_id").as("i"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val sb = small.select(col("cid"), col("vec_id").as("j"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val smallDups = sa.join(sb, Seq("cid"))
+      .filter(col("i") > col("j") && cos >= tau)
+      .select(col("i").as("vec_id"))
+    val big = vc.filter(col("cnt") > cap)
+    val bl = big.select(col("cid"), col("vec_id"), col("embedding"),
+      col("nrm"),
+      posexplode(array((0 until 8).map(t =>
+        TextSim.signBucket(t, col("embedding"))): _*)).as(Seq("tbl", "key")))
+    val ba = bl.select(col("cid"), col("tbl"), col("key"),
+      col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
+    val bb = bl.select(col("cid"), col("tbl"), col("key"),
+      col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val bigDups = ba.join(bb, Seq("cid", "tbl", "key"))
+      .filter(col("i") > col("j"))
+      .dropDuplicates("cid", "i", "j")
+      .filter(cos >= tau)
+      .select(col("i").as("vec_id"))
+    smallDups.unionByName(bigDups).distinct()
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -97,10 +149,12 @@ object Embeddings {
     // (they use 11k cells for 5B embeddings) so cell population stays
     // bounded and the per-cell all-pairs cost is cap² with cap ≈ N/k;
     // the E-step is a broadcast k·N scan (no shuffle of the big side
-    // beyond the one hash partition on cid). A runaway cell would be
-    // sub-blocked by the same sign-LSH machinery as
-    // TextSim.embedNearDupPairs — not wired here because the declared
-    // query pins the exact-within-cell semantics the oracle can mirror.
+    // beyond the one hash partition on cid). A runaway cell (population
+    // > SemCellCap) is sub-blocked by the same sign-LSH machinery as
+    // TextSim.embedNearDupPairs via semanticDupIds — wired r8; the cap
+    // sits above every testdata cell so this declared query still pins
+    // the exact-within-cell semantics the oracle can mirror, while
+    // SemanticCellCapSpec pins the runaway path on a synthetic hot cell.
     // The keep-lowest-id rule is SemDeDup's "keep one random point per
     // near-dup neighborhood" made deterministic (and oracle-expressible:
     // NOT EXISTS an earlier in-cell neighbor above threshold).
@@ -110,14 +164,7 @@ object Embeddings {
         .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
         .select(col("vec_id"), col("cid"), col("embedding"),
           sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-      val xa = v.select(col("cid"), col("vec_id").as("i"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      val xb = v.select(col("cid"), col("vec_id").as("j"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
-      val dups = xa.join(xb, Seq("cid"))
-        .filter(col("i") > col("j") &&
-          dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= TauSem)
-        .select(col("i").as("vec_id")).distinct()
+      val dups = semanticDupIds(v, SemCellCap, TauSem)
       v.join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left")
         .select(col("vec_id"), col("cid").as("centroid_id"),
           when(col("dup").isNotNull, 0).otherwise(1).as("kept"))

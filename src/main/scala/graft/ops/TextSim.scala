@@ -263,8 +263,10 @@ object TextSim {
     }
   }
 
-  /** 4-bit sign-random-projection bucket of `e` for LSH table `t`. */
-  private def signBucket(t: Int, e: Column): Column =
+  /** 4-bit sign-random-projection bucket of `e` for LSH table `t`.
+    * `private[ops]`: Embeddings.semanticDupIds sub-blocks runaway
+    * centroid cells with the same tables/planes. */
+  private[ops] def signBucket(t: Int, e: Column): Column =
     (0 until 4).map { b =>
       (when(dot(e, typedlit(plane(t, b))) > 0, 1).otherwise(0)) * (1 << b)
     }.reduce(_ + _)
