@@ -25,7 +25,10 @@ object ScaleProbe {
   private val Probes = Seq(
     "agg_sum_groupby", "join_sortmerge", "win_cumsum", "dq_profile",
     "sessionize_batch", "dedup_hash", "dedup_minhash",
-    "dedup_ngram_jaccard", "dedup_cc", "text_tfidf")
+    "dedup_ngram_jaccard", "dedup_cc", "text_tfidf",
+    // r8: the r7 heavy families (VERDICT r7 task 6)
+    "dedup_containment", "graph_label_prop", "text_bm25", "embed_pq",
+    "overlap_sources")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -81,7 +84,9 @@ object ScaleProbe {
     * original's 10 salted copies as a near-dup cluster. */
   private def buildStack(s: SparkSession, src: String, dst: String): Unit = {
     val marker = new java.io.File(s"$dst/_STACK_OK")
-    if (marker.exists()) return
+    // r8 added embeddings to the stack — refresh a pre-r8 stack in place
+    val complete = new java.io.File(s"$dst/embeddings.parquet").exists()
+    if (marker.exists() && complete) return
     // events ships as TIMESTAMP(NANOS); read raw nanos as long (the
     // Tables.events convention) — the stacked copy then stores plain
     // INT64, which Tables.events converts identically.
@@ -118,6 +123,12 @@ object ScaleProbe {
     }
     stacked("part") { (df, i) =>
       df.withColumn("p_partkey", col("p_partkey") + lit(i * 1000000L))
+    }
+    // identical vectors under fresh ids: every copy is an exact semantic
+    // duplicate of its original — the worst case a near-dup/ANN family
+    // can face, which is precisely what the decade probe should stress
+    stacked("embeddings") { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
     }
     // dimension keys referenced unchanged from the stacked facts — the
     // copies share the same 25 nations / 5 regions, copied through as-is

@@ -52,6 +52,65 @@ object Curation {
        |       THEN 'val'
        |     ELSE 'test' END""".stripMargin
 
+  /** The capstone pipeline's intermediate frames, exposed so
+    * [[graft.CurateProfile]] can time each stage and A/B the pin
+    * strategy without duplicating the logic the declared query runs. */
+  private[graft] case class CurateFrames(
+      exact: DataFrame, edges: DataFrame, kept: DataFrame,
+      train: DataFrame, contam: DataFrame, result: DataFrame)
+
+  /** Body of `pipeline_curate`, parameterized over how the two
+    * multiply-consumed frames are pinned.
+    *
+    * pin = persist(MEMORY_AND_DISK), not localCheckpoint, on the declared
+    * path: `exact` feeds four consumers (candidate pairs, CC vertices,
+    * the representative join, train shingles) — without materializing it
+    * each consumer would replay the dedup. persist keeps the lineage, so
+    * a lost executor recomputes its blocks from the scan; localCheckpoint
+    * discards it and makes executor loss fatal at cluster scale (same
+    * rationale as TextSim.ngramJaccard's shingle table). Blocks are
+    * dropped by Bench/Verify's clearCache after materialization.
+    * CurateProfile measures the persist-vs-localCheckpoint delta and
+    * BASELINE.md records the per-stage cost table.
+    *
+    * row_number window, NOT min_by-over-groupBy: A/B-measured at sf0.1
+    * (median-of-5, back-to-back) the window wins 5.6s vs 6.5s for the
+    * whole capstone — with mostly-unique texts the aggregate's map-side
+    * combine saves almost nothing, while its two-phase hash map pays
+    * full-text key hashing twice; the window shuffles once and does one
+    * partition-local sort. The window partitions on (h60(text), text):
+    * same groups as raw text, but exchange comparisons are 8-byte
+    * hashes in the common case. Both formulations scale linearly. */
+  private[graft] def curateStages(
+      s: SparkSession, d: String,
+      pin: DataFrame => DataFrame): CurateFrames = {
+    val docs = Tables.documents(s, d)
+    val w = Window.partitionBy(h60(col("text")), col("text"))
+      .orderBy("doc_id")
+    val exact = pin(docs.filter(size(toks) >= 30)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn"))
+    val edges = TextSim.minhashPairs(exact)
+      .select(col("ia").as("src"), col("ib").as("dst"))
+    val kept = exact
+      .join(Graph.connectedComponents(exact.select("doc_id"), edges),
+        "doc_id")
+      .filter(col("doc_id") === col("comp"))
+    val train = pin(kept.filter(col("doc_id") >= 10))
+    val evalG = grams(docs.filter(col("doc_id") < 10))
+      .select("g").distinct()
+    val contam = grams(train)
+      .join(broadcast(evalG), Seq("g"))
+      .select("doc_id").distinct()
+    val result = train.join(contam, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), splitCol.as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+      .orderBy("split", "lang")
+    CurateFrames(exact, edges, kept, train, contam, result)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Deterministic stratified sampling: per-language keep rates applied
@@ -234,50 +293,9 @@ object Curation {
     // Output: per (split, lang) survivor counts — the dataset card. Every
     // stage is the same shuffle shape it has standalone; nothing here is
     // more than linear + the CC loop.
-    "pipeline_curate" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      // persist (MEMORY_AND_DISK), not localCheckpoint: `exact` feeds four
-      // consumers (candidate pairs, CC vertices, the representative join,
-      // train shingles) — without materializing it each consumer would
-      // replay the dedup. persist keeps the lineage, so a lost executor
-      // recomputes its blocks from the scan; localCheckpoint discards it
-      // and makes executor loss fatal at cluster scale (same rationale as
-      // TextSim.ngramJaccard's shingle table). Blocks are dropped by
-      // Bench/Verify's clearCache after materialization.
-      // row_number window, NOT min_by-over-groupBy: A/B-measured at sf0.1
-      // (median-of-5, back-to-back) the window wins 5.6s vs 6.5s for the
-      // whole capstone — with mostly-unique texts the aggregate's map-side
-      // combine saves almost nothing, while its two-phase hash map pays
-      // full-text key hashing twice; the window shuffles once and does one
-      // partition-local sort. The window partitions on (h60(text), text):
-      // same groups as raw text, but exchange comparisons are 8-byte
-      // hashes in the common case. Both formulations scale linearly.
-      val w = Window.partitionBy(h60(col("text")), col("text"))
-        .orderBy("doc_id")
-      val exact = docs.filter(size(toks) >= 30)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val edges = TextSim.minhashPairs(exact)
-        .select(col("ia").as("src"), col("ib").as("dst"))
-      val kept = exact
-        .join(Graph.connectedComponents(exact.select("doc_id"), edges),
-          "doc_id")
-        .filter(col("doc_id") === col("comp"))
-      val train = kept.filter(col("doc_id") >= 10)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val evalG = grams(docs.filter(col("doc_id") < 10))
-        .select("g").distinct()
-      val contam = grams(train)
-        .join(broadcast(evalG), Seq("g"))
-        .select("doc_id").distinct()
-      train.join(contam, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("lang"), splitCol.as("split"))
-        .groupBy("split", "lang")
-        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
-          max("doc_id").as("max_id"))
-        .orderBy("split", "lang")
-    }),
+    "pipeline_curate" -> ((s, d) => curateStages(s, d,
+      df => df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)).result),
 
     // Sliding-window chunking (32-token windows, stride 24): the training
     // prep / RAG shape. A token at 0-based pos p lands in chunks

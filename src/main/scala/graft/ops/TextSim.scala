@@ -180,7 +180,8 @@ object TextSim {
     * pair atomically enough for the single-JVM sandbox; a real deployment
     * would stamp the store with the snapshot version instead. */
   private[ops] def ensureSnapshotStore(
-      s: org.apache.spark.sql.SparkSession, d: String): String = {
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    TextSim.synchronized { // parallel test suites may race the first build
     val dir = snapshotStoreDir(d)
     val done = new java.io.File(dir, "_DONE")
     if (!done.exists()) {
