@@ -425,9 +425,10 @@ object Corpus {
     // are exact in binary: medians of ints interpolate to at worst .5
     // (representable), 3·MAD likewise — no float-boundary risk in the
     // cross-engine contract. Exact `percentile` materializes each group's
-    // value multiset on its reducer — fine for per-source doc counts; at
-    // 100 TB swap `approx_percentile` (GK sketch, mergeable, map-side)
-    // exactly as dq_profile does for its distinct counts.
+    // value multiset on its reducer — fine for per-source doc counts; the
+    // wired 100 TB boundary pass is the `dq_outlier_mad_approx` twin
+    // below (GK sketch, mergeable, map-side — the
+    // agg_histogram_eqdepth_approx precedent applied per group).
     "dq_outlier_mad" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
       val med = docs.groupBy("source")
@@ -435,6 +436,28 @@ object Corpus {
       val mad = docs.join(broadcast(med), "source")
         .groupBy("source", "med")
         .agg(expr("percentile(abs(n_chars - med), 0.5)").as("mad"))
+      docs.join(broadcast(mad), "source")
+        .filter(abs(col("n_chars") - col("med")) > lit(3) * col("mad"))
+        .select("source", "doc_id", "n_chars", "med", "mad")
+        .orderBy("source", "doc_id")
+    }),
+
+    // The 100 TB twin of dq_outlier_mad: both percentile passes become
+    // approx_percentile (GK, accuracy 10000 → per-group rank error ≤
+    // n/10⁴, bounded sketch memory instead of the group's full multiset
+    // in one buffer). GK returns actual data values — a median that the
+    // exact form would interpolate to x.5 lands on an integer here, so
+    // docs sitting exactly at the 3·MAD boundary can flip; rows-only at
+    // the driver, with ApproxAccuracySpec pinning outlier-set agreement
+    // against the exact oracle form.
+    "dq_outlier_mad_approx" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      val med = docs.groupBy("source")
+        .agg(expr("approx_percentile(n_chars, 0.5, 10000)").as("med"))
+      val mad = docs.join(broadcast(med), "source")
+        .groupBy("source", "med")
+        .agg(expr("approx_percentile(abs(n_chars - med), 0.5, 10000)")
+          .as("mad"))
       docs.join(broadcast(mad), "source")
         .filter(abs(col("n_chars") - col("med")) > lit(3) * col("mad"))
         .select("source", "doc_id", "n_chars", "med", "mad")

@@ -128,6 +128,27 @@ class ApproxAccuracySpec extends SparkSpec {
       s"$drifted/${exact.size} customers drifted a quintile")
   }
 
+  test("dq_outlier_mad_approx: outlier set Jaccard >= 0.9 vs exact, " +
+      "per-source median within 1 char, at sf0.01") {
+    // GK returns actual values where the exact form interpolates to x.5,
+    // so only docs sitting hard on the 3·MAD boundary may flip — the set
+    // must stay essentially the same, and medians can differ by < 1.
+    def run(name: String) =
+      SparkEntry.queries(name)(spark, sf001).collect()
+    def flagged(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(1))).toSet
+    def meds(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> r.get(3).toString.toDouble).toMap
+    val e = run("dq_outlier_mad")
+    val a = run("dq_outlier_mad_approx")
+    val (se, sa) = (flagged(e), flagged(a))
+    val jac = (se intersect sa).size.toDouble / (se union sa).size
+    assert(jac >= 0.9, s"outlier sets diverged: |e|=${se.size} " +
+      s"|a|=${sa.size} jaccard=$jac")
+    for ((src, me) <- meds(e); ma <- meds(a).get(src))
+      assert(math.abs(me - ma) < 1.0, s"$src: med approx $ma vs exact $me")
+  }
+
   test("KMV above-k estimation on real table data (distinct >> k)") {
     val o = Tables.orders(spark, sf001)
     val exact = o.agg(countDistinct(col("o_orderkey"))).collect().head.getLong(0)
