@@ -373,6 +373,38 @@ object Joins {
           (floor(col("min_cost") * 10000 + 0.5) / 10000).as("min_cost"))
         .orderBy(desc("s_acctbal"), asc("p_partkey"), asc("s_suppkey"))
         .limit(100)
+    }),
+
+    // TPC-H Q22 shape (global sales opportunity): the SCALAR-AVERAGE
+    // SUBQUERY + ANTI-JOIN plan — above-average-balance customers from a
+    // set of countries with NO recent activity, rolled up per country.
+    // Adapted to this schema/data (no phone prefixes; every customer has
+    // SOME order): country code = nation key set, and "no orders" becomes
+    // "no orders since 2000-07-01" — the dormant-customer variant, same
+    // decorrelated multi-block shape. Plan at scale: the positive-balance
+    // average is a 1-row broadcast (scalar subquery → BNLJ probe, the
+    // model-parameter pattern); the anti join's build side is the
+    // date-filtered orders projection (filter pushed to the scan, one
+    // shuffle on custkey); the customer side arrives already pruned by
+    // the nation-set + balance filters. Money totals via the exact
+    // decimal contract.
+    "q22_dormant_balance" -> ((s, d) => {
+      val c = customer(s, d)
+        .filter(col("c_nationkey").isin(1, 3, 5, 7, 9))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg((exactSum(col("c_acctbal")).cast("double") / count(lit(1)))
+          .as("avg_bal"))
+      val recent = orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("2000-07-01")))
+        .select("o_custkey")
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("c_nationkey")
     })
   )
 
@@ -540,6 +572,21 @@ object Joins {
         |SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
         |  floor(min_cost * 10000 + 0.5) / 10000 AS min_cost
         |FROM hit JOIN supplier ON l_suppkey = s_suppkey
-        |ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100""".stripMargin
+        |ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100""".stripMargin,
+    "q22_dormant_balance" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |  WHERE c_nationkey IN (1, 3, 5, 7, 9)),
+        |a AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE)
+        |    / COUNT(*) AS avg_bal
+        |  FROM c WHERE c_acctbal > 0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(round(SUM(CAST(c_acctbal AS DECIMAL(30,8))), 2) AS DOUBLE)
+        |    AS totacctbal
+        |FROM c, a
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-07-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

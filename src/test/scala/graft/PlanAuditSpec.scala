@@ -87,7 +87,10 @@ class PlanAuditSpec extends SparkSpec {
     // global-ntile window this audit would ban
     "customer_rfm" -> Set("BroadcastNestedLoopJoin"),
     // identical two 1-row broadcasts, GK-sketch twin
-    "customer_rfm_approx" -> Set("BroadcastNestedLoopJoin")
+    "customer_rfm_approx" -> Set("BroadcastNestedLoopJoin"),
+    // 1-row broadcast scalar-average subquery (the Q22 shape's
+    // model-parameter probe); the anti join itself is an equi join
+    "q22_dormant_balance" -> Set("BroadcastNestedLoopJoin")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {
