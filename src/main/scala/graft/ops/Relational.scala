@@ -420,6 +420,32 @@ object Relational {
         ORDER BY o_orderkey""")
     }),
 
+    // B9 extension, TPC-H Q16 shape (r8): NOT IN subquery + distinct
+    // aggregate after a dimension join. NOT IN is the NULL-AWARE anti
+    // join — a genuinely different plan node from left_anti (a NULL on
+    // either side makes NOT IN unknown ⇒ row dropped); Spark plans the
+    // single-column case as a BroadcastHashJoin with isNullAwareAntiJoin,
+    // so the exclusion set (suppliers in arrears) broadcasts and the fact
+    // side never shuffles for it. Via spark.sql because the DataFrame DSL
+    // has no NOT IN form (isin wants literals; left_anti is not
+    // null-aware). At sf0.001 the exclusion set is EMPTY — the
+    // keep-everything edge both engines must agree on; at sf0.01 it
+    // excludes rows. COUNT(DISTINCT) runs per (brand, type, size) group
+    // after the broadcast part join prunes the scan.
+    "q16_supplier_cnt" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("g_lineitem")
+      part(s, d).createOrReplaceTempView("g_part")
+      supplier(s, d).createOrReplaceTempView("g_supplier")
+      s.sql("""SELECT p_brand, p_type, p_size,
+          COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM g_lineitem JOIN g_part ON l_partkey = p_partkey
+        WHERE p_type <> 'PROMO' AND p_size IN (5, 10, 15, 20, 25)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM g_supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+    }),
+
     // Equi-width histogram: bucket bounds from one global min/max scalar
     // pass (broadcast), then a 10-bucket count — the profile-page
     // distribution summary. Bucket arithmetic is pure double on identical
@@ -1457,6 +1483,15 @@ object Relational {
         |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
         |          / COUNT(*) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO' AND p_size IN (5, 10, 15, 20, 25)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "agg_histogram" ->
       """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |  FROM orders),
