@@ -375,6 +375,93 @@ object Joins {
         .limit(100)
     }),
 
+    // TPC-H Q4 (order priority checking): EXISTS with a correlated
+    // inequality — count orders per priority that had at least one late
+    // line. Adapted like q21: "late" = shipped >90 days after the order
+    // date (no commit/receipt dates in this schema). Plan shape: the
+    // quarter filter pushes to the orders scan, then ONE left-semi
+    // sort-merge join on orderkey with the lateness residual evaluated
+    // on the matched pair — the EXISTS never materializes a count, and
+    // the 5-row groupBy rides on the semi join's output.
+    "q4_order_priority" -> ((s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-07-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-10-01")))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = lineitem(s, d).select("l_orderkey", "l_shipdate")
+      o.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate").cast("date") >
+            date_add(col("o_orderdate").cast("date"), 90), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q6 (forecasting revenue change): the canonical pushed-filter
+    // single-scan aggregate — every predicate (date range, discount band,
+    // quantity cap) reaches the parquet scan as PushedFilters, no join, no
+    // shuffle beyond the 1-row final aggregate. The discount literals are
+    // parsed to identical doubles by both engines, so the band compare is
+    // deterministic cross-engine.
+    "q6_forecast_revenue" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q12 (shipping modes and order priority): conditional
+    // priority counts per line attribute. Adapted: no l_shipmode column,
+    // so the mode becomes the SHIP-DELAY BUCKET (<=30d fast / <=60d
+    // medium / else slow) — same plan: fact⋈fact join on orderkey, a
+    // computed group key, and two SUM(CASE…) aggregates in one pass.
+    "q12_ship_delay" -> ((s, d) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val delay = datediff(col("l_shipdate").cast("date"),
+        col("o_orderdate").cast("date"))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .select("l_orderkey", "l_shipdate")
+        .join(orders(s, d).select("o_orderkey", "o_orderdate",
+          "o_orderpriority"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("delay_bucket",
+          when(delay <= 30, "1_FAST")
+            .when(delay <= 60, "2_MEDIUM").otherwise("3_SLOW"))
+        .groupBy("delay_bucket")
+        .agg(sum(when(hi, 1).otherwise(0)).as("high_line_count"),
+          sum(when(hi, 0).otherwise(1)).as("low_line_count"))
+        .orderBy("delay_bucket")
+    }),
+
+    // TPC-H Q14 (promotion effect): ratio of conditional revenue — the
+    // percentage of one month's revenue from PROMO-type parts. Both the
+    // numerator and denominator accumulate the exact decimal quantum, so
+    // the final double quotient is computed from identical operands in
+    // both engines and the floor(x·10⁴+0.5) rounding is safe (round()
+    // would diverge on .xxxx5 midpoints). The month filter pushes to the
+    // lineitem scan; part (2k rows) broadcasts.
+    "q14_promo_effect" -> ((s, d) => {
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-09-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-10-01")))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(broadcast(part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          (floor(lit(100) * exactSum(when(col("p_type") === "PROMO", disc)
+              .otherwise(0)).cast("double") /
+            exactSum(disc).cast("double") * 10000 + 0.5) / 10000)
+            .as("promo_pct"),
+          dsum(disc, 2).as("total_revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // TPC-H Q22 shape (global sales opportunity): the SCALAR-AVERAGE
     // SUBQUERY + ANTI-JOIN plan — above-average-balance customers from a
     // set of countries with NO recent activity, rolled up per country.
@@ -573,6 +660,54 @@ object Joins {
         |  floor(min_cost * 10000 + 0.5) / 10000 AS min_cost
         |FROM hit JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND CAST(l_shipdate AS DATE) >
+        |        CAST(o_orderdate AS DATE) + 90)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(round(SUM(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q12_ship_delay" ->
+      """SELECT CASE
+        |    WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+        |      <= 30 THEN '1_FAST'
+        |    WHEN CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+        |      <= 60 THEN '2_MEDIUM'
+        |    ELSE '3_SLOW' END AS delay_bucket,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_promo_effect" ->
+      """SELECT
+        |  floor(100 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+        |      AS DECIMAL(30,8))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(30,8))) AS DOUBLE) * 10000 + 0.5) / 10000
+        |    AS promo_pct,
+        |  CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
     "q22_dormant_balance" ->
       """WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer
         |  WHERE c_nationkey IN (1, 3, 5, 7, 9)),
