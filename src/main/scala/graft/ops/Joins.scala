@@ -462,6 +462,115 @@ object Joins {
           count(lit(1)).as("n_lines"))
     }),
 
+    // TPC-H Q7 (volume shipping): bidirectional trade volume between two
+    // markets by year — TWO independent dimension chains (supplier→
+    // nation→region, customer→nation→region) hang off one fact row, with
+    // a DISJUNCTIVE cross-chain pair predicate. Adapted to region pairs
+    // (AMERICA↔ASIA) for healthy populations at every SF; the plan shape
+    // is Q7's: both dim chains broadcast (supplier and customer each
+    // pre-joined to their geography before touching the fact), the pair
+    // filter runs on broadcast-join output, and the only big shuffle is
+    // lineitem⋈orders on orderkey.
+    "q7_trade_volume" -> ((s, d) => {
+      val supGeo = supplier(s, d)
+        .join(broadcast(nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("r_name").as("supp_region"))
+      val custGeo = customer(s, d)
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name").as("cust_region"))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+          "l_extendedprice", "l_discount")
+        .join(orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supGeo), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(custGeo), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_region") === "AMERICA" &&
+            col("cust_region") === "ASIA") ||
+          (col("supp_region") === "ASIA" &&
+            col("cust_region") === "AMERICA"))
+        .groupBy(col("supp_region"), col("cust_region"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("supp_region", "cust_region", "l_year")
+    }),
+
+    // TPC-H Q8 (national market share): the RATIO-OF-CONDITIONAL-SUMS
+    // per group — what share of one market's volume came from one
+    // supplier nation, by year. Adapted: market = ASIA-region customers
+    // buying ECONOMY parts; focal supplier nation = NATION_3. Numerator
+    // and denominator both accumulate the exact decimal quantum in the
+    // SAME single aggregation pass, so the share is one identical double
+    // division in both engines under the floor(+0.5) contract.
+    "q8_market_share" -> ((s, d) => {
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val custAsia = customer(s, d)
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey")
+      val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+      lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(part(s, d)
+          .filter(col("p_type") === "ECONOMY").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(orders(s, d).select("o_orderkey", "o_custkey",
+          "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          (floor(exactSum(when(col("s_nationkey") === 3, vol)
+              .otherwise(0)).cast("double") /
+            exactSum(vol).cast("double") * 10000 + 0.5) / 10000)
+            .as("mkt_share"),
+          dsum(vol, 2).as("total_volume"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9 (product type profit): profit per supplier nation per
+    // year over a part-name substring filter. Adapted (no partsupp):
+    // unit cost = 60% of p_retailprice, so
+    // amount = l_extendedprice·(1−l_discount) − 0.6·p_retailprice·l_qty
+    // — the same fact⋈part⋈supplier⋈orders star with a LIKE-filtered
+    // part dim broadcast into the scan and the profit expression
+    // accumulated under the exact decimal contract (identical double
+    // operands on both engines before the decimal cast).
+    "q9_product_profit" -> ((s, d) => {
+      val amount = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.6) * col("p_retailprice") * col("l_quantity")
+      lineitem(s, d)
+        .join(broadcast(part(s, d)
+            .filter(col("p_name").like("%red%"))
+            .select("p_partkey", "p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supplier(s, d)
+            .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(amount, 2).as("sum_profit"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("nation", "o_year")
+    }),
+
     // TPC-H Q22 shape (global sales opportunity): the SCALAR-AVERAGE
     // SUBQUERY + ANTI-JOIN plan — above-average-balance customers from a
     // set of countries with NO recent activity, rolled up per country.
@@ -708,6 +817,57 @@ object Joins {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
         |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+    "q7_trade_volume" ->
+      """SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |WHERE ((r1.r_name = 'AMERICA' AND r2.r_name = 'ASIA')
+        |    OR (r1.r_name = 'ASIA' AND r2.r_name = 'AMERICA'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  floor(CAST(SUM(CAST(CASE WHEN s_nationkey = 3
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+        |      AS DECIMAL(30,8))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(30,8))) AS DOUBLE) * 10000 + 0.5) / 10000
+        |    AS mkt_share,
+        |  CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_volume
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE r2.r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    - 0.6 * p_retailprice * l_quantity
+        |    AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_profit,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q22_dormant_balance" ->
       """WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer
         |  WHERE c_nationkey IN (1, 3, 5, 7, 9)),
