@@ -571,6 +571,77 @@ object Joins {
         .orderBy("nation", "o_year")
     }),
 
+    // TPC-H Q13 (customer distribution): the DOUBLE AGGREGATION over an
+    // outer join with a JOIN-CONDITION filter — orders are filtered
+    // INSIDE the left join (adapted: priority ≠ 5-LOW stands in for the
+    // comment NOT LIKE), so filtered-out customers still appear with
+    // count 0, then the per-customer counts are re-grouped into the
+    // distribution. Two shuffles by necessity (custkey, then c_count);
+    // the second input is |customers| rows, already tiny relative to the
+    // fact.
+    "q13_custdist" -> ((s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .select("o_orderkey", "o_custkey")
+      customer(s, d).select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // TPC-H Q15 (top supplier): grouped revenue view consumed TWICE —
+    // once for the global max (1-row broadcast), once as the join-back
+    // probe — with equality ON THE AGGREGATED VALUE. Safe cross-engine
+    // because the per-supplier revenue is the exact decimal sum rounded
+    // to cents on both sides, so max() and the equality compare run on
+    // identical doubles. Plan: one shuffle on suppkey builds the view;
+    // the max is a broadcast hash join on the value (not BNLJ — the max
+    // IS the join key); supplier dim broadcasts into the final lookup.
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-10-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+        .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue): the PER-GROUP CORRELATED
+    // SCALAR THRESHOLD — lines whose quantity is under 20% of their
+    // part's average quantity. Decorrelated as groupBy(partkey) avg +
+    // equi join back (the q2 pattern); the threshold is
+    // 0.2·exactSum(qty)/count so both engines derive it from the same
+    // exact decimal numerator (built-in avg would merge doubles
+    // partition-order-dependently). Container filter adapted to
+    // p_size < 25. The brand-filtered part dim broadcasts into BOTH the
+    // threshold pass and the probe — at 100 TB the per-part aggregate
+    // only ever sees the ~1/brand-count slice of the fact.
+    "q17_small_qty_revenue" -> ((s, d) => {
+      val p = part(s, d)
+        .filter(col("p_brand") === "Brand#1" && col("p_size") < 25)
+        .select("p_partkey")
+      val li = lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val thr = li.groupBy(col("l_partkey").as("tk"))
+        .agg((lit(0.2) * exactSum(col("l_quantity")).cast("double") /
+          count(lit(1))).as("qty_thr"))
+      li.join(broadcast(thr), col("l_partkey") === col("tk") &&
+          col("l_quantity") < col("qty_thr"))
+        .agg((floor(exactSum(col("l_extendedprice")).cast("double") /
+            7.0 * 100 + 0.5) / 100).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // TPC-H Q22 shape (global sales opportunity): the SCALAR-AVERAGE
     // SUBQUERY + ANTI-JOIN plan — above-average-balance customers from a
     // set of countries with NO recent activity, rolled up per country.
@@ -868,6 +939,38 @@ object Joins {
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE p_name LIKE '%red%'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '5-LOW'
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH r AS (SELECT l_suppkey,
+        |    CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-10-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH p AS (SELECT p_partkey FROM part
+        |  WHERE p_brand = 'Brand#1' AND p_size < 25),
+        |li AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN p ON l_partkey = p_partkey),
+        |thr AS (SELECT l_partkey AS tk,
+        |    0.2 * CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)
+        |      / count(*) AS qty_thr
+        |  FROM li GROUP BY 1)
+        |SELECT floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8)))
+        |    AS DOUBLE) / 7.0 * 100 + 0.5) / 100 AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM li JOIN thr ON l_partkey = tk AND l_quantity < qty_thr""".stripMargin,
     "q22_dormant_balance" ->
       """WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer
         |  WHERE c_nationkey IN (1, 3, 5, 7, 9)),
