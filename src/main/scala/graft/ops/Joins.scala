@@ -642,6 +642,91 @@ object Joins {
           count(lit(1)).as("n_lines"))
     }),
 
+    // TPC-H Q11 (important stock): grouped value vs a GLOBAL-SCALAR
+    // HAVING threshold. Adapted (no partsupp): per-part revenue from one
+    // region's suppliers, kept when above 1.5× the mean part value —
+    // TPC-H's fixed fraction would need re-tuning per SF, the mean is
+    // scale-free. The threshold derives from exactSum over the ALREADY
+    // cent-rounded per-part values (a second-level double sum would be
+    // partition-order dependent), so both engines compare identical
+    // doubles. Plan: one shuffle on partkey builds the value view; the
+    // 1-row threshold crosses back in as a broadcast (model-parameter
+    // BNLJ, allowlisted); supplier geography broadcasts into the scan.
+    "q11_important_value" -> ((s, d) => {
+      val supAsia = supplier(s, d)
+        .join(broadcast(nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey")
+      val v = lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(supAsia), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+          .as("val"))
+      val thr = v.agg((lit(1.5) * exactSum(col("val")).cast("double") /
+        count(lit(1))).as("thr"))
+      v.crossJoin(broadcast(thr))
+        .filter(col("val") > col("thr"))
+        .select("l_partkey", "val")
+        .orderBy(desc("val"), asc("l_partkey"))
+    }),
+
+    // TPC-H Q19 (discounted revenue): the DISJUNCTIVE CROSS-SIDE
+    // predicate — three OR'd conjunct groups each spanning part AND
+    // lineitem columns. Catalyst extracts the part-only weakening
+    // (p_brand=B1 AND size≤10) OR … and pushes it to the part scan, and
+    // the join itself stays a plain equi join on partkey with the full
+    // disjunction as a post-join filter — the shape that degrades to a
+    // cartesian monster if the equi key isn't recognized.
+    "q19_disjunctive_revenue" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val p = part(s, d).select("p_partkey", "p_brand", "p_size")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(10, 25)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+            col("l_quantity").between(20, 35)))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q20 (potential part promotion): NESTED IN with a CORRELATED
+    // per-group threshold. Adapted (no partsupp availqty): suppliers who
+    // DOMINATED the 1997 supply of a red-prefixed part — shipped more
+    // than half that part's total. The per-(part,supplier) rollup is
+    // built once; the per-part half-total RE-AGGREGATES that rollup
+    // (same partkey grouping — no second scan of the fact), and the
+    // dominance join-back + the final IN are both equi joins. The
+    // quantity sums are exact decimals on both engines so the q > half
+    // compare is deterministic; prefix LIKE pushes to the part scan as a
+    // range predicate.
+    "q20_dominant_supplier" -> ((s, d) => {
+      val g = part(s, d).filter(col("p_name").like("red%"))
+        .select("p_partkey")
+      val sq = lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast(g), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(exactSum(col("l_quantity")).cast("double").as("q"))
+      val pq = sq.groupBy(col("l_partkey").as("pk"))
+        .agg((lit(0.5) * exactSum(col("q")).cast("double")).as("half"))
+      val dominant = sq.join(broadcast(pq), col("l_partkey") === col("pk") &&
+          col("q") > col("half"))
+        .select("l_suppkey").distinct()
+      supplier(s, d).select("s_suppkey", "s_name")
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .orderBy("s_suppkey")
+    }),
+
     // TPC-H Q22 shape (global sales opportunity): the SCALAR-AVERAGE
     // SUBQUERY + ANTI-JOIN plan — above-average-balance customers from a
     // set of countries with NO recent activity, rolled up per country.
@@ -971,6 +1056,46 @@ object Joins {
         |    AS DOUBLE) / 7.0 * 100 + 0.5) / 100 AS avg_yearly,
         |  count(*) AS n_lines
         |FROM li JOIN thr ON l_partkey = tk AND l_quantity < qty_thr""".stripMargin,
+    "q11_important_value" ->
+      """WITH v AS (SELECT l_partkey,
+        |    CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(30,8))), 2) AS DOUBLE) AS val
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY 1)
+        |SELECT l_partkey, val FROM v
+        |WHERE val > (SELECT 1.5 * CAST(SUM(CAST(val AS DECIMAL(30,8)))
+        |    AS DOUBLE) / count(*) FROM v)
+        |ORDER BY val DESC, l_partkey""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 1 AND 15)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+        |    AND l_quantity BETWEEN 10 AND 25)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+        |    AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
+    "q20_dominant_supplier" ->
+      """WITH g AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+        |sq AS (SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS q
+        |  FROM lineitem JOIN g ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |pq AS (SELECT l_partkey AS pk,
+        |    0.5 * CAST(SUM(CAST(q AS DECIMAL(30,8))) AS DOUBLE) AS half
+        |  FROM sq GROUP BY 1)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM sq
+        |  JOIN pq ON l_partkey = pk AND q > half)
+        |ORDER BY s_suppkey""".stripMargin,
     "q22_dormant_balance" ->
       """WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer
         |  WHERE c_nationkey IN (1, 3, 5, 7, 9)),

@@ -90,7 +90,10 @@ class PlanAuditSpec extends SparkSpec {
     "customer_rfm_approx" -> Set("BroadcastNestedLoopJoin"),
     // 1-row broadcast scalar-average subquery (the Q22 shape's
     // model-parameter probe); the anti join itself is an equi join
-    "q22_dormant_balance" -> Set("BroadcastNestedLoopJoin")
+    "q22_dormant_balance" -> Set("BroadcastNestedLoopJoin"),
+    // 1-row broadcast HAVING threshold (1.5× mean part value) crossed
+    // back into the |parts| value view — the Q11 global-scalar probe
+    "q11_important_value" -> Set("BroadcastNestedLoopJoin")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {
