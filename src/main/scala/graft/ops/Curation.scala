@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Dataset-curation operators: deterministic sampling and splits, mixture
@@ -379,6 +380,56 @@ object Curation {
         .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
           max("doc_id").as("max_id"))
         .orderBy("status")
+    }),
+
+    // L57 — DSIR importance weights (Xie et al., "Data Selection for
+    // Language Models via Importance Resampling", arXiv:2302.03169):
+    // score every raw document by how target-like its hashed n-gram
+    // features are, so a later resample can shift the corpus mixture
+    // toward the target domain. Features are hashed unigram BUCKETS
+    // (h60 mod 1024 — the paper's hashed feature space, which bounds the
+    // model at 1024 cells regardless of vocabulary size); the target
+    // distribution is the English slice (the high-quality-proxy stand-in,
+    // as in text_lm_score), the raw distribution is the whole corpus.
+    // log w(doc) = Σ_tokens [ln p̂_tgt(b(tok)) − ln p̂_raw(b(tok))], both
+    // add-one smoothed over the 1024 buckets.
+    // Float contract: each bucket's log-likelihood ratio quantizes to a
+    // 6dp decimal ON THE 1024-ROW LUT (the text_lm_score rule: identical
+    // IEEE-division inputs, a last-ulp ln() divergence cannot move a
+    // round-6 value off its quantum), so each doc's log weight is an
+    // exact partition-order-independent decimal sum.
+    // Scale: ONE instance aggregate builds BOTH bucket distributions
+    // (the target slice is a conditional sum, not a second scan); the
+    // LUT and its totals row are model parameters (1024 + 1 rows,
+    // broadcast); scoring is a broadcast equi join + linear per-doc agg.
+    // At 100 TB the resample step itself reuses sample_weighted's
+    // two-phase per-source top-k with log_w as the weight.
+    "curate_dsir" -> ((s, d) => {
+      val inst = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+        .withColumn("b", pmod(h60(col("tok")), lit(1024L)))
+      val buckets = inst.groupBy("b").agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"),
+        count(lit(1)).as("rc"))
+      val scal = buckets.agg(sum("tc").as("tn"), sum("rc").as("rn"))
+      val lut = buckets.crossJoin(broadcast(scal))
+        .select(col("b"),
+          round(log((col("tc") + 1).cast("double") /
+                (col("tn") + 1024).cast("double")) -
+              log((col("rc") + 1).cast("double") /
+                (col("rn") + 1024).cast("double")), 6)
+            .cast(DecimalType(30, 8)).as("lr"))
+      inst.join(broadcast(lut), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("lr").as("slr"))
+        // no re-round here: the decimal sum is EXACT (6dp terms), and a
+        // round(…,4) would land on .xxxx5 midpoints whenever the sum's
+        // 5th–6th decimals read "50" — the one case HALF_UP (Spark) and
+        // binary-double rounding (DuckDB) disagree on. cast-to-double of
+        // the same decimal is IEEE-correctly-rounded in both engines.
+        .select(col("doc_id"), col("n_tok"),
+          col("slr").cast("double").as("log_w"))
+        .orderBy("doc_id")
     })
   )
 
@@ -532,6 +583,25 @@ object Curation {
         |  FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id)
         |SELECT status, count(*) AS n, min(doc_id) AS min_id,
         |  max(doc_id) AS max_id
-        |FROM cls GROUP BY status ORDER BY status""".stripMargin
+        |FROM cls GROUP BY status ORDER BY status""".stripMargin,
+    "curate_dsir" ->
+      s"""WITH inst AS (
+        |  SELECT doc_id, lang, ${dH60("tok")} % 1024 AS b
+        |  FROM (SELECT doc_id, lang, unnest($dToks) AS tok
+        |        FROM documents)),
+        |bk AS (SELECT b,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc,
+        |    COUNT(*) AS rc
+        |  FROM inst GROUP BY b),
+        |sc AS (SELECT SUM(tc) AS tn, SUM(rc) AS rn FROM bk),
+        |lut AS (SELECT b,
+        |    CAST(round(ln(CAST(tc + 1 AS DOUBLE) / CAST(tn + 1024 AS DOUBLE))
+        |      - ln(CAST(rc + 1 AS DOUBLE) / CAST(rn + 1024 AS DOUBLE)), 6)
+        |      AS DECIMAL(30,8)) AS lr
+        |  FROM bk, sc)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  CAST(SUM(lr) AS DOUBLE) AS log_w
+        |FROM inst JOIN lut USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -175,4 +175,22 @@ class CurationSpec extends SparkSpec {
     assert(got === expect.filter(_._2 > 0))
     assert(got.values.sum === (old | nw).size.toLong)
   }
+
+  test("curate_dsir scores every doc, and target-language docs rank " +
+    "higher per token") {
+    val scored = ops.Curation.queries("curate_dsir")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    assert(scored.length === docs.size,
+      "every document must receive an importance weight")
+    // target docs are drawn FROM the target distribution, so their mean
+    // per-token log-likelihood ratio must exceed the off-target mean
+    // (Gibbs' inequality, up to hash-bucket collisions and smoothing)
+    val (en, rest) = scored.partition { case (id, _, _) => docs(id) == "en" }
+    def meanPerTok(xs: Array[(Long, Long, Double)]) =
+      xs.map { case (_, n, w) => w / n }.sum / xs.length
+    assert(meanPerTok(en) > meanPerTok(rest),
+      s"en=${meanPerTok(en)} vs rest=${meanPerTok(rest)}")
+  }
 }

@@ -93,7 +93,11 @@ class PlanAuditSpec extends SparkSpec {
     "q22_dormant_balance" -> Set("BroadcastNestedLoopJoin"),
     // 1-row broadcast HAVING threshold (1.5× mean part value) crossed
     // back into the |parts| value view — the Q11 global-scalar probe
-    "q11_important_value" -> Set("BroadcastNestedLoopJoin")
+    "q11_important_value" -> Set("BroadcastNestedLoopJoin"),
+    // 1-row broadcast (target total, raw total) smoothing constants
+    // crossed into the 1024-row hashed-bucket LUT — model parameters,
+    // the text_lm_score shape; the scoring join itself is an equi join
+    "curate_dsir" -> Set("BroadcastNestedLoopJoin")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {
