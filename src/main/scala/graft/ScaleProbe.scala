@@ -28,7 +28,9 @@ object ScaleProbe {
     "dedup_ngram_jaccard", "dedup_cc", "text_tfidf",
     // r8: the r7 heavy families (VERDICT r7 task 6)
     "dedup_containment", "graph_label_prop", "text_bm25", "embed_pq",
-    "overlap_sources")
+    "overlap_sources",
+    // r8 additions keep probing every new family
+    "curate_dsir")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
