@@ -22,7 +22,28 @@ object Streaming {
 
     "stream_session" -> ((s, d) =>
       StreamOps.sessionize(events(s, d))
-        .orderBy("user_id", "session_start_us"))
+        .orderBy("user_id", "session_start_us")),
+
+    // The stream-stream INTERVAL join (T+), batch-checked: the same
+    // `clickErrorJoin` transform StreamingSpec drives through two
+    // MemoryStreams — an equi join on user_id with a [err-10min, err)
+    // range residual. In batch, EliminateEventTimeWatermark drops the
+    // watermark nodes and the plan is a plain sort-merge join with the
+    // range as a post-join filter; in streaming, the SAME watermark
+    // bounds both sides' join state — which is exactly what makes this
+    // join viable over an unbounded 100 TB/day stream. Timestamps are
+    // emitted as epoch micros (the stream_session convention) for
+    // cross-engine comparison.
+    "stream_interval_join" -> ((s, d) => {
+      val ev = events(s, d)
+      StreamOps.clickErrorJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "error"))
+        .select(col("err_id"), col("user_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("err_ts")).as("err_us"))
+        .orderBy("err_id", "click_us")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -58,6 +79,15 @@ object Streaming {
         |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
         |epoch_us(max(ts)) AS last_us, COUNT(*) AS n_events
         |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_us""".stripMargin
+        |ORDER BY user_id, session_start_us""".stripMargin,
+    // Interval join: each error matches the clicks of the SAME user in
+    // the 10 minutes strictly before it (half-open, Spark's convention).
+    "stream_interval_join" ->
+      """SELECT e.event_id AS err_id, c.user_id,
+        |  epoch_us(c.ts) AS click_us, epoch_us(e.ts) AS err_us
+        |FROM events c JOIN events e ON c.user_id = e.user_id
+        |WHERE c.event_type = 'click' AND e.event_type = 'error'
+        |  AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts
+        |ORDER BY err_id, click_us""".stripMargin
   )
 }
