@@ -226,6 +226,56 @@ object Windows {
           rate(col("n_view"), col("n_users")).as("view_rate"),
           rate(col("n_click"), col("n_view")).as("click_through"),
           rate(col("n_purchase"), col("n_click")).as("purchase_through"))
+    }),
+
+    // Day-N cohort retention — the product-analytics matrix beside
+    // funnel_conversion and customer_rfm: users cohorted by FIRST-seen
+    // day, each later active day counted as (cohort, day_n) with the
+    // retained share vs the cohort's size. Scale: first-seen and
+    // active-day sets are per-user aggregates (user_id shuffle, linear);
+    // the matrix aggregate is |cohorts|×|days| ≪ facts; cohort sizes are
+    // a broadcast model parameter. The share divides two identical
+    // integers in both engines (IEEE-exact, no rounding needed).
+    "cohort_retention" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      val first = ev.groupBy("user_id").agg(min("day").as("cohort"))
+      val sizes = first.groupBy("cohort")
+        .agg(countDistinct("user_id").as("n_cohort"))
+      ev.distinct().join(first, Seq("user_id"))
+        .select(col("cohort"),
+          datediff(col("day"), col("cohort")).as("day_n"), col("user_id"))
+        .groupBy("cohort", "day_n")
+        .agg(countDistinct("user_id").as("n_active"))
+        .join(broadcast(sizes), Seq("cohort"))
+        .select(col("cohort"), col("day_n"), col("n_active"),
+          col("n_cohort"),
+          (col("n_active").cast("double") / col("n_cohort"))
+            .as("retained_share"))
+        .orderBy("cohort", "day_n")
+    }),
+
+    // Event-transition counts (the user-journey Markov matrix): each
+    // user's event sequence contributes (previous type → type) edges;
+    // P(cur|prev) comes from a window over the |types|² aggregate, never
+    // the raw events. Ordering ties on identical timestamps break by
+    // event_id, so the lag is deterministic in both engines. Scale: the
+    // lag window partitions by user (distributed state), the transition
+    // aggregate is 25 rows at any corpus size.
+    "event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val tr = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("cur"))
+        .agg(count(lit(1)).as("n"))
+      tr.withColumn("p_cur_given_prev",
+          col("n").cast("double") /
+            sum("n").over(Window.partitionBy("prev")))
+        .orderBy("prev", "cur")
     })
   )
 
@@ -344,6 +394,31 @@ object Windows {
         |  round(CAST((SELECT count(*) FROM c) AS DOUBLE)
         |    / (SELECT count(*) FROM v), 6) AS click_through,
         |  round(CAST((SELECT count(*) FROM p) AS DOUBLE)
-        |    / (SELECT count(*) FROM c), 6) AS purchase_through""".stripMargin
+        |    / (SELECT count(*) FROM c), 6) AS purchase_through""".stripMargin,
+    "cohort_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1),
+        |sz AS (SELECT cohort, count(DISTINCT user_id) AS n_cohort
+        |  FROM f GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, day FROM ev),
+        |m AS (SELECT cohort, date_diff('day', cohort, day) AS day_n,
+        |    count(DISTINCT a.user_id) AS n_active
+        |  FROM act a JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT m.cohort, day_n, n_active, n_cohort,
+        |  CAST(n_active AS DOUBLE) / n_cohort AS retained_share
+        |FROM m JOIN sz ON m.cohort = sz.cohort
+        |ORDER BY m.cohort, day_n""".stripMargin,
+    "event_transitions" ->
+      """WITH o AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev,
+        |    event_type AS cur
+        |  FROM events),
+        |t AS (SELECT prev, cur, count(*) AS n FROM o
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, cur, n,
+        |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev)
+        |    AS p_cur_given_prev
+        |FROM t ORDER BY prev, cur""".stripMargin
   )
 }
