@@ -168,6 +168,44 @@ object Joins {
         .orderBy("l_returnflag")
     }),
 
+    // Fuzzy record linkage by edit distance — the entity-resolution join
+    // family (variant names / typos) that token- and hash-based dedup
+    // cannot see. Scale architecture, in order of importance:
+    //  1. COLLAPSE TO THE NAME DICTIONARY first (groupBy p_name, map-side
+    //     combined): the quadratic step then runs on the vocabulary,
+    //     which grows with the catalog, not the fact table (fixed at 64
+    //     names here at every SF, like a real product dictionary).
+    //  2. Multi-pass BLOCKING as an EQUI join — each name enters its
+    //     3-char prefix and suffix blocks (explode), so a single edit at
+    //     either end still meets its match in the other block; the union
+    //     of passes is deduped before the verify. No all-pairs, no BNLJ.
+    //  3. levenshtein(na, nb) ≤ 2 verifies ONLY within-block candidates;
+    //     identical unit-cost edit distance in both engines.
+    //  4. row_pairs = ca×cb maps each dictionary link back to affected
+    //     row volume without ever joining the fact table to itself.
+    // Blocking recall is the standard trade (an edit at BOTH ends can
+    // escape both blocks) — the oracle mirrors the same blocking, so the
+    // contract is the blocked candidate set, exactly.
+    "join_fuzzy" -> ((s, d) => {
+      val dict = part(s, d).groupBy("p_name")
+        .agg(count(lit(1)).as("cnt"))
+      val blocks = dict.select(col("p_name"), col("cnt"),
+        explode(array(substring(col("p_name"), 1, 3),
+          expr("right(p_name, 3)"))).as("bk"))
+      val aa = blocks.select(col("bk"), col("p_name").as("na"),
+        col("cnt").as("ca"))
+      val bb = blocks.select(col("bk"), col("p_name").as("nb"),
+        col("cnt").as("cb"))
+      aa.join(bb, Seq("bk"))
+        .filter(col("na") < col("nb"))
+        .select("na", "nb", "ca", "cb").distinct()
+        .withColumn("lev", levenshtein(col("na"), col("nb")))
+        .filter(col("lev") <= 2)
+        .select(col("na"), col("nb"), col("lev"),
+          (col("ca") * col("cb")).as("row_pairs"))
+        .orderBy("na", "nb")
+    }),
+
     // Composite analytic 1 (TPC-H Q3 shape): shipping priority — segment-
     // filtered customers ⋈ pre-cutoff orders ⋈ post-cutoff shipments,
     // revenue per open order, top 10. The selective dimension filters sit
@@ -824,6 +862,20 @@ object Joins {
         |JOIN (VALUES ('A',1),('N',2),('R',3)) AS dim(l_returnflag, w)
         |  USING (l_returnflag)
         |GROUP BY 1,2 ORDER BY 1""".stripMargin,
+    // Identical dictionary-collapse + prefix/suffix blocking: the
+    // contract is the BLOCKED candidate set (see the query's scaladoc).
+    "join_fuzzy" ->
+      """WITH d AS (SELECT p_name, count(*) AS cnt FROM part GROUP BY 1),
+        |bl AS (SELECT p_name, cnt,
+        |    unnest([substr(p_name, 1, 3), right(p_name, 3)]) AS bk
+        |  FROM d),
+        |cand AS (SELECT DISTINCT a.p_name AS na, b.p_name AS nb,
+        |    a.cnt AS ca, b.cnt AS cb
+        |  FROM bl a JOIN bl b USING (bk) WHERE a.p_name < b.p_name)
+        |SELECT na, nb, levenshtein(na, nb) AS lev,
+        |  CAST(ca * cb AS BIGINT) AS row_pairs
+        |FROM cand WHERE levenshtein(na, nb) <= 2
+        |ORDER BY na, nb""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate,
         |CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
