@@ -181,6 +181,33 @@ object Scalars {
             .as("sorted_hash"))
         .orderBy("doc_id")),
 
+    // MAP-type battery — the complex-type surface array_funcs leaves out:
+    // each doc's term-frequency MAP built with map_from_entries over the
+    // tok-sorted entry array (deterministic key order), then probed with
+    // map_keys / map_values / element_at(absent key → null) / map_filter
+    // / the aggregate() HOF folding the value list. Every OUTPUT is a
+    // scalar, so the oracle can compute the same facts relationally (the
+    // contract is the result, not the map representation — DuckDB's MAP
+    // extraction semantics changed across versions, so its mirror stays
+    // on the tf table). Scale: one (doc, tok) aggregate + one per-doc
+    // collect of that doc's OWN vocabulary — bounded by doc length, the
+    // same per-doc state text_entropy carries.
+    "map_funcs" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      tf.groupBy("doc_id")
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("tok"), col("c"))))).as("m"))
+        .select(col("doc_id"),
+          size(map_keys(col("m"))).as("n_keys"),
+          element_at(col("m"), "the").as("c_the"),
+          aggregate(map_values(col("m")), lit(0L), (acc, x) => acc + x)
+            .as("n_tok"),
+          size(map_filter(col("m"), (_, v) => v >= 3)).as("n_repeated"))
+        .orderBy("doc_id")
+    }),
+
     // UNPIVOT / melt: the four lineitem measures to long form, then one
     // aggregate per measure — the wide→long inverse of the D3 pivot. The
     // unpivot itself is a zero-shuffle Expand (4 output rows per input
@@ -293,6 +320,19 @@ object Scalars {
         |  substr(sha256(array_to_string(list_sort(w), ' ')), 1, 16)
         |    AS sorted_hash
         |FROM t ORDER BY doc_id""".stripMargin,
+    // Relational mirror of the map probes (see the query's scaladoc):
+    // same facts from the (doc, tok, c) tf table.
+    "map_funcs" ->
+      s"""WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest($dToks) AS tok FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(count(*) AS INT) AS n_keys,
+        |  max(CASE WHEN tok = 'the' THEN c END) AS c_the,
+        |  CAST(sum(c) AS BIGINT) AS n_tok,
+        |  CAST(count(*) FILTER (c >= 3) AS INT) AS n_repeated
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "unpivot_melt" ->
       """WITH m AS (
         |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
