@@ -642,24 +642,34 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
-    // Dispersion statistics (D6 extension): sample stddev/variance derived
-    // from exact decimal sums of x and x² — built-in stddev_samp/var_samp
-    // accumulate in floating point with partition-order-dependent merge
-    // order (the same half-quantum flake class fixed for SUM/AVG, and
-    // unlike sums it can't be decimal-accumulated directly). From identical
-    // exact sums, the double formula below is IEEE-deterministic in both
-    // engines, so the oracle matches bit-for-bit at any layout/SF.
+    // Dispersion statistics (D6 extension): sample stddev/variance via
+    // the ts_anomaly INTEGER-CENTS contract — built-in stddev_samp/
+    // var_samp accumulate in floating point with partition-order-
+    // dependent merge order, and even decimal-quantized x² moments are
+    // not portable: quantizing each double product at DECIMAL(30,8)
+    // lands half-quantum cases differently in Spark (exact-binary
+    // HALF_UP) vs DuckDB at x² magnitudes, and the drift accumulates
+    // with row count — the sf0.1 sweep caught exactly that (var off by
+    // 3 ulps, flipping a round-4 digit; sf0.01 masked it). Projecting
+    // prices to integer cents first makes every term and sum EXACT in
+    // both engines (c and c² are integers — decimal casts have nothing
+    // to round), and the closing double formula runs on bit-identical
+    // inputs through correctly-rounded IEEE ops only. No final round():
+    // re-rounding an identical double only re-opens the midpoint
+    // divergence surface (the curate_dsir lesson).
     "agg_stddev" -> ((s, d) => {
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val c = floor(col("o_totalprice") * 100 + 0.5).cast("long")
       val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
-      val varExpr = (sxx - sx * sx / col("n")) / (col("n") - 1)
+      val varCents = (sxx - sx * sx / col("n")) / (col("n") - 1)
       orders(s, d)
         .groupBy("o_orderstatus")
-        .agg(exactSum(col("o_totalprice")).as("sx"),
-          exactSum(col("o_totalprice") * col("o_totalprice")).as("sxx"),
+        .agg(sum(c.cast(dec19)).as("sx"),
+          sum((c * c).cast(dec19)).as("sxx"),
           count(lit(1)).as("n"))
         .select(col("o_orderstatus"),
-          round(sqrt(varExpr), 4).as("sd"),
-          round(varExpr, 4).as("var"),
+          (sqrt(varCents) / 100.0).as("sd"),
+          (varCents / 10000.0).as("var"),
           col("n"))
         .orderBy("o_orderstatus")
     }),
@@ -1315,16 +1325,22 @@ object Relational {
         |round((s4/n - 4*mu*(s3/n) + 6*mu*mu*(s2/n) - 3*mu*mu*mu*mu)
         |  / (m2*m2) - 3, 6) AS kurt
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    // Integer-cents moments (see the query's scaladoc): c and c² are
+    // exact integers, so both engines sum identical values.
     "agg_stddev" ->
-      """WITH g AS (
+      """WITH c AS (
         |  SELECT o_orderstatus,
-        |    SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS sx,
-        |    SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,8))) AS sxx,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_orderstatus,
+        |    SUM(CAST(c AS DECIMAL(19,0))) AS sx,
+        |    SUM(CAST(c * c AS DECIMAL(19,0))) AS sxx,
         |    COUNT(*) AS n
-        |  FROM orders GROUP BY 1)
+        |  FROM c GROUP BY 1)
         |SELECT o_orderstatus,
-        |round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)/(n-1)), 4) AS sd,
-        |round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)/(n-1), 4) AS var,
+        |sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)/(n-1))/100.0 AS sd,
+        |((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n)/(n-1))/10000.0 AS var,
         |n
         |FROM g ORDER BY 1""".stripMargin,
     "agg_regr" ->
