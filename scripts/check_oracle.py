@@ -15,7 +15,21 @@ outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sfdir, "*.parquet")):
     name = os.path.basename(p).replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # driver testdata ships single files; Spark-written stacks (e.g. the
+    # ScaleProbe sf1ish decade) are DIRECTORIES of part files
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
+    # stacked decades store events.ts as raw INT64 nanos (the
+    # Tables.events convention) — convert back so time oracles still run
+    if name == "events":
+        (ts_type,) = con.execute(
+            "SELECT column_type FROM (DESCRIBE events) "
+            "WHERE column_name = 'ts'").fetchone()
+        if ts_type == "BIGINT":
+            con.execute(
+                "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+                "(make_timestamp(CAST(ts / 1000 AS BIGINT)) AS ts) "
+                f"FROM read_parquet('{src}')")
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 results = {}
