@@ -26,9 +26,11 @@ for p in glob.glob(os.path.join(sfdir, "*.parquet")):
             "SELECT column_type FROM (DESCRIBE events) "
             "WHERE column_name = 'ts'").fetchone()
         if ts_type == "BIGINT":
+            # integer // (not /): Spark truncates nanos->micros; DuckDB's
+            # float / rounds-to-nearest and drifts +-1us on half-micros
             con.execute(
                 "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
-                "(make_timestamp(CAST(ts / 1000 AS BIGINT)) AS ts) "
+                "(make_timestamp(ts // 1000) AS ts) "
                 f"FROM read_parquet('{src}')")
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))

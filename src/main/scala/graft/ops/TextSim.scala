@@ -752,7 +752,13 @@ object TextSim {
     // fall to sign-LSH sub-bucketed candidates (embedNearDupPairs above).
     // At verify scale every label is far below the cap, so the result is
     // the exact blocked all-pairs the oracle replays; the oversized-block
-    // path is exercised by TextSimSpec on a skewed fixture.
+    // path is exercised by TextSimSpec on a skewed fixture, and was
+    // MEASURED on the r8 sf1ish decade (labels ~10× over the cap): 0
+    // spurious pairs (every candidate is cosine-verified — precision is
+    // exact by construction) at 91.8% recall of the exact all-pairs set
+    // at this 0.35 threshold — recall concentrates on the near-identical
+    // pairs dedup keeps (collision prob ≈ 1-(1-s⁴)⁸ rises steeply in s),
+    // thinning only in the 0.35–0.7 tail.
     "dedup_embed" -> ((s, d) =>
       embedNearDupPairs(embeddings(s, d), blockCap = 1000, threshold = 0.35)),
 

@@ -115,6 +115,12 @@ object Windows {
 
     // Distribution window functions: ntile / percent_rank / cume_dist over
     // the per-month price distribution (quartile bucketing for tiles).
+    // pct_rank/cume are emitted UNROUNDED: both are ratios of identical
+    // integers (rank/n), so the IEEE division is bit-identical in both
+    // engines — while round(…,6) diverges whenever k/n lands on a 6dp
+    // midpoint (e.g. 41/640 = 0.0640625), which real partition sizes DO
+    // produce (caught by the r8 sf1ish differential sweep; sf0.1 group
+    // sizes happened to miss every midpoint).
     "win_ntile" -> ((s, d) => {
       val w = Window.partitionBy("order_month")
         .orderBy(col("o_totalprice"), col("o_orderkey"))
@@ -122,8 +128,8 @@ object Windows {
         .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
         .select("order_month", "o_orderkey", "o_totalprice")
         .withColumn("quartile", ntile(4).over(w))
-        .withColumn("pct_rank", round(percent_rank().over(w), 6))
-        .withColumn("cume", round(cume_dist().over(w), 6))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
         .orderBy("order_month", "o_orderkey")
     }),
 
@@ -331,8 +337,8 @@ object Windows {
     "win_ntile" ->
       """SELECT strftime(o_orderdate,'%Y-%m') AS order_month, o_orderkey, o_totalprice,
         |ntile(4) OVER w AS quartile,
-        |round(percent_rank() OVER w, 6) AS pct_rank,
-        |round(cume_dist() OVER w, 6) AS cume
+        |percent_rank() OVER w AS pct_rank,
+        |cume_dist() OVER w AS cume
         |FROM orders
         |WINDOW w AS (PARTITION BY strftime(o_orderdate,'%Y-%m')
         |ORDER BY o_totalprice, o_orderkey)
