@@ -220,9 +220,14 @@ object Windows {
       val p = ev.join(c, "user_id")
         .filter(col("event_type") === "purchase" && col("ts") > col("tc"))
         .groupBy("user_id").agg(min("ts").as("tp"))
+      // raw IEEE division, no round: count ratios have DYADIC
+      // denominators that land exactly on rounding midpoints (the
+      // win_ntile 41/640 class caught by the r8 sf1ish sweep) — the
+      // unrounded quotient of identical integers is bit-identical in
+      // both engines, a re-round only adds a divergence surface
       val rate = (n: org.apache.spark.sql.Column,
                   of: org.apache.spark.sql.Column) =>
-        round(n.cast("double") / of, 6)
+        n.cast("double") / of
       ev.agg(countDistinct("user_id").as("n_users"))
         .crossJoin(v.agg(count(lit(1)).as("n_view")))
         .crossJoin(c.agg(count(lit(1)).as("n_click")))
@@ -395,12 +400,12 @@ object Windows {
         |  (SELECT count(*) FROM v) AS n_view,
         |  (SELECT count(*) FROM c) AS n_click,
         |  (SELECT count(*) FROM p) AS n_purchase,
-        |  round(CAST((SELECT count(*) FROM v) AS DOUBLE)
-        |    / (SELECT count(DISTINCT user_id) FROM w), 6) AS view_rate,
-        |  round(CAST((SELECT count(*) FROM c) AS DOUBLE)
-        |    / (SELECT count(*) FROM v), 6) AS click_through,
-        |  round(CAST((SELECT count(*) FROM p) AS DOUBLE)
-        |    / (SELECT count(*) FROM c), 6) AS purchase_through""".stripMargin,
+        |  CAST((SELECT count(*) FROM v) AS DOUBLE)
+        |    / (SELECT count(DISTINCT user_id) FROM w) AS view_rate,
+        |  CAST((SELECT count(*) FROM c) AS DOUBLE)
+        |    / (SELECT count(*) FROM v) AS click_through,
+        |  CAST((SELECT count(*) FROM p) AS DOUBLE)
+        |    / (SELECT count(*) FROM c) AS purchase_through""".stripMargin,
     "cohort_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1),
