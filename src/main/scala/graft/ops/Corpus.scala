@@ -56,14 +56,17 @@ object Corpus {
       // join would drop it from the quality report — exactly the
       // degenerate doc a filter pipeline most wants to see. Its bigram
       // fractions are null (null arithmetic in both engines).
+      // raw IEEE divisions of identical integers — no round: count
+      // ratios have dyadic denominators that land exactly on rounding
+      // midpoints (the win_ntile 41/640 class, r8 sf1ish sweep)
       tokStats.join(bgStats, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tok"),
-          round(col("n_utok").cast("double") / col("n_tok"), 6)
+          (col("n_utok").cast("double") / col("n_tok"))
             .as("distinct_tok_ratio"),
-          round(col("max_bg").cast("double") / col("n_bigrams"), 6)
+          (col("max_bg").cast("double") / col("n_bigrams"))
             .as("top_bigram_frac"),
-          round(lit(1.0) -
-            col("n_distinct_bg").cast("double") / col("n_bigrams"), 6)
+          (lit(1.0) -
+            col("n_distinct_bg").cast("double") / col("n_bigrams"))
             .as("dup_bigram_frac"))
         .orderBy("doc_id")
     }),
@@ -174,7 +177,8 @@ object Corpus {
       docs.rollup(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("n_tok_total"),
-          round(sum(col("n_tok")).cast("double") / count(lit(1)), 6)
+          // raw division (win_ntile dyadic-midpoint class — no round)
+          (sum(col("n_tok")).cast("double") / count(lit(1)))
             .as("avg_tok"),
           countDistinct(col("h")).as("n_unique_text"),
           grouping(col("source")).as("g_src"),
@@ -306,7 +310,7 @@ object Corpus {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"), sum("nll").as("snll"))
         .select(col("doc_id"), col("n_tok"),
-          round(col("snll").cast("double") / col("n_tok"), 6).as("avg_nll"))
+          (col("snll").cast("double") / col("n_tok")).as("avg_nll"))
         .orderBy("doc_id")
     }),
 
@@ -479,9 +483,9 @@ object Corpus {
         |ts AS (SELECT doc_id, count(*) AS n_tok,
         |    count(DISTINCT tok) AS n_utok FROM t GROUP BY 1)
         |SELECT ts.doc_id, n_tok,
-        |  round(CAST(n_utok AS DOUBLE) / n_tok, 6) AS distinct_tok_ratio,
-        |  round(CAST(max_bg AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
-        |  round(1.0 - CAST(n_distinct_bg AS DOUBLE) / n_bigrams, 6)
+        |  CAST(n_utok AS DOUBLE) / n_tok AS distinct_tok_ratio,
+        |  CAST(max_bg AS DOUBLE) / n_bigrams AS top_bigram_frac,
+        |  1.0 - CAST(n_distinct_bg AS DOUBLE) / n_bigrams
         |    AS dup_bigram_frac
         |FROM ts LEFT JOIN bgs USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_span" ->
@@ -536,7 +540,7 @@ object Corpus {
     "dataset_card" ->
       s"""SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(len($dToks)) AS BIGINT) AS n_tok_total,
-        |  round(CAST(sum(len($dToks)) AS DOUBLE) / count(*), 6)
+        |  CAST(sum(len($dToks)) AS DOUBLE) / count(*)
         |    AS avg_tok,
         |  count(DISTINCT sha256(text)) AS n_unique_text,
         |  GROUPING(source) AS g_src, GROUPING(lang) AS g_lang
@@ -600,7 +604,7 @@ object Corpus {
         |      CAST(n_ref + v_ref AS DOUBLE)), 4) AS DECIMAL(30,8)) AS nll
         |  FROM t LEFT JOIN lm USING (tok), scal)
         |SELECT doc_id, count(*) AS n_tok,
-        |  round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+        |  CAST(sum(nll) AS DOUBLE) / count(*) AS avg_nll
         |FROM nll GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_vocab" ->
       s"""WITH t AS ($dTokRows),

@@ -415,11 +415,13 @@ object TextSim {
         .select(col("doc_id"),
           length(col("text")).as("n_chars_m"),
           nTok.as("n_tok"),
-          round(stopHits.cast("double") / nTok, 6).as("stop_ratio"),
-          round(punct.cast("double") / length(col("text")), 6).as("punct_ratio"),
-          round(tokLenSum.cast("double") / nTok, 6).as("avg_tok_len"),
-          round(least(nTok.cast("double") / 100.0, lit(1.0)) *
-            (lit(1.0) - punct.cast("double") / length(col("text"))), 6)
+          // raw IEEE divisions — count ratios have dyadic denominators
+          // that land on rounding midpoints (win_ntile class, r8)
+          (stopHits.cast("double") / nTok).as("stop_ratio"),
+          (punct.cast("double") / length(col("text"))).as("punct_ratio"),
+          (tokLenSum.cast("double") / nTok).as("avg_tok_len"),
+          (least(nTok.cast("double") / 100.0, lit(1.0)) *
+            (lit(1.0) - punct.cast("double") / length(col("text"))))
             .as("quality_score"))
         .orderBy("doc_id")
     }),
@@ -580,10 +582,12 @@ object TextSim {
           col("n_sh").as("na"))), Seq("ia"))
         .join(broadcast(sz.select(col("doc_id").as("ib"),
           col("n_sh").as("nb"))), Seq("ib"))
+        // raw divisions (win_ntile dyadic-midpoint class): the 0.8
+        // filter then compares bit-identical doubles in both engines
         .withColumn("c_ab",
-          round(col("inter").cast("double") / col("na"), 6))
+          col("inter").cast("double") / col("na"))
         .withColumn("c_ba",
-          round(col("inter").cast("double") / col("nb"), 6))
+          col("inter").cast("double") / col("nb"))
         .filter(col("c_ab") >= 0.8 || col("c_ba") >= 0.8)
         .select("ia", "ib", "inter", "c_ab", "c_ba")
         .orderBy("ia", "ib")
@@ -845,11 +849,11 @@ object TextSim {
     "text_quality" -> {
       val stop = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
       s"""SELECT doc_id, length(text) AS n_chars_m, len($dToks) AS n_tok,
-        |round(CAST(len(list_filter($dToks, t -> list_contains($stop, t))) AS DOUBLE) / len($dToks), 6) AS stop_ratio,
-        |round(CAST(len(regexp_extract_all(lower(text),'[^a-z0-9 ]')) AS DOUBLE) / length(text), 6) AS punct_ratio,
-        |round(CAST(list_sum(list_transform($dToks, t -> length(t))) AS DOUBLE) / len($dToks), 6) AS avg_tok_len,
-        |round(least(CAST(len($dToks) AS DOUBLE)/100.0, 1.0) *
-        |(1.0 - CAST(len(regexp_extract_all(lower(text),'[^a-z0-9 ]')) AS DOUBLE)/length(text)), 6) AS quality_score
+        |CAST(len(list_filter($dToks, t -> list_contains($stop, t))) AS DOUBLE) / len($dToks) AS stop_ratio,
+        |CAST(len(regexp_extract_all(lower(text),'[^a-z0-9 ]')) AS DOUBLE) / length(text) AS punct_ratio,
+        |CAST(list_sum(list_transform($dToks, t -> length(t))) AS DOUBLE) / len($dToks) AS avg_tok_len,
+        |least(CAST(len($dToks) AS DOUBLE)/100.0, 1.0) *
+        |(1.0 - CAST(len(regexp_extract_all(lower(text),'[^a-z0-9 ]')) AS DOUBLE)/length(text)) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin
     },
     "text_langid" -> {
@@ -906,11 +910,11 @@ object TextSim {
         |  WHERE a.df >= 2
         |  GROUP BY 1,2)
         |SELECT ia, ib, inter,
-        |  round(CAST(inter AS DOUBLE) / sa.n_sh, 6) AS c_ab,
-        |  round(CAST(inter AS DOUBLE) / sb.n_sh, 6) AS c_ba
+        |  CAST(inter AS DOUBLE) / sa.n_sh AS c_ab,
+        |  CAST(inter AS DOUBLE) / sb.n_sh AS c_ba
         |FROM inter JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
-        |WHERE round(CAST(inter AS DOUBLE) / sa.n_sh, 6) >= 0.8
-        |   OR round(CAST(inter AS DOUBLE) / sb.n_sh, 6) >= 0.8
+        |WHERE CAST(inter AS DOUBLE) / sa.n_sh >= 0.8
+        |   OR CAST(inter AS DOUBLE) / sb.n_sh >= 0.8
         |ORDER BY ia, ib""".stripMargin,
     "dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, tok, count(*) AS w FROM
