@@ -84,7 +84,7 @@ object ScaleProbe {
     * document texts get a distinct leading token per copy, so exact dedup
     * sees distinct rows while MinHash/Jaccard correctly finds each
     * original's 10 salted copies as a near-dup cluster. */
-  private def buildStack(s: SparkSession, src: String, dst: String): Unit = {
+  private[graft] def buildStack(s: SparkSession, src: String, dst: String): Unit = {
     val marker = new java.io.File(s"$dst/_STACK_OK")
     // r8 added embeddings to the stack — refresh a pre-r8 stack in place
     val complete = new java.io.File(s"$dst/embeddings.parquet").exists()

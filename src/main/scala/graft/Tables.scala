@@ -12,36 +12,90 @@ import org.apache.spark.sql.functions._
   * partitioned directory tree and gets partition pruning for free.
   */
 object Tables {
+  import org.apache.spark.sql.types._
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
-  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
-  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
-  def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
-  def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
-  def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as a long (legacy conf) and convert
-    * to a µs TimestampType with integer division — the values carry µs
-    * resolution, so the truncation is lossless and matches DuckDB's µs read.
+  /** Schema contract: assert the logical types downstream operators assume.
+    * Purely metadata — no data is read — so the cost is nil, and a testdata
+    * regeneration that drifts a physical type fails HERE with the table and
+    * column named, instead of as an opaque analysis error 30 operators deep
+    * (the round-8 events µs/nanos break). Checks a key subset per table, not
+    * the full schema, so additive evolution stays legal.
     */
+  private def expectTypes(df: DataFrame, table: String, cols: (String, DataType)*): DataFrame = {
+    cols.foreach { case (c, dt) =>
+      val actual = df.schema.fields.find(_.name == c).map(_.dataType)
+      // compare SQL type names (nullability-agnostic: parquet writers vary on
+      // element/field nullability, which is irrelevant to operator semantics).
+      // TIMESTAMP accepts both flavors: parquet isAdjustedToUTC decides
+      // whether Spark reads TIMESTAMP or TIMESTAMP_NTZ, and with the session
+      // timezone pinned to UTC every operator here treats them identically.
+      val ok = actual.exists { a =>
+        a.sql == dt.sql ||
+          (dt.sql.startsWith("TIMESTAMP") && a.sql.startsWith("TIMESTAMP"))
+      }
+      require(ok,
+        s"schema contract violated: $table.$c expected ${dt.sql} but testdata has " +
+          s"${actual.map(_.sql).getOrElse("<column missing>")} — " +
+          "update Tables.scala contract or adapt the loader (see Tables.normalizeTs)")
+    }
+    df
+  }
+
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    expectTypes(t(s, d, "lineitem"), "lineitem",
+      "l_orderkey" -> LongType, "l_quantity" -> DoubleType,
+      "l_extendedprice" -> DoubleType, "l_shipdate" -> TimestampType)
+  def orders(s: SparkSession, d: String): DataFrame =
+    expectTypes(t(s, d, "orders"), "orders",
+      "o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_totalprice" -> DoubleType, "o_orderdate" -> TimestampType)
+  def customer(s: SparkSession, d: String): DataFrame =
+    expectTypes(t(s, d, "customer"), "customer",
+      "c_custkey" -> LongType, "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType)
+  def supplier(s: SparkSession, d: String): DataFrame =
+    expectTypes(t(s, d, "supplier"), "supplier",
+      "s_suppkey" -> LongType, "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType)
+  def nation(s: SparkSession, d: String): DataFrame =
+    expectTypes(t(s, d, "nation"), "nation",
+      "n_nationkey" -> IntegerType, "n_regionkey" -> IntegerType)
+  def region(s: SparkSession, d: String): DataFrame =
+    expectTypes(t(s, d, "region"), "region", "r_regionkey" -> IntegerType)
+  def part(s: SparkSession, d: String): DataFrame =
+    expectTypes(t(s, d, "part"), "part",
+      "p_partkey" -> LongType, "p_size" -> IntegerType, "p_retailprice" -> DoubleType)
+  /** events.parquet has shipped with `ts` as either parquet TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader rejects — read nanos as a long via the
+    * legacy conf and integer-divide to µs, losslessly, matching DuckDB's µs
+    * read) or plain TIMESTAMP(MICROS)/NTZ (pass through, normalized to
+    * TimestampType). Adapt to whatever physical type the current file has so
+    * testdata regeneration can't break every events query again.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => // TimestampNTZType or other timestamp-like: normalize to µs TimestampType
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    expectTypes(normalizeTs(t(s, d, "events")), "events",
+      "event_id" -> LongType, "ts" -> TimestampType,
+      "user_id" -> LongType, "value" -> DoubleType)
   }
-  /** Streaming variant of `events` (T1 incremental ingest): same nanos→µs
-    * conversion, but over `readStream` on a DIRECTORY of event parquet files
-    * (FileStreamSource requires a directory) so Trigger.AvailableNow can
-    * drain it incrementally.
+  /** Streaming variant of `events` (T1 incremental ingest): same ts
+    * normalization, but over `readStream` on a DIRECTORY of event parquet
+    * files (FileStreamSource requires a directory) so Trigger.AvailableNow
+    * can drain it incrementally.
     */
   def eventsStream(s: SparkSession, sfDir: String, streamDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(s, sfDir, "events") // ts arrives as LongType nanos
-    s.readStream.schema(raw.schema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, sfDir, "events") // schema template: ts may be long-nanos or timestamp
+    normalizeTs(s.readStream.schema(raw.schema).parquet(streamDir))
   }
 
   /** documents/embeddings ship as ONE small parquet file ⇒ one input split,
@@ -53,7 +107,13 @@ object Tables {
     * itself, not derived data.
     */
   def documents(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+    // contract covers only the columns EVERY caller needs — fixture-driven
+    // specs legitimately write subset-schema documents tables
+    expectTypes(t(s, d, "documents"), "documents",
+      "doc_id" -> LongType, "text" -> StringType)
+      .repartition(s.sparkContext.defaultParallelism)
   def embeddings(s: SparkSession, d: String): DataFrame =
-    t(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
+    expectTypes(t(s, d, "embeddings"), "embeddings",
+      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType), "label" -> IntegerType)
+      .repartition(s.sparkContext.defaultParallelism)
 }

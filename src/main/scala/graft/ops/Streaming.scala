@@ -43,6 +43,24 @@ object Streaming {
           unix_micros(col("click_ts")).as("click_us"),
           unix_micros(col("err_ts")).as("err_us"))
         .orderBy("err_id", "click_us")
+    }),
+
+    // T6 batch twin: the SAME dedupWithinWatermark transform StreamingSpec
+    // drives through MemoryStream, here batch-checked against an oracle.
+    // At-least-once delivery is simulated by re-appending every 'error'
+    // event (exact duplicate rows, so which copy survives is immaterial
+    // and the result is deterministic); dropDuplicatesWithinWatermark
+    // collapses them back to the original table. In batch the watermark
+    // node is eliminated and this is a plain dedup on event_id; in
+    // streaming the SAME code bounds its dedup state by the 1h watermark —
+    // the property that keeps state finite over an unbounded stream.
+    "stream_dedup_watermark" -> ((s, d) => {
+      val ev = events(s, d)
+      val redelivered = ev.unionAll(ev.filter(col("event_type") === "error"))
+      StreamOps.dedupWithinWatermark(redelivered)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
     })
   )
 
@@ -88,6 +106,11 @@ object Streaming {
         |FROM events c JOIN events e ON c.user_id = e.user_id
         |WHERE c.event_type = 'click' AND e.event_type = 'error'
         |  AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts
-        |ORDER BY err_id, click_us""".stripMargin
+        |ORDER BY err_id, click_us""".stripMargin,
+    // Dedup of the redelivered union == the original events table (the
+    // duplicates are exact copies keyed by event_id, which is unique).
+    "stream_dedup_watermark" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -335,24 +335,28 @@ object TextSim {
     * small taus here directly to exercise the guard on fixtures. */
   private[graft] def ngramJaccard(s: org.apache.spark.sql.SparkSession,
       d: String, tau: Int): org.apache.spark.sql.DataFrame = {
+    // n_sh rides along on every shingle row (window over doc_id on the
+    // capped universe, df=1 shingles included in the count) so the pair
+    // rows already carry both docs' sizes — no size-lookup join at all.
+    // Previously this was two per-doc broadcast joins, which is wrong at
+    // scale: the size table has one row per document and grows with the
+    // corpus, so it is NOT broadcast-able at 100 TB. The window costs one
+    // doc_id shuffle on the persisted (small, capped) shingle set instead.
     val sh = shingleRows(documents(s, d), 3)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("df") <= tau)
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Lifecycle: the blocks live until the caller's sweep-level
     // clearCache (Bench after each timed run, Verify after each query);
     // a long-lived session embedding this operator should unpersist the
     // returned plan's cached input after materialization.
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val joinable = sh.filter(col("df") >= 2)
-    val a = joinable.select(col("doc_id").as("ia"), col("g"))
-    val b = joinable.select(col("doc_id").as("ib"), col("g"))
+    val a = joinable.select(col("doc_id").as("ia"), col("g"), col("n_sh").as("na"))
+    val b = joinable.select(col("doc_id").as("ib"), col("g"), col("n_sh").as("nb"))
     a.join(b, Seq("g")).filter(col("ia") < col("ib"))
-      .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
-      .join(broadcast(sz.select(col("doc_id").as("ia"),
-        col("n_sh").as("na"))), Seq("ia"))
-      .join(broadcast(sz.select(col("doc_id").as("ib"),
-        col("n_sh").as("nb"))), Seq("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("inter"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= 0.5)
@@ -562,26 +566,26 @@ object TextSim {
     // where either direction's containment ≥ 0.8, with both directions
     // reported so the caller knows which side is the quoted one.
     "dedup_containment" -> ((s, d) => {
+      // n_sh windowed over doc_id on the capped universe (df=1 shingles
+      // included — the same "informative-shingle" denominator
+      // dedup_ngram_jaccard uses), so pair rows carry both sizes and no
+      // per-doc size join exists. The former broadcast(sz) was a scale
+      // bug: sz has one row per document and grows with the corpus.
       val sh = shingleRows(documents(s, d), 3)
         .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
         .filter(col("df") <= StopShingleDfDefault)
+        .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
         // persist, same rationale as ngramJaccard (:290): this subplan
-        // feeds both join sides AND both size lookups — without
-        // materializing it the shingle+window-df pass re-executes per
-        // consumer; blocks are dropped by Bench/Verify's clearCache
+        // feeds both join sides — without materializing it the
+        // shingle+window-df pass re-executes per consumer; blocks are
+        // dropped by Bench/Verify's clearCache
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // sizes over the capped universe (df=1 shingles included) — the
-      // same "informative-shingle" denominator dedup_ngram_jaccard uses
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val joinable = sh.filter(col("df") >= 2)
-      val a = joinable.select(col("doc_id").as("ia"), col("g"))
-      val b = joinable.select(col("doc_id").as("ib"), col("g"))
+      val a = joinable.select(col("doc_id").as("ia"), col("g"), col("n_sh").as("na"))
+      val b = joinable.select(col("doc_id").as("ib"), col("g"), col("n_sh").as("nb"))
       a.join(b, Seq("g")).filter(col("ia") < col("ib"))
-        .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
-        .join(broadcast(sz.select(col("doc_id").as("ia"),
-          col("n_sh").as("na"))), Seq("ia"))
-        .join(broadcast(sz.select(col("doc_id").as("ib"),
-          col("n_sh").as("nb"))), Seq("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("inter"),
+          max(col("na")).as("na"), max(col("nb")).as("nb"))
         // raw divisions (win_ntile dyadic-midpoint class): the 0.8
         // filter then compares bit-identical doubles in both engines
         .withColumn("c_ab",

@@ -255,7 +255,9 @@ object Windows {
         .agg(countDistinct("user_id").as("n_cohort"))
       ev.distinct().join(first, Seq("user_id"))
         .select(col("cohort"),
-          datediff(col("day"), col("cohort")).as("day_n"), col("user_id"))
+          // bigint to match DuckDB's date_diff return type exactly
+          datediff(col("day"), col("cohort")).cast("long").as("day_n"),
+          col("user_id"))
         .groupBy("cohort", "day_n")
         .agg(countDistinct("user_id").as("n_active"))
         .join(broadcast(sizes), Seq("cohort"))

@@ -63,12 +63,20 @@ object StreamOps {
 
   /** T6: stateful dedup keyed on event_id, with state bounded by the
     * watermark — the staging-layer 중복 제거 (README.md:88) applied
-    * incrementally.
+    * incrementally. `dropDuplicatesWithinWatermark` exists only for
+    * streaming plans (batch rejects it at analysis), so the batch path
+    * takes the semantically-equivalent global dedup: when every duplicate
+    * arrives within the watermark of its original — the delivery guarantee
+    * the streaming form is designed for, asserted by StreamingSpec T6 —
+    * the two produce identical results, which is what lets the driver's
+    * DuckDB oracle check this transform (`stream_dedup_watermark`).
     */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
+    if (events.isStreaming)
+      events
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   /** Stream-stream inner join: clicks within the 10 minutes before each
     * error by the same user — the streaming form of the batch `join_range`

@@ -126,4 +126,23 @@ class PlanAuditSpec extends SparkSpec {
       s"stale allowlist entries (flag no longer observed — remove):\n" +
         stale.mkString("\n"))
   }
+
+  test("near-dup family forces no broadcast hint (corpus-scaling tables " +
+    "must be planned by stats, not pinned)") {
+    // r8 verdict: ngramJaccard/dedup_containment broadcast a per-document
+    // size table — one row per doc, so the hint meant shipping billions of
+    // rows through the driver at 100 TB. The restructure carries n_sh on
+    // the shingle rows instead; this gate keeps any forced broadcast of a
+    // corpus-scaling table from coming back. The planner/AQE may still
+    // CHOOSE a broadcast join from size stats — that's legitimate and
+    // scale-safe, so only explicit hints are banned here.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (name <- Seq("dedup_ngram_jaccard", "dedup_containment")) {
+      val analyzed = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.analyzed
+      val hints = analyzed.collect { case h: ResolvedHint => h }
+      assert(hints.isEmpty,
+        s"$name plans ${hints.size} forced broadcast hint(s)")
+    }
+  }
 }
