@@ -70,7 +70,10 @@ object SpillProbe {
       val listener = new SpillListener
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
+      // a query that cannot finish under the pinch is itself a finding —
+      // record it and keep probing the rest instead of dying mid-sweep
+      val ok = scala.util.Try(SparkEntry.queries(name)(spark, dir).count())
+        .isSuccess
       val secs = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       // listener events are delivered asynchronously; give the bus a
@@ -81,11 +84,11 @@ object SpillProbe {
       val r = (name, label, secs,
         listener.memSpilled.sum() / mb, listener.diskSpilled.sum() / mb,
         listener.shuffleWritten.sum() / mb,
-        listener.peakExecPerTask.get() / mb, listener.tasks.sum())
+        listener.peakExecPerTask.get() / mb, listener.tasks.sum(), ok)
       println(f"""{"probe":"$name","sf":"$label","sec":$secs%.2f,""" +
         f""""mem_spill_mb":${r._4}%.1f,"disk_spill_mb":${r._5}%.1f,""" +
         f""""shuffle_write_mb":${r._6}%.1f,"peak_task_exec_mb":${r._7}%.1f,""" +
-        f""""tasks":${r._8}}""")
+        f""""tasks":${r._8},"completed":$ok}""")
       r
     }
 
@@ -107,10 +110,10 @@ object SpillProbe {
          |actually hit disk; `peak task exec` is the largest single task's
          |execution-memory high-water mark.
          |
-         || query | sf | wall s | mem spill MB | disk spill MB | shuffle write MB | peak task exec MB | tasks |
-         ||---|---|---|---|---|---|---|---|""".stripMargin
-    val table = rows.map { case (n, l, s, ms, ds, sw, pk, tk) =>
-      f"| $n | $l | $s%.2f | $ms%.1f | $ds%.1f | $sw%.1f | $pk%.1f | $tk |"
+         || query | sf | wall s | mem spill MB | disk spill MB | shuffle write MB | peak task exec MB | tasks | completed |
+         ||---|---|---|---|---|---|---|---|---|""".stripMargin
+    val table = rows.map { case (n, l, s, ms, ds, sw, pk, tk, ok) =>
+      f"| $n | $l | $s%.2f | $ms%.1f | $ds%.1f | $sw%.1f | $pk%.1f | $tk | ${if (ok) "yes" else "NO"} |"
     }.mkString("\n")
     val footer =
       """|

@@ -61,6 +61,21 @@ object Streaming {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))
         .orderBy("event_id")
+    }),
+
+    // T7 batch twin: the SAME enrichWithDim transform StreamingSpec
+    // drives through MemoryStream (stream–static broadcast LEFT join),
+    // batch-checked here with customer as the bounded dimension. The
+    // broadcast hint is legitimate for THIS table: a dimension's
+    // cardinality is fixed by the business domain, not by event volume —
+    // exactly the case where map-side broadcast is the 100 TB plan.
+    "stream_enrich" -> ((s, d) => {
+      val dim = customer(s, d).select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+      StreamOps.enrichWithDim(events(s, d), dim)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("segment"))
+        .orderBy("event_id")
     })
   )
 
@@ -111,6 +126,12 @@ object Streaming {
     // duplicates are exact copies keyed by event_id, which is unique).
     "stream_dedup_watermark" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    // Stream–static LEFT enrichment == plain left join on the dimension.
+    "stream_enrich" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+        |  c_mktsegment AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY event_id""".stripMargin
   )
 }
