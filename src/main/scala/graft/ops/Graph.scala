@@ -252,6 +252,26 @@ object Graph {
     ranks
   }
 
+  /** Per-node triangle counts of an undirected graph given as CANONICAL
+    * edges (a < b, one row per edge). The compact-forward algorithm as two
+    * equi joins: wedges a<b<c from edges (a,b)⋈(b,c), closed by probing
+    * (a,c) — each triangle is found exactly once, at its lowest vertex.
+    * Scale: both joins key on a single vertex column, so the cost is
+    * Σ deg(v)² over the JOIN side — the df² bound the stop-shingle cap
+    * enforces upstream when the edges come from LSH banding; at 100 TB the
+    * standard refinement (orient edges by degree before the wedge join)
+    * drops the bound to O(|E|^1.5) and slots in here without touching
+    * callers.
+    */
+  private[graft] def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val wedges = e.join(e.select(col("a").as("b"), col("b").as("c")), "b")
+    val tri = wedges.join(
+      e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cluster-level dedup: connected components over the MinHash/LSH
     // candidate-pair graph (TextSim.minhashPairs, est_sim >= 0.5). Every
@@ -288,6 +308,19 @@ object Graph {
             .as("kind"),
           round(col("pr"), 9).as("pr"))
         .orderBy("id")
+    }),
+
+    // Triangle census of the MinHash/LSH candidate graph: a node's
+    // triangle count separates CLIQUE-like duplication (boilerplate
+    // families — every copy pairs with every copy, counts ~ k²) from
+    // CHAIN-like drift (v1~v2~v3 revision chains — zero triangles), the
+    // standard clustering-coefficient signal applied to dedup triage.
+    // The customer–supplier graph is bipartite (no triangles by
+    // construction), so this runs where triangles mean something.
+    "graph_triangles" -> ((s, d) => {
+      val edges = TextSim.minhashPairs(Tables.documents(s, d))
+        .select(col("ia").as("a"), col("ib").as("b"))
+      triangleCounts(edges).orderBy("doc_id")
     }),
 
     // Community detection: 3 rounds of SYNCHRONOUS label propagation
@@ -339,6 +372,19 @@ object Graph {
         |  count(*) OVER (PARTITION BY comp) AS comp_size,
         |  CAST(doc_id = comp AS INT) AS kept
         |FROM lab ORDER BY doc_id""".stripMargin,
+    // Same canonical LSH candidate edges; each triangle found once at its
+    // lowest vertex (a<b<c), then every corner credited.
+    "graph_triangles" ->
+      s"""WITH ${TextSim.dMinhashCte},
+        |e AS (SELECT ia AS a, ib AS b FROM pairs),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.c
+        |  FROM e e1
+        |  JOIN (SELECT a AS b, b AS c FROM e) e2 USING (b)
+        |  JOIN (SELECT a, b AS c FROM e) e3 ON e1.a = e3.a AND e2.c = e3.c),
+        |corners AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+        |SELECT doc_id, count(*) AS n_tri FROM corners
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Unrolled 3-iteration mirror of pageRank: same decimal-accumulated
     // contribution sums, same double damping arithmetic on identical
     // operands (0.15/n, 0.85 both cast to DOUBLE before use).

@@ -597,6 +597,38 @@ object TextSim {
         .orderBy("ia", "ib")
     }),
 
+    // Span-level dedup (Lee et al., "Deduplicating Training Data Makes
+    // Language Models Better", arXiv:2107.06499 — the ExactSubstr idea
+    // discretized): docs are cut into consecutive 10-token spans and a
+    // span appearing in >= 2 DISTINCT docs is flagged at every
+    // occurrence — the sub-document repetition (licenses, boilerplate,
+    // quoted passages) that whole-doc hashing can never see and MinHash
+    // underweights. Cutting (not sliding) windows keep the blowup at
+    // n_tokens/10 rows per doc instead of n_tokens. Scale: the span TEXT
+    // never shuffles — each occurrence reduces to its portable 60-bit
+    // hash [[h60]] map-side, the groupBy shuffles (hash, doc_id) only,
+    // and the flag joins back on the hash. Collisions at 60 bits are
+    // ~2^-60 per pair — the dedup_hash argument.
+    "dedup_span" -> ((s, d) => {
+      val k = 10
+      val spans = documents(s, d)
+        .select(col("doc_id"), toks.as("tk"))
+        .withColumn("n_spans", floor(size(col("tk")) / k).cast("int"))
+        .filter(col("n_spans") >= 1)
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), col("n_spans") - 1),
+            i => array_join(slice(col("tk"), i * k + 1, lit(k)), " ")))
+          .as(Seq("span_idx", "span")))
+        .select(col("doc_id"), col("span_idx").cast("long").as("span_idx"),
+          h60(col("span")).as("hs"))
+      val repeated = spans.groupBy("hs")
+        .agg(countDistinct("doc_id").as("n_docs"))
+        .filter(col("n_docs") >= 2)
+      spans.join(repeated, "hs")
+        .select("doc_id", "span_idx", "hs", "n_docs")
+        .orderBy("doc_id", "span_idx")
+    }),
+
     // Cross-source near-dup overlap matrix: the dataset-card analytic a
     // mixture designer reads before weighting sources — how much of source
     // A is (nearly) inside source B. Reuses the MinHash/LSH candidate
@@ -920,6 +952,21 @@ object TextSim {
         |WHERE CAST(inter AS DOUBLE) / sa.n_sh >= 0.8
         |   OR CAST(inter AS DOUBLE) / sb.n_sh >= 0.8
         |ORDER BY ia, ib""".stripMargin,
+    // Cutting 10-token spans; a span in >= 2 distinct docs flags every
+    // occurrence. Same h60 hash both sides; list slices are 1-based
+    // inclusive in DuckDB, matching Spark's 1-based slice(start, length).
+    "dedup_span" ->
+      s"""WITH t AS (SELECT doc_id, $dToks AS tk FROM documents),
+        |s AS (SELECT doc_id, unnest(generate_series(1, len(tk)//10)) AS i,
+        |  tk FROM t),
+        |sp AS (SELECT doc_id, i - 1 AS span_idx,
+        |  array_to_string(tk[((i-1)*10+1):((i-1)*10+10)], ' ') AS span
+        |  FROM s),
+        |h AS (SELECT doc_id, span_idx, ${dH60("span")} AS hs FROM sp),
+        |rep AS (SELECT hs, count(DISTINCT doc_id) AS n_docs FROM h
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, span_idx, hs, n_docs FROM h JOIN rep USING (hs)
+        |ORDER BY doc_id, span_idx""".stripMargin,
     "dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, tok, count(*) AS w FROM
         |  (SELECT doc_id, unnest($dToks) AS tok FROM documents) GROUP BY 1,2),

@@ -111,4 +111,20 @@ class GraphSpec extends SparkSpec {
     assert(pr.size == n)
     pr.values.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-12, s"$pr"))
   }
+
+  test("triangleCounts: K4 clique vs square vs chain") {
+    // K4 (0-3): C(3,2)=3 triangles per node. Square 10-11-12-13 (cycle,
+    // no chord): zero triangles, nodes absent. Chain 20-21-22: zero.
+    // Canonical a<b edges, mixed into one list — counts must not bleed
+    // across components.
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val square = Seq((10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L))
+    val chain = Seq((20L, 21L), (21L, 22L))
+    val edges = (k4 ++ square ++ chain).toDF("a", "b")
+    val got = ops.Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    (0L to 3L).foreach(v => assert(got(v) == 3L, s"K4 vertex $v: $got"))
+    assert(got.keySet == (0L to 3L).toSet,
+      s"square/chain nodes must have no triangles: $got")
+  }
 }

@@ -256,4 +256,26 @@ class TextSimSpec extends SparkSpec {
       "cross-corpus banding must equal the crossing subset of the " +
         "whole-corpus pair set")
   }
+
+  test("dedup_span flags a planted shared 10-token span at every " +
+    "occurrence and nothing else") {
+    // doc 0 and doc 1 share tokens 0-9 exactly (doc 1 embeds them at a
+    // NON-span-aligned offset in its own text? no — spans are cutting
+    // windows, so the shared run must occupy a full window in both docs
+    // to be caught; that alignment sensitivity is the documented trade
+    // vs the O(n·k) sliding variant). doc 2 is disjoint filler.
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, shared + " zeta eta theta iota kappa lambda mu nu xi omicron"),
+      (1L, shared + " uno dos tres cuatro cinco seis siete ocho nueve diez"),
+      (2L, (1 to 20).map(i => s"filler$i").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("span").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = ops.TextSim.queries("dedup_span")(spark, dir)
+      .select("doc_id", "span_idx", "n_docs")
+      .as[(Long, Long, Long)].collect().toSet
+    // the shared span is window 0 of both docs; no other window repeats
+    assert(got === Set((0L, 0L, 2L), (1L, 0L, 2L)), s"got $got")
+  }
 }
