@@ -629,6 +629,34 @@ object TextSim {
         .orderBy("doc_id", "span_idx")
     }),
 
+    // Sliding twin of dedup_span: a window at EVERY token position, so a
+    // shared 10-token run is caught regardless of alignment — the cutting
+    // variant misses a span that straddles a window boundary in one of
+    // the two docs (its documented trade). Cost: n_tokens rows per doc
+    // instead of n/10 — the 10× blowup is the price of alignment
+    // invariance, so the cutting variant stays the default scan and this
+    // is the escalation path for corpora where boilerplate offsets drift
+    // (the Lee et al. suffix-array setting). Same skinny (hash, doc)
+    // shuffle; emitted matches then collapse overlapping runs downstream.
+    "dedup_span_sliding" -> ((s, d) => {
+      val k = 10
+      val spans = documents(s, d)
+        .select(col("doc_id"), toks.as("tk"))
+        .filter(size(col("tk")) >= k)
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), size(col("tk")) - k),
+            i => array_join(slice(col("tk"), i + 1, lit(k)), " ")))
+          .as(Seq("span_idx", "span")))
+        .select(col("doc_id"), col("span_idx").cast("long").as("span_idx"),
+          h60(col("span")).as("hs"))
+      val repeated = spans.groupBy("hs")
+        .agg(countDistinct("doc_id").as("n_docs"))
+        .filter(col("n_docs") >= 2)
+      spans.join(repeated, "hs")
+        .select("doc_id", "span_idx", "hs", "n_docs")
+        .orderBy("doc_id", "span_idx")
+    }),
+
     // Cross-source near-dup overlap matrix: the dataset-card analytic a
     // mixture designer reads before weighting sources — how much of source
     // A is (nearly) inside source B. Reuses the MinHash/LSH candidate
@@ -962,6 +990,18 @@ object TextSim {
         |sp AS (SELECT doc_id, i - 1 AS span_idx,
         |  array_to_string(tk[((i-1)*10+1):((i-1)*10+10)], ' ') AS span
         |  FROM s),
+        |h AS (SELECT doc_id, span_idx, ${dH60("span")} AS hs FROM sp),
+        |rep AS (SELECT hs, count(DISTINCT doc_id) AS n_docs FROM h
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, span_idx, hs, n_docs FROM h JOIN rep USING (hs)
+        |ORDER BY doc_id, span_idx""".stripMargin,
+    // Sliding variant: a window at every position, span_idx 0-based.
+    "dedup_span_sliding" ->
+      s"""WITH t AS (SELECT doc_id, $dToks AS tk FROM documents),
+        |s AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 9)) AS i,
+        |  tk FROM t WHERE len(tk) >= 10),
+        |sp AS (SELECT doc_id, i - 1 AS span_idx,
+        |  array_to_string(tk[i:(i+9)], ' ') AS span FROM s),
         |h AS (SELECT doc_id, span_idx, ${dH60("span")} AS hs FROM sp),
         |rep AS (SELECT hs, count(DISTINCT doc_id) AS n_docs FROM h
         |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)

@@ -278,4 +278,24 @@ class TextSimSpec extends SparkSpec {
     // the shared span is window 0 of both docs; no other window repeats
     assert(got === Set((0L, 0L, 2L), (1L, 0L, 2L)), s"got $got")
   }
+
+  test("dedup_span_sliding catches a misaligned shared run the cutting " +
+    "variant misses") {
+    // the shared 10-token run starts at offset 0 in doc 0 but offset 3 in
+    // doc 1 — it straddles doc 1's window boundary, so cutting windows
+    // see no repeat, while sliding windows must flag it in both docs.
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, shared + " zeta eta theta iota kappa lambda mu nu xi omicron"),
+      (1L, "pre1 pre2 pre3 " + shared + " uno dos tres cuatro cinco seis siete"),
+      (2L, (1 to 20).map(i => s"filler$i").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("span_slide").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val cut = ops.TextSim.queries("dedup_span")(spark, dir).count()
+    assert(cut == 0L, "cutting windows must miss the misaligned run")
+    val slid = ops.TextSim.queries("dedup_span_sliding")(spark, dir)
+      .select("doc_id", "span_idx").as[(Long, Long)].collect().toSet
+    assert(slid === Set((0L, 0L), (1L, 3L)), s"got $slid")
+  }
 }
