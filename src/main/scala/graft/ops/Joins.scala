@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Q
 import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Join surface (SURVEY.md §2.C). The reference has zero joins in code — its
@@ -20,6 +21,30 @@ import org.apache.spark.sql.functions._
   *    sort-merge join with a residual range filter, not a cartesian product.
   */
 object Joins {
+
+  /** Stage customer and orders as 8-bucket tables on the custkey join key
+    * and return their bucket-co-located join. Path-backed in the ops
+    * scratch (auto-cleaned at JVM exit); table names are unique per
+    * invocation because the catalog is session-global. Shared by the
+    * `join_bucketed` query and BucketingSpec's plan assertion.
+    */
+  private[graft] def bucketedOrdersCustomer(s: SparkSession,
+                                            d: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val (ct, ot) = (s"graft_bkt_cust_$tag", s"graft_bkt_ord_$tag")
+    customer(s, d).select("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", scratchDir("bkt_cust")).saveAsTable(ct)
+    orders(s, d).select("o_custkey", "o_totalprice")
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", scratchDir("bkt_ord")).saveAsTable(ot)
+    val c = s.table(ct); val o = s.table(ot)
+    // hint("merge") pins the sort-merge path (at 100 TB neither fact side
+    // broadcasts); with both scans bucketed 8-way on their join key the
+    // join's distribution requirement is met by the LAYOUT and neither
+    // side shuffles — BucketingSpec asserts zero exchanges below the join.
+    c.hint("merge").join(o, c("c_custkey") === o("o_custkey"))
+  }
 
   val queries: Map[String, Q] = Map(
     // C1 broadcast: fact × 3 broadcast dims, revenue per region.
@@ -205,6 +230,20 @@ object Joins {
           (col("ca") * col("cb")).as("row_pairs"))
         .orderBy("na", "nb")
     }),
+
+    // Bucketed co-located join (C1 extension): the third shuffle-elimination
+    // lever beside broadcast and AQE — pay the partitioning shuffle ONCE at
+    // write time, then every recurring join on the bucket key reads
+    // co-located buckets and exchanges nothing. The staging write is part
+    // of the measured query here; in production it amortizes over every
+    // later join against the table. The only exchange in this plan belongs
+    // to the final segment aggregation, not the join.
+    "join_bucketed" -> ((s, d) =>
+      bucketedOrdersCustomer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy("c_mktsegment")),
 
     // Composite analytic 1 (TPC-H Q3 shape): shipping priority — segment-
     // filtered customers ⋈ pre-cutoff orders ⋈ post-cutoff shipments,
@@ -862,6 +901,13 @@ object Joins {
         |JOIN (VALUES ('A',1),('N',2),('R',3)) AS dim(l_returnflag, w)
         |  USING (l_returnflag)
         |GROUP BY 1,2 ORDER BY 1""".stripMargin,
+    // Bucketing is a layout change, never a semantics change: the oracle is
+    // the plain join.
+    "join_bucketed" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))),2) AS DOUBLE) AS sum_price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Identical dictionary-collapse + prefix/suffix blocking: the
     // contract is the BLOCKED candidate set (see the query's scaladoc).
     "join_fuzzy" ->

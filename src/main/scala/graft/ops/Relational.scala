@@ -30,29 +30,6 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** Scratch area for the roundtrip queries: one dir per JVM (concurrent
-    * verify/bench PROCESSES can't clobber each other) with a unique subdir
-    * per invocation — a DataFrame returned by an earlier invocation stays
-    * readable even if a later one runs before it is consumed. Growth is
-    * bounded by invocations within one JVM (gate flows call each query
-    * once per run).
-    */
-  private lazy val scratch: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
-    // Roundtrip scratch is per-JVM; delete it recursively on exit so
-    // repeated verify/bench runs don't accumulate table copies in /tmp
-    // (ADVICE r2 — there was no cleanup at all).
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
-      }
-      rm(p.toFile)
-    }))
-    p.toString
-  }
-  private def scratchDir(tag: String): String =
-    s"$scratch/${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
-
   val queries: Map[String, Q] = Map(
     // ---- scans / sources (A4, A6) ----
     "scan_parquet" -> ((s, d) =>
@@ -92,6 +69,29 @@ object Relational {
           col("o_totalprice"), col("o_orderdate").cast("date").as("o_date"))
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out).orderBy("o_orderkey")
+    }),
+
+    // Hive-partitioned layout + partition-pruned scan (A6 extension, the
+    // directory-level sibling of layout_zorder's file-level clustering):
+    // orders staged partitioned by order year, then a year-filtered
+    // aggregate reads back ONLY that year's directory — the filter resolves
+    // against partition METADATA, zero I/O on every other partition. On a
+    // 100 TB date-partitioned fact table this is the difference between
+    // scanning one day and scanning seven years; RelationalSpec asserts
+    // the scan carries the PartitionFilter and touches only the matching
+    // partition directory.
+    "scan_partition_prune" -> ((s, d) => {
+      val out = scratchDir("pq_part")
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"))
+        .write.mode("overwrite").partitionBy("o_year").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_year") === 1995)
+        .groupBy("o_month")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_month")
     }),
 
     // ORC sink + scan (A5/A6 extension): Spark's second columnar format,
@@ -269,6 +269,33 @@ object Relational {
         .agg(round(sum("psum_qty"), 4).cast("double").as("sum_qty"),
           sum("pn").as("n"))
         .orderBy("l_returnflag")
+    }),
+
+    // Incremental materialized-aggregate maintenance (D2 extension): the
+    // nightly-refresh shape of a 100 TB rollup. History is held as PARTIAL
+    // aggregates (decimal sum + count per group, a snapshot the size of the
+    // group domain, not the fact table); a refresh scans ONLY the new date
+    // slice, partial-aggregates it, and folds it into the snapshot with one
+    // tiny re-aggregation. Full-history recompute is never needed — the
+    // oracle IS the full recompute, proving the merge is lossless. Partials
+    // are decimal so merge order can't move the result (same invariant as
+    // dsum). Same pattern as dedup_incremental's snapshot index, applied to
+    // aggregation state.
+    "agg_incremental" -> ((s, d) => {
+      val snap = scratchDir("agg_inc")
+      val cutoff = lit("1997-01-01").cast("timestamp")
+      orders(s, d).filter(col("o_orderdate") < cutoff)
+        .groupBy("o_orderpriority")
+        .agg(exactSum(col("o_totalprice")).as("psum"), count(lit(1)).as("pn"))
+        .write.mode("overwrite").parquet(snap)
+      val delta = orders(s, d).filter(col("o_orderdate") >= cutoff)
+        .groupBy("o_orderpriority")
+        .agg(exactSum(col("o_totalprice")).as("psum"), count(lit(1)).as("pn"))
+      s.read.parquet(snap).unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(round(sum("psum"), 2).cast("double").as("sum_price"),
+          sum("pn").as("n"))
+        .orderBy("o_orderpriority")
     }),
 
     // Long-to-wide pivot (box_office_data.sql:20-31) via built-in pivot with
@@ -610,6 +637,23 @@ object Relational {
         .orderBy("rule")
     }),
 
+    // k-anonymity audit (D14 extension): for a quasi-identifier combination
+    // (nation × market segment here — the linkage-attack surface of a
+    // customer extract), report each group's size and whether it clears
+    // k = 5. Releasing rows whose QI combo has fewer than k members lets an
+    // adversary re-identify individuals by joining public attributes — the
+    // privacy gate a training-data extract runs before PII-adjacent columns
+    // ship. One hash aggregation over the QI columns: the group domain
+    // (|nations|×|segments|), not the table, is the state — identical cost
+    // shape at 100 TB. Full profile (not just violators) so the result is
+    // non-empty at every SF.
+    "dq_k_anon" -> ((s, d) =>
+      customer(s, d)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("group_size"))
+        .withColumn("k_ok", (col("group_size") >= 5).cast("int"))
+        .orderBy("c_nationkey", "c_mktsegment")),
+
     // argmax/argmin aggregates: which order was each customer's biggest —
     // deterministic tiebreak via the struct's secondary key.
     "agg_maxby" -> ((s, d) =>
@@ -750,6 +794,27 @@ object Relational {
             .as("n_locf"))
         .orderBy("day")
     }),
+
+    // OHLC bar downsampling (D18): compress the event tick stream to
+    // per-(type, hour) bars — open/close are min_by/max_by on the
+    // (ts, event_id) order (event_id breaks exact-timestamp ties
+    // deterministically), high/low plain min/max. Every column is
+    // single-row per-group aggregation state with map-side combine: at
+    // 100 TB the bars materialize from combined partials WITHOUT sorting
+    // any key's tick history (the row_number-window spelling the oracle
+    // uses would sort every group — correct, but a needless per-key sort
+    // at scale). Values pass through exactly (no sums), so there is no
+    // float contract surface.
+    "ts_ohlc" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bar_ts"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "bar_ts")),
 
     // Higher moments (D6 extension): population skewness and excess
     // kurtosis from exact decimal sums of x..x⁴ — same determinism
@@ -953,6 +1018,39 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // CDC changelog compaction (merge_upsert's ordered sibling): apply an
+    // insert/update/delete log to latest-wins state. merge_upsert reconciles
+    // ONE batch against a base; this compacts a MULTI-operation ordered log
+    // (the Debezium/binlog replay shape). Latest-wins is spelled as
+    // max_by(state, seq) — a hash AGGREGATION, map-side combinable with
+    // per-group state of one row, not a row_number window that would sort
+    // every key's history; at 100 TB of changelog that is the difference
+    // between a combine-then-shuffle of |keys| rows and a full-log sort.
+    // Deletes survive compaction as tombstones and are dropped at the end.
+    // The synthetic log derives deterministically from orders: every key
+    // inserts, keys ≡0 (mod 3) update to 2× price, keys ≡0 (mod 7) delete.
+    "cdc_apply" -> ((s, d) => {
+      val log = orders(s, d)
+        .select(col("o_orderkey"), explode(array(
+          struct(lit(1).as("seq"), lit("I").as("op"),
+            col("o_totalprice").as("price")),
+          struct(lit(2).as("seq"), lit("U").as("op"),
+            (col("o_totalprice") * 2).as("price")),
+          struct(lit(3).as("seq"), lit("D").as("op"),
+            lit(null).cast("double").as("price")))).as("c"))
+        .select(col("o_orderkey"), col("c.seq").as("seq"),
+          col("c.op").as("op"), col("c.price").as("price"))
+        .filter(col("seq") === 1 ||
+          (col("seq") === 2 && col("o_orderkey") % 3 === 0) ||
+          (col("seq") === 3 && col("o_orderkey") % 7 === 0))
+      log.groupBy("o_orderkey")
+        .agg(max_by(struct(col("op"), col("price")), col("seq")).as("last"))
+        .filter(col("last.op") =!= "D")
+        .select(col("o_orderkey"), col("last.op").as("last_op"),
+          col("last.price").as("price"))
+        .orderBy("o_orderkey")
+    }),
+
     // Z-order layout (S extension): interleave the low 16 bits of two
     // join/filter keys into one curve value and cluster on it — the
     // data-layout op that makes BOTH per-key min/max file pruning work on
@@ -1112,6 +1210,13 @@ object Relational {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |CAST(o_orderdate AS DATE) AS o_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // Partitioning is a layout change, never a semantics change: the oracle
+    // filters the same year directly off the base table.
+    "scan_partition_prune" ->
+      """SELECT CAST(month(o_orderdate) AS INT) AS o_month, COUNT(*) AS n,
+        |CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))),2) AS DOUBLE) AS sum_price
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "json_extract" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
@@ -1166,6 +1271,13 @@ object Relational {
         |CAST(round(SUM(CAST(l_quantity AS DECIMAL(30,8))),4) AS DOUBLE) AS sum_qty,
         |COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The incremental merge must be indistinguishable from recomputing the
+    // aggregate over all of history — the oracle is that full recompute.
+    "agg_incremental" ->
+      """SELECT o_orderpriority,
+        |CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))),2) AS DOUBLE) AS sum_price,
+        |COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_pivot" ->
       """SELECT l_linestatus,
         |CAST(round(SUM(CAST(CASE WHEN l_returnflag='A' THEN l_quantity END AS DECIMAL(30,8))),4) AS DOUBLE) AS "A",
@@ -1300,6 +1412,10 @@ object Relational {
         |  UNION ALL SELECT 'status_in_domain', CAST(v_dom AS BIGINT),
         |    n_rows FROM a)
         |ORDER BY rule""".stripMargin,
+    "dq_k_anon" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size,
+        |CAST(COUNT(*) >= 5 AS INT) AS k_ok
+        |FROM customer GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "agg_mode" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |  FROM orders GROUP BY 1, 2),
@@ -1403,6 +1519,23 @@ object Relational {
         |    AS n_locf
         |FROM cal LEFT JOIN daily USING (day)
         |ORDER BY day""".stripMargin,
+    // Same bars via the window spelling — first/last row per (type, hour)
+    // under the identical (ts, event_id) tie-broken order.
+    "ts_ohlc" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS bar_ts,
+        |    ts, event_id, value FROM events),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY event_type, bar_ts
+        |    ORDER BY ts, event_id) AS rf,
+        |  row_number() OVER (PARTITION BY event_type, bar_ts
+        |    ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM e)
+        |SELECT event_type, bar_ts,
+        |  max(CASE WHEN rf = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rl = 1 THEN value END) AS close,
+        |  count(*) AS n
+        |FROM r GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "agg_percentile" ->
       """SELECT o_orderstatus,
         |round(quantile_cont(o_totalprice, 0.5),4) AS p50,
@@ -1452,6 +1585,21 @@ object Relational {
         |  coalesce(u_status, b_status) AS o_orderstatus,
         |  coalesce(u_price, b_price) AS o_totalprice
         |FROM b FULL OUTER JOIN u USING (o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    // Same deterministic changelog; latest-wins spelled as a window here —
+    // the contract is the compacted state, not the plan shape.
+    "cdc_apply" ->
+      """WITH log AS (
+        |  SELECT o_orderkey, 1 AS seq, 'I' AS op, o_totalprice AS price
+        |    FROM orders
+        |  UNION ALL SELECT o_orderkey, 2, 'U', o_totalprice * 2
+        |    FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL SELECT o_orderkey, 3, 'D', NULL
+        |    FROM orders WHERE o_orderkey % 7 = 0),
+        |latest AS (SELECT *, row_number() OVER
+        |    (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM log)
+        |SELECT o_orderkey, op AS last_op, price
+        |FROM latest WHERE rn = 1 AND op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
     "layout_zorder" -> {
       val terms = (0 until 16).map(i =>

@@ -55,4 +55,28 @@ package object ops {
   /** exactSum rounded to `scale` and returned as double. */
   def dsum(e: Column, scale: Int): Column =
     round(exactSum(e), scale).cast("double")
+
+  /** Scratch area for queries that stage data on disk (roundtrips, bucketed
+    * tables, partitioned layouts, partial-aggregate snapshots): one dir per
+    * JVM (concurrent verify/bench PROCESSES can't clobber each other) with a
+    * unique subdir per invocation — a DataFrame returned by an earlier
+    * invocation stays readable even if a later one runs before it is
+    * consumed. Growth is bounded by invocations within one JVM (gate flows
+    * call each query once per run).
+    */
+  private lazy val scratch: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    // Scratch is per-JVM; delete it recursively on exit so repeated
+    // verify/bench runs don't accumulate table copies in /tmp
+    // (ADVICE r2 — there was no cleanup at all).
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+  private[ops] def scratchDir(tag: String): String =
+    s"$scratch/${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
 }

@@ -41,6 +41,21 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("join_bucketed's staged join is exchange-free below the join") {
+    // the declared query's staging helper: both sides written bucketed on
+    // the custkey join key, then sort-merge joined — the layout satisfies
+    // the join's distribution requirement, so NO exchange appears anywhere
+    // in the join subtree (the hint pins the strategy, the buckets kill
+    // the shuffle)
+    val j = ops.Joins.bucketedOrdersCustomer(spark, sf0001)
+    assert(j.count() > 0)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n${plan.take(1500)}")
+    assert(plan.contains("Bucketed: true"), plan.take(1500))
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     // the OTHER half of the skew story beside Skew.saltedJoin: with AQE's
     // skew-join rewrite, a hot key's oversized shuffle partition is split

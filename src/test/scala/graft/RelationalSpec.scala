@@ -234,4 +234,68 @@ class RelationalSpec extends SparkSpec {
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(back === rows)
   }
+
+  test("partitioned layout: year filter prunes to the matching directory (A6)") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_part_test_").toString
+    orders.select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("o_year"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("o_year") === 1995)
+    // the filter must resolve against partition METADATA, not row data
+    val plan = pruned.queryExecution.sparkPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"),
+      s"partition filter not pushed:\n${plan.take(800)}")
+    // and only the matching directory's files are ever opened
+    val files = pruned.select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("o_year=1995")),
+      s"read outside the pruned partition: ${files.take(3).mkString(",")}")
+    assert(pruned.count() ===
+      orders.filter(year(col("o_orderdate")) === 1995).count())
+  }
+
+  test("cdc_apply compacts the changelog latest-wins with delete tombstones") {
+    val base = orders.select(col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Double)].collect().toMap
+    val got = ops.Relational.queries("cdc_apply")(spark, sf0001)
+      .select("o_orderkey", "last_op", "price")
+      .as[(Long, String, Double)].collect()
+    // deleted keys (≡0 mod 7) never survive compaction
+    assert(got.forall { case (k, _, _) => k % 7 != 0 })
+    assert(got.length === base.keys.count(_ % 7 != 0))
+    got.foreach { case (k, op, p) =>
+      if (k % 3 == 0) assert(op == "U" && p == base(k) * 2, s"key $k")
+      else assert(op == "I" && p == base(k), s"key $k")
+    }
+  }
+
+  test("agg_incremental merge is indistinguishable from full recompute (D2)") {
+    val inc = ops.Relational.queries("agg_incremental")(spark, sf0001)
+    val full = orders.groupBy("o_orderpriority")
+      .agg(round(sum(col("o_totalprice").cast("decimal(30,8)")), 2)
+          .cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+    assert(inc.collect().toSeq === full.collect().toSeq)
+  }
+
+  test("ts_ohlc: bars match the chronologically first/last/extreme ticks (D18)") {
+    val bars = ops.Relational.queries("ts_ohlc")(spark, sf0001)
+    val bar = bars.orderBy(desc("n")).head() // densest bar: ties most likely
+    val ticks = Tables.events(spark, sf0001)
+      .filter(col("event_type") === bar.getString(0) &&
+        date_trunc("hour", col("ts")) === lit(bar.getTimestamp(1)))
+      .orderBy("ts", "event_id").select("value").as[Double].collect()
+    assert(bar.getLong(6) === ticks.length)
+    assert(bar.getDouble(2) === ticks.head && bar.getDouble(5) === ticks.last)
+    assert(bar.getDouble(3) === ticks.max && bar.getDouble(4) === ticks.min)
+  }
+
+  test("dq_k_anon: group sizes cover the table and the k flag is consistent") {
+    val res = ops.Relational.queries("dq_k_anon")(spark, sf0001)
+      .as[(Int, String, Long, Int)].collect()
+    assert(res.map(_._3).sum === Tables.customer(spark, sf0001).count())
+    assert(res.forall(r => (r._3 >= 5) == (r._4 == 1)))
+  }
 }
