@@ -137,6 +137,31 @@ object Curation {
         .orderBy("split")
     }),
 
+    // Deterministic hash-sharding manifest: the training pipeline's final
+    // write step — doc → shard h(doc) mod 8, members ordered within the
+    // shard by their hash. That IS a stable pseudo-random global shuffle
+    // with no global-sort bottleneck: hash values are uniform, so shard
+    // contents range-partition cleanly and any reader reproduces the order
+    // from the doc ids alone. The manifest — per-shard count, first/last
+    // member in hash order (doc_id-tiebroken), order-free bit_xor
+    // checksum — is what the writer publishes for reader-side integrity;
+    // every column is single-row per-group aggregation state, map-side
+    // combined (no window, no sort).
+    "shard_manifest" -> ((s, d) => {
+      val hk = h60(concat(lit("shard"), col("doc_id")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), hk.as("hk"))
+        .withColumn("shard", pmod(col("hk"), lit(8)).cast("int"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min_by(col("doc_id"), struct(col("hk"), col("doc_id")))
+            .as("first_doc"),
+          max_by(col("doc_id"), struct(col("hk"), col("doc_id")))
+            .as("last_doc"),
+          expr("bit_xor(hk)").as("checksum"))
+        .orderBy("shard")
+    }),
+
     // Exact per-group quota sampling: keep exactly min(20, |group|) docs
     // per language, chosen by content-stable hash rank — the hard-cap
     // form of mixture control (rate sampling above only converges to the
@@ -459,6 +484,22 @@ object Curation {
         |SELECT split, count(*) AS n, min(doc_id) AS min_id,
         |  max(doc_id) AS max_id
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    // Same hash-order first/last via the window spelling; bit_xor is the
+    // identical order-free checksum in both engines.
+    "shard_manifest" ->
+      s"""WITH s AS (SELECT doc_id,
+        |    ${dH60("'shard' || CAST(doc_id AS VARCHAR)")} AS hk
+        |  FROM documents),
+        |r AS (SELECT *, CAST(hk % 8 AS INT) AS shard,
+        |  row_number() OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id) AS rf,
+        |  row_number() OVER (PARTITION BY hk % 8
+        |    ORDER BY hk DESC, doc_id DESC) AS rl
+        |  FROM s)
+        |SELECT shard, count(*) AS n_docs,
+        |  max(CASE WHEN rf = 1 THEN doc_id END) AS first_doc,
+        |  max(CASE WHEN rl = 1 THEN doc_id END) AS last_doc,
+        |  bit_xor(hk) AS checksum
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "sample_quota" ->
       s"""WITH r AS (SELECT lang, doc_id, row_number() OVER
         |    (PARTITION BY lang ORDER BY

@@ -231,6 +231,26 @@ object Joins {
         .orderBy("na", "nb")
     }),
 
+    // Null-safe equi join (C2 extension): <=> treats NULL as a joinable
+    // value (NULL <=> NULL is true) — the semantics optional dimension
+    // keys and CDC keys need, where plain = silently drops every
+    // NULL-keyed row. A sixth of orders get a NULL key here; the dim side
+    // carries the NULL group too and the join must preserve it (the
+    // per-key row count n must equal the dim's own k_rows, including for
+    // the NULL group). Planned as a normal hash join — null-safe equality
+    // is a shuffle key like any other, no BNLJ.
+    "join_null_safe" -> ((s, d) => {
+      val a = orders(s, d).select(col("o_orderkey"),
+        when(col("o_orderkey") % 6 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("k"))
+      val dim = a.groupBy("k").agg(count(lit(1)).as("k_rows"))
+        .withColumnRenamed("k", "dk")
+      a.join(dim, col("k") <=> col("dk"))
+        .groupBy(coalesce(col("dk"), lit("<null>")).as("key_display"))
+        .agg(count(lit(1)).as("n"), max("k_rows").as("k_rows"))
+        .orderBy("key_display")
+    }),
+
     // Bucketed co-located join (C1 extension): the third shuffle-elimination
     // lever beside broadcast and AQE — pay the partitioning shuffle ONCE at
     // write time, then every recurring join on the bucket key reads
@@ -901,6 +921,17 @@ object Joins {
         |JOIN (VALUES ('A',1),('N',2),('R',3)) AS dim(l_returnflag, w)
         |  USING (l_returnflag)
         |GROUP BY 1,2 ORDER BY 1""".stripMargin,
+    // IS NOT DISTINCT FROM is DuckDB's spelling of <=>.
+    "join_null_safe" ->
+      """WITH a AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 6 = 0 THEN NULL
+        |         ELSE o_orderpriority END AS k
+        |  FROM orders),
+        |d AS (SELECT k AS dk, count(*) AS k_rows FROM a GROUP BY 1)
+        |SELECT coalesce(dk, '<null>') AS key_display, count(*) AS n,
+        |  max(k_rows) AS k_rows
+        |FROM a JOIN d ON a.k IS NOT DISTINCT FROM d.dk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Bucketing is a layout change, never a semantics change: the oracle is
     // the plain join.
     "join_bucketed" ->

@@ -193,4 +193,24 @@ class CurationSpec extends SparkSpec {
     assert(meanPerTok(en) > meanPerTok(rest),
       s"en=${meanPerTok(en)} vs rest=${meanPerTok(rest)}")
   }
+
+  test("shard_manifest: shards partition the corpus, hash-order endpoints") {
+    val m = ops.Curation.queries("shard_manifest")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val total = Tables.documents(spark, sf0001).count()
+    assert(m.map(_._2).sum === total, "shards must partition every doc")
+    assert(m.forall(r => r._1 >= 0 && r._1 < 8))
+    // endpoints reproduce from the assignment hash, per shard
+    val byHash = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        graft.ops.h60(concat(lit("shard"), col("doc_id"))).as("hk"))
+      .as[(Long, Long)].collect()
+      .groupBy { case (_, hk) => math.floorMod(hk, 8).toInt }
+    m.foreach { case (shard, _, first, last) =>
+      val sorted = byHash(shard).sortBy { case (id, hk) => (hk, id) }
+      assert(first === sorted.head._1 && last === sorted.last._1,
+        s"shard $shard endpoints")
+    }
+  }
 }

@@ -292,6 +292,17 @@ class RelationalSpec extends SparkSpec {
     assert(bar.getDouble(3) === ticks.max && bar.getDouble(4) === ticks.min)
   }
 
+  test("join_null_safe: the NULL group survives and joins its own dim row") {
+    val res = ops.Joins.queries("join_null_safe")(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+    // <=> must route every row — including NULL keys — to exactly its own
+    // dim group, so the joined count equals the dim's own per-key count
+    assert(res.forall { case (_, n, kRows) => n == kRows })
+    val nullRow = res.find(_._1 == "<null>")
+    assert(nullRow.exists(_._2 === orders.filter(col("o_orderkey") % 6 === 0)
+      .count()), "NULL-keyed rows must survive the null-safe join")
+  }
+
   test("dq_k_anon: group sizes cover the table and the k flag is consistent") {
     val res = ops.Relational.queries("dq_k_anon")(spark, sf0001)
       .as[(Int, String, Long, Int)].collect()
