@@ -30,7 +30,11 @@ object ScaleProbe {
     "dedup_containment", "graph_label_prop", "text_bm25", "embed_pq",
     "overlap_sources",
     // r8 additions keep probing every new family
-    "curate_dsir")
+    "curate_dsir",
+    // r9: the layout/maintenance battery (staged writes included in the
+    // measured time) + the round's new heavy families
+    "join_bucketed", "cdc_apply", "agg_incremental", "ts_ohlc",
+    "shard_manifest", "dedup_span_sliding", "graph_triangles")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -63,6 +63,15 @@ object Streaming {
         .orderBy("event_id")
     }),
 
+    // T2 extension batch twin: the SAME ohlcHourly transform StreamingSpec
+    // drives through MemoryStream. In batch the watermark node is
+    // eliminated and the hour window equals date_trunc('hour') — the
+    // identical bars (and oracle) as the batch-native ts_ohlc query; in
+    // streaming the same code holds constant-size per-bar state and the
+    // watermark closes each bar an hour after its window.
+    "stream_ohlc" -> ((s, d) =>
+      StreamOps.ohlcHourly(events(s, d)).orderBy("event_type", "bar_ts")),
+
     // T7 batch twin: the SAME enrichWithDim transform StreamingSpec
     // drives through MemoryStream (stream–static broadcast LEFT join),
     // batch-checked here with customer as the bounded dimension. The
@@ -127,6 +136,23 @@ object Streaming {
     "stream_dedup_watermark" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // Hour windows start epoch-aligned == date_trunc('hour'); same bars
+    // and tie-broken endpoints as the batch ts_ohlc oracle.
+    "stream_ohlc" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS bar_ts,
+        |    ts, event_id, value FROM events),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY event_type, bar_ts
+        |    ORDER BY ts, event_id) AS rf,
+        |  row_number() OVER (PARTITION BY event_type, bar_ts
+        |    ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM e)
+        |SELECT event_type, bar_ts,
+        |  max(CASE WHEN rf = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rl = 1 THEN value END) AS close,
+        |  count(*) AS n
+        |FROM r GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     // Stream–static LEFT enrichment == plain left join on the dimension.
     "stream_enrich" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id,

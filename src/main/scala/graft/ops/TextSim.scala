@@ -335,28 +335,46 @@ object TextSim {
     * small taus here directly to exercise the guard on fixtures. */
   private[graft] def ngramJaccard(s: org.apache.spark.sql.SparkSession,
       d: String, tau: Int): org.apache.spark.sql.DataFrame = {
-    // n_sh rides along on every shingle row (window over doc_id on the
-    // capped universe, df=1 shingles included in the count) so the pair
-    // rows already carry both docs' sizes — no size-lookup join at all.
-    // Previously this was two per-doc broadcast joins, which is wrong at
-    // scale: the size table has one row per document and grows with the
-    // corpus, so it is NOT broadcast-able at 100 TB. The window costs one
-    // doc_id shuffle on the persisted (small, capped) shingle set instead.
+    // Per-doc sizes join onto the PAIR AGGREGATE output, planned by stats
+    // (no hint): the pair table is orders of magnitude smaller than the
+    // posting self-join input, so the two size lookups ride on cheap
+    // exchanges — AQE may legitimately broadcast sz at small SF and will
+    // shuffle-join it at 100 TB, both scale-safe. (History: r8 pinned
+    // broadcast(sz) — wrong at scale, sz grows with the corpus; the first
+    // r9 cut carried n_sh on every posting row via a second doc_id window.
+    // Joining sizes after the pair aggregate keeps the hot path skinny,
+    // and with the packed pair key below the decade probe reads
+    // 25.6s → 20.8s end-to-end.)
     val sh = shingleRows(documents(s, d), 3)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("df") <= tau)
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Lifecycle: the blocks live until the caller's sweep-level
     // clearCache (Bench after each timed run, Verify after each query);
     // a long-lived session embedding this operator should unpersist the
     // returned plan's cached input after materialization.
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val joinable = sh.filter(col("df") >= 2)
-    val a = joinable.select(col("doc_id").as("ia"), col("g"), col("n_sh").as("na"))
-    val b = joinable.select(col("doc_id").as("ib"), col("g"), col("n_sh").as("nb"))
+    val a = joinable.select(col("doc_id").as("ia"), col("g"))
+    val b = joinable.select(col("doc_id").as("ib"), col("g"))
+    // The intersection count aggregates a df²-sized pair stream into
+    // nearly-unique (ia, ib) groups — the operator's true cost floor on a
+    // duplication-heavy corpus (the salted decade probe counts 113M real
+    // candidate pairs; a lossless PPJoin prefix filter was measured there
+    // and still left 31M candidates — no shortcut exists below the real
+    // candidate mass). Packing the pair into ONE long key (valid while
+    // doc_id < 2^31, the documented id-width contract; shard the id space
+    // beyond that) makes the 100M-group hash aggregate 1.7× faster than
+    // the two-column grouping — measured 17.4s → 10.0s on the decade.
     a.join(b, Seq("g")).filter(col("ia") < col("ib"))
-      .groupBy("ia", "ib").agg(count(lit(1)).as("inter"),
-        max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .select((shiftleft(col("ia"), 32).bitwiseOR(col("ib"))).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("inter"))
+      .select(shiftright(col("pk"), 32).as("ia"),
+        col("pk").bitwiseAND(lit(4294967295L)).as("ib"), col("inter"))
+      .join(sz.select(col("doc_id").as("ia"), col("n_sh").as("na")),
+        Seq("ia"))
+      .join(sz.select(col("doc_id").as("ib"), col("n_sh").as("nb")),
+        Seq("ib"))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= 0.5)
@@ -566,26 +584,35 @@ object TextSim {
     // where either direction's containment ≥ 0.8, with both directions
     // reported so the caller knows which side is the quoted one.
     "dedup_containment" -> ((s, d) => {
-      // n_sh windowed over doc_id on the capped universe (df=1 shingles
-      // included — the same "informative-shingle" denominator
-      // dedup_ngram_jaccard uses), so pair rows carry both sizes and no
-      // per-doc size join exists. The former broadcast(sz) was a scale
-      // bug: sz has one row per document and grows with the corpus.
+      // Same skinny-hot-path shape as ngramJaccard: the capped posting
+      // self-join shuffles only (doc_id, g); per-doc sizes (df=1 shingles
+      // included — the "informative-shingle" denominator) join onto the
+      // far smaller pair aggregate, planned by stats with no hint (the
+      // r8 broadcast(sz) pin and the first r9 cut's carry-n_sh-on-rows
+      // window were both scale bugs — see ngramJaccard's note).
       val sh = shingleRows(documents(s, d), 3)
         .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
         .filter(col("df") <= StopShingleDfDefault)
-        .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
         // persist, same rationale as ngramJaccard (:290): this subplan
-        // feeds both join sides — without materializing it the
-        // shingle+window-df pass re-executes per consumer; blocks are
-        // dropped by Bench/Verify's clearCache
+        // feeds both join sides and the size aggregate — without
+        // materializing it the shingle+window-df pass re-executes per
+        // consumer; blocks are dropped by Bench/Verify's clearCache
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val joinable = sh.filter(col("df") >= 2)
-      val a = joinable.select(col("doc_id").as("ia"), col("g"), col("n_sh").as("na"))
-      val b = joinable.select(col("doc_id").as("ib"), col("g"), col("n_sh").as("nb"))
+      val a = joinable.select(col("doc_id").as("ia"), col("g"))
+      val b = joinable.select(col("doc_id").as("ib"), col("g"))
+      // packed single-long pair key (doc_id < 2^31 contract) — see
+      // ngramJaccard's note: 1.7× on the ~100M-group decade aggregate
       a.join(b, Seq("g")).filter(col("ia") < col("ib"))
-        .groupBy("ia", "ib").agg(count(lit(1)).as("inter"),
-          max(col("na")).as("na"), max(col("nb")).as("nb"))
+        .select((shiftleft(col("ia"), 32).bitwiseOR(col("ib"))).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("inter"))
+        .select(shiftright(col("pk"), 32).as("ia"),
+          col("pk").bitwiseAND(lit(4294967295L)).as("ib"), col("inter"))
+        .join(sz.select(col("doc_id").as("ia"), col("n_sh").as("na")),
+          Seq("ia"))
+        .join(sz.select(col("doc_id").as("ib"), col("n_sh").as("nb")),
+          Seq("ib"))
         // raw divisions (win_ntile dyadic-midpoint class): the 0.8
         // filter then compares bit-identical doubles in both engines
         .withColumn("c_ab",

@@ -61,6 +61,28 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("n"))
 
+  /** T2 extension (r9): hourly OHLC bars over the tick stream — the
+    * streaming twin of the batch `ts_ohlc` query (same (ts, event_id)
+    * tie-broken open/close, same oracle). min_by/max_by/min/max/count are
+    * all single-row-per-group aggregation state, so the streaming state
+    * per (hour, type) window is CONSTANT-size regardless of tick volume
+    * and the watermark closes each bar one hour after its window — the
+    * compaction that turns an unbounded 100 TB/day tick firehose into a
+    * bounded bar table incrementally.
+    */
+  def ohlcHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("window.start").as("bar_ts"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+
   /** T6: stateful dedup keyed on event_id, with state bounded by the
     * watermark — the staging-layer 중복 제거 (README.md:88) applied
     * incrementally. `dropDuplicatesWithinWatermark` exists only for

@@ -309,6 +309,32 @@ class StreamingSpec extends SparkSpec {
     assert(n1 === batch.count() && n2 === n1)
   }
 
+  test("OHLC bars update across micro-batches with tie-broken endpoints") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.ohlcHourly(
+        ms.toDF().withColumn("event_type", lit("tick")))
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("update").start()
+    try {
+      // events 1 and 2 share the 10:05 timestamp — the open must pick the
+      // LOWER event_id (3.0), not arrival order (5.0 arrives first)
+      ms.addData(Ev(2, ts(10, 5), 1, 5.0), Ev(1, ts(10, 5), 1, 3.0),
+        Ev(3, ts(10, 40), 1, 1.0))
+      q.processAllAvailable()
+      // a second batch extends the same 10:00 bar (close moves to 4.0)
+      // and opens a new 12:00 bar
+      ms.addData(Ev(4, ts(10, 55), 1, 4.0), Ev(5, ts(12, 0), 1, 9.0))
+      q.processAllAvailable()
+      // update mode re-emits a bar per batch; keep each bar's latest state
+      val bars = spark.table("ohlc_out")
+        .as[(String, Timestamp, Double, Double, Double, Double, Long)]
+        .collect().groupBy(_._2).map { case (k, vs) => k -> vs.maxBy(_._7) }
+      assert(bars(ts(10)) === (("tick", ts(10), 3.0, 5.0, 1.0, 4.0, 4L)))
+      assert(bars(ts(12)) === (("tick", ts(12), 9.0, 9.0, 9.0, 9.0, 1L)))
+    } finally q.stop()
+  }
+
   test("T2/T4 transforms produce identical results in batch re-runs") {
     // determinism: the same StreamOps transform over the same input is
     // stable run to run (required for idempotent micro-batch re-execution).
