@@ -255,6 +255,34 @@ class RelationalSpec extends SparkSpec {
       orders.filter(year(col("o_orderdate")) === 1995).count())
   }
 
+  test("small-file compaction: maxRecordsPerFile bounds output layout (A6)") {
+    // the small-files problem in miniature: a fragmented write (64 files
+    // for a table that needs 2) is compacted by a bounded rewrite — the
+    // nightly layout-maintenance job every 100 TB table needs, since
+    // file-count explosion is what kills scan planning and footer I/O
+    def files(dir: String) = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val frag = java.nio.file.Files
+      .createTempDirectory("graft_frag_").toString
+    val compact = java.nio.file.Files
+      .createTempDirectory("graft_compact_").toString
+    val src = orders.select("o_orderkey", "o_totalprice")
+    src.repartition(64).write.mode("overwrite").parquet(frag)
+    assert(files(frag) === 64)
+    val n = src.count()
+    val target = (n / 2 + 1).toInt
+    spark.read.parquet(frag)
+      .repartition(2)
+      .write.option("maxRecordsPerFile", target)
+      .mode("overwrite").parquet(compact)
+    assert(files(compact) <= 3, s"compaction left ${files(compact)} files")
+    // layout change, never a semantics change
+    assert(spark.read.parquet(compact).count() === n)
+    assert(spark.read.parquet(compact)
+      .agg(sum(col("o_orderkey"))).head().getLong(0) ===
+      src.agg(sum(col("o_orderkey"))).head().getLong(0))
+  }
+
   test("cdc_apply compacts the changelog latest-wins with delete tombstones") {
     val base = orders.select(col("o_orderkey"), col("o_totalprice"))
       .as[(Long, Double)].collect().toMap
