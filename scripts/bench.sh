@@ -77,7 +77,12 @@ if prev:
         if q in prev and prev[q] > 0.05 and t > 2.0 * prev[q])
 json.dump(d, open(out, 'w'), separators=(',', ':'))
 PYEOF
-if [ -z "${SPARK_GRAFT_BENCH_ONLY:-}" ]; then
+# Guard BOTH ways before publishing the round artifact: a subset run
+# (BENCH_ONLY set) must not overwrite it, and neither must a degenerate
+# run — BENCH_ONLY set-but-EMPTY selects zero queries and once clobbered
+# the artifact with a 0-query result.
+NQ=$(python3 -c "import json,sys; print(len(json.load(open(sys.argv[1])).get('queries',{})))" "$OUT")
+if [ -z "${SPARK_GRAFT_BENCH_ONLY:-}" ] && [ "$NQ" -gt 0 ]; then
   cp "$OUT" "$(printf 'BENCH_r%02d_full.json' "$round")"
 fi
 cat "$OUT"
