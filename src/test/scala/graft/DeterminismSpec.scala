@@ -50,6 +50,36 @@ class DeterminismSpec extends SparkSpec {
       s"HLL estimate $approx too far from exact $exact")
   }
 
+  test("CDC latest-wins compaction equals sequential replay (scalacheck)") {
+    // the cdc_apply oracle row pins ONE synthetic log; this pins the
+    // compaction pattern itself — max_by(state, seq) + tombstone drop must
+    // equal replaying any ordered log entry by entry
+    import org.scalacheck.Gen
+    val genLog = for {
+      nKeys <- Gen.chooseNum(1, 8)
+      entries <- Gen.listOfN(60, for {
+        k <- Gen.chooseNum(0, nKeys)
+        op <- Gen.oneOf("I", "U", "D")
+        v <- Gen.chooseNum(0, 1000)
+      } yield (k.toLong, op, v.toDouble))
+    } yield entries.zipWithIndex.map { case ((k, op, v), i) =>
+      (k, i.toLong, op, v)
+    }
+    check(Prop.forAll(genLog) { log: List[(Long, Long, String, Double)] =>
+      val compacted = log.toDF("k", "seq", "op", "v")
+        .groupBy("k")
+        .agg(max_by(struct(col("op"), col("v")), col("seq")).as("last"))
+        .filter(col("last.op") =!= "D")
+        .select(col("k"), col("last.v").as("v"))
+        .as[(Long, Double)].collect().toMap
+      val replay = scala.collection.mutable.Map[Long, Option[Double]]()
+      log.sortBy(_._2).foreach { case (k, _, op, v) =>
+        replay(k) = if (op == "D") None else Some(v)
+      }
+      compacted == replay.collect { case (k, Some(v)) => k -> v }.toMap
+    })
+  }
+
   test("CSV round-trip preserves quoted commas (reference's naive-split bug)") {
     // daily_csv_pipeline.py:96-104 splits raw CSV text on ',' and corrupts
     // titles containing commas; spark.read.csv with quoting must not.
