@@ -1082,6 +1082,27 @@ object Relational {
         .except(orders(s, d).select(col("o_custkey").as("custkey")))
         .orderBy("custkey")),
 
+    // Multiset (ALL) variants (E2 extension): exceptAll/intersectAll keep
+    // MULTIPLICITY — a key ordered 5 times intersected with 3 staged
+    // copies survives 3 times, where the DISTINCT forms collapse to one.
+    // That's the semantics reconciliation/audit queries need (how many
+    // occurrences are unmatched, not which keys). Spark plans both as a
+    // count-per-key aggregate + generate, never a row-by-row diff; the
+    // count aggregation is map-side combined like any other.
+    "set_except_all" -> ((s, d) =>
+      orders(s, d).select(col("o_custkey").as("custkey"))
+        .exceptAll(orders(s, d).filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_custkey").as("custkey")))
+        .groupBy("custkey").agg(count(lit(1)).as("n_left"))
+        .orderBy("custkey")),
+
+    "set_intersect_all" -> ((s, d) =>
+      orders(s, d).select(col("o_custkey").as("custkey"))
+        .intersectAll(lineitem(s, d)
+          .select((col("l_orderkey") % 1500).as("custkey")))
+        .groupBy("custkey").agg(count(lit(1)).as("n_common"))
+        .orderBy("custkey")),
+
     // Array aggregation: per-group sorted distinct collection, exported as
     // a joined string so cross-engine comparison is representation-free.
     "agg_collect" -> ((s, d) =>
@@ -1616,6 +1637,20 @@ object Relational {
     "set_except" ->
       """SELECT c_custkey AS custkey FROM customer
         |EXCEPT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin,
+    "set_except_all" ->
+      """WITH x AS (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT custkey, count(*) AS n_left FROM x
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "set_intersect_all" ->
+      """WITH x AS (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  INTERSECT ALL
+        |  SELECT l_orderkey % 1500 FROM lineitem)
+        |SELECT custkey, count(*) AS n_common FROM x
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_collect" ->
       """SELECT o_orderstatus,
         |array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS priorities,
