@@ -339,6 +339,81 @@ object Relational {
         .agg(round(corr("l_quantity", "l_extendedprice"), 4).as("qty_price_corr"),
           round(corr("l_discount", "l_tax"), 4).as("disc_tax_corr"))),
 
+    // D6 robust twin: Spearman rank correlation per return flag — invariant
+    // under monotone transforms, so heavy-tailed price outliers can't
+    // dominate the way they do in agg_corr's Pearson. Midranks come from
+    // the per-(flag, value) FREQUENCY table, not a row-level rank window:
+    // cum-count over the distinct-value spine gives
+    // midrank(v) = |{x < v}| + (cnt_v + 1)/2, and an equi join on
+    // (flag, value) carries it back to the rows. Window state is therefore
+    // bounded by |distinct values| per group and the row-cardinality work
+    // is hash joins/aggregates only — no full-table rank sort. Ranks are
+    // exact integers/halves, so the corr moments accumulate identically in
+    // both engines; one 4dp round like agg_corr.
+    "agg_spearman" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_returnflag").as("flag"),
+        col("l_quantity").as("q"), col("l_extendedprice").as("p"))
+      def midrank(vc: String, out: String): DataFrame = {
+        val w = Window.partitionBy("flag").orderBy(vc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        li.groupBy(col("flag"), col(vc))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("below", coalesce(sum("cnt").over(w), lit(0L)))
+          .select(col("flag"), col(vc),
+            (col("below") + (col("cnt") + 1) / lit(2.0)).as(out))
+      }
+      li.join(midrank("q", "rq"), Seq("flag", "q"))
+        .join(midrank("p", "rp"), Seq("flag", "p"))
+        .groupBy("flag")
+        .agg(round(corr("rq", "rp"), 4).as("spearman"),
+          count(lit(1)).as("n"))
+        .orderBy("flag")
+    }),
+
+    // D7 third form: EXACT distinct via fixed-width bitmaps — the
+    // mergeable-state alternative to count(DISTINCT)'s planner expansion.
+    // Each (group, bucket) carries a 4 KB bitmap; partial aggregation ORs
+    // bitmaps map-side and the final count sums per-bucket popcounts. At
+    // 100 TB this is the re-aggregatable exact-distinct snapshot: persist
+    // the (group, bucket, bitmap) table once and every rollup or
+    // incremental refresh is a bitmap OR — the exact sibling of
+    // agg_approx_distinct's HLL, for when "approximately" isn't allowed.
+    "agg_bitmap_distinct" -> ((s, d) => {
+      val b = orders(s, d)
+        .groupBy(col("o_orderstatus"),
+          bitmap_bucket_number(col("o_custkey")).as("bkt"))
+        .agg(bitmap_construct_agg(bitmap_bit_position(col("o_custkey")))
+          .as("bm"))
+      b.groupBy("o_orderstatus")
+        .agg(sum(bitmap_count(col("bm"))).as("n_cust"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Benford first-digit audit (the fraud / synthetic-data screen): the
+    // leading-digit distribution of prices against Benford's log10(1+1/d)
+    // expectation. The expectations are hardcoded 5dp constants, identical
+    // literals in both engines — computing log10 at runtime would invite
+    // last-ulp libm drift. floor() rather than a straight cast because
+    // Spark's double→bigint truncates while DuckDB's rounds; floor is
+    // IEEE-exact in both. Scale: one 9-group digit aggregate (map-side
+    // combined); the share window runs over the 9-row digit table.
+    "dq_benford" -> ((s, d) => {
+      val expected = typedLit(Map(
+        "1" -> 0.30103, "2" -> 0.17609, "3" -> 0.12494,
+        "4" -> 0.09691, "5" -> 0.07918, "6" -> 0.06695,
+        "7" -> 0.05799, "8" -> 0.05115, "9" -> 0.04576))
+      orders(s, d)
+        .filter(col("o_totalprice") >= 1)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("share",
+          col("n").cast("double") / sum("n").over(Window.partitionBy()))
+        .withColumn("expected", element_at(expected, col("digit")))
+        .withColumn("dev", col("share") - col("expected"))
+        .orderBy("digit")
+    }),
+
     "agg_count_distinct" -> ((s, d) =>
       orders(s, d)
         .agg(countDistinct(col("o_custkey")).as("n_cust"),
@@ -1029,27 +1104,13 @@ object Relational {
     // Deletes survive compaction as tombstones and are dropped at the end.
     // The synthetic log derives deterministically from orders: every key
     // inserts, keys ≡0 (mod 3) update to 2× price, keys ≡0 (mod 7) delete.
-    "cdc_apply" -> ((s, d) => {
-      val log = orders(s, d)
-        .select(col("o_orderkey"), explode(array(
-          struct(lit(1).as("seq"), lit("I").as("op"),
-            col("o_totalprice").as("price")),
-          struct(lit(2).as("seq"), lit("U").as("op"),
-            (col("o_totalprice") * 2).as("price")),
-          struct(lit(3).as("seq"), lit("D").as("op"),
-            lit(null).cast("double").as("price")))).as("c"))
-        .select(col("o_orderkey"), col("c.seq").as("seq"),
-          col("c.op").as("op"), col("c.price").as("price"))
-        .filter(col("seq") === 1 ||
-          (col("seq") === 2 && col("o_orderkey") % 3 === 0) ||
-          (col("seq") === 3 && col("o_orderkey") % 7 === 0))
-      log.groupBy("o_orderkey")
+    "cdc_apply" -> ((s, d) =>
+      cdcLog(s, d).groupBy("o_orderkey")
         .agg(max_by(struct(col("op"), col("price")), col("seq")).as("last"))
         .filter(col("last.op") =!= "D")
         .select(col("o_orderkey"), col("last.op").as("last_op"),
           col("last.price").as("price"))
-        .orderBy("o_orderkey")
-    }),
+        .orderBy("o_orderkey")),
 
     // Z-order layout (S extension): interleave the low 16 bits of two
     // join/filter keys into one curve value and cluster on it — the
@@ -1154,6 +1215,27 @@ object Relational {
 
   /** Shared plan for dq_profile / dq_profile_approx (see the queries-map
     * comment for the exact-vs-approx 100 TB tradeoff). */
+  /** Deterministic synthetic CDC changelog derived from orders: every key
+    * inserts (seq 1), keys ≡0 (mod 3) update to 2× price (seq 2), keys ≡0
+    * (mod 7) delete (seq 3). Shared by the batch compaction (`cdc_apply`)
+    * and its stateful streaming twin (`stream_cdc_apply`) so both check
+    * against the SAME oracle.
+    */
+  def cdcLog(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), explode(array(
+        struct(lit(1).as("seq"), lit("I").as("op"),
+          col("o_totalprice").as("price")),
+        struct(lit(2).as("seq"), lit("U").as("op"),
+          (col("o_totalprice") * 2).as("price")),
+        struct(lit(3).as("seq"), lit("D").as("op"),
+          lit(null).cast("double").as("price")))).as("c"))
+      .select(col("o_orderkey"), col("c.seq").as("seq"),
+        col("c.op").as("op"), col("c.price").as("price"))
+      .filter(col("seq") === 1 ||
+        (col("seq") === 2 && col("o_orderkey") % 3 === 0) ||
+        (col("seq") === 3 && col("o_orderkey") % 7 === 0))
+
   private def dqProfile(s: SparkSession, d: String, exact: Boolean): DataFrame = {
     // testdata artifact guard (same as Tables.documents): orders ships as
     // ONE parquet file = one input split, which would run the Expand +
@@ -1323,6 +1405,45 @@ object Relational {
       """SELECT round(corr(l_quantity, l_extendedprice),4) AS qty_price_corr,
         |round(corr(l_discount, l_tax),4) AS disc_tax_corr
         |FROM lineitem""".stripMargin,
+    // Same midrank-from-frequency-table construction as the Spark side, so
+    // the rank values (exact integers/halves) are identical by definition.
+    "agg_spearman" ->
+      """WITH li AS (SELECT l_returnflag AS flag, l_quantity AS q,
+        |    l_extendedprice AS p FROM lineitem),
+        |fq AS (SELECT flag, q, count(*) AS cnt FROM li GROUP BY 1, 2),
+        |rq AS (SELECT flag, q,
+        |    coalesce(SUM(cnt) OVER (PARTITION BY flag ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + (cnt + 1) / 2.0 AS rq FROM fq),
+        |fp AS (SELECT flag, p, count(*) AS cnt FROM li GROUP BY 1, 2),
+        |rp AS (SELECT flag, p,
+        |    coalesce(SUM(cnt) OVER (PARTITION BY flag ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + (cnt + 1) / 2.0 AS rp FROM fp),
+        |j AS (SELECT li.flag, rq.rq, rp.rp FROM li
+        |  JOIN rq ON li.flag = rq.flag AND li.q = rq.q
+        |  JOIN rp ON li.flag = rp.flag AND li.p = rp.p)
+        |SELECT flag, round(corr(rq, rp), 4) AS spearman, count(*) AS n
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The bitmap pipeline is exact, so the oracle is plain COUNT(DISTINCT).
+    "agg_bitmap_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dq_benford" ->
+      """WITH d AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |e AS (SELECT * FROM (VALUES
+        |  ('1', CAST(0.30103 AS DOUBLE)), ('2', CAST(0.17609 AS DOUBLE)),
+        |  ('3', CAST(0.12494 AS DOUBLE)), ('4', CAST(0.09691 AS DOUBLE)),
+        |  ('5', CAST(0.07918 AS DOUBLE)), ('6', CAST(0.06695 AS DOUBLE)),
+        |  ('7', CAST(0.05799 AS DOUBLE)), ('8', CAST(0.05115 AS DOUBLE)),
+        |  ('9', CAST(0.04576 AS DOUBLE))) v(digit, expected))
+        |SELECT c.digit, n,
+        |  CAST(n AS DOUBLE) / sum(n) OVER () AS share, expected,
+        |  CAST(n AS DOUBLE) / sum(n) OVER () - expected AS dev
+        |FROM c JOIN e ON c.digit = e.digit ORDER BY c.digit""".stripMargin,
     "agg_count_distinct" ->
       """SELECT COUNT(DISTINCT o_custkey) AS n_cust,
         |COUNT(DISTINCT o_orderpriority) AS n_prio,

@@ -78,6 +78,17 @@ object Streaming {
     // broadcast hint is legitimate for THIS table: a dimension's
     // cardinality is fixed by the business domain, not by event volume —
     // exactly the case where map-side broadcast is the 100 TB plan.
+    // Stateful CDC materialization batch twin: the SAME cdcLatestWins
+    // mapGroupsWithState transform StreamingSpec drives through
+    // MemoryStream in Update mode (state carried across batches), here
+    // batch-checked against cdc_apply's oracle over the shared synthetic
+    // changelog. Tombstones survive in state and drop on read.
+    "stream_cdc_apply" -> ((s, d) =>
+      StreamOps.cdcLatestWins(Relational.cdcLog(s, d))
+        .filter(col("last_op") =!= "D")
+        .select(col("o_orderkey"), col("last_op"), col("price"))
+        .orderBy("o_orderkey")),
+
     "stream_enrich" -> ((s, d) => {
       val dim = customer(s, d).select(col("c_custkey").as("user_id"),
         col("c_mktsegment").as("segment"))
@@ -158,6 +169,21 @@ object Streaming {
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id,
         |  c_mktsegment AS segment
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    // Identical contract to cdc_apply: the stateful stream and the batch
+    // hash aggregation must materialize the same compacted state.
+    "stream_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT o_orderkey, 1 AS seq, 'I' AS op, o_totalprice AS price
+        |    FROM orders
+        |  UNION ALL SELECT o_orderkey, 2, 'U', o_totalprice * 2
+        |    FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL SELECT o_orderkey, 3, 'D', NULL
+        |    FROM orders WHERE o_orderkey % 7 = 0),
+        |latest AS (SELECT *, row_number() OVER
+        |    (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM log)
+        |SELECT o_orderkey, op AS last_op, price
+        |FROM latest WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

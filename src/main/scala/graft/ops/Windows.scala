@@ -289,6 +289,80 @@ object Windows {
           col("n").cast("double") /
             sum("n").over(Window.partitionBy("prev")))
         .orderBy("prev", "cur")
+    }),
+
+    // Last-touch attribution: each purchase credits the user's most recent
+    // PRECEDING non-purchase event — the IGNORE-NULLS carry-forward (LOCF)
+    // window shape, the other standard gaps-and-islands tool beside
+    // sessionize_batch's break flag. The carry window is per-user
+    // (high-cardinality, distributed state); the channel rollup is
+    // ≤|event types| rows and the share window runs over THAT aggregate,
+    // never the raw events. share is the unrounded quotient of identical
+    // integers (the funnel_conversion contract).
+    "attribution_last_touch" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("channel",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("channel").isNotNull)
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value"), 4).as("sum_value"))
+        .withColumn("share",
+          col("n_purchases").cast("double") /
+            sum("n_purchases").over(Window.partitionBy()))
+        .orderBy("channel")
+    }),
+
+    // Rolling distinct count — behavioral variety over the user's last 10
+    // events. Spark has no DISTINCT window aggregate; size(collect_set)
+    // over the ROWS frame is the idiomatic spelling and bounds frame state
+    // at ≤10 elements per row. Partitioned by user — distributed state.
+    "win_distinct_rolling" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-9, 0)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+        .withColumn("k_types_10",
+          size(collect_set("event_type").over(w)).cast("long"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("k_types_10"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Truncated EWMA (α=1/2, 8 taps) over the daily-revenue series — the
+    // exponential-smoothing twin of win_trailing7's flat trailing sum.
+    // Dyadic decay is deliberate: 2^-k weights scale a double's EXPONENT
+    // only (multiplication is exact, zero rounding), the 8-term sums fold
+    // left-to-right in the same order in both engines, and the final
+    // division of two identical doubles is bit-equal — so the smoothed
+    // series needs no round() at all (the win_ntile midpoint lesson). The
+    // head of the series renormalizes over the taps that exist. Global
+    // window over the daily PRE-AGGREGATE (win_trailing7's documented
+    // bound: calendar cardinality, not fact cardinality).
+    "ts_ewma" -> ((s, d) => {
+      val w = Window.orderBy("ship_d")
+      val daily = lineitem(s, d)
+        .groupBy(col("l_shipdate").cast("date").as("ship_d"))
+        .agg(round(exactSum(col("l_extendedprice")), 2).cast("double")
+          .as("rev"))
+      val taps = (0 to 7).map { j =>
+        val wj = lit(math.pow(0.5, j + 1))
+        val x = if (j == 0) col("rev") else lag("rev", j).over(w)
+        (coalesce(x * wj, lit(0.0)), when(x.isNotNull, wj).otherwise(0.0))
+      }
+      daily
+        .withColumn("ewma",
+          taps.map(_._1).reduce(_ + _) / taps.map(_._2).reduce(_ + _))
+        .orderBy("ship_d")
     })
   )
 
@@ -432,6 +506,51 @@ object Windows {
         |SELECT prev, cur, n,
         |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev)
         |    AS p_cur_given_prev
-        |FROM t ORDER BY prev, cur""".stripMargin
+        |FROM t ORDER BY prev, cur""".stripMargin,
+    "attribution_last_touch" ->
+      """WITH a AS (SELECT user_id, event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS channel
+        |  FROM events),
+        |c AS (SELECT channel, count(*) AS n_purchases,
+        |    count(DISTINCT user_id) AS n_users,
+        |    CAST(round(SUM(CAST(value AS DECIMAL(30,8))),4) AS DOUBLE)
+        |      AS sum_value
+        |  FROM a WHERE event_type = 'purchase' AND channel IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT channel, n_purchases, n_users, sum_value,
+        |  CAST(n_purchases AS DOUBLE) / sum(n_purchases) OVER () AS share
+        |FROM c ORDER BY channel""".stripMargin,
+    "win_distinct_rolling" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |count(DISTINCT event_type) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS k_types_10
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    // Same left-to-right tap order as the Spark fold; dyadic weights make
+    // every multiply exact, so the unrounded quotient is bit-identical.
+    "ts_ewma" -> {
+      val num = (1 to 7).foldLeft("rev * CAST(0.5 AS DOUBLE)") {
+        (acc, j) =>
+          s"$acc + coalesce(r$j * CAST(${math.pow(0.5, j + 1)} AS DOUBLE), 0)"
+      }
+      val den = (1 to 7).foldLeft("CAST(0.5 AS DOUBLE)") { (acc, j) =>
+        s"$acc + CASE WHEN r$j IS NOT NULL " +
+          s"THEN CAST(${math.pow(0.5, j + 1)} AS DOUBLE) ELSE 0 END"
+      }
+      val lags = (1 to 7).map(j => s"lag(rev, $j) OVER w AS r$j")
+        .mkString(", ")
+      s"""WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS ship_d,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(30,8))),2)
+        |    AS DOUBLE) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |l AS (SELECT ship_d, rev, $lags
+        |  FROM daily WINDOW w AS (ORDER BY ship_d))
+        |SELECT ship_d, rev, ($num) / ($den) AS ewma
+        |FROM l ORDER BY ship_d""".stripMargin
+    }
   )
 }

@@ -227,6 +227,42 @@ object StreamOps {
     merged
   }
 
+  final case class CdcState(seq: Int, op: String, price: Option[Double])
+  final case class CdcOut(o_orderkey: Long, last_op: String,
+    price: Option[Double])
+
+  /** Stateful CDC materialization: latest-wins compaction of an I/U/D
+    * changelog keyed by primary key, carried ACROSS micro-batches — the
+    * streaming twin of the batch `cdc_apply` hash aggregation. State is one
+    * (seq, op, price) record per key (constant-size, partitioned across
+    * executors by the group key); each micro-batch folds its rows into the
+    * stored record by max seq and emits the key's new current row — i.e.
+    * the UPDATE-mode stream IS the maintained table. Tombstones stay in
+    * state (a 'D' must keep winning over late lower-seq rows); the
+    * consumer drops them on read, exactly like the batch form. In batch
+    * execution the same code sees each key's whole log once with empty
+    * state and reduces to plain latest-wins — which is what lets the
+    * driver's DuckDB oracle (shared with `cdc_apply`) check this
+    * transform.
+    */
+  def cdcLatestWins(log: DataFrame)
+      : org.apache.spark.sql.Dataset[CdcOut] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = log.sparkSession
+    import spark.implicits._
+    log.select(col("o_orderkey"), col("seq"), col("op"), col("price"))
+      .as[(Long, Int, String, Option[Double])]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Int, String, Option[Double])],
+         state: org.apache.spark.sql.streaming.GroupState[CdcState]) =>
+          val latest = (rows.map(r => CdcState(r._2, r._3, r._4)) ++
+            state.getOption.iterator).maxBy(_.seq)
+          state.update(latest)
+          CdcOut(key, latest.op, latest.price)
+      }
+  }
+
   /** Idle-session flush — the PRODUCTION variant of [[sessionizeStateful]]
     * (whose NoTimeout trade is documented above): EventTimeTimeout closes
     * a session once the WATERMARK passes its last event + gap, so a user

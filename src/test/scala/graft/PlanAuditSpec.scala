@@ -97,7 +97,16 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row broadcast (target total, raw total) smoothing constants
     // crossed into the 1024-row hashed-bucket LUT — model parameters,
     // the text_lm_score shape; the scoring join itself is an equi join
-    "curate_dsir" -> Set("BroadcastNestedLoopJoin")
+    "curate_dsir" -> Set("BroadcastNestedLoopJoin"),
+    // share window over the 9-row digit aggregate (fixed domain: leading
+    // digits 1–9), never the orders
+    "dq_benford" -> Set("GlobalWindow"),
+    // share window over the ≤|event types| channel rollup — the
+    // event_transitions bound, fixed by the type domain, not event volume
+    "attribution_last_touch" -> Set("GlobalWindow"),
+    // 8-tap smoothing window over the per-day PRE-AGGREGATE — the
+    // win_trailing7 bound (calendar cardinality, not fact cardinality)
+    "ts_ewma" -> Set("GlobalWindow")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {

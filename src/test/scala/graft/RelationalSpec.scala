@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Algebraic invariants of the relational core (SURVEY.md §5.2 #3). */
@@ -336,5 +337,45 @@ class RelationalSpec extends SparkSpec {
       .as[(Int, String, Long, Int)].collect()
     assert(res.map(_._3).sum === Tables.customer(spark, sf0001).count())
     assert(res.forall(r => (r._3 >= 5) == (r._4 == 1)))
+  }
+
+  test("agg_bitmap_distinct: bitmap popcounts equal exact COUNT(DISTINCT)") {
+    val bm = ops.Relational.queries("agg_bitmap_distinct")(spark, sf0001)
+      .as[(String, Long)].collect().toMap
+    val exact = orders.groupBy("o_orderstatus")
+      .agg(countDistinct("o_custkey")).as[(String, Long)].collect().toMap
+    assert(bm === exact)
+  }
+
+  test("agg_spearman: frequency-table midranks equal row-level rank windows") {
+    // the distinct-value construction must reproduce the textbook
+    // midrank (rank + (ties-1)/2) Spearman exactly
+    val got = ops.Relational.queries("agg_spearman")(spark, sf0001)
+      .as[(String, Double, Long)].collect()
+      .map { case (k, sp, _) => (k, sp) }.toMap
+    val w = Window.partitionBy("l_returnflag")
+    val brute = Tables.lineitem(spark, sf0001)
+      .withColumn("rq", rank().over(w.orderBy("l_quantity")) +
+        (count(lit(1)).over(Window.partitionBy("l_returnflag", "l_quantity"))
+          - 1) / lit(2.0))
+      .withColumn("rp", rank().over(w.orderBy("l_extendedprice")) +
+        (count(lit(1)).over(
+          Window.partitionBy("l_returnflag", "l_extendedprice")) - 1) /
+          lit(2.0))
+      .groupBy("l_returnflag").agg(round(corr("rq", "rp"), 4))
+      .as[(String, Double)].collect().toMap
+    assert(got === brute)
+    assert(got.values.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
+  test("dq_benford: digit domain is 1-9, shares sum to 1, counts cover") {
+    val res = ops.Relational.queries("dq_benford")(spark, sf0001)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(res.map(_._1).toSet.subsetOf(('1' to '9').map(_.toString).toSet))
+    assert(math.abs(res.map(_._3).sum - 1.0) < 1e-9)
+    assert(res.map(_._2).sum ===
+      orders.filter(col("o_totalprice") >= 1).count())
+    // dev is share minus the hardcoded Benford expectation
+    res.foreach(r => assert(math.abs(r._5 - (r._3 - r._4)) < 1e-12))
   }
 }

@@ -343,4 +343,38 @@ class StreamingSpec extends SparkSpec {
     val b = StreamOps.sessionize(e).collect().toSeq
     assert(a === b)
   }
+
+  case class Chg(o_orderkey: Long, seq: Int, op: String,
+    price: Option[Double])
+
+  test("cdcLatestWins carries latest-wins state across micro-batches, " +
+    "tombstones keep winning over late lower-seq rows") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Chg]
+    val q = StreamOps.cdcLatestWins(ms.toDF())
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: inserts
+      ms.addData(Chg(1, 1, "I", Some(10.0)), Chg(2, 1, "I", Some(20.0)))
+      q.processAllAvailable()
+      // batch 2: key 1 updates, key 2 deletes, key 3 inserts
+      ms.addData(Chg(1, 2, "U", Some(11.0)), Chg(2, 2, "D", None),
+        Chg(3, 1, "I", Some(30.0)))
+      q.processAllAvailable()
+      // batch 3: a LATE lower-seq row for key 2 — the stored tombstone
+      // (seq 2) must still win; key 1 gets a redelivered seq-1 row, the
+      // stored update must win.
+      ms.addData(Chg(2, 1, "I", Some(20.0)), Chg(1, 1, "I", Some(10.0)))
+      q.processAllAvailable()
+      val rows = spark.table("cdc_out")
+        .as[(Long, String, Option[Double])].collect().toSeq
+      // last emitted row per key is the maintained state
+      val state = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, v) => k -> v.maxBy(_._2)._1 }
+      assert(state(1L) === ((1L, "U", Some(11.0))))
+      assert(state(2L) === ((2L, "D", None)))
+      assert(state(3L) === ((3L, "I", Some(30.0))))
+    } finally q.stop()
+  }
 }

@@ -87,4 +87,63 @@ class WindowsSpec extends SparkSpec {
     assert(nc === stages.count(_ >= 2).toLong)
     assert(np === stages.count(_ >= 3).toLong)
   }
+
+  test("attribution_last_touch: channels cover attributable purchases, " +
+    "share sums to 1") {
+    val res = ops.Windows.queries("attribution_last_touch")(spark, sf0001)
+      .as[(String, Long, Long, Double, Double)].collect()
+    // a purchase can never credit itself
+    assert(res.forall(_._1 != "purchase"))
+    assert(math.abs(res.map(_._5).sum - 1.0) < 1e-9)
+    // brute force: per-user ordered walk, credit the last non-purchase
+    val evs = Tables.events(spark, sf0001)
+      .select($"user_id", unix_micros($"ts").as("t"), $"event_id",
+        $"event_type").as[(Long, Long, Long, String)].collect()
+    val brute = evs.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      var lastCh: String = null
+      sorted.flatMap { case (_, _, _, ty) =>
+        val credit = if (ty == "purchase" && lastCh != null)
+          Some(lastCh) else None
+        if (ty != "purchase") lastCh = ty
+        credit
+      }
+    }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    assert(res.map(r => (r._1, r._2)).toMap === brute)
+  }
+
+  test("win_distinct_rolling: k bounded by frame fill and type domain") {
+    val w = Window.partitionBy("user_id").orderBy($"ts", $"event_id")
+    val base = Tables.events(spark, sf0001)
+      .withColumn("rn", row_number().over(w))
+      .select($"user_id", $"event_id", $"rn")
+    val res = ops.Windows.queries("win_distinct_rolling")(spark, sf0001)
+    val joined = res.join(base, Seq("user_id", "event_id"))
+      .select($"k_types_10", least($"rn", lit(10)).as("fill"))
+      .as[(Long, Int)].collect()
+    // 1 <= k <= min(rows-in-frame, |event type domain| = 5)
+    assert(joined.forall { case (k, fill) =>
+      k >= 1 && k <= fill && k <= 5 })
+  }
+
+  test("ts_ewma: convex combination stays inside the tap window; " +
+    "first row equals its own revenue") {
+    val rows = ops.Windows.queries("ts_ewma")(spark, sf0001)
+      .as[(java.sql.Date, Double, Double)].collect()
+    val revs = rows.map(_._2)
+    rows.zipWithIndex.foreach { case ((_, _, ewma), i) =>
+      val window = revs.slice(math.max(0, i - 7), i + 1)
+      assert(ewma >= window.min - 1e-9 && ewma <= window.max + 1e-9,
+        s"row $i: ewma $ewma outside [${window.min}, ${window.max}]")
+    }
+    assert(math.abs(rows.head._3 - rows.head._2) < 1e-9)
+    // most recent tap dominates: weight 1/2 on today by construction
+    val manual = rows.indices.map { i =>
+      val window = revs.slice(math.max(0, i - 7), i + 1).reverse
+      val ws = window.indices.map(j => math.pow(0.5, j + 1))
+      window.zip(ws).map { case (x, wt) => x * wt }.sum / ws.sum
+    }
+    rows.zip(manual).foreach { case ((_, _, got), want) =>
+      assert(math.abs(got - want) < 1e-6) }
+  }
 }
