@@ -466,6 +466,36 @@ object Corpus {
         .filter(abs(col("n_chars") - col("med")) > lit(3) * col("mad"))
         .select("source", "doc_id", "n_chars", "med", "mad")
         .orderBy("source", "doc_id")
+    }),
+
+    // Compressibility quality signal (Gopher's repetition family, the
+    // whole-document form): deflate(text) size over byte size. Boilerplate
+    // and generated spam compress far below natural text, so a low ratio
+    // flags what token-level heuristics (text_repetition) can see only
+    // within their n-gram horizon. One reused level-6 Deflater per
+    // PARTITION (the multimodal batched-decode shape — allocation
+    // amortized, no per-row codec setup), linear scan, no shuffle before
+    // the final sort. zlib output is deterministic for a fixed level and
+    // library, but engine-specific — no DuckDB oracle (rows-only; bounds
+    // + discrimination pinned by CorpusSpec).
+    "text_compress_ratio" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select("doc_id", "text").as[(Long, String)]
+        .mapPartitions { it =>
+          val defl = new java.util.zip.Deflater(6)
+          val buf = new Array[Byte](1 << 16)
+          it.map { case (id, text) =>
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            defl.reset(); defl.setInput(bytes); defl.finish()
+            var n = 0L
+            while (!defl.finished()) n += defl.deflate(buf)
+            (id, bytes.length.toLong, n)
+          }
+        }
+        .toDF("doc_id", "n_bytes", "n_deflate")
+        .withColumn("ratio",
+          col("n_deflate").cast("double") / col("n_bytes"))
+        .orderBy("doc_id")
     })
   )
 

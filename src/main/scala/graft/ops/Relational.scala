@@ -389,6 +389,28 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // D7 fourth form: PERSISTED-sketch rollup — DataSketches HLL built per
+    // month, then UNIONED per year without touching raw data. This is the
+    // 100 TB reporting architecture the single-shot approx_count_distinct
+    // can't give you: store the (month, sketch) table once (a few KB per
+    // group), and any ad-hoc range rollup — year, quarter, trailing-90d —
+    // is a sketch union over the tiny sketch table. HLL registers are
+    // slot-maxes, so union order is immaterial and the rolled-up estimate
+    // EQUALS the direct single-pass estimate exactly (pinned by
+    // ApproxAccuracySpec). No oracle (estimates are library-specific) —
+    // rows-only + spec.
+    "agg_hll_rollup" -> ((s, d) => {
+      val monthly = orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"))
+      monthly
+        .groupBy(substring(col("month"), 1, 4).as("year"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est_cust"),
+          count(lit(1)).as("n_months"))
+        .orderBy("year")
+    }),
+
     // Benford first-digit audit (the fraud / synthetic-data screen): the
     // leading-digit distribution of prices against Benford's log10(1+1/d)
     // expectation. The expectations are hardcoded 5dp constants, identical

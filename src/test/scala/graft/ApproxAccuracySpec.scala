@@ -173,4 +173,26 @@ class ApproxAccuracySpec extends SparkSpec {
         s"group $g: KMV ${est(g)} vs exact $e")
     }
   }
+
+  test("agg_hll_rollup: union-of-monthly-sketches estimate EQUALS the " +
+    "direct single-pass estimate and is within 5% of exact") {
+    val rolled = SparkEntry.queries("agg_hll_rollup")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = Tables.orders(spark, sf001)
+      .withColumn("year", date_format(col("o_orderdate"), "yyyy"))
+    // HLL registers are slot-maxes: merge order is immaterial, so the
+    // rollup must be EXACTLY the direct estimate, not just close
+    val direct = o.groupBy("year")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), lit(14)))
+        .as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled === direct,
+      "sketch rollup must be lossless vs the single-pass sketch")
+    val exact = o.groupBy("year")
+      .agg(countDistinct(col("o_custkey"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((y, e) <- exact)
+      assert(relErr(rolled(y), e) < 0.05,
+        s"year $y: HLL rollup ${rolled(y)} vs exact $e")
+  }
 }

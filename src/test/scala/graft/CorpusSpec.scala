@@ -327,4 +327,36 @@ class CorpusSpec extends SparkSpec {
     }.toSet
     assert(got.map(r => (r._1, r._2)).toSet === expected)
   }
+
+  test("text_compress_ratio: bounds hold, repetitive text compresses " +
+    "below natural text, counts match an independent deflate") {
+    val got = ops.Corpus.queries("text_compress_ratio")(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length ===
+      Tables.documents(spark, sf0001).count())
+    got.foreach { case (id, nb, nd, r) =>
+      assert(nb > 0 && nd > 0, s"doc $id: empty sizes")
+      assert(math.abs(r - nd.toDouble / nb) < 1e-12)
+      // deflate overhead is bounded: never blows past ~1.1x + header
+      assert(nd <= nb + 64, s"doc $id: deflate expanded $nb -> $nd")
+    }
+    // discrimination: a pathologically repetitive doc vs the corpus median
+    val byId = got.map(r => r._1 -> r._4).toMap
+    val repetitive = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .minBy { case (_, t) =>
+        t.split(" ").distinct.length.toDouble / math.max(1, t.split(" ").length) }
+    val ratios = got.map(_._4).sorted
+    val median = ratios(ratios.length / 2)
+    assert(byId(repetitive._1) < median,
+      "the most repetitive doc must compress below the corpus median")
+    // determinism within this zlib: one independent re-deflate agrees
+    val d = new java.util.zip.Deflater(6)
+    val bytes = repetitive._2
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    d.setInput(bytes); d.finish()
+    val buf = new Array[Byte](1 << 20)
+    val n = d.deflate(buf)
+    assert(got.find(_._1 == repetitive._1).get._3 === n.toLong)
+  }
 }
