@@ -351,6 +351,42 @@ object Graph {
             .as("kind"),
           col("lbl").as("community"), col("comm_size"))
         .orderBy("id")
+    }),
+
+    // Multi-source BFS: minimum hop distance from a seed set, 4 unrolled
+    // rounds — the reachability primitive behind "everything within k
+    // links of a flagged account" investigations and neighborhood-bounded
+    // graph features. Same Pregel shape as pageRank/labelPropagate (one
+    // edge join + one min-aggregation per round, localCheckpoint lineage
+    // truncation); integer-only, so the oracle is an exact unrolled CTE.
+    // Seeds: customers ≡ 0 (mod 100) — a deterministic sample of sources.
+    "graph_bfs" -> ((s, d) => {
+      val edges0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(1000000000L) + col("l_suppkey")).as("dst"))
+        .distinct()
+      val sym = edges0
+        .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      val seeds = sym.select(col("src").as("id")).distinct()
+        .filter(col("id") % 100 === 0 && col("id") < 1000000000L)
+      var dist = seeds.select(col("id"), lit(0).as("dist"))
+      for (_ <- 1 to 4) {
+        val nbr = sym
+          .join(dist.select(col("id").as("src"), col("dist")), "src")
+          .select(col("dst").as("id"), (col("dist") + 1).as("nd"))
+        dist = dist.select(col("id"), col("dist").as("nd")).union(nbr)
+          .groupBy("id").agg(min("nd").as("dist"))
+          .localCheckpoint()
+      }
+      dist
+        .select(col("id"),
+          when(col("id") >= 1000000000L, "supplier").otherwise("customer")
+            .as("kind"),
+          col("dist"))
+        .orderBy("id")
     })
   )
 
@@ -438,6 +474,31 @@ object Graph {
         |  lbl AS community,
         |  count(*) OVER (PARTITION BY lbl) AS comm_size
         |FROM l3 ORDER BY id""".stripMargin
+    },
+    // Unrolled 4-round mirror of the BFS min-hop propagation — pure
+    // integer arithmetic, exact.
+    "graph_bfs" -> {
+      def round(k: Int) =
+        s"""d$k AS (SELECT id, min(nd) AS dist FROM (
+          |  SELECT id, dist AS nd FROM d${k - 1}
+          |  UNION ALL
+          |  SELECT e.dst AS id, d.dist + 1 AS nd
+          |  FROM e JOIN d${k - 1} d ON e.src = d.id) GROUP BY id)""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+        |    1000000000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |d0 AS (SELECT DISTINCT src AS id, 0 AS dist FROM e
+        |  WHERE src % 100 = 0 AND src < 1000000000),
+        |${round(1)},
+        |${round(2)},
+        |${round(3)},
+        |${round(4)}
+        |SELECT id,
+        |  CASE WHEN id >= 1000000000 THEN 'supplier' ELSE 'customer' END
+        |    AS kind,
+        |  dist
+        |FROM d4 ORDER BY id""".stripMargin
     }
   )
 }

@@ -5,6 +5,7 @@ import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Core relational operators: scans, projections, filters, aggregations,
   * set operations, sorts (SURVEY.md §2.A/B/D/E/G).
@@ -434,6 +435,53 @@ object Relational {
         .withColumn("expected", element_at(expected, col("digit")))
         .withColumn("dev", col("share") - col("expected"))
         .orderBy("digit")
+    }),
+
+    // Pseudonymization for a training extract: direct identifiers become
+    // deterministic sha256 tokens (stable across runs and tables, so
+    // joins on the pseudonym still work — the property random UUIDs
+    // destroy), quasi-identifying continuous values generalize to bands
+    // (the k-anonymity lever dq_k_anon audits). Pure per-row projection —
+    // map-side only, no shuffle before the output sort. floor(x/100)*100
+    // is exactly integral, so the bigint cast agrees cross-engine even
+    // though Spark truncates and DuckDB rounds.
+    "dq_pseudonymize" -> ((s, d) =>
+      customer(s, d)
+        .select(col("c_custkey"),
+          substring(sha2(col("c_name"), 256), 1, 16).as("name_token"),
+          col("c_mktsegment"),
+          (floor(col("c_acctbal") / 100) * 100).cast("long").as("bal_band"))
+        .orderBy("c_custkey")),
+
+    // Chi-square independence audit of two categoricals (status ×
+    // priority): per-cell observed vs expected under independence and the
+    // cell's chi² contribution, plus the statistic itself. Expected =
+    // row_total·col_total/N is an IEEE division of identical exact
+    // integers; contributions are IEEE on those identical doubles; the
+    // statistic follows the round-then-decimal-sum contract (text_entropy)
+    // so the 15-term total is partition-order-free. All windows run over
+    // the |statuses|×|priorities| cell aggregate, never the facts.
+    "stat_chi2" -> ((s, d) => {
+      val cells = orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      cells
+        .withColumn("row_tot",
+          sum("n").over(Window.partitionBy("o_orderstatus")))
+        .withColumn("col_tot",
+          sum("n").over(Window.partitionBy("o_orderpriority")))
+        .withColumn("total", sum("n").over(Window.partitionBy()))
+        .withColumn("expected",
+          (col("row_tot") * col("col_tot")).cast("double") / col("total"))
+        .withColumn("contrib",
+          (col("n") - col("expected")) * (col("n") - col("expected")) /
+            col("expected"))
+        .withColumn("chi2",
+          sum(round(col("contrib"), 6).cast(DecimalType(30, 8)))
+            .over(Window.partitionBy()).cast("double"))
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+          col("expected"), col("contrib"), col("chi2"))
+        .orderBy("o_orderstatus", "o_orderpriority")
     }),
 
     "agg_count_distinct" -> ((s, d) =>
@@ -1466,6 +1514,28 @@ object Relational {
         |  CAST(n AS DOUBLE) / sum(n) OVER () AS share, expected,
         |  CAST(n AS DOUBLE) / sum(n) OVER () - expected AS dev
         |FROM c JOIN e ON c.digit = e.digit ORDER BY c.digit""".stripMargin,
+    "dq_pseudonymize" ->
+      """SELECT c_custkey, substr(sha256(c_name), 1, 16) AS name_token,
+        |c_mktsegment,
+        |CAST(floor(c_acctbal / 100) * 100 AS BIGINT) AS bal_band
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "stat_chi2" ->
+      """WITH cells AS (SELECT o_orderstatus, o_orderpriority,
+        |    count(*) AS n FROM orders GROUP BY 1, 2),
+        |x AS (SELECT *,
+        |    sum(n) OVER (PARTITION BY o_orderstatus) AS row_tot,
+        |    sum(n) OVER (PARTITION BY o_orderpriority) AS col_tot,
+        |    sum(n) OVER () AS total
+        |  FROM cells),
+        |y AS (SELECT o_orderstatus, o_orderpriority, n,
+        |    CAST(row_tot * col_tot AS DOUBLE) / total AS expected
+        |  FROM x),
+        |z AS (SELECT *,
+        |    (n - expected) * (n - expected) / expected AS contrib FROM y)
+        |SELECT o_orderstatus, o_orderpriority, n, expected, contrib,
+        |  CAST(sum(CAST(round(contrib, 6) AS DECIMAL(30,8))) OVER ()
+        |    AS DOUBLE) AS chi2
+        |FROM z ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "agg_count_distinct" ->
       """SELECT COUNT(DISTINCT o_custkey) AS n_cust,
         |COUNT(DISTINCT o_orderpriority) AS n_prio,

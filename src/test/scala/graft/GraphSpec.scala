@@ -127,4 +127,35 @@ class GraphSpec extends SparkSpec {
     assert(got.keySet == (0L to 3L).toSet,
       s"square/chain nodes must have no triangles: $got")
   }
+
+  test("graph_bfs: seeds at 0, edges relax by at most 1, 4-hop horizon") {
+    val res = ops.Graph.queries("graph_bfs")(spark, sf0001)
+      .as[(Long, String, Int)].collect()
+    val dist = res.map(r => r._1 -> r._3).toMap
+    assert(res.nonEmpty)
+    // every seed present at distance 0; nothing beyond the unrolled horizon
+    assert(res.filter(_._3 == 0).forall(r =>
+      r._1 % 100 == 0 && r._2 == "customer"))
+    assert(res.forall(r => r._3 >= 0 && r._3 <= 4))
+    // triangle inequality over the real edge set: |d(u) - d(v)| <= 1 for
+    // every edge whose both ends were reached
+    val edges = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, sf0001).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(1000000000L) + col("l_suppkey")).as("dst"))
+      .distinct().as[(Long, Long)].collect()
+    edges.foreach { case (u, v) =>
+      (dist.get(u), dist.get(v)) match {
+        case (Some(du), Some(dv)) =>
+          assert(math.abs(du - dv) <= 1, s"edge ($u,$v): $du vs $dv")
+        case (Some(du), None) => assert(du >= 4,
+          s"$u reached at $du but neighbor $v unreached")
+        case (None, Some(dv)) => assert(dv >= 4,
+          s"$v reached at $dv but neighbor $u unreached")
+        case _ => ()
+      }
+    }
+  }
 }

@@ -106,7 +106,10 @@ class PlanAuditSpec extends SparkSpec {
     "attribution_last_touch" -> Set("GlobalWindow"),
     // 8-tap smoothing window over the per-day PRE-AGGREGATE — the
     // win_trailing7 bound (calendar cardinality, not fact cardinality)
-    "ts_ewma" -> Set("GlobalWindow")
+    "ts_ewma" -> Set("GlobalWindow"),
+    // total/statistic windows over the |statuses|×|priorities| cell
+    // aggregate (15 rows — fixed by the category domains, not the facts)
+    "stat_chi2" -> Set("GlobalWindow")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {

@@ -378,4 +378,39 @@ class RelationalSpec extends SparkSpec {
     // dev is share minus the hardcoded Benford expectation
     res.foreach(r => assert(math.abs(r._5 - (r._3 - r._4)) < 1e-12))
   }
+
+  test("stat_chi2: expected margins reproduce observed margins, " +
+    "statistic equals the sum of rounded contributions") {
+    val res = ops.Relational.queries("stat_chi2")(spark, sf0001)
+      .as[(String, String, Long, Double, Double, Double)].collect()
+    val total = res.map(_._3).sum
+    // expected cell counts conserve every row and column margin
+    res.groupBy(_._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._4).sum - rows.map(_._3).sum) < 1e-6) }
+    res.groupBy(_._2).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._4).sum - rows.map(_._3).sum) < 1e-6) }
+    assert(math.abs(res.map(_._4).sum - total) < 1e-6)
+    val chi2 = res.head._6
+    assert(res.forall(r => r._6 === chi2), "statistic must be constant")
+    assert(math.abs(chi2 -
+      res.map(r => BigDecimal(r._5).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble).sum) < 1e-6)
+    assert(res.forall(_._5 >= 0.0))
+  }
+
+  test("dq_pseudonymize: tokens are deterministic, collision-free, and " +
+    "bands generalize without crossing") {
+    val res = ops.Relational.queries("dq_pseudonymize")(spark, sf0001)
+      .as[(Long, String, String, Long)].collect()
+    val again = ops.Relational.queries("dq_pseudonymize")(spark, sf0001)
+      .as[(Long, String, String, Long)].collect()
+    assert(res.toSeq === again.toSeq, "pseudonyms must be stable run-to-run")
+    // names are unique in the dim → tokens must be too (join-safety)
+    assert(res.map(_._2).distinct.length === res.length)
+    assert(res.forall(_._2.matches("[0-9a-f]{16}")))
+    val bal = Tables.customer(spark, sf0001)
+      .select("c_custkey", "c_acctbal").as[(Long, Double)].collect().toMap
+    res.foreach { case (k, _, _, band) =>
+      assert(bal(k) >= band && bal(k) < band + 100, s"cust $k") }
+  }
 }
