@@ -34,7 +34,11 @@ object ScaleProbe {
     // r9: the layout/maintenance battery (staged writes included in the
     // measured time) + the round's new heavy families
     "join_bucketed", "cdc_apply", "agg_incremental", "ts_ohlc",
-    "shard_manifest", "dedup_span_sliding", "graph_triangles")
+    "shard_manifest", "dedup_span_sliding", "graph_triangles",
+    // r9 second wave: rank-transform joins, Pregel BFS, per-partition
+    // codec scan, stateful CDC, sketch rollup
+    "agg_spearman", "graph_bfs", "text_compress_ratio", "stream_cdc_apply",
+    "agg_hll_rollup")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -422,6 +422,38 @@ object Corpus {
         .orderBy("bucket")
     }),
 
+    // Two-sample Kolmogorov–Smirnov drift gate — the continuous,
+    // bin-free complement of dq_drift_psi: KS = max over the value domain
+    // of |CDF_ref − CDF_cur| sees shape shifts PSI's 10 fixed buckets can
+    // wash out. Machinery is the agg_spearman distinct-value spine: one
+    // (value, per-slice count) aggregate (map-side combined), cumulative
+    // sums over the spine (bounded by the METRIC DOMAIN, not doc count),
+    // each CDF an IEEE division of identical exact integers, |diff| and
+    // max order-free — so the statistic needs no rounding. Argmax
+    // tie-breaks on the smallest value for a deterministic report row.
+    "dq_drift_ks" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val cnt = docs
+        .groupBy("n_chars")
+        .agg(count(when(col("doc_id") % 2 === 0, 1)).as("nr"),
+          count(when(col("doc_id") % 2 === 1, 1)).as("nc"))
+      val w = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      cnt
+        .withColumn("cr", sum("nr").over(w))
+        .withColumn("cc", sum("nc").over(w))
+        .withColumn("tr", sum("nr").over(wAll))
+        .withColumn("tc", sum("nc").over(wAll))
+        .withColumn("diff",
+          abs(col("cr").cast("double") / col("tr") -
+            col("cc").cast("double") / col("tc")))
+        .orderBy(col("diff").desc, col("n_chars"))
+        .limit(1)
+        .select(col("n_chars").as("at_value"), col("diff").as("ks_stat"),
+          col("tr").as("n_ref"), col("tc").as("n_cur"))
+    }),
+
     // L53 — robust outlier flagging (median/MAD): the quality gate that
     // survives the heavy-tailed length distributions a mean/stddev z-score
     // chokes on. Per-source median and median-absolute-deviation of
@@ -668,6 +700,23 @@ object Corpus {
         |r AS (SELECT pair, n,
         |  row_number() OVER (ORDER BY n DESC, pair) AS rk FROM g)
         |SELECT rk, pair, n FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "dq_drift_ks" ->
+      """WITH cnt AS (SELECT n_chars,
+        |    count(*) FILTER (doc_id % 2 = 0) AS nr,
+        |    count(*) FILTER (doc_id % 2 = 1) AS nc
+        |  FROM documents GROUP BY 1),
+        |cum AS (SELECT n_chars,
+        |    sum(nr) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+        |    sum(nc) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+        |    sum(nr) OVER () AS tr, sum(nc) OVER () AS tc
+        |  FROM cnt)
+        |SELECT n_chars AS at_value,
+        |  abs(CAST(cr AS DOUBLE)/tr - CAST(cc AS DOUBLE)/tc) AS ks_stat,
+        |  CAST(tr AS BIGINT) AS n_ref, CAST(tc AS BIGINT) AS n_cur
+        |FROM cum
+        |ORDER BY ks_stat DESC, n_chars LIMIT 1""".stripMargin,
     "dq_drift_psi" ->
       """WITH ref AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
         |cur AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),

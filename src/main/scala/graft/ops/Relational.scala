@@ -437,6 +437,34 @@ object Relational {
         .orderBy("digit")
     }),
 
+    // Weighted median per group (lower weighted median: the smallest value
+    // whose cumulative weight reaches half the total) — the
+    // quantity-weighted "typical price" a plain median misstates when
+    // line sizes vary. Same distinct-value-spine machinery as
+    // agg_spearman/dq_drift_ks: weights collapse onto the (group, value)
+    // aggregate first (map-side combined), cumulative sums run over the
+    // spine — never a per-row sort — and the defining inequality
+    // 2·cum ≥ total is pure integer arithmetic (quantities are integral),
+    // so the contract is exact in both engines.
+    "agg_weighted_median" -> ((s, d) => {
+      val w = Window.partitionBy("flag").orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("flag")
+      lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("price"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy("flag", "price")
+        .agg(sum("qty").as("wt"))
+        .withColumn("cum", sum("wt").over(w))
+        .withColumn("tot", sum("wt").over(wAll))
+        .groupBy("flag")
+        .agg(min(when(col("cum") * 2 >= col("tot"), col("price")))
+          .as("w_median"),
+          max("tot").as("total_weight"))
+        .orderBy("flag")
+    }),
+
     // Pseudonymization for a training extract: direct identifiers become
     // deterministic sha256 tokens (stable across runs and tables, so
     // joins on the pseudonym still work — the property random UUIDs
@@ -1514,6 +1542,19 @@ object Relational {
         |  CAST(n AS DOUBLE) / sum(n) OVER () AS share, expected,
         |  CAST(n AS DOUBLE) / sum(n) OVER () - expected AS dev
         |FROM c JOIN e ON c.digit = e.digit ORDER BY c.digit""".stripMargin,
+    "agg_weighted_median" ->
+      """WITH vw AS (SELECT l_returnflag AS flag, l_extendedprice AS price,
+        |    sum(CAST(l_quantity AS BIGINT)) AS wt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT flag, price, wt,
+        |    sum(wt) OVER (PARTITION BY flag ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(wt) OVER (PARTITION BY flag) AS tot
+        |  FROM vw)
+        |SELECT flag, min(CASE WHEN cum * 2 >= tot THEN price END)
+        |    AS w_median,
+        |  CAST(max(tot) AS BIGINT) AS total_weight
+        |FROM c GROUP BY flag ORDER BY flag""".stripMargin,
     "dq_pseudonymize" ->
       """SELECT c_custkey, substr(sha256(c_name), 1, 16) AS name_token,
         |c_mktsegment,

@@ -338,6 +338,28 @@ object Windows {
         .orderBy("user_id", "event_id")
     }),
 
+    // Consecutive-day activity streaks — the other canonical
+    // gaps-and-islands form beside sessionize_batch's break flag: on the
+    // per-(user, day) DISTINCT grid, day_number − row_number is constant
+    // exactly within a consecutive run, so one subtraction labels the
+    // islands and a plain groupBy collapses them to (start, end, length)
+    // ranges. Everything partitions by user (distributed window state);
+    // the distinct grid is ≤ users×days, far below raw events.
+    "user_streaks" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("day")
+      events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+        .withColumn("island",
+          datediff(col("day"), to_date(lit("1970-01-01"))) -
+            row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(min("day").as("streak_start"), max("day").as("streak_end"),
+          count(lit(1)).as("len"))
+        .drop("island")
+        .orderBy("user_id", "streak_start")
+    }),
+
     // Truncated EWMA (α=1/2, 8 taps) over the daily-revenue series — the
     // exponential-smoothing twin of win_trailing7's flat trailing sum.
     // Dyadic decay is deliberate: 2^-k weights scale a double's EXPONENT
@@ -530,6 +552,18 @@ object Windows {
         |  PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS k_types_10
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "user_streaks" ->
+      """WITH g AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |i AS (SELECT user_id, day,
+        |    date_diff('day', DATE '1970-01-01', day) -
+        |      row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS island
+        |  FROM g)
+        |SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+        |  count(*) AS len
+        |FROM i GROUP BY user_id, island
+        |ORDER BY user_id, streak_start""".stripMargin,
     // Same left-to-right tap order as the Spark fold; dyadic weights make
     // every multiply exact, so the unrounded quotient is bit-identical.
     "ts_ewma" -> {

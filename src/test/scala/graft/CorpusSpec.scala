@@ -328,6 +328,28 @@ class CorpusSpec extends SparkSpec {
     assert(got.map(r => (r._1, r._2)).toSet === expected)
   }
 
+  test("dq_drift_ks: statistic matches a brute-force CDF walk, " +
+    "bounded in [0,1]") {
+    val Array((atValue, ks, nr, nc)) =
+      ops.Corpus.queries("dq_drift_ks")(spark, sf0001)
+        .as[(Long, Double, Long, Long)].collect()
+    assert(ks >= 0.0 && ks <= 1.0)
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    val ref = docs.filter(_._1 % 2 == 0).map(_._2).sorted
+    val cur = docs.filter(_._1 % 2 == 1).map(_._2).sorted
+    assert(nr === ref.length.toLong && nc === cur.length.toLong)
+    val spine = (ref ++ cur).distinct.sorted
+    val brute = spine.map { v =>
+      val d = math.abs(
+        ref.count(_ <= v).toDouble / ref.length -
+          cur.count(_ <= v).toDouble / cur.length)
+      (v, d)
+    }
+    val best = brute.maxBy { case (v, d) => (d, -v) }
+    assert(ks === best._2 && atValue === best._1)
+  }
+
   test("text_compress_ratio: bounds hold, repetitive text compresses " +
     "below natural text, counts match an independent deflate") {
     val got = ops.Corpus.queries("text_compress_ratio")(spark, sf0001)

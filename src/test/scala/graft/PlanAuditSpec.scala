@@ -109,7 +109,10 @@ class PlanAuditSpec extends SparkSpec {
     "ts_ewma" -> Set("GlobalWindow"),
     // total/statistic windows over the |statuses|×|priorities| cell
     // aggregate (15 rows — fixed by the category domains, not the facts)
-    "stat_chi2" -> Set("GlobalWindow")
+    "stat_chi2" -> Set("GlobalWindow"),
+    // CDF windows over the distinct-VALUE spine of the drift metric —
+    // bounded by the metric's domain (n_chars values), not document count
+    "dq_drift_ks" -> Set("GlobalWindow")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {

@@ -398,6 +398,27 @@ class RelationalSpec extends SparkSpec {
     assert(res.forall(_._5 >= 0.0))
   }
 
+  test("agg_weighted_median: matches the brute-force weighted walk and " +
+    "degenerates to the plain median under unit weights") {
+    val got = ops.Relational.queries("agg_weighted_median")(spark, sf0001)
+      .as[(String, Double, Long)].collect()
+    val rows = Tables.lineitem(spark, sf0001)
+      .select($"l_returnflag", $"l_extendedprice", $"l_quantity")
+      .as[(String, Double, Double)].collect()
+    got.foreach { case (flag, wm, tot) =>
+      val grp = rows.filter(_._1 == flag)
+        .map(r => (r._2, r._3.toLong)).sortBy(_._1)
+      assert(tot === grp.map(_._2).sum)
+      var cum = 0L
+      val brute = grp.find { case (_, w) => cum += w; cum * 2 >= tot }.get._1
+      assert(wm === brute, s"flag $flag")
+      // sanity: half the weight sits at or below the weighted median
+      val below = grp.filter(_._1 <= wm).map(_._2).sum
+      assert(below * 2 >= tot && (below - grp.filter(_._1 == wm)
+        .map(_._2).sum) * 2 < tot)
+    }
+  }
+
   test("dq_pseudonymize: tokens are deterministic, collision-free, and " +
     "bands generalize without crossing") {
     val res = ops.Relational.queries("dq_pseudonymize")(spark, sf0001)

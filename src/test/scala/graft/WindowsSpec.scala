@@ -126,6 +126,33 @@ class WindowsSpec extends SparkSpec {
       k >= 1 && k <= fill && k <= 5 })
   }
 
+  test("user_streaks: streaks partition active days into maximal " +
+    "consecutive runs") {
+    val res = ops.Windows.queries("user_streaks")(spark, sf0001)
+      .as[(Long, java.sql.Date, java.sql.Date, Long)].collect()
+    val active = Tables.events(spark, sf0001)
+      .select($"user_id", $"ts".cast("date").as("day")).distinct()
+      .as[(Long, java.sql.Date)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2.toLocalDate).toSet).toMap
+    // every streak is a full consecutive run of the user's active days,
+    // lengths agree, and streaks cover all active days exactly once
+    val covered = scala.collection.mutable.Map.empty[Long, Set[java.time.LocalDate]]
+    res.foreach { case (u, s0, e0, len) =>
+      val (s, e) = (s0.toLocalDate, e0.toLocalDate)
+      val days = Iterator.iterate(s)(_.plusDays(1))
+        .takeWhile(!_.isAfter(e)).toSet
+      assert(days.size.toLong === len, s"user $u streak $s..$e")
+      assert(days.subsetOf(active(u)), s"user $u: inactive day inside streak")
+      // maximality: the day before and after the streak are inactive
+      assert(!active(u).contains(s.minusDays(1)), s"user $u: $s not maximal")
+      assert(!active(u).contains(e.plusDays(1)), s"user $u: $e not maximal")
+      val prev = covered.getOrElse(u, Set.empty)
+      assert(prev.intersect(days).isEmpty, s"user $u: overlapping streaks")
+      covered(u) = prev ++ days
+    }
+    assert(covered === active.map { case (k, v) => k -> v })
+  }
+
   test("ts_ewma: convex combination stays inside the tap window; " +
     "first row equals its own revenue") {
     val rows = ops.Windows.queries("ts_ewma")(spark, sf0001)
