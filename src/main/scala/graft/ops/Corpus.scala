@@ -314,6 +314,54 @@ object Corpus {
         .orderBy("doc_id")
     }),
 
+    // Bigram LM with stupid backoff (Brants et al. 2007, "Large Language
+    // Models in Machine Translation"): score(w2|w1) = c12/c1 when the
+    // bigram was seen in the English reference slice, else 0.4 × the
+    // add-one unigram probability — the context-aware upgrade of
+    // text_lm_score's unigram filter (catches word-salad whose unigrams
+    // are individually fine). Per-doc avg NLL over the doc's bigrams;
+    // single-token docs have no bigrams and drop (the text_repetition
+    // contract). Determinism: both ratio forms are IEEE on identical
+    // exact integers (and the 0.4 literal is the same double in both
+    // engines), each −ln term rounds to 4dp and quantizes to decimal
+    // before the per-doc sum — the text_lm_score contract. Scale: the
+    // model is the (w1,w2) count table — linear in the corpus, hash
+    // equi joins only; the lead window partitions per doc.
+    "text_lm_bigram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tr = tokenRows(docs)
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val pairs = tr
+        .select(col("doc_id"), col("tok").as("w1"),
+          lead("tok", 1).over(w).as("w2"))
+        .filter(col("w2").isNotNull)
+      val ref = docs.filter(col("lang") === "en").select("doc_id")
+      val bg = pairs.join(ref, "doc_id")
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val ug = tr.join(ref, "doc_id")
+        .groupBy(col("tok").as("w1")).agg(count(lit(1)).as("c1"))
+      val scal = ug.agg(sum("c1").as("n_ref"), count(lit(1)).as("v_ref"))
+      pairs
+        .join(bg, Seq("w1", "w2"), "left")
+        .join(ug, Seq("w1"), "left")
+        .join(ug.select(col("w1").as("w2"), col("c1").as("c2")),
+          Seq("w2"), "left")
+        .crossJoin(broadcast(scal))
+        .select(col("doc_id"),
+          round(-log(
+            when(col("c12").isNotNull,
+              col("c12").cast("double") / col("c1"))
+              .otherwise(lit(0.4) *
+                (coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+                (col("n_ref") + col("v_ref")).cast("double"))), 4)
+            .cast(DecimalType(30, 8)).as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("snll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("snll").cast("double") / col("n_bigrams")).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary statistics: global top-20 tokens by collection frequency,
     // with document frequency and idf. The rank window runs AFTER the
     // top-k prune (TakeOrderedAndProject), never over the full vocabulary.
@@ -655,6 +703,32 @@ object Corpus {
         |SELECT tok, count(*) AS cnt FROM t, th
         |GROUP BY tok, t0 HAVING count(*) >= t0
         |ORDER BY tok""".stripMargin,
+    // Same backoff split and ratio shapes; DuckDB's 0.4 literal casts to
+    // the identical double, each -ln rounds to 4dp into decimal.
+    "text_lm_bigram" ->
+      s"""WITH t AS ($dTokRows),
+        |b AS (SELECT doc_id, tok AS w1,
+        |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM t),
+        |p AS (SELECT doc_id, w1, w2 FROM b WHERE w2 IS NOT NULL),
+        |refdocs AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |bg AS (SELECT w1, w2, count(*) AS c12
+        |  FROM p JOIN refdocs USING (doc_id) GROUP BY 1, 2),
+        |ug AS (SELECT tok AS w1, count(*) AS c1
+        |  FROM t JOIN refdocs USING (doc_id) GROUP BY 1),
+        |scal AS (SELECT sum(c1) AS n_ref, count(*) AS v_ref FROM ug),
+        |sc AS (SELECT doc_id,
+        |    CAST(round(-ln(CASE WHEN c12 IS NOT NULL
+        |        THEN CAST(c12 AS DOUBLE) / c1
+        |        ELSE 0.4 * CAST(coalesce(c2, 0) + 1 AS DOUBLE) /
+        |          CAST(n_ref + v_ref AS DOUBLE) END), 4)
+        |      AS DECIMAL(30,8)) AS nll
+        |  FROM p LEFT JOIN bg USING (w1, w2) LEFT JOIN ug USING (w1)
+        |  LEFT JOIN (SELECT w1 AS w2, c1 AS c2 FROM ug) u2 USING (w2),
+        |  scal)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(nll) AS DOUBLE) / count(*) AS avg_nll
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_lm_score" ->
       s"""WITH t AS (SELECT doc_id, unnest($dToks) AS tok FROM documents),
         |rt AS (SELECT t.tok FROM t JOIN documents d USING (doc_id)

@@ -338,6 +338,33 @@ object Windows {
         .orderBy("user_id", "event_id")
     }),
 
+    // Rolling median of the user's last 9 values — the robust trend line
+    // a rolling MEAN loses to one outlier tick. No median window function
+    // exists in Spark; sort_array(collect_list) over the ROWS frame keeps
+    // state at ≤9 elements per row, and the even-count interpolation is
+    // spelled (a+b)/2 EXPLICITLY in both engines (an engine-native median
+    // may interpolate as a+(b−a)/2 — a different IEEE result). Partitioned
+    // by user: distributed state.
+    "win_rolling_median" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-8, 0)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("arr", sort_array(collect_list("value").over(w)))
+        .withColumn("n", size(col("arr")))
+        .withColumn("med9",
+          when(col("n") % 2 === 1,
+            element_at(col("arr"), ((col("n") + 1) / 2).cast("int")))
+            .otherwise(
+              (element_at(col("arr"), (col("n") / 2).cast("int")) +
+                element_at(col("arr"),
+                  (col("n") / 2).cast("int") + 1)) / 2))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("med9"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Consecutive-day activity streaks — the other canonical
     // gaps-and-islands form beside sessionize_batch's break flag: on the
     // per-(user, day) DISTINCT grid, day_number − row_number is constant
@@ -552,6 +579,20 @@ object Windows {
         |  PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS k_types_10
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    // Mirror construction: list window + explicit (a+b)/2 interpolation,
+    // NOT DuckDB's native median() (whose interpolation formula is not
+    // contractually (a+b)/2).
+    "win_rolling_median" ->
+      """WITH x AS (SELECT user_id, event_id, ts,
+        |    list_sort(list(value) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM events),
+        |y AS (SELECT user_id, event_id, ts, arr, len(arr) AS n FROM x)
+        |SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN n % 2 = 1 THEN arr[(n + 1) // 2]
+        |       ELSE (arr[n // 2] + arr[n // 2 + 1]) / 2 END AS med9
+        |FROM y ORDER BY user_id, event_id""".stripMargin,
     "user_streaks" ->
       """WITH g AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
         |  FROM events),

@@ -328,6 +328,44 @@ class CorpusSpec extends SparkSpec {
     assert(got.map(r => (r._1, r._2)).toSet === expected)
   }
 
+  test("text_lm_bigram: English scores below non-English under the " +
+    "en-trained model; brute-force agreement on one doc") {
+    val res = ops.Corpus.queries("text_lm_bigram")(spark, sf0001)
+      .as[(Long, Long, Double)].collect()
+    assert(res.forall(_._3 > 0.0))
+    val langs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    def mean(xs: Seq[Double]) = xs.sum / xs.length
+    val (en, other) = res.partition(r => langs(r._1) == "en")
+    assert(mean(en.map(_._3).toSeq) < mean(other.map(_._3).toSeq),
+      "bigram NLL must discriminate the training language")
+    // brute force on the first doc: stupid backoff over collected counts
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+    val refToks = docs.filter(_._2 == "en")
+      .flatMap(_._3.toLowerCase.split(" "))
+    val c1 = refToks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val refBgs = docs.filter(_._2 == "en").flatMap(d =>
+      d._3.toLowerCase.split(" ").sliding(2).filter(_.length == 2)
+        .map(a => (a(0), a(1))))
+    val c12 = refBgs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (nRef, vRef) = (refToks.length.toLong, c1.size.toLong)
+    val probe = docs.minBy(_._1)
+    val toks = probe._3.toLowerCase.split(" ")
+    val terms = toks.sliding(2).filter(_.length == 2).map { a =>
+      val s = c12.get((a(0), a(1))) match {
+        case Some(n) => n.toDouble / c1(a(0))
+        case None => 0.4 * (c1.getOrElse(a(1), 0L) + 1).toDouble /
+          (nRef + vRef).toDouble
+      }
+      BigDecimal(math.round(-math.log(s) * 10000).toDouble / 10000)
+    }.toSeq
+    val want = (terms.sum / terms.length).toDouble
+    val got = res.find(_._1 == probe._1).get
+    assert(got._2 === terms.length.toLong)
+    assert(math.abs(got._3 - want) < 1e-9, s"${got._3} vs $want")
+  }
+
   test("dq_drift_ks: statistic matches a brute-force CDF walk, " +
     "bounded in [0,1]") {
     val Array((atValue, ks, nr, nc)) =

@@ -126,6 +126,28 @@ class WindowsSpec extends SparkSpec {
       k >= 1 && k <= fill && k <= 5 })
   }
 
+  test("win_rolling_median: matches a brute-force per-user walk") {
+    val res = ops.Windows.queries("win_rolling_median")(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    val evs = Tables.events(spark, sf0001)
+      .select($"user_id", unix_micros($"ts").as("t"), $"event_id", $"value")
+      .as[(Long, Long, Long, Double)].collect()
+    val brute = evs.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      sorted.indices.map { i =>
+        val win = sorted.slice(math.max(0, i - 8), i + 1)
+          .map(_._4).sorted
+        val n = win.length
+        val med = if (n % 2 == 1) win(n / 2)
+          else (win(n / 2 - 1) + win(n / 2)) / 2
+        ((sorted(i)._1, sorted(i)._3), med)
+      }
+    }.toMap
+    res.foreach { case (u, eid, _, med) =>
+      assert(med === brute((u, eid)), s"user $u event $eid") }
+    assert(res.length === evs.length)
+  }
+
   test("user_streaks: streaks partition active days into maximal " +
     "consecutive runs") {
     val res = ops.Windows.queries("user_streaks")(spark, sf0001)
