@@ -636,7 +636,7 @@ object TextSim {
     // hash [[h60]] map-side, the groupBy shuffles (hash, doc_id) only,
     // and the flag joins back on the hash. Collisions at 60 bits are
     // ~2^-60 per pair — the dedup_hash argument.
-    "dedup_span" -> ((s, d) => {
+    "dedup_span_flag" -> ((s, d) => {
       val k = 10
       val spans = documents(s, d)
         .select(col("doc_id"), toks.as("tk"))
@@ -1010,7 +1010,7 @@ object TextSim {
     // Cutting 10-token spans; a span in >= 2 distinct docs flags every
     // occurrence. Same h60 hash both sides; list slices are 1-based
     // inclusive in DuckDB, matching Spark's 1-based slice(start, length).
-    "dedup_span" ->
+    "dedup_span_flag" ->
       s"""WITH t AS (SELECT doc_id, $dToks AS tk FROM documents),
         |s AS (SELECT doc_id, unnest(generate_series(1, len(tk)//10)) AS i,
         |  tk FROM t),

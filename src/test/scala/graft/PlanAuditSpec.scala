@@ -47,6 +47,10 @@ class PlanAuditSpec extends SparkSpec {
     "sim_topk_pq" -> Set("BroadcastNestedLoopJoin"),
     // 1-row broadcast vocab-size/token-total smoothing constants
     "text_lm_score" -> Set("BroadcastNestedLoopJoin"),
+    // identical 1-row (n_ref, v_ref) smoothing-constant broadcast for the
+    // backoff branch — the text_lm_score shape; the bigram/unigram model
+    // joins themselves are equi joins
+    "text_lm_bigram" -> Set("BroadcastNestedLoopJoin"),
     // 1-row broadcast (n_docs, avgdl) corpus stats crossed into the
     // |q|-bounded tf/df join
     "text_bm25" -> Set("BroadcastNestedLoopJoin"),

@@ -272,7 +272,7 @@ class TextSimSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("span").toString
     docs.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
-    val got = ops.TextSim.queries("dedup_span")(spark, dir)
+    val got = ops.TextSim.queries("dedup_span_flag")(spark, dir)
       .select("doc_id", "span_idx", "n_docs")
       .as[(Long, Long, Long)].collect().toSet
     // the shared span is window 0 of both docs; no other window repeats
@@ -292,7 +292,7 @@ class TextSimSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("span_slide").toString
     docs.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
-    val cut = ops.TextSim.queries("dedup_span")(spark, dir).count()
+    val cut = ops.TextSim.queries("dedup_span_flag")(spark, dir).count()
     assert(cut == 0L, "cutting windows must miss the misaligned run")
     val slid = ops.TextSim.queries("dedup_span_sliding")(spark, dir)
       .select("doc_id", "span_idx").as[(Long, Long)].collect().toSet
