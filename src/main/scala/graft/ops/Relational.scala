@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Q
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -510,6 +510,195 @@ object Relational {
         .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
           col("expected"), col("contrib"), col("chi2"))
         .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // Welch's two-sample t (unequal variances) between purchase and view
+    // amounts — the A/B-test primitive every experimentation readout needs.
+    // One conditional-aggregation scan (map-side combined, no join, no
+    // shuffle beyond the 1-row final agg); moments follow the agg_stddev
+    // INTEGER-CENTS contract (value is 2-decimal, so floor(v·100+0.5) is
+    // exact and c/c² sums in DECIMAL(19,0) have nothing to round), and the
+    // closing t / Welch–Satterthwaite-df formulas run in IEEE doubles on
+    // bit-identical operands — emitted UNROUNDED, same rationale as
+    // agg_stddev. t is scale-invariant so cents vs dollars cancels; means
+    // are reported in dollars for readability.
+    "stat_ttest" -> ((s, d) => {
+      val dec19 = DecimalType(19, 0)
+      val c = floor(col("value") * 100 + 0.5).cast("long")
+      val isA = col("event_type") === "purchase"
+      val m = events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(isA.as("a"), c.as("c"))
+        .agg(
+          sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("nb"),
+          sum(when(col("a"), col("c").cast(dec19))).as("sxa"),
+          sum(when(!col("a"), col("c").cast(dec19))).as("sxb"),
+          sum(when(col("a"), (col("c") * col("c")).cast(dec19))).as("sxxa"),
+          sum(when(!col("a"), (col("c") * col("c")).cast(dec19))).as("sxxb"))
+      val na = col("na").cast("double"); val nb = col("nb").cast("double")
+      val sxa = col("sxa").cast("double"); val sxb = col("sxb").cast("double")
+      val sxxa = col("sxxa").cast("double"); val sxxb = col("sxxb").cast("double")
+      val va = (sxxa - sxa * sxa / na) / (na - 1)
+      val vb = (sxxb - sxb * sxb / nb) / (nb - 1)
+      val sea = va / na; val seb = vb / nb
+      m.select(col("na").as("n_a"), col("nb").as("n_b"),
+        (sxa / na / 100.0).as("mean_a"),
+        (sxb / nb / 100.0).as("mean_b"),
+        ((sxa / na - sxb / nb) / sqrt(sea + seb)).as("t_stat"),
+        ((sea + seb) * (sea + seb) /
+          (sea * sea / (na - 1) + seb * seb / (nb - 1))).as("welch_df"))
+    }),
+
+    // ROC AUC of `value` as a ranking score for "is this a purchase?" —
+    // the classifier-evaluation primitive, computed EXACTLY as the
+    // normalized Mann–Whitney U. No row-level rank sort anywhere: the
+    // agg_spearman distinct-value spine carries midranks — cum-count over
+    // the per-value frequency table — and ranks are kept in DOUBLED form
+    // (2·midrank = 2·below + cnt + 1, an integer) so every term of the
+    // positive-class rank-sum is integer-exact in DECIMAL all the way to
+    // the final division. Window state is bounded by the value DOMAIN
+    // (≤5·10⁴ distinct cent values here), not the event count, so the
+    // same plan holds at 100 TB.
+    "stat_auc" -> ((s, d) => {
+      val dec19 = DecimalType(19, 0)
+      val spine = events(s, d)
+        .select(floor(col("value") * 100 + 0.5).cast("long").as("v"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        .groupBy("v")
+        .agg(count(lit(1)).as("cnt"), sum("pos").as("p"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val a = spine
+        .withColumn("below", coalesce(sum("cnt").over(w), lit(0L)))
+        .withColumn("mr2", lit(2) * col("below") + col("cnt") + 1)
+        .agg(sum("p").as("n_pos"), sum(col("cnt") - col("p")).as("n_neg"),
+          sum(col("p").cast(dec19) * col("mr2").cast(dec19)).as("r2sum"))
+      // AUC = (R⁺ − np(np+1)/2) / (np·nn) with R⁺ = r2sum/2; the
+      // subtraction runs in exact DECIMAL (doubled), only the final
+      // ratio is IEEE.
+      a.select(col("n_pos"), col("n_neg"),
+        ((col("r2sum") - col("n_pos").cast(dec19) * (col("n_pos") + 1).cast(dec19))
+          .cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+    }),
+
+    // Autocorrelation of the daily-revenue series at lags 1, 2 and 7 —
+    // the seasonality screen behind ts_anomaly's day-of-week model (a
+    // high acf₇ is what justifies it). The fact table collapses to the
+    // daily spine ONCE (exactSum cents, same projection as ts_anomaly);
+    // lag alignment and the moment sums run over that ≤|calendar| table,
+    // so the global-ordered window is spine-bounded, never row-scaled.
+    // Determinism: STRICTER than the agg_regr double-formula contract —
+    // the sf0.01 differential run caught DuckDB's vectorized executor
+    // contracting `sxy − sx·sy/n` with FMA, which under the catastrophic
+    // cancellation this formula invites (operands ~4e19, numerator
+    // ~6e13) lands 2 ulps away from the JVM's non-fused result. So the
+    // covariance numerator n·sxy − sx·sy and both variance terms are
+    // computed EXACTLY in DECIMAL (n at (8,0) × moments at (30,0), and
+    // (19,0)² products — all within the 38-digit multiply budget, with
+    // headroom to ~$10¹¹/day in cents); only the closing ratio/sqrt is
+    // IEEE, on correctly-rounded casts of identical exact integers.
+    // Exactness also kills the cancellation error itself: the double
+    // formula was off by 1.4e-15 from the true value, this form is
+    // correctly-rounded-input accurate.
+    "ts_acf" -> ((s, d) => {
+      val dec19 = DecimalType(19, 0)
+      val daily = lineitem(s, d)
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(exactSum(col("l_extendedprice")).as("rev"))
+        .select(col("day"),
+          floor(col("rev").cast("double") * 100 + 0.5).cast("long").as("c"))
+      val wd = Window.orderBy("day")
+      val lagged = daily
+        .withColumn("l1", lag("c", 1).over(wd))
+        .withColumn("l2", lag("c", 2).over(wd))
+        .withColumn("l7", lag("c", 7).over(wd))
+      def acfAt(lagCol: String, lagN: Int): DataFrame = {
+        val g = lagged.filter(col(lagCol).isNotNull)
+          .select(col("c").as("x"), col(lagCol).as("y"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast(dec19)).as("sx"),
+            sum(col("y").cast(dec19)).as("sy"),
+            sum(col("x").cast(dec19) * col("x").cast(dec19)).as("sxx"),
+            sum(col("y").cast(dec19) * col("y").cast(dec19)).as("syy"),
+            sum(col("x").cast(dec19) * col("y").cast(dec19)).as("sxy"))
+        val n8 = col("n").cast(DecimalType(8, 0))
+        def d19(c: Column) = c.cast(DecimalType(19, 0))
+        def d30(c: Column) = c.cast(DecimalType(30, 0))
+        val num = (n8 * d30(col("sxy")) - d19(col("sx")) * d19(col("sy")))
+          .cast("double")
+        val vx = (n8 * d30(col("sxx")) - d19(col("sx")) * d19(col("sx")))
+          .cast("double")
+        val vy = (n8 * d30(col("syy")) - d19(col("sy")) * d19(col("sy")))
+          .cast("double")
+        g.select(lit(lagN).as("lag"), col("n"),
+          (num / sqrt(vx * vy)).as("acf"))
+      }
+      acfAt("l1", 1).union(acfAt("l2", 2)).union(acfAt("l7", 7))
+        .orderBy("lag")
+    }),
+
+    // CUSUM changepoint scan over the daily-revenue series: the day where
+    // the cumulative deviation from the full-series mean peaks — the classic
+    // level-shift detector behind data-volume regression alarms. Pure
+    // integer contract: with cents c_i, mean S/n is rational, so the
+    // CUSUM numerator n·cum_t − t·S is an EXACT integer (DECIMAL) and the
+    // argmax comparison can't flip cross-engine; the reported magnitude
+    // is one IEEE division of exact operands (dollars). Same spine bound
+    // as ts_acf: facts collapse once to ≤|calendar| rows, every window
+    // runs over that.
+    "ts_changepoint" -> ((s, d) => {
+      val daily = lineitem(s, d)
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(exactSum(col("l_extendedprice")).as("rev"))
+        .select(col("day"),
+          floor(col("rev").cast("double") * 100 + 0.5).cast("long").as("c"))
+      val wCum = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      val d30 = DecimalType(30, 0)
+      val d8 = DecimalType(8, 0)
+      daily
+        .withColumn("t", count(lit(1)).over(wCum))
+        .withColumn("cum", sum(col("c").cast(d30)).over(wCum))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("s", sum(col("c").cast(d30)).over(wAll))
+        // n·cum_t − t·S: exact integer CUSUM numerator
+        .withColumn("dev", col("n").cast(d8) * col("cum") -
+          col("t").cast(d8) * col("s"))
+        .orderBy(abs(col("dev")).desc, col("day"))
+        .limit(1)
+        .select(col("day").as("shift_day"), col("n").as("n_days"),
+          (col("dev").cast("double") /
+            (col("n").cast("double") * 100.0)).as("cusum_dollars"))
+    }),
+
+    // Referential-integrity audit: orphan rate per FK edge (lineitem→
+    // orders, orders→customer) — the relationship-level gate beside
+    // dq_rule_check's column-level one; a nonzero orphan rate is how a
+    // partial load or late dimension shows up first. Each edge is one
+    // LEFT ANTI join (shuffle or broadcast by stats — at 100 TB the
+    // orders side of edge 1 shuffles on the key like any big join, and
+    // AQE demotes to broadcast when the dim fits) collapsed to a count;
+    // rates are raw IEEE divisions of exact longs. Two 1-row results
+    // unioned — no window, no collect.
+    "dq_referential" -> ((s, d) => {
+      def edge(name: String, fact: DataFrame, fk: String,
+               dim: DataFrame, pk: String): DataFrame = {
+        val orphans = fact.join(dim, fact(fk) === dim(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        val total = fact.agg(count(lit(1)).as("n_rows"))
+        orphans.crossJoin(total) // two 1-row aggregates
+          .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"),
+            (col("n_orphans").cast("double") / col("n_rows"))
+              .as("orphan_rate"),
+            (col("n_orphans") === 0).as("intact"))
+      }
+      edge("lineitem.l_orderkey->orders", lineitem(s, d), "l_orderkey",
+        orders(s, d), "o_orderkey")
+        .union(edge("orders.o_custkey->customer", orders(s, d), "o_custkey",
+          customer(s, d), "c_custkey"))
+        .orderBy("fk_edge")
     }),
 
     "agg_count_distinct" -> ((s, d) =>
@@ -1577,6 +1766,137 @@ object Relational {
         |  CAST(sum(CAST(round(contrib, 6) AS DECIMAL(30,8))) OVER ()
         |    AS DOUBLE) AS chi2
         |FROM z ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "stat_ttest" ->
+      """WITH e AS (
+        |  SELECT event_type = 'purchase' AS a,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |g AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+        |    sum(CASE WHEN a THEN CAST(c AS DECIMAL(19,0)) END) AS sxa,
+        |    sum(CASE WHEN a THEN NULL ELSE CAST(c AS DECIMAL(19,0)) END) AS sxb,
+        |    sum(CASE WHEN a THEN CAST(c * c AS DECIMAL(19,0)) END) AS sxxa,
+        |    sum(CASE WHEN a THEN NULL ELSE CAST(c * c AS DECIMAL(19,0)) END)
+        |      AS sxxb
+        |  FROM e),
+        |m AS (
+        |  SELECT na, nb,
+        |    CAST(sxa AS DOUBLE) AS sxa, CAST(sxb AS DOUBLE) AS sxb,
+        |    CAST(sxxa AS DOUBLE) AS sxxa, CAST(sxxb AS DOUBLE) AS sxxb
+        |  FROM g),
+        |v AS (
+        |  SELECT na, nb, sxa, sxb,
+        |    ((sxxa - sxa * sxa / na) / (na - 1)) / na AS sea,
+        |    ((sxxb - sxb * sxb / nb) / (nb - 1)) / nb AS seb
+        |  FROM m)
+        |SELECT na AS n_a, nb AS n_b,
+        |  sxa / na / 100.0 AS mean_a,
+        |  sxb / nb / 100.0 AS mean_b,
+        |  (sxa / na - sxb / nb) / sqrt(sea + seb) AS t_stat,
+        |  (sea + seb) * (sea + seb) /
+        |    (sea * sea / (na - 1) + seb * seb / (nb - 1)) AS welch_df
+        |FROM v""".stripMargin,
+    "stat_auc" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |sp AS (SELECT v, count(*) AS cnt, CAST(sum(pos) AS BIGINT) AS p
+        |  FROM e GROUP BY 1),
+        |r AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM sp),
+        |m AS (SELECT p, cnt, 2 * below + cnt + 1 AS mr2 FROM r),
+        |a AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+        |    CAST(sum(cnt - p) AS BIGINT) AS n_neg,
+        |    sum(CAST(p AS DECIMAL(19,0)) * CAST(mr2 AS DECIMAL(19,0)))
+        |      AS r2sum
+        |  FROM m)
+        |SELECT n_pos, n_neg,
+        |  CAST(r2sum - CAST(n_pos AS DECIMAL(19,0)) *
+        |      CAST(n_pos + 1 AS DECIMAL(19,0)) AS DOUBLE) /
+        |    (2.0 * n_pos * n_neg) AS auc
+        |FROM a""".stripMargin,
+    "ts_acf" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8)))
+        |      AS DOUBLE) * 100 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |lagged AS (
+        |  SELECT c,
+        |    lag(c, 1) OVER (ORDER BY day) AS l1,
+        |    lag(c, 2) OVER (ORDER BY day) AS l2,
+        |    lag(c, 7) OVER (ORDER BY day) AS l7
+        |  FROM daily),
+        |u AS (
+        |  SELECT 1 AS lag, c AS x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 2, c, l2 FROM lagged WHERE l2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 7, c, l7 FROM lagged WHERE l7 IS NOT NULL),
+        |g AS (
+        |  SELECT lag, count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS sy,
+        |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+        |      AS DECIMAL(30,0)) AS sxx,
+        |    CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS DECIMAL(30,0)) AS syy,
+        |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS DECIMAL(30,0)) AS sxy
+        |  FROM u GROUP BY 1)
+        |SELECT lag, n,
+        |  CAST(CAST(n AS DECIMAL(8,0)) * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(CAST(n AS DECIMAL(8,0)) * sxx - sx * sx AS DOUBLE) *
+        |         CAST(CAST(n AS DECIMAL(8,0)) * syy - sy * sy AS DOUBLE))
+        |    AS acf
+        |FROM g ORDER BY lag""".stripMargin,
+    "ts_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8)))
+        |      AS DOUBLE) * 100 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |w AS (
+        |  SELECT day,
+        |    count(*) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t,
+        |    CAST(sum(CAST(c AS DECIMAL(30,0))) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DECIMAL(30,0)) AS cum,
+        |    count(*) OVER () AS n,
+        |    CAST(sum(CAST(c AS DECIMAL(30,0))) OVER () AS DECIMAL(30,0)) AS s
+        |  FROM daily),
+        |v AS (
+        |  SELECT day, n,
+        |    CAST(n AS DECIMAL(8,0)) * cum - CAST(t AS DECIMAL(8,0)) * s
+        |      AS dev
+        |  FROM w)
+        |SELECT day AS shift_day, CAST(n AS BIGINT) AS n_days,
+        |  CAST(dev AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS cusum_dollars
+        |FROM v ORDER BY abs(dev) DESC, day LIMIT 1""".stripMargin,
+    "dq_referential" ->
+      """WITH e1 AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        |    (SELECT count(*) FROM lineitem) AS n_rows,
+        |    (SELECT count(*) FROM lineitem l
+        |       WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |         WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans),
+        |e2 AS (
+        |  SELECT 'orders.o_custkey->customer' AS fk_edge,
+        |    (SELECT count(*) FROM orders) AS n_rows,
+        |    (SELECT count(*) FROM orders o
+        |       WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |         WHERE c.c_custkey = o.o_custkey)) AS n_orphans),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+        |SELECT fk_edge, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_orphans AS BIGINT) AS n_orphans,
+        |  CAST(n_orphans AS DOUBLE) / n_rows AS orphan_rate,
+        |  n_orphans = 0 AS intact
+        |FROM u ORDER BY fk_edge""".stripMargin,
     "agg_count_distinct" ->
       """SELECT COUNT(DISTINCT o_custkey) AS n_cust,
         |COUNT(DISTINCT o_orderpriority) AS n_prio,

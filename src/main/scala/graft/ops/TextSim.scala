@@ -448,6 +448,34 @@ object TextSim {
         .orderBy("doc_id")
     }),
 
+    // Blocklist screening — the lexicon-based content filter every curation
+    // pipeline runs (toxicity/spam/PII term lists). Shaped for REAL
+    // lexicons (10⁴–10⁵ terms): the blocklist is a TABLE equi-joined
+    // against the exploded token stream, not an in-expression literal the
+    // way text_quality's 6-word stopword HOF is — a 100k-term list won't
+    // inline into codegen, but broadcasts fine (it's a fixed-size model
+    // parameter, not corpus-scaling, so the explicit hint is legitimate —
+    // contrast the banned per-doc broadcasts in PlanAuditSpec). Hit
+    // counting is a map-side-combined per-doc aggregate; the left join
+    // back restores zero-hit docs. Ratios are raw IEEE divisions of
+    // identical integers (win_ntile contract).
+    "text_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val lex = Seq("slow", "big", "merge", "filter").toDF("term")
+      val docs = documents(s, d)
+      val hits = docs
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .join(broadcast(lex), col("tok") === col("term"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      docs.select(col("doc_id"), size(toks).cast("long").as("n_toks"))
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("hit_rate",
+          col("n_hits").cast("double") / col("n_toks"))
+        .withColumn("flagged", col("hit_rate") > 0.05)
+        .orderBy("doc_id")
+    }),
+
     // Language ID: marker-lexicon frequency heuristic with a deterministic
     // priority tiebreak (en > de > es > fr). The lexicons are illustrative;
     // the operator shape (frequency of language-marker tokens, argmax) is
@@ -947,6 +975,20 @@ object TextSim {
         |(1.0 - CAST(len(regexp_extract_all(lower(text),'[^a-z0-9 ]')) AS DOUBLE)/length(text)) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "text_blocklist" ->
+      s"""WITH lex AS (
+        |  SELECT unnest(['slow','big','merge','filter']) AS term),
+        |tok AS (SELECT doc_id, unnest($dToks) AS tok FROM documents),
+        |h AS (SELECT doc_id, count(*) AS n_hits
+        |  FROM tok JOIN lex ON tok = term GROUP BY 1),
+        |base AS (SELECT doc_id, CAST(len($dToks) AS BIGINT) AS n_toks
+        |  FROM documents)
+        |SELECT b.doc_id, b.n_toks,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.n_toks AS hit_rate,
+        |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.n_toks > 0.05
+        |    AS flagged
+        |FROM base b LEFT JOIN h USING (doc_id) ORDER BY b.doc_id""".stripMargin,
     "text_langid" -> {
       def sc(ms: Seq[String]) =
         s"len(list_filter($dToks, t -> list_contains(" +

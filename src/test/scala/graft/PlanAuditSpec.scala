@@ -116,7 +116,18 @@ class PlanAuditSpec extends SparkSpec {
     "stat_chi2" -> Set("GlobalWindow"),
     // CDF windows over the distinct-VALUE spine of the drift metric —
     // bounded by the metric's domain (n_chars values), not document count
-    "dq_drift_ks" -> Set("GlobalWindow")
+    "dq_drift_ks" -> Set("GlobalWindow"),
+    // midrank cum-count over the distinct-VALUE spine (dq_drift_ks's
+    // bound: ≤|cent values| rows, never the event count)
+    "stat_auc" -> Set("GlobalWindow"),
+    // lag alignment over the per-day PRE-AGGREGATE — the win_trailing7
+    // bound (calendar cardinality, not fact cardinality)
+    "ts_acf" -> Set("GlobalWindow"),
+    // CUSUM cumulative/total windows over the same per-day pre-aggregate
+    "ts_changepoint" -> Set("GlobalWindow"),
+    // per FK edge, the 1-row orphan count crossed into the 1-row total
+    // (the funnel_conversion stage-total shape)
+    "dq_referential" -> Set("BroadcastNestedLoopJoin")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {

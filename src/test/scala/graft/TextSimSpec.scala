@@ -298,4 +298,23 @@ class TextSimSpec extends SparkSpec {
       .select("doc_id", "span_idx").as[(Long, Long)].collect().toSet
     assert(slid === Set((0L, 0L), (1L, 3L)), s"got $slid")
   }
+
+  test("text_blocklist: join-side hit counts equal per-doc token " +
+    "membership, zero-hit docs survive the left join (L72)") {
+    val lex = Set("slow", "big", "merge", "filter")
+    val res = ops.TextSim.queries("text_blocklist")(spark, sf0001)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(res.map(_._1).toSet === docs.keySet, "every doc appears once")
+    res.foreach { case (id, nTok, nHits, rate, flagged) =>
+      val toks = docs(id).toLowerCase.split(" ", -1)
+      assert(nTok === toks.length.toLong, s"doc $id")
+      assert(nHits === toks.count(lex.contains).toLong, s"doc $id")
+      assert(rate === nHits.toDouble / nTok)
+      assert(flagged === (rate > 0.05))
+    }
+    // the synthetic corpus must exercise both branches
+    assert(res.exists(_._5) && res.exists(r => !r._5))
+  }
 }
