@@ -271,6 +271,44 @@ object Curation {
         .orderBy("source")
     }),
 
+    // Mixture-concentration monitor: how unequal is the source mix — the
+    // dataset-card reading a rebalance decision (mix_resample /
+    // mix_temperature) starts from. Four standard concentration measures
+    // in one row: Gini (Lorenz form 2·Σi·xᵢ/(k·Σx) − (k+1)/k over
+    // ascending sorted source counts — every operand an exact integer, so
+    // the closing expression is one IEEE formula that can't drift),
+    // Shannon entropy in nats and Herfindahl index (both per-term
+    // round-then-decimal-sum, the text_entropy contract — ln is libm and
+    // MAY differ in the last ulp cross-engine), and top-1 share (IEEE
+    // division of exact longs). Every window runs over the |sources|
+    // aggregate — domain-bounded, never document-scaled.
+    "mix_concentration" -> ((s, d) => {
+      val src = Tables.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n"))
+      val wAll = Window.partitionBy()
+      val wOrd = Window.orderBy(col("n"), col("source"))
+      val dec = DecimalType(30, 8)
+      val d19 = DecimalType(19, 0)
+      val p = col("n").cast("double") / col("tot")
+      src
+        .withColumn("i", row_number().over(wOrd))
+        .withColumn("k", count(lit(1)).over(wAll))
+        .withColumn("tot", sum("n").over(wAll))
+        .select(col("k"), col("tot"), col("n"),
+          (col("i").cast(d19) * col("n").cast(d19)).as("iw"),
+          round(-p * log(p), 6).cast(dec).as("ent_term"),
+          round(p * p, 9).cast(dec).as("hhi_term"))
+        .groupBy("k", "tot")
+        .agg(sum("iw").as("siw"), sum("ent_term").as("se"),
+          sum("hhi_term").as("sh"), max("n").as("nmax"))
+        .select(col("k").as("n_sources"), col("tot").as("n_docs"),
+          (lit(2.0) * col("siw").cast("double") / (col("k") * col("tot")) -
+            (col("k") + 1).cast("double") / col("k")).as("gini"),
+          round(col("se").cast("double"), 6).as("entropy_nats"),
+          round(col("sh").cast("double"), 9).as("hhi"),
+          (col("nmax").cast("double") / col("tot")).as("top1_share"))
+    }),
+
     // Eval-set decontamination: flag corpus docs sharing any 8-gram with
     // the held-out eval docs (doc_id < 10). The eval shingle set is tiny
     // and broadcast; the corpus streams through one inverted-index join.
@@ -544,6 +582,28 @@ object Curation {
         |  round(sq / z, 6) AS w_t2,
         |  CAST(floor(sq / z * total + 0.5) AS BIGINT) AS n_target
         |FROM z ORDER BY source""".stripMargin,
+    "mix_concentration" ->
+      """WITH src AS (SELECT source, count(*) AS n FROM documents
+        |  GROUP BY 1),
+        |r AS (SELECT source, n,
+        |    row_number() OVER (ORDER BY n, source) AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS k,
+        |    CAST(sum(n) OVER () AS BIGINT) AS tot
+        |  FROM src),
+        |t AS (SELECT k, tot, n,
+        |    CAST(i AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)) AS iw,
+        |    CAST(round(-(CAST(n AS DOUBLE) / tot) *
+        |      ln(CAST(n AS DOUBLE) / tot), 6) AS DECIMAL(30,8)) AS ent_term,
+        |    CAST(round((CAST(n AS DOUBLE) / tot) *
+        |      (CAST(n AS DOUBLE) / tot), 9) AS DECIMAL(30,8)) AS hhi_term
+        |  FROM r)
+        |SELECT k AS n_sources, tot AS n_docs,
+        |  2.0 * CAST(sum(iw) AS DOUBLE) / (k * tot) -
+        |    CAST(k + 1 AS DOUBLE) / k AS gini,
+        |  round(CAST(sum(ent_term) AS DOUBLE), 6) AS entropy_nats,
+        |  round(CAST(sum(hhi_term) AS DOUBLE), 9) AS hhi,
+        |  CAST(max(n) AS DOUBLE) / tot AS top1_share
+        |FROM t GROUP BY k, tot""".stripMargin,
     "decontaminate" -> dDecontaminate,
     // The Bloom prefilter is invisible to the oracle: no false negatives
     // means the exact-verified result is identical to plain decontaminate.

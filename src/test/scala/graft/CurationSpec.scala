@@ -213,4 +213,32 @@ class CurationSpec extends SparkSpec {
         s"shard $shard endpoints")
     }
   }
+
+  test("mix_concentration: measures match the brute-force share walk and " +
+    "sit in their theoretical ranges (L75)") {
+    val Array((k, nDocs, gini, ent, hhi, top1)) =
+      ops.Curation.queries("mix_concentration")(spark, sf0001)
+        .as[(Long, Long, Double, Double, Double, Double)].collect()
+    val counts = Tables.documents(spark, sf0001)
+      .groupBy("source").count().as[(String, Long)].collect()
+      .sortBy { case (src, n) => (n, src) }
+    assert(k === counts.length.toLong)
+    assert(nDocs === counts.map(_._2).sum)
+    val tot = counts.map(_._2).sum.toDouble
+    val shares = counts.map(_._2 / tot)
+    // Gini via the same Lorenz rank form, double-checked by the
+    // mean-absolute-difference definition Σ|xi−xj| / (2k·Σx)
+    val xs = counts.map(_._2.toDouble)
+    val mad = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum /
+      (2.0 * xs.length * xs.sum)
+    assert(math.abs(gini - mad) < 1e-9, s"gini $gini vs MAD form $mad")
+    assert(gini >= 0.0 && gini <= 1.0 - 1.0 / k)
+    assert(math.abs(ent - -shares.map(p => p * math.log(p)).sum) < 1e-4)
+    // upper bound ln(k) carries the 6dp per-term rounding budget (k·5e-7):
+    // a near-uniform mix can legitimately land a hair above it
+    assert(ent >= 0.0 && ent <= math.log(k.toDouble) + k * 5e-7)
+    assert(math.abs(hhi - shares.map(p => p * p).sum) < 1e-6)
+    assert(hhi >= 1.0 / k - 1e-12 && hhi <= 1.0)
+    assert(top1 === shares.max)
+  }
 }

@@ -127,7 +127,10 @@ class PlanAuditSpec extends SparkSpec {
     "ts_changepoint" -> Set("GlobalWindow"),
     // per FK edge, the 1-row orphan count crossed into the 1-row total
     // (the funnel_conversion stage-total shape)
-    "dq_referential" -> Set("BroadcastNestedLoopJoin")
+    "dq_referential" -> Set("BroadcastNestedLoopJoin"),
+    // rank/total windows over the |sources| aggregate — mix_temperature's
+    // domain bound (a handful of rows at any corpus size)
+    "mix_concentration" -> Set("GlobalWindow")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {
