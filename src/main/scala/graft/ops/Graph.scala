@@ -323,6 +323,43 @@ object Graph {
       triangleCounts(edges).orderBy("doc_id")
     }),
 
+    // Neighborhood-Jaccard link scores over the LSH candidate graph — the
+    // link-prediction affinity (|N(a)∩N(b)| / |N(a)∪N(b)|) that separates
+    // clique-embedded dup edges (high: the pair shares most neighbors —
+    // boilerplate families) from isolated accidental collisions (0: no
+    // shared neighbor), refining graph_triangles' per-NODE census to a
+    // per-EDGE decision signal. Shape: one edge⋈edges wedge expansion
+    // (|E|·avg-degree rows, the triangle bound) semi-joined back against
+    // the adjacency to keep closed wedges, then a count per edge — all
+    // vertex-keyed equi joins, no window, no collect; zero-common-neighbor
+    // edges survive via the left join. Jaccard is an IEEE division of
+    // exact longs.
+    "graph_jaccard" -> ((s, d) => {
+      val e0 = TextSim.minhashPairs(Tables.documents(s, d))
+        .select(col("ia").as("a"), col("ib").as("b"))
+      val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint() // adjacency reused three times below
+      val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+      val viaA = e0
+        .join(sym.select(col("a").as("ja"), col("b").as("x")),
+          col("a") === col("ja"))
+        .select("a", "b", "x")
+      val cn = viaA
+        .join(sym.select(col("a").as("jb"), col("b").as("x2")),
+          col("b") === col("jb") && col("x") === col("x2"), "left_semi")
+        .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      e0.join(deg.select(col("v"), col("deg").as("deg_a")),
+          col("a") === col("v")).drop("v")
+        .join(deg.select(col("v"), col("deg").as("deg_b")),
+          col("b") === col("v")).drop("v")
+        .join(cn, Seq("a", "b"), "left")
+        .withColumn("cn", coalesce(col("cn"), lit(0L)))
+        .withColumn("jaccard", col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn")))
+        .select("a", "b", "deg_a", "deg_b", "cn", "jaccard")
+        .orderBy("a", "b")
+    }),
+
     // Community detection: 3 rounds of SYNCHRONOUS label propagation
     // (Raghavan et al. 2007) over the same customer–supplier graph —
     // each node adopts its neighborhood's most frequent label, ties to
@@ -408,6 +445,26 @@ object Graph {
         |  count(*) OVER (PARTITION BY comp) AS comp_size,
         |  CAST(doc_id = comp AS INT) AS kept
         |FROM lab ORDER BY doc_id""".stripMargin,
+    // Same canonical LSH candidate edges; EXISTS mirrors the left-semi
+    // closed-wedge filter.
+    "graph_jaccard" ->
+      s"""WITH ${TextSim.dMinhashCte},
+        |e0 AS (SELECT ia AS a, ib AS b FROM pairs),
+        |sym AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT a AS v, count(*) AS deg FROM sym GROUP BY 1),
+        |cn AS (
+        |  SELECT e0.a, e0.b, count(*) AS cn
+        |  FROM e0 JOIN sym s1 ON e0.a = s1.a
+        |  WHERE EXISTS (SELECT 1 FROM sym s2
+        |    WHERE s2.a = e0.b AND s2.b = s1.b)
+        |  GROUP BY 1, 2)
+        |SELECT e0.a, e0.b, da.deg AS deg_a, db.deg AS deg_b,
+        |  CAST(coalesce(cn.cn, 0) AS BIGINT) AS cn,
+        |  CAST(coalesce(cn.cn, 0) AS DOUBLE) /
+        |    (da.deg + db.deg - coalesce(cn.cn, 0)) AS jaccard
+        |FROM e0 JOIN deg da ON e0.a = da.v JOIN deg db ON e0.b = db.v
+        |LEFT JOIN cn ON e0.a = cn.a AND e0.b = cn.b
+        |ORDER BY e0.a, e0.b""".stripMargin,
     // Same canonical LSH candidate edges; each triangle found once at its
     // lowest vertex (a<b<c), then every corner credited.
     "graph_triangles" ->

@@ -133,7 +133,7 @@ object TextSim {
     * signatures materialize once behind an exchange and both join sides
     * read them.
     */
-  private[ops] def minhashPairs(docs: org.apache.spark.sql.DataFrame) = {
+  private[graft] def minhashPairs(docs: org.apache.spark.sql.DataFrame) = {
     val sig = sigTable(shingleRows(docs, 3))
     val bands = sig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
@@ -216,13 +216,13 @@ object TextSim {
           bd * (NumHashes / Bands) + 1,
           lit(NumHashes / Bands))))).as(Seq("band", "key")))
 
-  private[ops] def minhashPairsBetween(
+  private[graft] def minhashPairsBetween(
       index: org.apache.spark.sql.DataFrame,
       batch: org.apache.spark.sql.DataFrame) =
     minhashPairsBetweenSigs(sigTable(shingleRows(index, 3)),
       sigTable(shingleRows(batch, 3)))
 
-  private[ops] def minhashPairsBetweenSigs(
+  private[graft] def minhashPairsBetweenSigs(
       indexSigs: org.apache.spark.sql.DataFrame,
       batchSigs: org.apache.spark.sql.DataFrame) = {
     val l = bandRowsFromSigs(indexSigs).select(col("doc_id").as("ia"),
@@ -473,6 +473,40 @@ object TextSim {
         .withColumn("hit_rate",
           col("n_hits").cast("double") / col("n_toks"))
         .withColumn("flagged", col("hit_rate") > 0.05)
+        .orderBy("doc_id")
+    }),
+
+    // Quality-classifier APPLY — the model-scoring step of a CCNet/
+    // FineWeb-style curation pipeline: a trained linear model (weights
+    // frozen here as literals, exactly how a reviewed model config ships)
+    // over the text_quality feature vector, producing a keep/drop gate.
+    // Pure map-side projection — the shape holds for any linear/logistic
+    // scorer at 100 TB. Determinism: features are IEEE ratios of identical
+    // exact integers, z is one fixed-order dot product of identical
+    // doubles (drift-free), and the KEEP decision tests z ≥ 0 — the
+    // sigmoid's only monotone threshold — so the gate never sits on a
+    // libm boundary; the displayed sigmoid score is round(…,6) like every
+    // exp/ln surface (text_entropy contract).
+    "curate_classifier" -> ((s, d) => {
+      val nTok = size(toks).cast("double")
+      val punct = regexp_count(lower(col("text")), lit("[^a-z0-9 ]"))
+        .cast("double") / length(col("text"))
+      val stopR = size(filter(toks,
+        t => array_contains(typedlit(stopwords), t))).cast("double") / size(toks)
+      val avgLen = aggregate(transform(toks, t => length(t)),
+        lit(0), (acc, v) => acc + v).cast("double") / size(toks)
+      val z = lit(-1.0) + lit(2.5) * least(nTok / 100.0, lit(1.0)) +
+        lit(3.0) * stopR - lit(4.0) * punct + lit(0.8) * (avgLen / 10.0)
+      documents(s, d)
+        .select(col("doc_id"), z.as("z"))
+        // z displayed at 6dp — multiply-add chains are exactly the surface
+        // a vectorized engine may FMA-contract (the ts_acf lesson), and
+        // 6dp absorbs the last-ulp wobble; the keep gate compares the raw
+        // z against 0, where a sub-ulp difference would need z itself to
+        // sit within 1e-16 of the decision boundary
+        .select(col("doc_id"), round(col("z"), 6).as("z"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"),
+          (col("z") >= 0).as("keep"))
         .orderBy("doc_id")
     }),
 
@@ -989,6 +1023,26 @@ object TextSim {
         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.n_toks > 0.05
         |    AS flagged
         |FROM base b LEFT JOIN h USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+    "curate_classifier" -> {
+      val stop = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH f AS (SELECT doc_id,
+        |    CAST(len($dToks) AS DOUBLE) AS n_tok,
+        |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+        |      AS DOUBLE) / length(text) AS punct,
+        |    CAST(len(list_filter($dToks, t -> list_contains($stop, t)))
+        |      AS DOUBLE) / len($dToks) AS stop_r,
+        |    CAST(list_sum(list_transform($dToks, t -> length(t)))
+        |      AS DOUBLE) / len($dToks) AS avg_len
+        |  FROM documents),
+        |z AS (SELECT doc_id,
+        |    -1.0 + 2.5 * least(n_tok / 100.0, 1.0) + 3.0 * stop_r -
+        |      4.0 * punct + 0.8 * (avg_len / 10.0) AS z
+        |  FROM f)
+        |SELECT doc_id, round(z, 6) AS z,
+        |  round(1.0 / (1.0 + exp(-z)), 6) AS score,
+        |  z >= 0 AS keep
+        |FROM z ORDER BY doc_id""".stripMargin
+    },
     "text_langid" -> {
       def sc(ms: Seq[String]) =
         s"len(list_filter($dToks, t -> list_contains(" +

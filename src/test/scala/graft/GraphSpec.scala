@@ -158,4 +158,22 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+
+  test("graph_jaccard: per-edge scores match brute-force neighborhood " +
+    "set algebra, zero-common-neighbor edges survive (L76)") {
+    val res = ops.Graph.queries("graph_jaccard")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    val edges = ops.TextSim.minhashPairs(Tables.documents(spark, sf0001))
+      .select("ia", "ib").as[(Long, Long)].collect()
+    assert(res.map(r => (r._1, r._2)).toSet === edges.toSet,
+      "one score row per candidate edge")
+    val nbrs = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    res.foreach { case (a, b, da, db, cn, j) =>
+      assert(da === nbrs(a).size.toLong && db === nbrs(b).size.toLong)
+      assert(cn === (nbrs(a) & nbrs(b)).size.toLong, s"edge ($a,$b)")
+      assert(j === cn.toDouble / (nbrs(a) | nbrs(b)).size, s"edge ($a,$b)")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
 }

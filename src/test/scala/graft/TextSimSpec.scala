@@ -317,4 +317,31 @@ class TextSimSpec extends SparkSpec {
     // the synthetic corpus must exercise both branches
     assert(res.exists(_._5) && res.exists(r => !r._5))
   }
+
+  test("curate_classifier: scores reproduce the frozen logistic model " +
+    "and the keep gate is the sign of z (L77)") {
+    val res = ops.TextSim.queries("curate_classifier")(spark, sf0001)
+      .as[(Long, Double, Double, Boolean)].collect()
+    val stop = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    res.foreach { case (id, z, score, keep) =>
+      val t = docs(id).toLowerCase
+      val toks = t.split(" ", -1)
+      val punct = t.count(c => !(c.isDigit || c == ' ' ||
+        (c >= 'a' && c <= 'z'))).toDouble / t.length
+      val zRef = -1.0 + 2.5 * math.min(toks.length / 100.0, 1.0) +
+        3.0 * (toks.count(stop) .toDouble/ toks.length) - 4.0 * punct +
+        0.8 * (toks.map(_.length).sum.toDouble / toks.length / 10.0)
+      assert(math.abs(z - zRef) < 1e-6, s"doc $id")
+      assert(math.abs(score - 1.0 / (1.0 + math.exp(-zRef))) < 1e-5)
+      assert(keep === (zRef >= 0) ||
+        math.abs(zRef) < 1e-9, s"doc $id gate")
+    }
+    assert(res.exists(_._4) && res.exists(r => !r._4),
+      "corpus must exercise both keep and drop")
+    // score is monotone in z — the gate threshold is score 0.5
+    res.foreach { case (_, z, score, _) =>
+      assert((z >= 0) === (score >= 0.5)) }
+  }
 }
