@@ -38,7 +38,10 @@ object ScaleProbe {
     // r9 second wave: rank-transform joins, Pregel BFS, per-partition
     // codec scan, stateful CDC, sketch rollup
     "agg_spearman", "graph_bfs", "text_compress_ratio", "stream_cdc_apply",
-    "agg_hll_rollup")
+    "agg_hll_rollup",
+    // r9 third wave: the statistics/curation batch — AUC's value spine,
+    // the wedge-expansion link scorer, the two join/explode-scaled DQ ops
+    "stat_auc", "graph_jaccard", "dq_referential", "text_blocklist")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -61,7 +64,13 @@ object ScaleProbe {
       spark.read.parquet(s"$d/lineitem.parquet").count()
       spark.read.parquet(s"$d/documents.parquet").count()
     }
-    val rows = Probes.map { name =>
+    // dev-only subset (comma-separated probe names) — probe a new family
+    // without re-timing the whole battery
+    val probes = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").toSet)
+      .map(only => Probes.filter(only))
+      .getOrElse(Probes)
+    val rows = probes.map { name =>
       val fn = SparkEntry.queries(name)
       val times = dirs.map { case (_, d) =>
         // median of 3, cold path (Bench protocol)

@@ -673,6 +673,51 @@ object Relational {
             (col("n").cast("double") * 100.0)).as("cusum_dollars"))
     }),
 
+    // Classical decomposition of the daily-revenue series: trend =
+    // centered 7-day moving average, seasonal = per-day-of-week mean of
+    // the detrended series, residual = the rest — the additive
+    // trend/seasonal/residual split behind every seasonal-adjust
+    // monitor, and the constructive justification for D12's 2σ-by-DOW
+    // band. Integer contract end-to-end: with cents c, the trend
+    // numerator is the exact 7-day sum, the detrended numerator
+    // 7·c − sum7 is an exact integer, and the per-DOW seasonal
+    // aggregates those in DECIMAL — every emitted column is ONE IEEE
+    // division (or a subtraction chain of such, which has no FMA
+    // contraction surface) of identical exact operands, no rounding
+    // needed. Edge days without a full 7-day window are dropped (both
+    // engines agree by construction). Spine bound as ts_acf: facts
+    // collapse once to ≤|calendar| rows; windows touch only the spine.
+    "ts_seasonal_decompose" -> ((s, d) => {
+      val dec = DecimalType(30, 0)
+      val daily = lineitem(s, d)
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(exactSum(col("l_extendedprice")).as("rev"))
+        .select(col("day"),
+          floor(col("rev").cast("double") * 100 + 0.5).cast("long").as("c"))
+      val wC = Window.orderBy("day").rowsBetween(-3, 3)
+      val full = daily
+        .withColumn("sum7", sum("c").over(wC))
+        .withColumn("cnt7", count(lit(1)).over(wC))
+        .filter(col("cnt7") === 7)
+        .withColumn("detr7", lit(7) * col("c") - col("sum7"))
+        .withColumn("dow",
+          pmod(datediff(col("day"), to_date(lit("1970-01-05"))), lit(7)))
+      val wDow = Window.partitionBy("dow")
+      full
+        .withColumn("seas_num", sum(col("detr7").cast(dec)).over(wDow))
+        .withColumn("n_dow", count(lit(1)).over(wDow))
+        .select(col("day"), col("dow"),
+          (col("c").cast("double") / 100.0).as("rev"),
+          (col("sum7").cast("double") / 700.0).as("trend"),
+          (col("seas_num").cast("double") /
+            (col("n_dow").cast("double") * 700.0)).as("seasonal"),
+          (col("c").cast("double") / 100.0 -
+            col("sum7").cast("double") / 700.0 -
+            col("seas_num").cast("double") /
+              (col("n_dow").cast("double") * 700.0)).as("residual"))
+        .orderBy("day")
+    }),
+
     // Referential-integrity audit: orphan rate per FK edge (lineitem→
     // orders, orders→customer) — the relationship-level gate beside
     // dq_rule_check's column-level one; a nonzero orphan rate is how a
@@ -1878,6 +1923,39 @@ object Relational {
         |SELECT day AS shift_day, CAST(n AS BIGINT) AS n_days,
         |  CAST(dev AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS cusum_dollars
         |FROM v ORDER BY abs(dev) DESC, day LIMIT 1""".stripMargin,
+    "ts_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8)))
+        |      AS DOUBLE) * 100 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |w AS (
+        |  SELECT day, c,
+        |    CAST(sum(c) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS sum7,
+        |    count(*) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+        |  FROM daily),
+        |f AS (
+        |  SELECT day, c, sum7, 7 * c - sum7 AS detr7,
+        |    ((CAST(datediff('day', DATE '1970-01-05', day) AS BIGINT) % 7)
+        |      + 7) % 7 AS dow
+        |  FROM w WHERE cnt7 = 7),
+        |g AS (
+        |  SELECT *,
+        |    CAST(sum(CAST(detr7 AS DECIMAL(30,0))) OVER (PARTITION BY dow)
+        |      AS DECIMAL(30,0)) AS seas_num,
+        |    count(*) OVER (PARTITION BY dow) AS n_dow
+        |  FROM f)
+        |SELECT day, CAST(dow AS INT) AS dow,
+        |  CAST(c AS DOUBLE) / 100.0 AS rev,
+        |  CAST(sum7 AS DOUBLE) / 700.0 AS trend,
+        |  CAST(seas_num AS DOUBLE) / (CAST(n_dow AS DOUBLE) * 700.0)
+        |    AS seasonal,
+        |  CAST(c AS DOUBLE) / 100.0 - CAST(sum7 AS DOUBLE) / 700.0 -
+        |    CAST(seas_num AS DOUBLE) / (CAST(n_dow AS DOUBLE) * 700.0)
+        |    AS residual
+        |FROM g ORDER BY day""".stripMargin,
     "dq_referential" ->
       """WITH e1 AS (
         |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,

@@ -130,7 +130,10 @@ class PlanAuditSpec extends SparkSpec {
     "dq_referential" -> Set("BroadcastNestedLoopJoin"),
     // rank/total windows over the |sources| aggregate — mix_temperature's
     // domain bound (a handful of rows at any corpus size)
-    "mix_concentration" -> Set("GlobalWindow")
+    "mix_concentration" -> Set("GlobalWindow"),
+    // centered 7-day frame over the per-day PRE-AGGREGATE (win_trailing7
+    // bound); the seasonal window partitions by dow
+    "ts_seasonal_decompose" -> Set("GlobalWindow")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {

@@ -538,4 +538,33 @@ class RelationalSpec extends SparkSpec {
       "left_anti").count()
     assert(crippled > 0L, "dropping dim rows must create orphans")
   }
+
+  test("ts_seasonal_decompose: additive identity holds exactly, trend is " +
+    "the centered 7-day mean, seasonal is constant per dow (D28)") {
+    val res = ops.Relational
+      .queries("ts_seasonal_decompose")(spark, sf0001)
+      .as[(java.sql.Date, Int, Double, Double, Double, Double)].collect()
+    assert(res.nonEmpty)
+    // rev = trend + seasonal + residual to machine precision
+    res.foreach { case (d, _, rev, tr, se, re) =>
+      assert(math.abs(rev - (tr + se + re)) < 1e-9, s"day $d") }
+    // trend reproduces the brute-force centered mean over the full series
+    val daily = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(ops.exactSum(col("l_extendedprice")).as("rev"))
+      .select(col("day"),
+        expr("CAST(floor(CAST(rev AS DOUBLE) * 100 + 0.5) AS BIGINT)"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.getTime)
+    val idx = daily.map(_._1).zipWithIndex.toMap
+    // edge days (first/last 3) are dropped
+    assert(res.length === daily.length - 6)
+    res.foreach { case (d, _, _, tr, _, _) =>
+      val i = idx(d)
+      val window = daily.slice(i - 3, i + 4).map(_._2)
+      assert(window.length === 7)
+      assert(math.abs(tr - window.sum / 700.0) < 1e-9, s"day $d") }
+    // seasonal depends only on dow
+    res.groupBy(_._2).foreach { case (dow, rows) =>
+      assert(rows.map(_._5).distinct.length === 1, s"dow $dow") }
+  }
 }
