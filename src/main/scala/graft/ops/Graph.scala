@@ -323,6 +323,37 @@ object Graph {
       triangleCounts(edges).orderBy("doc_id")
     }),
 
+    // k-core decomposition (k=2, 3 fixed peel rounds) over the LSH
+    // candidate graph: repeatedly drop vertices with degree < k and
+    // re-count — survivors are the DENSE dup families (a 2-core member
+    // sits on a cycle of near-dup relations: boilerplate/template mass),
+    // while tree-like accidental-collision fringes peel away. The
+    // per-edge complement of graph_jaccard and the cheap precursor to a
+    // full core-number sort. Fixed round count = deterministic snapshot
+    // (the graph_label_prop convention, and what the unrolled oracle
+    // mirrors); each round is one semi join of edges against surviving
+    // vertices + one degree count — linear in |E|, localCheckpoint
+    // truncating lineage exactly like connectedComponents. Integer-only.
+    "graph_core" -> ((s, d) => {
+      val k = 2
+      val e0 = TextSim.minhashPairs(Tables.documents(s, d))
+        .select(col("ia").as("a"), col("ib").as("b"))
+      var sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        val alive = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select("a")
+        sym = sym
+          .join(alive, Seq("a"), "left_semi")
+          .join(alive.select(col("a").as("b")), Seq("b"), "left_semi")
+          .select("a", "b")
+          .localCheckpoint()
+      }
+      sym.groupBy(col("a").as("doc_id")).agg(count(lit(1)).as("core_deg"))
+        .filter(col("core_deg") >= k)
+        .orderBy("doc_id")
+    }),
+
     // Neighborhood-Jaccard link scores over the LSH candidate graph — the
     // link-prediction affinity (|N(a)∩N(b)| / |N(a)∪N(b)|) that separates
     // clique-embedded dup edges (high: the pair shares most neighbors —
@@ -445,6 +476,23 @@ object Graph {
         |  count(*) OVER (PARTITION BY comp) AS comp_size,
         |  CAST(doc_id = comp AS INT) AS kept
         |FROM lab ORDER BY doc_id""".stripMargin,
+    // Unrolled 3-round peel mirror; HAVING >= 2 is the degree filter,
+    // the double join the edge restriction to surviving endpoints.
+    "graph_core" -> {
+      def round(i: Int) =
+        s"""a$i AS (SELECT a FROM s${i - 1} GROUP BY a
+          |  HAVING count(*) >= 2),
+          |s$i AS (SELECT s.a, s.b FROM s${i - 1} s
+          |  JOIN a$i x ON s.a = x.a JOIN a$i y ON s.b = y.a)""".stripMargin
+      s"""WITH ${TextSim.dMinhashCte},
+        |e0 AS (SELECT ia AS a, ib AS b FROM pairs),
+        |s0 AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |${round(1)},
+        |${round(2)},
+        |${round(3)}
+        |SELECT a AS doc_id, count(*) AS core_deg FROM s3
+        |GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin
+    },
     // Same canonical LSH candidate edges; EXISTS mirrors the left-semi
     // closed-wedge filter.
     "graph_jaccard" ->

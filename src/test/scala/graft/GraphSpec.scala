@@ -176,4 +176,26 @@ class GraphSpec extends SparkSpec {
       assert(j >= 0.0 && j <= 1.0)
     }
   }
+
+  test("graph_core: 3-round peel matches the brute-force driver walk and " +
+    "every survivor keeps degree >= k among survivors (L78)") {
+    val res = ops.Graph.queries("graph_core")(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val e0 = ops.TextSim.minhashPairs(Tables.documents(spark, sf0001))
+      .select("ia", "ib").as[(Long, Long)].collect()
+    var edges = (e0 ++ e0.map(_.swap)).toSet
+    for (_ <- 1 to 3) {
+      val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.size }
+      val alive = deg.filter(_._2 >= 2).keySet
+      edges = edges.filter { case (a, b) => alive(a) && alive(b) }
+    }
+    val brute = edges.groupBy(_._1)
+      .map { case (v, es) => v -> es.size.toLong }.filter(_._2 >= 2)
+    assert(res === brute)
+    assert(res.nonEmpty, "the salted dup corpus must produce a 2-core")
+    // peeling is monotone: the core is a subset of the raw 2-core candidates
+    val rawDeg = (e0 ++ e0.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.size }
+    res.keys.foreach(v => assert(rawDeg(v) >= 2, s"vertex $v"))
+  }
 }

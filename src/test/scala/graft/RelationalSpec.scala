@@ -567,4 +567,30 @@ class RelationalSpec extends SparkSpec {
     res.groupBy(_._2).foreach { case (dow, rows) =>
       assert(rows.map(_._5).distinct.length === 1, s"dow $dow") }
   }
+
+  test("CSV PERMISSIVE scan quarantines malformed rows in " +
+    "_corrupt_record instead of failing the load (A3 robustness)") {
+    val dir = java.nio.file.Files.createTempDirectory("badcsv").toString
+    val f = new java.io.PrintWriter(s"$dir/rows.csv")
+    f.write("id,qty,day\n")            // header
+    f.write("1,10,2024-01-02\n")       // good
+    f.write("2,notanumber,2024-01-03\n") // bad qty
+    f.write("3,30,2024-01-04\n")       // good
+    f.write("4,40\n")                  // missing column
+    f.close()
+    val df = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .schema("id BIGINT, qty BIGINT, day DATE, _bad STRING")
+      .csv(dir)
+      .cache() // corrupt-record column requires a materialized parse
+    val bad = df.filter(col("_bad").isNotNull)
+      .select("_bad").as[String].collect().sorted
+    assert(bad.toSeq === Seq("2,notanumber,2024-01-03", "4,40"),
+      "malformed originals preserved verbatim for quarantine")
+    val good = df.filter(col("_bad").isNull).select("id", "qty")
+      .as[(Long, Long)].collect().toSet
+    assert(good === Set((1L, 10L), (3L, 30L)))
+  }
 }
