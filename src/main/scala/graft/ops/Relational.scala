@@ -673,6 +673,36 @@ object Relational {
             (col("n").cast("double") * 100.0)).as("cusum_dollars"))
     }),
 
+    // Seasonal-naive forecast backtest: forecast(d) = actual(d−7), scored
+    // by MAPE and signed bias over the whole series — the baseline every
+    // real forecaster must beat, and the cheapest drift alarm (MAPE
+    // jumping week-over-week = the series changed regime). Per-day APE
+    // terms are IEEE divisions of exact cents; the means follow the
+    // round-then-decimal-sum contract (text_entropy) so the totals are
+    // partition-order-free. Same spine bound as ts_acf.
+    "ts_forecast_naive" -> ((s, d) => {
+      val dec = DecimalType(30, 8)
+      val daily = lineitem(s, d)
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(exactSum(col("l_extendedprice")).as("rev"))
+        .select(col("day"),
+          floor(col("rev").cast("double") * 100 + 0.5).cast("long").as("c"))
+      val wd = Window.orderBy("day")
+      val cd = col("c").cast("double")
+      val fd = col("f").cast("double")
+      daily
+        .withColumn("f", lag("c", 7).over(wd))
+        .filter(col("f").isNotNull && col("c") > 0)
+        .select(
+          round(abs(cd - fd) / cd, 6).cast(dec).as("ape"),
+          round((cd - fd) / cd, 6).cast(dec).as("pe"))
+        .agg(count(lit(1)).as("n_days"),
+          sum("ape").as("sa"), sum("pe").as("sp"))
+        .select(col("n_days"),
+          round(col("sa").cast("double") / col("n_days"), 6).as("mape"),
+          round(col("sp").cast("double") / col("n_days"), 6).as("bias"))
+    }),
+
     // Classical decomposition of the daily-revenue series: trend =
     // centered 7-day moving average, seasonal = per-day-of-week mean of
     // the detrended series, residual = the rest — the additive
@@ -1923,6 +1953,24 @@ object Relational {
         |SELECT day AS shift_day, CAST(n AS BIGINT) AS n_days,
         |  CAST(dev AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS cusum_dollars
         |FROM v ORDER BY abs(dev) DESC, day LIMIT 1""".stripMargin,
+    "ts_forecast_naive" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8)))
+        |      AS DOUBLE) * 100 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |l AS (SELECT day, c, lag(c, 7) OVER (ORDER BY day) AS f FROM daily),
+        |t AS (
+        |  SELECT
+        |    CAST(round(abs(CAST(c AS DOUBLE) - CAST(f AS DOUBLE)) /
+        |      CAST(c AS DOUBLE), 6) AS DECIMAL(30,8)) AS ape,
+        |    CAST(round((CAST(c AS DOUBLE) - CAST(f AS DOUBLE)) /
+        |      CAST(c AS DOUBLE), 6) AS DECIMAL(30,8)) AS pe
+        |  FROM l WHERE f IS NOT NULL AND c > 0)
+        |SELECT count(*) AS n_days,
+        |  round(CAST(sum(ape) AS DOUBLE) / count(*), 6) AS mape,
+        |  round(CAST(sum(pe) AS DOUBLE) / count(*), 6) AS bias
+        |FROM t""".stripMargin,
     "ts_seasonal_decompose" ->
       """WITH daily AS (
         |  SELECT CAST(l_shipdate AS DATE) AS day,

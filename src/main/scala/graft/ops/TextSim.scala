@@ -510,6 +510,34 @@ object TextSim {
         .orderBy("doc_id")
     }),
 
+    // Candidate-generator EVAL harness: precision/recall of the MinHash/
+    // LSH candidate set against the exact n-gram-Jaccard ≥ 0.5 truth —
+    // the dataset-card number every dedup CONFIG decision (bands, perms,
+    // thresholds) is judged by, computed as a first-class query instead
+    // of a hidden spec. Both sides are the engine's own declared
+    // operators (dedup_minhash's pair generator, dedup_ngram_jaccard's
+    // truth), full-outer-joined on the pair key and collapsed to one
+    // confusion row. Scale: the join is keyed on (ia, ib) — both sides
+    // are candidate-bounded, never all-pairs; precision/recall are IEEE
+    // divisions of exact longs.
+    "dedup_minhash_eval" -> ((s, d) => {
+      val cand = minhashPairs(documents(s, d))
+        .select(col("ia"), col("ib"), lit(1L).as("cin"))
+      val truth = ngramJaccard(s, d, StopShingleDfDefault)
+        .select(col("ia"), col("ib"), lit(1L).as("tin"))
+      cand.join(truth, Seq("ia", "ib"), "full_outer")
+        .agg(
+          sum(when(col("cin").isNotNull, 1L).otherwise(0L)).as("n_cand"),
+          sum(when(col("tin").isNotNull, 1L).otherwise(0L)).as("n_truth"),
+          sum(when(col("cin").isNotNull && col("tin").isNotNull, 1L)
+            .otherwise(0L)).as("tp"))
+        .select(col("n_cand"), col("n_truth"), col("tp"),
+          (col("n_cand") - col("tp")).as("fp"),
+          (col("n_truth") - col("tp")).as("fn"),
+          (col("tp").cast("double") / col("n_cand")).as("precision"),
+          (col("tp").cast("double") / col("n_truth")).as("recall"))
+    }),
+
     // Language ID: marker-lexicon frequency heuristic with a deterministic
     // priority tiebreak (en > de > es > fr). The lexicons are illustrative;
     // the operator shape (frequency of language-marker tokens, argmax) is
@@ -1023,6 +1051,37 @@ object TextSim {
         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.n_toks > 0.05
         |    AS flagged
         |FROM base b LEFT JOIN h USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+    "dedup_minhash_eval" ->
+      s"""WITH $dMinhashCte,
+        |e0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |e AS (SELECT doc_id, g FROM (
+        |  SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM e0)
+        |  WHERE df <= $StopShingleDfDefault),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT ia, ib FROM inter
+        |  JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+        |  WHERE round(CAST(inter AS DOUBLE) /
+        |    (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+        |u AS (
+        |  SELECT p.ia IS NOT NULL AS cin, t.ia IS NOT NULL AS tin
+        |  FROM (SELECT ia, ib FROM pairs) p
+        |  FULL OUTER JOIN truth t ON p.ia = t.ia AND p.ib = t.ib),
+        |m AS (
+        |  SELECT CAST(sum(CASE WHEN cin THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cand,
+        |    CAST(sum(CASE WHEN tin THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+        |    CAST(sum(CASE WHEN cin AND tin THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tp
+        |  FROM u)
+        |SELECT n_cand, n_truth, tp, n_cand - tp AS fp, n_truth - tp AS fn,
+        |  CAST(tp AS DOUBLE) / n_cand AS precision,
+        |  CAST(tp AS DOUBLE) / n_truth AS recall
+        |FROM m""".stripMargin,
     "curate_classifier" -> {
       val stop = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
       s"""WITH f AS (SELECT doc_id,

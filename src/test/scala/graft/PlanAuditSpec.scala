@@ -133,7 +133,9 @@ class PlanAuditSpec extends SparkSpec {
     "mix_concentration" -> Set("GlobalWindow"),
     // centered 7-day frame over the per-day PRE-AGGREGATE (win_trailing7
     // bound); the seasonal window partitions by dow
-    "ts_seasonal_decompose" -> Set("GlobalWindow")
+    "ts_seasonal_decompose" -> Set("GlobalWindow"),
+    // lag-7 alignment over the per-day pre-aggregate (the ts_acf bound)
+    "ts_forecast_naive" -> Set("GlobalWindow")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {

@@ -568,6 +568,29 @@ class RelationalSpec extends SparkSpec {
       assert(rows.map(_._5).distinct.length === 1, s"dow $dow") }
   }
 
+  test("ts_forecast_naive: MAPE/bias reproduce the driver-side " +
+    "seasonal-naive walk (D29)") {
+    val Array((n, mape, bias)) =
+      ops.Relational.queries("ts_forecast_naive")(spark, sf0001)
+        .as[(Long, Double, Double)].collect()
+    val daily = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(ops.exactSum(col("l_extendedprice")).as("rev"))
+      .select(col("day"),
+        expr("CAST(floor(CAST(rev AS DOUBLE) * 100 + 0.5) AS BIGINT)"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.getTime).map(_._2)
+    val pairs = daily.drop(7).zip(daily.dropRight(7))
+      .filter { case (c, _) => c > 0 }
+    assert(n === pairs.length.toLong)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val apes = pairs.map { case (c, f) => r6(math.abs(c - f).toDouble / c) }
+    val pes = pairs.map { case (c, f) => r6((c - f).toDouble / c) }
+    assert(math.abs(mape - apes.sum / n) < 1e-6)
+    assert(math.abs(bias - pes.sum / n) < 1e-6)
+    assert(mape >= math.abs(bias) - 1e-12, "MAPE dominates |bias|")
+  }
+
   test("CSV PERMISSIVE scan quarantines malformed rows in " +
     "_corrupt_record instead of failing the load (A3 robustness)") {
     val dir = java.nio.file.Files.createTempDirectory("badcsv").toString

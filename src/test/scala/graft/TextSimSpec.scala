@@ -344,4 +344,22 @@ class TextSimSpec extends SparkSpec {
     res.foreach { case (_, z, score, _) =>
       assert((z >= 0) === (score >= 0.5)) }
   }
+
+  test("dedup_minhash_eval: confusion row reconciles with the two source " +
+    "queries it evaluates (L79)") {
+    val Array((nc, nt, tp, fp, fn, prec, rec)) =
+      ops.TextSim.queries("dedup_minhash_eval")(spark, sf0001)
+        .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    val cand = ops.TextSim.minhashPairs(Tables.documents(spark, sf0001))
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    val truth = ops.TextSim.queries("dedup_ngram_jaccard")(spark, sf0001)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(nc === cand.size.toLong && nt === truth.size.toLong)
+    assert(tp === (cand & truth).size.toLong)
+    assert(fp === (cand -- truth).size.toLong)
+    assert(fn === (truth -- cand).size.toLong)
+    assert(prec === tp.toDouble / nc && rec === tp.toDouble / nt)
+    // LSH banding at 16 perms should find most true near-dups here
+    assert(rec > 0.5, s"recall $rec suspiciously low")
+  }
 }
