@@ -72,6 +72,23 @@ object Streaming {
     "stream_ohlc" -> ((s, d) =>
       StreamOps.ohlcHourly(events(s, d)).orderBy("event_type", "bar_ts")),
 
+    // T2 alerting batch twin: the SAME rateAlert transform StreamingSpec
+    // drives through MemoryStream. The per-type hourly baseline is
+    // profiled from the same table here (count / distinct-hours — an IEEE
+    // division of exact longs); in streaming it is the static side of a
+    // stream-static broadcast join, the model-parameter pattern every
+    // production alerter uses.
+    "stream_rate_alert" -> ((s, d) => {
+      val ev = events(s, d)
+      val ref = ev.groupBy("event_type")
+        .agg((count(lit(1)).cast("double") /
+          countDistinct(date_trunc("hour", col("ts")))).as("avg_hourly"))
+      StreamOps.rateAlert(ev, ref)
+        .select(col("event_type"), unix_micros(col("win_ts")).as("win_us"),
+          col("n"), col("avg_hourly"))
+        .orderBy("event_type", "win_us")
+    }),
+
     // T7 batch twin: the SAME enrichWithDim transform StreamingSpec
     // drives through MemoryStream (stream–static broadcast LEFT join),
     // batch-checked here with customer as the bounded dimension. The
@@ -142,6 +159,21 @@ object Streaming {
         |WHERE c.event_type = 'click' AND e.event_type = 'error'
         |  AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts
         |ORDER BY err_id, click_us""".stripMargin,
+    // Hour windows start epoch-aligned == date_trunc('hour'); baseline =
+    // total / distinct active hours per type.
+    "stream_rate_alert" ->
+      """WITH ref AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) /
+        |      count(DISTINCT date_trunc('hour', ts)) AS avg_hourly
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT w.event_type, epoch_us(w.h) AS win_us, n, avg_hourly
+        |FROM w JOIN ref USING (event_type)
+        |WHERE CAST(n AS DOUBLE) > 2.0 * avg_hourly
+        |ORDER BY 1, 2""".stripMargin,
     // Dedup of the redelivered union == the original events table (the
     // duplicates are exact copies keyed by event_id, which is unique).
     "stream_dedup_watermark" ->

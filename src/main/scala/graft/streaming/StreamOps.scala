@@ -100,6 +100,26 @@ object StreamOps {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** T2 alerting extension: per-(type, hour-window) counts joined against
+    * a BATCH-PROFILED per-type hourly baseline, emitting only windows
+    * whose count breaches 2× the baseline — the rate-spike / error-burst
+    * alert. The reference table is a static model parameter (in
+    * production: yesterday's profile) broadcast into the stream — the
+    * stream-static join every production alerter runs; append-legal
+    * because the threshold filter sits ABOVE a watermarked windowed
+    * aggregate, so each alert emits exactly once, one watermark after its
+    * window closes, with one count per open (type, window) of state.
+    */
+  def rateAlert(events: DataFrame, hourlyRef: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(hourlyRef), Seq("event_type"))
+      .filter(col("n").cast("double") > lit(2.0) * col("avg_hourly"))
+      .select(col("event_type"), col("window.start").as("win_ts"),
+        col("n"), col("avg_hourly"))
+
   /** Stream-stream inner join: clicks within the 10 minutes before each
     * error by the same user — the streaming form of the batch `join_range`
     * query. Both sides carry watermarks and the join condition bounds

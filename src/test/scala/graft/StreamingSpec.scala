@@ -335,6 +335,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate alert joins the static baseline into the stream and fires " +
+    "exactly once per breaching window (append mode)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    // static model parameter: 'tick' averages 1.5 events/hour
+    val ref = Seq(("tick", 1.5)).toDF("event_type", "avg_hourly")
+    val q = StreamOps.rateAlert(
+        ms.toDF().withColumn("event_type", lit("tick")), ref)
+      .writeStream.format("memory").queryName("alert_out")
+      .outputMode("append").start()
+    try {
+      // hour 10: 4 events (> 2*1.5 → alert); hour 11: 2 events (no alert)
+      ms.addData(Ev(1, ts(10, 1), 1, 1.0), Ev(2, ts(10, 2), 1, 1.0),
+        Ev(3, ts(10, 10), 1, 1.0), Ev(4, ts(10, 30), 1, 1.0),
+        Ev(5, ts(11, 5), 1, 1.0), Ev(6, ts(11, 6), 1, 1.0))
+      q.processAllAvailable()
+      // advance the watermark past hour 11 so both windows finalize
+      ms.addData(Ev(7, ts(14), 1, 1.0))
+      q.processAllAvailable()
+      val alerts = spark.table("alert_out")
+        .as[(String, Timestamp, Long, Double)].collect()
+      assert(alerts.toSeq === Seq(("tick", ts(10), 4L, 1.5)),
+        s"got ${alerts.toSeq}")
+    } finally q.stop()
+  }
+
   test("T2/T4 transforms produce identical results in batch re-runs") {
     // determinism: the same StreamOps transform over the same input is
     // stable run to run (required for idempotent micro-batch re-execution).
