@@ -582,6 +582,60 @@ object Relational {
           (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
     }),
 
+    // Kruskal–Wallis H across ALL event types — the k-group nonparametric
+    // ANOVA completing the rank family (stat_ttest: 2-group parametric,
+    // stat_auc: 2-group rank): does `value` distribute identically across
+    // the five event populations? Same doubled-midrank value spine as
+    // stat_auc (2·mr integer-exact, per-group rank sums in exact
+    // DECIMAL); the H statistic and its tie-corrected form close in IEEE
+    // on operands derived from those exact integers, with the 5 per-group
+    // terms and per-value tie terms quantized to DECIMAL(38,6) before
+    // summing so the fold is partition-order-free. Spine/domain-bounded
+    // throughout — the group table is |event types| rows.
+    "stat_kruskal" -> ((s, d) => {
+      val d19 = DecimalType(19, 0)
+      val gv = events(s, d)
+        .select(col("event_type").as("grp"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        .groupBy("grp", "v").agg(count(lit(1)).as("cg"))
+      val spine = gv.groupBy("v").agg(sum("cg").as("cnt"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val mr = spine
+        .withColumn("below", coalesce(sum("cnt").over(w), lit(0L)))
+        .select(col("v"), col("cnt"),
+          (lit(2) * col("below") + col("cnt") + 1).as("mr2"))
+      val perGroup = gv.join(mr.select("v", "mr2"), Seq("v"))
+        .groupBy("grp")
+        .agg(sum("cg").as("ni"),
+          sum(col("cg").cast(d19) * col("mr2").cast(d19)).as("r2i"))
+      val r2d = col("r2i").cast("double"); val nid = col("ni").cast("double")
+      // the 5 per-group terms fold in GROUP-NAME order (collect + sorted
+      // sequential fold, the text_fingerprint pattern) — a decimal
+      // quantization of these ~1e12-magnitude doubles is NOT portable
+      // (the scaled value exceeds 2^53, caught at sf0.01), but an
+      // ordered IEEE fold of identical operands is bit-exact
+      val sums = perGroup
+        .select(col("ni"),
+          struct(col("grp"), (r2d * r2d / (lit(4.0) * nid)).as("term"))
+            .as("gt"))
+        .agg(sum("ni").as("n"), count(lit(1)).as("k"),
+          aggregate(array_sort(collect_list(col("gt"))), lit(0.0),
+            (acc, x) => acc + x.getField("term")).as("srn"))
+      // tie terms t³−t are exact LONGS (documented bound: per-value tie
+      // count < 2·10⁶ keeps t³ in range; shard hotter domains) summed in
+      // exact DECIMAL — no float surface at all
+      val ties = mr
+        .agg(sum((col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+          .cast(DecimalType(38, 0))).as("t3t"))
+      val nd = col("n").cast("double")
+      val h = lit(12.0) / (nd * (nd + 1)) * col("srn").cast("double") -
+        lit(3.0) * (nd + 1)
+      val c = lit(1.0) - col("t3t").cast("double") / (nd * nd * nd - nd)
+      sums.crossJoin(ties) // two 1-row aggregates
+        .select(col("n").as("n_total"), col("k").as("n_groups"),
+          h.as("h"), (h / c).as("h_tie_corrected"))
+    }),
+
     // Autocorrelation of the daily-revenue series at lags 1, 2 and 7 —
     // the seasonality screen behind ts_anomaly's day-of-week model (a
     // high acf₇ is what justifies it). The fact table collapses to the
@@ -1894,6 +1948,42 @@ object Relational {
         |      CAST(n_pos + 1 AS DECIMAL(19,0)) AS DOUBLE) /
         |    (2.0 * n_pos * n_neg) AS auc
         |FROM a""".stripMargin,
+    "stat_kruskal" ->
+      """WITH gv AS (
+        |  SELECT event_type AS grp,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v, count(*) AS cg
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (SELECT v, CAST(sum(cg) AS BIGINT) AS cnt
+        |  FROM gv GROUP BY 1),
+        |mr AS (SELECT v, cnt,
+        |    2 * coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + cnt + 1 AS mr2
+        |  FROM spine),
+        |pg AS (
+        |  SELECT grp, CAST(sum(cg) AS BIGINT) AS ni,
+        |    sum(CAST(cg AS DECIMAL(19,0)) * CAST(mr2 AS DECIMAL(19,0)))
+        |      AS r2i
+        |  FROM gv JOIN mr USING (v) GROUP BY 1),
+        |sums AS (
+        |  SELECT CAST(sum(ni) AS BIGINT) AS n, count(*) AS k,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      array_agg(CAST(r2i AS DOUBLE) * CAST(r2i AS DOUBLE) /
+        |        (4.0 * ni) ORDER BY grp)),
+        |      (a, b) -> a + b) AS srn
+        |  FROM pg),
+        |ties AS (
+        |  SELECT sum(CAST(cnt * cnt * cnt - cnt AS DECIMAL(38,0))) AS t3t
+        |  FROM mr),
+        |z AS (
+        |  SELECT n, k,
+        |    12.0 / (CAST(n AS DOUBLE) * (n + 1)) * CAST(srn AS DOUBLE) -
+        |      3.0 * (CAST(n AS DOUBLE) + 1) AS h,
+        |    1.0 - CAST(t3t AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * n * n - n) AS c
+        |  FROM sums, ties)
+        |SELECT n AS n_total, k AS n_groups, h, h / c AS h_tie_corrected
+        |FROM z""".stripMargin,
     "ts_acf" ->
       """WITH daily AS (
         |  SELECT CAST(l_shipdate AS DATE) AS day,

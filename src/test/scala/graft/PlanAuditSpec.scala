@@ -135,7 +135,10 @@ class PlanAuditSpec extends SparkSpec {
     // bound); the seasonal window partitions by dow
     "ts_seasonal_decompose" -> Set("GlobalWindow"),
     // lag-7 alignment over the per-day pre-aggregate (the ts_acf bound)
-    "ts_forecast_naive" -> Set("GlobalWindow")
+    "ts_forecast_naive" -> Set("GlobalWindow"),
+    // midrank cum-count over the value spine (stat_auc's bound) + the
+    // 1-row group-sums × 1-row tie-correction cross (funnel shape)
+    "stat_kruskal" -> Set("GlobalWindow", "BroadcastNestedLoopJoin")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {

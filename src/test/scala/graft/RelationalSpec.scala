@@ -568,6 +568,35 @@ class RelationalSpec extends SparkSpec {
       assert(rows.map(_._5).distinct.length === 1, s"dow $dow") }
   }
 
+  test("stat_kruskal: H matches the textbook midrank computation (D30)") {
+    val Array((n, k, h, hc)) =
+      ops.Relational.queries("stat_kruskal")(spark, sf0001)
+        .as[(Long, Long, Double, Double)].collect()
+    val rows = Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .as[(String, Long)].collect()
+    assert(n === rows.length.toLong)
+    assert(k === rows.map(_._1).distinct.length.toLong)
+    // textbook midranks over the pooled sample
+    val sorted = rows.map(_._2).sorted
+    val rankOf = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> (xs.map(_._2 + 1).sum.toDouble / xs.length) }
+    val byGroup = rows.groupBy(_._1)
+    val srn = byGroup.values.map { g =>
+      val r = g.map(x => rankOf(x._2)).sum
+      r * r / g.length
+    }.sum
+    val nd = n.toDouble
+    val hRef = 12.0 / (nd * (nd + 1)) * srn - 3 * (nd + 1)
+    assert(math.abs(h - hRef) < 1e-6, s"$h vs $hRef")
+    val tieSum = rows.map(_._2).groupBy(identity).values
+      .map { t => val td = t.length.toDouble; td * td * td - td }.sum
+    val cRef = 1.0 - tieSum / (nd * nd * nd - nd)
+    assert(math.abs(hc - hRef / cRef) < 1e-6)
+    assert(h >= 0.0 && hc >= h - 1e-12, "tie correction inflates H")
+  }
+
   test("ts_forecast_naive: MAPE/bias reproduce the driver-side " +
     "seasonal-naive walk (D29)") {
     val Array((n, mape, bias)) =
