@@ -271,6 +271,29 @@ object Curation {
         .orderBy("source")
     }),
 
+    // Class-balanced downsampling: every label keeps exactly min-class-
+    // count members — the balanced-training-set prep that prevents a
+    // majority class from dominating a classifier. Selection is
+    // content-stable (h60 hash rank, sample_hash's property: re-runs and
+    // re-partitions pick the SAME rows, no RNG state), per-label windows
+    // only; the min count is a 1-row broadcast scalar (model-parameter
+    // shape). At 100 TB the per-label window sorts only within each
+    // label's partition slice — the quota machinery of sample_quota with
+    // a data-derived cap.
+    "sample_balanced" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val m = emb.groupBy("label").agg(count(lit(1)).as("n"))
+        .agg(min("n").as("m"))
+      emb
+        .withColumn("hk", graft.ops.h60(concat(lit("bal"), col("vec_id"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("label").orderBy("hk", "vec_id")).cast("long"))
+        .crossJoin(broadcast(m)) // 1-row scalar cap
+        .filter(col("rn") <= col("m"))
+        .select(col("vec_id"), col("label"), col("rn"))
+        .orderBy("label", "rn")
+    }),
+
     // Mixture-concentration monitor: how unequal is the source mix — the
     // dataset-card reading a rebalance decision (mix_resample /
     // mix_temperature) starts from. Four standard concentration measures
@@ -582,6 +605,17 @@ object Curation {
         |  round(sq / z, 6) AS w_t2,
         |  CAST(floor(sq / z * total + 0.5) AS BIGINT) AS n_target
         |FROM z ORDER BY source""".stripMargin,
+    "sample_balanced" ->
+      s"""WITH n AS (SELECT label, count(*) AS n FROM embeddings
+        |  GROUP BY 1),
+        |m AS (SELECT min(n) AS m FROM n),
+        |r AS (SELECT vec_id, label,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY ${dH60("'bal' || CAST(vec_id AS VARCHAR)")}, vec_id)
+        |      AS rn
+        |  FROM embeddings)
+        |SELECT vec_id, label, CAST(rn AS BIGINT) AS rn
+        |FROM r, m WHERE rn <= m ORDER BY label, rn""".stripMargin,
     "mix_concentration" ->
       """WITH src AS (SELECT source, count(*) AS n FROM documents
         |  GROUP BY 1),

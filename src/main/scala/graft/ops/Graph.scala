@@ -323,6 +323,36 @@ object Graph {
       triangleCounts(edges).orderBy("doc_id")
     }),
 
+    // Quality-aware cluster representative selection: dedup_cc keeps the
+    // MIN-ID member of each near-dup cluster — fine for determinism, but
+    // a real curation pipeline keeps the BEST copy (highest quality
+    // score; a cluster of a clean original plus truncated/mangled scrapes
+    // should keep the original). Same connected components, then one
+    // max_by per cluster on (quality, smallest-id tiebreak) — the argmax
+    // is a single-row-state hash aggregate, no per-cluster sort. Quality
+    // comparisons are IEEE on identical exact-ratio operands, so the
+    // winner can't flip cross-engine; ties (identical dup texts!) fall to
+    // the id.
+    "dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = TextSim.minhashPairs(docs)
+        .select(col("ia").as("src"), col("ib").as("dst"))
+      val lab = connectedComponents(docs.select("doc_id"), edges)
+      val tk = split(lower(col("text")), " ")
+      val q = least(size(tk).cast("double") / 100.0, lit(1.0)) *
+        (lit(1.0) - regexp_count(lower(col("text")), lit("[^a-z0-9 ]"))
+          .cast("double") / length(col("text")))
+      val scored = docs.select(col("doc_id"), q.as("q"))
+        .join(lab, Seq("doc_id"))
+      val best = scored.groupBy("comp")
+        .agg(max_by(col("doc_id"), struct(col("q"), -col("doc_id")))
+          .as("best_id"))
+      scored.join(best, Seq("comp"))
+        .select(col("doc_id"), col("comp"), round(col("q"), 6).as("quality"),
+          (col("doc_id") === col("best_id")).cast("int").as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // k-core decomposition (k=2, 3 fixed peel rounds) over the LSH
     // candidate graph: repeatedly drop vertices with degree < k and
     // re-count — survivors are the DENSE dup families (a 2-core member
@@ -476,6 +506,32 @@ object Graph {
         |  count(*) OVER (PARTITION BY comp) AS comp_size,
         |  CAST(doc_id = comp AS INT) AS kept
         |FROM lab ORDER BY doc_id""".stripMargin,
+    // Same reachability CTE as dedup_cc; the keeper is row 1 of the
+    // per-cluster (quality DESC, doc_id) order — identical to max_by on
+    // the (q, −id) struct.
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE
+        |${TextSim.dMinhashCte},
+        |edges AS (SELECT ia AS src, ib AS dst FROM pairs
+        |  UNION SELECT ib, ia FROM pairs),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT w.doc_id, e.dst AS r FROM reach w
+        |  JOIN edges e ON w.r = e.src),
+        |lab AS (SELECT doc_id, min(r) AS comp FROM reach GROUP BY 1),
+        |q AS (SELECT doc_id,
+        |    least(CAST(len($dToks) AS DOUBLE) / 100.0, 1.0) *
+        |    (1.0 - CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+        |      AS DOUBLE) / length(text)) AS q
+        |  FROM documents),
+        |sc AS (SELECT lab.doc_id, comp, q FROM lab JOIN q USING (doc_id)),
+        |r AS (SELECT *, row_number() OVER
+        |    (PARTITION BY comp ORDER BY q DESC, doc_id) AS rn
+        |  FROM sc)
+        |SELECT doc_id, comp, round(q, 6) AS quality,
+        |  CAST(rn = 1 AS INT) AS kept
+        |FROM r ORDER BY doc_id""".stripMargin,
     // Unrolled 3-round peel mirror; HAVING >= 2 is the degree filter,
     // the double join the edge restriction to surviving endpoints.
     "graph_core" -> {

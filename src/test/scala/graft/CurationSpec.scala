@@ -214,6 +214,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("sample_balanced: every label keeps exactly the minority count, " +
+    "selection is content-stable (L81)") {
+    val res = ops.Curation.queries("sample_balanced")(spark, sf0001)
+      .as[(Long, Int, Long)].collect()
+    val counts = Tables.embeddings(spark, sf0001)
+      .groupBy("label").count().as[(Int, Long)].collect().toMap
+    val m = counts.values.min
+    val byLabel = res.groupBy(_._2)
+    assert(byLabel.keySet === counts.keySet, "every label survives")
+    byLabel.foreach { case (lbl, rows) =>
+      assert(rows.length.toLong === m, s"label $lbl quota")
+      assert(rows.map(_._3).sorted.toSeq === (1L to m), s"label $lbl ranks")
+    }
+    // content-stable: a second run picks the identical rows
+    val again = ops.Curation.queries("sample_balanced")(spark, sf0001)
+      .as[(Long, Int, Long)].collect()
+    assert(res.sortBy(r => (r._2, r._3)).toSeq ===
+      again.sortBy(r => (r._2, r._3)).toSeq)
+  }
+
   test("mix_concentration: measures match the brute-force share walk and " +
     "sit in their theoretical ranges (L75)") {
     val Array((k, nDocs, gini, ent, hhi, top1)) =

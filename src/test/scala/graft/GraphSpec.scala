@@ -198,4 +198,29 @@ class GraphSpec extends SparkSpec {
       .map { case (v, es) => v -> es.size }
     res.keys.foreach(v => assert(rawDeg(v) >= 2, s"vertex $v"))
   }
+
+  test("dedup_keep_best: exactly one keeper per cluster, and it is the " +
+    "argmax-quality member (smallest id on ties) (L80)") {
+    val res = ops.Graph.queries("dedup_keep_best")(spark, sf0001)
+      .as[(Long, Long, Double, Int)].collect()
+    val cc = ops.Graph.queries("dedup_cc")(spark, sf0001)
+      .select("doc_id", "comp").as[(Long, Long)].collect().toMap
+    assert(res.map(_._1).toSet === cc.keySet, "covers every document")
+    res.foreach { case (id, comp, _, _) => assert(comp === cc(id)) }
+    res.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.count(_._4 == 1) === 1, s"cluster $comp keepers")
+      val keeper = members.find(_._4 == 1).get
+      val bestQ = members.map(_._3).max
+      assert(keeper._3 === bestQ, s"cluster $comp keeps max quality")
+      val tied = members.filter(_._3 == bestQ)
+      assert(keeper._1 === tied.map(_._1).min,
+        s"cluster $comp tie falls to smallest id")
+    }
+    // somewhere the best copy must NOT be the min-id member, or this
+    // operator would be indistinguishable from dedup_cc's policy
+    val ccKeepers = res.filter(r => r._1 === r._2).map(_._1).toSet
+    val bestKeepers = res.filter(_._4 == 1).map(_._1).toSet
+    assert(bestKeepers !== ccKeepers,
+      "corpus must exercise a non-min-id best pick")
+  }
 }

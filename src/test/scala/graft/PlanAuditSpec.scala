@@ -138,7 +138,10 @@ class PlanAuditSpec extends SparkSpec {
     "ts_forecast_naive" -> Set("GlobalWindow"),
     // midrank cum-count over the value spine (stat_auc's bound) + the
     // 1-row group-sums × 1-row tie-correction cross (funnel shape)
-    "stat_kruskal" -> Set("GlobalWindow", "BroadcastNestedLoopJoin")
+    "stat_kruskal" -> Set("GlobalWindow", "BroadcastNestedLoopJoin"),
+    // 1-row broadcast min-class-count cap crossed into the ranked rows
+    // (the agg_histogram model-parameter shape)
+    "sample_balanced" -> Set("BroadcastNestedLoopJoin")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {
