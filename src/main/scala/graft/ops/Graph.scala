@@ -272,6 +272,30 @@ object Graph {
       .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Shared DuckDB CTE: the customer–supplier bipartite graph's symmetric
+    * edge list `e` and the 3-round unrolled synchronous LPA labels `l3`
+    * (most-frequent neighbor label, ties to the smallest) — the exact
+    * mirror of [[labelPropagate]] over the queries' edge base. Used by the
+    * graph_label_prop and graph_modularity oracles.
+    */
+  private def dLpaCte: String = {
+    def round(k: Int) =
+      s"""l$k AS (SELECT id, lbl FROM (
+        |  SELECT e.src AS id, l.lbl, count(*) AS c,
+        |    row_number() OVER (PARTITION BY e.src
+        |      ORDER BY count(*) DESC, l.lbl) AS rn
+        |  FROM e JOIN l${k - 1} l ON e.dst = l.id
+        |  GROUP BY e.src, l.lbl) WHERE rn = 1)""".stripMargin
+    s"""e0 AS (SELECT DISTINCT o_custkey AS src,
+      |    1000000000 + l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+      |${round(1)},
+      |${round(2)},
+      |${round(3)}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cluster-level dedup: connected components over the MinHash/LSH
     // candidate-pair graph (TextSim.minhashPairs, est_sim >= 0.5). Every
@@ -451,6 +475,47 @@ object Graph {
         .orderBy("id")
     }),
 
+    // Modularity of the LPA communities — the one-number evaluation of
+    // graph_label_prop's clustering (is the partition better than random
+    // given the degree sequence?), the graph twin of dedup_minhash_eval's
+    // precision/recall. Newman's Q = Σ_c(e_c/m − (d_c/2m)²) computed as
+    // intra2/2m÷... both aggregate sums are EXACT integers — intra-edge
+    // count and Σd_c² (DECIMAL products) — so Q closes in two IEEE
+    // divisions and one subtraction on identical operands; no per-term
+    // float sum to order. Shapes: two label joins onto the edge list
+    // (linear in ¦E¦), a degree aggregate, and three 1-row scalars
+    // crossed (the funnel shape).
+    "graph_modularity" -> ((s, d) => {
+      val edges0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(1000000000L) + col("l_suppkey")).as("dst"))
+        .distinct()
+      val sym = edges0
+        .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      val lab = labelPropagate(sym, 3)
+      val wl = sym
+        .join(lab.select(col("id").as("src"), col("lbl").as("ls")), "src")
+        .join(lab.select(col("id").as("dst"), col("lbl").as("ld")), "dst")
+      val tot = wl.agg(count(lit(1)).as("m2"),
+        sum(when(col("ls") === col("ld"), 1L).otherwise(0L)).as("intra2"))
+      val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val s2 = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+        .join(lab.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy("lbl").agg(sum("deg").as("dc"))
+        .agg(sum(col("dc").cast(d19) * col("dc").cast(d19)).as("sd2"),
+          count(lit(1)).as("n_comm"))
+      val n = lab.agg(count(lit(1)).as("n_nodes"))
+      val m2d = col("m2").cast("double")
+      tot.crossJoin(s2).crossJoin(n) // three 1-row aggregates
+        .select(col("n_nodes"), col("n_comm"),
+          expr("m2 div 2").as("m"),
+          (col("intra2").cast("double") / m2d -
+            col("sd2").cast("double") / (m2d * m2d)).as("modularity"))
+    }),
+
     // Multi-source BFS: minimum hop distance from a seed set, 4 unrolled
     // rounds — the reachability primitive behind "everything within k
     // links of a flagged account" investigations and neighborhood-bounded
@@ -613,29 +678,35 @@ object Graph {
     // Unrolled 3-round mirror of the synchronous label propagation: each
     // round is the same grouped neighbor-label count with the identical
     // (count DESC, label ASC) deterministic argmax.
-    "graph_label_prop" -> {
-      def round(k: Int) =
-        s"""l$k AS (SELECT id, lbl FROM (
-          |  SELECT e.src AS id, l.lbl, count(*) AS c,
-          |    row_number() OVER (PARTITION BY e.src
-          |      ORDER BY count(*) DESC, l.lbl) AS rn
-          |  FROM e JOIN l${k - 1} l ON e.dst = l.id
-          |  GROUP BY e.src, l.lbl) WHERE rn = 1)""".stripMargin
-      s"""WITH e0 AS (SELECT DISTINCT o_custkey AS src,
-        |    1000000000 + l_suppkey AS dst
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
-        |${round(1)},
-        |${round(2)},
-        |${round(3)}
+    "graph_label_prop" ->
+      s"""WITH $dLpaCte
         |SELECT id,
         |  CASE WHEN id >= 1000000000 THEN 'supplier' ELSE 'customer' END
         |    AS kind,
         |  lbl AS community,
         |  count(*) OVER (PARTITION BY lbl) AS comm_size
-        |FROM l3 ORDER BY id""".stripMargin
-    },
+        |FROM l3 ORDER BY id""".stripMargin,
+    // Modularity over the same unrolled-LPA communities: the two sums
+    // close from exact integers (see the query's scaladoc).
+    "graph_modularity" ->
+      s"""WITH $dLpaCte,
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |wl AS (SELECT a.lbl AS ls, b.lbl AS ld
+        |  FROM e JOIN l3 a ON e.src = a.id JOIN l3 b ON e.dst = b.id),
+        |tot AS (SELECT count(*) AS m2,
+        |    CAST(sum(CASE WHEN ls = ld THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS intra2
+        |  FROM wl),
+        |ds AS (SELECT lbl, CAST(sum(deg) AS BIGINT) AS dc
+        |  FROM deg JOIN l3 ON src = id GROUP BY 1),
+        |s2 AS (SELECT sum(CAST(dc AS DECIMAL(19,0)) *
+        |    CAST(dc AS DECIMAL(19,0))) AS sd2, count(*) AS n_comm
+        |  FROM ds),
+        |n AS (SELECT count(*) AS n_nodes FROM l3)
+        |SELECT n_nodes, n_comm, m2 // 2 AS m,
+        |  CAST(intra2 AS DOUBLE) / m2 -
+        |    CAST(sd2 AS DOUBLE) / (CAST(m2 AS DOUBLE) * m2) AS modularity
+        |FROM tot, s2, n""".stripMargin,
     // Unrolled 4-round mirror of the BFS min-hop propagation — pure
     // integer arithmetic, exact.
     "graph_bfs" -> {

@@ -199,6 +199,33 @@ class GraphSpec extends SparkSpec {
     res.keys.foreach(v => assert(rawDeg(v) >= 2, s"vertex $v"))
   }
 
+  test("graph_modularity: Q matches the brute-force Newman computation " +
+    "over the LPA labels (L82)") {
+    val Array((nNodes, nComm, m, q)) =
+      ops.Graph.queries("graph_modularity")(spark, sf0001)
+        .as[(Long, Long, Long, Double)].collect()
+    val labels = ops.Graph.queries("graph_label_prop")(spark, sf0001)
+      .select("id", "community").as[(Long, Long)].collect().toMap
+    val edges = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, sf0001).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(1000000000L) + col("l_suppkey")).as("dst"))
+      .distinct().as[(Long, Long)].collect()
+    assert(nNodes === labels.size.toLong && m === edges.length.toLong)
+    assert(nComm === labels.values.toSet.size.toLong)
+    val sym = edges ++ edges.map(_.swap)
+    val m2 = sym.length.toDouble
+    val intra = sym.count { case (a, b) => labels(a) == labels(b) }
+    val degByNode = sym.groupBy(_._1).map { case (v, es) => v -> es.size }
+    val dc = degByNode.toSeq.groupBy { case (v, _) => labels(v) }
+      .map { case (_, vs) => vs.map(_._2.toLong).sum }
+    val qRef = intra / m2 - dc.map(d => d.toDouble * d).sum / (m2 * m2)
+    assert(math.abs(q - qRef) < 1e-9, s"$q vs $qRef")
+    assert(q >= -0.5 && q <= 1.0)
+  }
+
   test("dedup_keep_best: exactly one keeper per cluster, and it is the " +
     "argmax-quality member (smallest id on ties) (L80)") {
     val res = ops.Graph.queries("dedup_keep_best")(spark, sf0001)

@@ -141,7 +141,10 @@ class PlanAuditSpec extends SparkSpec {
     "stat_kruskal" -> Set("GlobalWindow", "BroadcastNestedLoopJoin"),
     // 1-row broadcast min-class-count cap crossed into the ranked rows
     // (the agg_histogram model-parameter shape)
-    "sample_balanced" -> Set("BroadcastNestedLoopJoin")
+    "sample_balanced" -> Set("BroadcastNestedLoopJoin"),
+    // three 1-row scalar aggregates crossed (edge totals × degree moments
+    // × node count — the funnel_conversion stage-total shape)
+    "graph_modularity" -> Set("BroadcastNestedLoopJoin")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {
