@@ -802,6 +802,49 @@ object Relational {
         .orderBy("day")
     }),
 
+    // Value-reconciliation audit — the consistency sibling of
+    // dq_referential's existence checks: does a STORED value equal the
+    // value RECOMPUTED from its source-of-truth? Two panels: (a) the
+    // documents table's n_chars metadata vs length(text) — intact in this
+    // lake, and (b) orders.o_totalprice vs the lineitem-derived
+    // Σ price·(1−disc)·(1+tax) — which this lake does NOT maintain, and
+    // the audit's job is to SAY so (match_rate 0), not to assume it.
+    // Shapes: one map-side projection and one keyed join + exactSum
+    // aggregate; per-check rollups are 1-row. Determinism: panel (a) is
+    // pure integers; panel (b)'s per-line terms are identical IEEE
+    // products quantized by exactSum (term·10⁸ ≪ 2⁵³ — inside the
+    // portable-cast range, unlike the stat_kruskal magnitudes), diffs
+    // compared at a 1-cent tolerance.
+    "dq_reconcile" -> ((s, d) => {
+      val docsPanel = documents(s, d)
+        .select((col("n_chars") - length(col("text"))).as("diff"))
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("diff") === 0, 1L).otherwise(0L)).as("n_match"),
+          max(abs(col("diff"))).cast("double").as("max_abs_diff"))
+        .select(lit("documents.n_chars=len(text)").as("chk"),
+          col("n_checked"), col("n_match"),
+          (col("n_match").cast("double") / col("n_checked"))
+            .as("match_rate"),
+          col("max_abs_diff"))
+      val derived = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(round(exactSum(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2)
+          .cast("double").as("derived"))
+      val ordersPanel = orders(s, d)
+        .join(derived, col("o_orderkey") === col("l_orderkey"))
+        .select(abs(col("derived") - col("o_totalprice")).as("ad"))
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("ad") <= 0.01, 1L).otherwise(0L)).as("n_match"),
+          round(max(col("ad")), 2).as("max_abs_diff"))
+        .select(lit("orders.total=sum(lineitem)").as("chk"),
+          col("n_checked"), col("n_match"),
+          (col("n_match").cast("double") / col("n_checked"))
+            .as("match_rate"),
+          col("max_abs_diff"))
+      docsPanel.union(ordersPanel).orderBy("chk")
+    }),
+
     // Referential-integrity audit: orphan rate per FK edge (lineitem→
     // orders, orders→customer) — the relationship-level gate beside
     // dq_rule_check's column-level one; a nonzero orphan rate is how a
@@ -2094,6 +2137,31 @@ object Relational {
         |    CAST(seas_num AS DOUBLE) / (CAST(n_dow AS DOUBLE) * 700.0)
         |    AS residual
         |FROM g ORDER BY day""".stripMargin,
+    "dq_reconcile" ->
+      """WITH dp AS (
+        |  SELECT 'documents.n_chars=len(text)' AS chk,
+        |    count(*) AS n_checked,
+        |    CAST(sum(CASE WHEN n_chars - length(text) = 0 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_match,
+        |    CAST(max(abs(n_chars - length(text))) AS DOUBLE)
+        |      AS max_abs_diff
+        |  FROM documents),
+        |der AS (
+        |  SELECT l_orderkey,
+        |    CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) *
+        |      (1.0 + l_tax) AS DECIMAL(30,8))), 2) AS DOUBLE) AS derived
+        |  FROM lineitem GROUP BY 1),
+        |op AS (
+        |  SELECT 'orders.total=sum(lineitem)' AS chk,
+        |    count(*) AS n_checked,
+        |    CAST(sum(CASE WHEN abs(derived - o_totalprice) <= 0.01 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n_match,
+        |    round(max(abs(derived - o_totalprice)), 2) AS max_abs_diff
+        |  FROM orders JOIN der ON o_orderkey = l_orderkey),
+        |u AS (SELECT * FROM dp UNION ALL SELECT * FROM op)
+        |SELECT chk, n_checked, n_match,
+        |  CAST(n_match AS DOUBLE) / n_checked AS match_rate, max_abs_diff
+        |FROM u ORDER BY chk""".stripMargin,
     "dq_referential" ->
       """WITH e1 AS (
         |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,

@@ -539,6 +539,27 @@ class RelationalSpec extends SparkSpec {
     assert(crippled > 0L, "dropping dim rows must create orphans")
   }
 
+  test("dq_reconcile: flags the broken edge and clears the intact one " +
+    "(L83)") {
+    val res = ops.Relational.queries("dq_reconcile")(spark, sf0001)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val docs = res("documents.n_chars=len(text)")
+    assert(docs._4 === 1.0 && docs._5 === 0.0,
+      "stored n_chars metadata is intact in this lake")
+    assert(docs._2 === Tables.documents(spark, sf0001).count())
+    val ord = res("orders.total=sum(lineitem)")
+    // the synthetic lake does NOT maintain the TPC-H price identity —
+    // the audit must REPORT that, not assume it
+    assert(ord._4 < 0.01, s"match_rate ${ord._4} should expose the break")
+    assert(ord._5 > 0.0)
+    // n_checked = orders that have lineitems (inner join semantics)
+    val withLines = Tables.orders(spark, sf0001)
+      .join(Tables.lineitem(spark, sf0001).select("l_orderkey").distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_semi").count()
+    assert(ord._2 === withLines)
+  }
+
   test("ts_seasonal_decompose: additive identity holds exactly, trend is " +
     "the centered 7-day mean, seasonal is constant per dow (D28)") {
     val res = ops.Relational
