@@ -271,6 +271,29 @@ object Curation {
         .orderBy("source")
     }),
 
+    // Token-budget mixture plan: mixtures are specified in TOKENS, not
+    // documents (a source of long documents over-contributes under a
+    // doc-count plan — L16/L33 quota machinery measures the wrong unit
+    // for an LLM token budget). Each source's keep fraction is
+    // B/T_source with B = the binding (smallest) source's token mass —
+    // the balanced-token plan; the sampler to execute it is sample_hash
+    // at rate f. One token-count aggregate (map-side combined), the min
+    // over the ¦sources¦ aggregate, raw IEEE ratios of exact longs.
+    "mix_token_budget" -> ((s, d) => {
+      val wAll = Window.partitionBy()
+      Tables.documents(s, d)
+        .select(col("source"), size(split(lower(col("text")), " "))
+          .cast("long").as("t"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"))
+        .withColumn("budget", min("n_tokens").over(wAll))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("budget").cast("double") / col("n_tokens")).as("keep_frac"),
+          floor(col("budget").cast("double") / col("n_tokens") *
+            col("n_docs") + 0.5).cast("long").as("est_docs"))
+        .orderBy("source")
+    }),
+
     // Class-balanced downsampling: every label keeps exactly min-class-
     // count members — the balanced-training-set prep that prevents a
     // majority class from dominating a classifier. Selection is
@@ -605,6 +628,17 @@ object Curation {
         |  round(sq / z, 6) AS w_t2,
         |  CAST(floor(sq / z * total + 0.5) AS BIGINT) AS n_target
         |FROM z ORDER BY source""".stripMargin,
+    "mix_token_budget" ->
+      s"""WITH st AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len($dToks)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |b AS (SELECT *, min(n_tokens) OVER () AS budget FROM st)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(budget AS DOUBLE) / n_tokens AS keep_frac,
+        |  CAST(floor(CAST(budget AS DOUBLE) / n_tokens * n_docs + 0.5)
+        |    AS BIGINT) AS est_docs
+        |FROM b ORDER BY source""".stripMargin,
     "sample_balanced" ->
       s"""WITH n AS (SELECT label, count(*) AS n FROM embeddings
         |  GROUP BY 1),

@@ -214,6 +214,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mix_token_budget: the binding source keeps everything, all " +
+    "sources land the same token mass (L84)") {
+    val res = ops.Curation.queries("mix_token_budget")(spark, sf0001)
+      .as[(String, Long, Long, Double, Long)].collect()
+    val budget = res.map(_._3).min
+    res.foreach { case (src, nDocs, nTok, f, est) =>
+      assert(f === budget.toDouble / nTok, src)
+      assert(f > 0.0 && f <= 1.0)
+      assert(est === math.floor(f * nDocs + 0.5).toLong, src)
+      // planned token mass per source == the budget (to rounding)
+      assert(math.abs(f * nTok - budget) < 1e-6, src)
+    }
+    assert(res.count(_._4 == 1.0) >= 1, "the binding source keeps all")
+    // brute-force token totals
+    val totals = Tables.documents(spark, sf0001)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+      .groupBy(_._1).map { case (s0, xs) =>
+        s0 -> xs.map(_._2.toLowerCase.split(" ", -1).length.toLong).sum }
+    res.foreach { case (src, _, nTok, _, _) =>
+      assert(nTok === totals(src), src) }
+  }
+
   test("sample_balanced: every label keeps exactly the minority count, " +
     "selection is content-stable (L81)") {
     val res = ops.Curation.queries("sample_balanced")(spark, sf0001)

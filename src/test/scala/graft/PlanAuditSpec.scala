@@ -144,7 +144,10 @@ class PlanAuditSpec extends SparkSpec {
     "sample_balanced" -> Set("BroadcastNestedLoopJoin"),
     // three 1-row scalar aggregates crossed (edge totals × degree moments
     // × node count — the funnel_conversion stage-total shape)
-    "graph_modularity" -> Set("BroadcastNestedLoopJoin")
+    "graph_modularity" -> Set("BroadcastNestedLoopJoin"),
+    // binding-source min over the |sources| aggregate (mix_temperature's
+    // domain bound)
+    "mix_token_budget" -> Set("GlobalWindow")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {
