@@ -41,7 +41,11 @@ object ScaleProbe {
     "agg_hll_rollup",
     // r9 third wave: the statistics/curation batch — AUC's value spine,
     // the wedge-expansion link scorer, the two join/explode-scaled DQ ops
-    "stat_auc", "graph_jaccard", "dq_referential", "text_blocklist")
+    "stat_auc", "graph_jaccard", "dq_referential", "text_blocklist",
+    // r9 fourth wave: the eval/keeper/peel family over the LSH graph and
+    // the reconciliation join
+    "dedup_minhash_eval", "dedup_keep_best", "graph_core",
+    "graph_modularity", "dq_reconcile")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -519,7 +519,12 @@ object TextSim {
     // truth), full-outer-joined on the pair key and collapsed to one
     // confusion row. Scale: the join is keyed on (ia, ib) — both sides
     // are candidate-bounded, never all-pairs; precision/recall are IEEE
-    // divisions of exact longs.
+    // divisions of exact longs. The TRUTH side costs what exact truth
+    // costs (it inherits dedup_ngram_jaccard's documented super-linearity
+    // on duplication-saturated corpora — 22.7× on the salted 10× decade);
+    // at 100 TB run the harness over a sample_hash slice of documents —
+    // precision/recall are ratio estimates, and hash sampling keeps both
+    // sides consistent on the same sub-corpus.
     "dedup_minhash_eval" -> ((s, d) => {
       val cand = minhashPairs(documents(s, d))
         .select(col("ia"), col("ib"), lit(1L).as("cin"))
