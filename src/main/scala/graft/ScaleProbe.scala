@@ -45,7 +45,7 @@ object ScaleProbe {
     // r9 fourth wave: the eval/keeper/peel family over the LSH graph and
     // the reconciliation join
     "dedup_minhash_eval", "dedup_keep_best", "graph_core",
-    "graph_modularity", "dq_reconcile")
+    "graph_modularity", "dq_reconcile", "dedup_minhash_eval_sampled")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -334,7 +334,11 @@ object TextSim {
     * universe by construction (no runtime knob to diverge on); tests pass
     * small taus here directly to exercise the guard on fixtures. */
   private[graft] def ngramJaccard(s: org.apache.spark.sql.SparkSession,
-      d: String, tau: Int): org.apache.spark.sql.DataFrame = {
+      d: String, tau: Int): org.apache.spark.sql.DataFrame =
+    ngramJaccardOf(documents(s, d), tau)
+
+  private[graft] def ngramJaccardOf(docs: org.apache.spark.sql.DataFrame,
+      tau: Int): org.apache.spark.sql.DataFrame = {
     // Per-doc sizes join onto the PAIR AGGREGATE output, planned by stats
     // (no hint): the pair table is orders of magnitude smaller than the
     // posting self-join input, so the two size lookups ride on cheap
@@ -345,7 +349,7 @@ object TextSim {
     // Joining sizes after the pair aggregate keeps the hot path skinny,
     // and with the packed pair key below the decade probe reads
     // 25.6s → 20.8s end-to-end.)
-    val sh = shingleRows(documents(s, d), 3)
+    val sh = shingleRows(docs, 3)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("df") <= tau)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -529,6 +533,33 @@ object TextSim {
       val cand = minhashPairs(documents(s, d))
         .select(col("ia"), col("ib"), lit(1L).as("cin"))
       val truth = ngramJaccard(s, d, StopShingleDfDefault)
+        .select(col("ia"), col("ib"), lit(1L).as("tin"))
+      cand.join(truth, Seq("ia", "ib"), "full_outer")
+        .agg(
+          sum(when(col("cin").isNotNull, 1L).otherwise(0L)).as("n_cand"),
+          sum(when(col("tin").isNotNull, 1L).otherwise(0L)).as("n_truth"),
+          sum(when(col("cin").isNotNull && col("tin").isNotNull, 1L)
+            .otherwise(0L)).as("tp"))
+        .select(col("n_cand"), col("n_truth"), col("tp"),
+          (col("n_cand") - col("tp")).as("fp"),
+          (col("n_truth") - col("tp")).as("fn"),
+          (col("tp").cast("double") / col("n_cand")).as("precision"),
+          (col("tp").cast("double") / col("n_truth")).as("recall"))
+    }),
+
+    // The eval harness's 100 TB form, executable: BOTH sides run over the
+    // SAME hash-sampled sub-corpus (h60 mod 4 == 0, ~25%), so the exact
+    // truth side's super-linear cost is paid on a controllable slice and
+    // the reported precision/recall are ratio estimates over it.
+    // Content-stable sampling (sample_hash's property) makes the estimate
+    // reproducible run-to-run; candidate and truth stay consistent
+    // because they see the identical documents.
+    "dedup_minhash_eval_sampled" -> ((s, d) => {
+      val sampled = documents(s, d)
+        .filter(pmod(h60(concat(lit("eval"), col("doc_id"))), lit(4)) === 0)
+      val cand = minhashPairs(sampled)
+        .select(col("ia"), col("ib"), lit(1L).as("cin"))
+      val truth = ngramJaccardOf(sampled, StopShingleDfDefault)
         .select(col("ia"), col("ib"), lit(1L).as("tin"))
       cand.join(truth, Seq("ia", "ib"), "full_outer")
         .agg(
@@ -1058,6 +1089,41 @@ object TextSim {
         |FROM base b LEFT JOIN h USING (doc_id) ORDER BY b.doc_id""".stripMargin,
     "dedup_minhash_eval" ->
       s"""WITH $dMinhashCte,
+        |e0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |e AS (SELECT doc_id, g FROM (
+        |  SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM e0)
+        |  WHERE df <= $StopShingleDfDefault),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT ia, ib FROM inter
+        |  JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+        |  WHERE round(CAST(inter AS DOUBLE) /
+        |    (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+        |u AS (
+        |  SELECT p.ia IS NOT NULL AS cin, t.ia IS NOT NULL AS tin
+        |  FROM (SELECT ia, ib FROM pairs) p
+        |  FULL OUTER JOIN truth t ON p.ia = t.ia AND p.ib = t.ib),
+        |m AS (
+        |  SELECT CAST(sum(CASE WHEN cin THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cand,
+        |    CAST(sum(CASE WHEN tin THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+        |    CAST(sum(CASE WHEN cin AND tin THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tp
+        |  FROM u)
+        |SELECT n_cand, n_truth, tp, n_cand - tp AS fp, n_truth - tp AS fn,
+        |  CAST(tp AS DOUBLE) / n_cand AS precision,
+        |  CAST(tp AS DOUBLE) / n_truth AS recall
+        |FROM m""".stripMargin,
+    // Same confusion mirror over the hash-sampled sub-corpus; h60 is
+    // nonnegative so plain % mirrors Spark's pmod.
+    "dedup_minhash_eval_sampled" ->
+      s"""WITH sdocs AS (SELECT * FROM documents
+        |  WHERE ${dH60("'eval' || CAST(doc_id AS VARCHAR)")} % 4 = 0),
+        |${dMinhashCteFrom("sdocs")},
         |e0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
         |e AS (SELECT doc_id, g FROM (
         |  SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM e0)

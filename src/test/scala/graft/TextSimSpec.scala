@@ -362,4 +362,29 @@ class TextSimSpec extends SparkSpec {
     // LSH banding at 16 perms should find most true near-dups here
     assert(rec > 0.5, s"recall $rec suspiciously low")
   }
+
+  test("dedup_minhash_eval_sampled: the sampled harness is a consistent " +
+    "sub-corpus restriction of the full one (L79 scale path)") {
+    val Array((nc, nt, tp, fp, fn, prec, rec)) =
+      ops.TextSim.queries("dedup_minhash_eval_sampled")(spark, sf0001)
+        .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    val Array((fnc, fnt, _, _, _, _, _)) =
+      ops.TextSim.queries("dedup_minhash_eval")(spark, sf0001)
+        .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(nc <= fnc && nt <= fnt, "a sub-corpus can only shrink both sides")
+    assert(nc > 0 && nt > 0, "the 25% sample must retain some dup pairs")
+    assert(tp + fp === nc && tp + fn === nt)
+    assert(prec === tp.toDouble / nc && rec === tp.toDouble / nt)
+    // both endpoints of every counted pair are inside the sample
+    val inSample = Tables.documents(spark, sf0001)
+      .filter(pmod(ops.h60(concat(lit("eval"), col("doc_id"))), lit(4)) === 0)
+      .select("doc_id").as[Long].collect().toSet
+    val cand = ops.TextSim.minhashPairs(Tables.documents(spark, sf0001)
+        .filter(pmod(ops.h60(concat(lit("eval"), col("doc_id"))),
+          lit(4)) === 0))
+      .select("ia", "ib").as[(Long, Long)].collect()
+    assert(cand.length.toLong === nc)
+    cand.foreach { case (a, b) =>
+      assert(inSample(a) && inSample(b)) }
+  }
 }
