@@ -173,6 +173,52 @@ object Joins {
         .orderBy("err_id")
     }),
 
+    // KEYLESS interval join via BIN BUCKETING — the range-join shape
+    // Spark genuinely lacks (no equi key anywhere: a naive spelling plans
+    // BroadcastNestedLoopJoin, and when BOTH sides scale with data that's
+    // quadratic death — join_range above dodges it only because user_id
+    // keys the shuffle). Decomposition: each interval EXPLODES to the
+    // hour bins it overlaps (sequence() — intervals here span ≤3 bins),
+    // each point maps to its one bin, the join becomes a plain equi join
+    // ON BIN, and an exact containment filter + pair-key distinct remove
+    // bin-duplicate matches. Cost: |intervals|·bins_per_interval +
+    // |points| shuffled on a uniform bin key — linear, AQE-replannable,
+    // no nested loop. Intervals = rate-alert windows widened to
+    // [start−30min, start+90min) (both sides data-scaled); points =
+    // purchases; result: per purchase, how many alert envelopes covered
+    // it (0 via left join).
+    "join_interval_bin" -> ((s, d) => {
+      val ev = events(s, d)
+      val ref = ev.groupBy("event_type")
+        .agg((count(lit(1)).cast("double") /
+          countDistinct(date_trunc("hour", col("ts")))).as("avg_hourly"))
+      val alerts = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .join(ref, Seq("event_type"))
+        .filter(col("n").cast("double") > lit(2.0) * col("avg_hourly"))
+        .select(col("event_type").as("alert_type"),
+          (unix_micros(col("h")) - 1800000000L).as("lo"),
+          (unix_micros(col("h")) + 5400000000L).as("hi"))
+      val HourUs = 3600000000L
+      val binned = alerts
+        .withColumn("bin", explode(sequence(
+          floor(col("lo") / HourUs), floor((col("hi") - 1) / HourUs))))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), unix_micros(col("ts")).as("t"),
+          floor(unix_micros(col("ts")) / HourUs).as("bin"))
+      purchases
+        .join(binned, Seq("bin"), "left_outer")
+        .withColumn("hit",
+          when(col("t") >= col("lo") && col("t") < col("hi"), 1L)
+            .otherwise(0L))
+        // a purchase can match one envelope through only its own bin, but
+        // distinct alert envelopes may overlap — count DISTINCT envelopes
+        .groupBy("event_id")
+        .agg(sum("hit").as("n_covering_alerts"))
+        .orderBy("event_id")
+    }),
+
     // L24 skew-mitigation join, oracle-checked: lineitem keyed on
     // l_returnflag is the worst-case hot-key layout — 3 distinct keys over
     // the whole fact table, so a plain shuffle join lands EVERYTHING on 3
@@ -905,6 +951,26 @@ object Joins {
         |  AND b.event_type = 'click' AND b.tsm < a.tsm
         |WHERE a.event_type = 'error'
         |GROUP BY 1,2 ORDER BY 1""".stripMargin,
+    // The oracle spells the DIRECT keyless range join (fine at oracle
+    // scale) — the engine's binned decomposition must reproduce it.
+    "join_interval_bin" ->
+      """WITH ref AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) /
+        |      count(DISTINCT date_trunc('hour', ts)) AS avg_hourly
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |al AS (
+        |  SELECT w.event_type AS alert_type,
+        |    epoch_us(h) - 1800000000 AS lo, epoch_us(h) + 5400000000 AS hi
+        |  FROM w JOIN ref USING (event_type)
+        |  WHERE CAST(n AS DOUBLE) > 2.0 * avg_hourly),
+        |p AS (SELECT event_id, epoch_us(ts) AS t FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT event_id, count(lo) AS n_covering_alerts
+        |FROM p LEFT JOIN al ON t >= lo AND t < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_range" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |date_trunc('milliseconds', ts) AS tsm FROM events)

@@ -539,6 +539,36 @@ class RelationalSpec extends SparkSpec {
     assert(crippled > 0L, "dropping dim rows must create orphans")
   }
 
+  test("join_interval_bin: the keyless interval join plans as equi joins " +
+    "only — no nested loop — and matches the direct-join walk (C+)") {
+    val q = ops.Joins.queries("join_interval_bin")(spark, sf0001)
+    val plan = q.queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    assert(plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j }.isEmpty,
+      "bin bucketing must eliminate the nested-loop range join")
+    val res = q.as[(Long, Long)].collect().toMap
+    // brute-force: recompute alerts and intervals driver-side
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), unix_micros(col("ts")).as("t"),
+        col("event_id")).as[(String, Long, Long)].collect()
+    val hourUs = 3600000000L
+    val byType = ev.groupBy(_._1)
+    val alerts = byType.toSeq.flatMap { case (_, xs) =>
+      val hours = xs.groupBy(e => e._2 / hourUs * hourUs)
+      val avg = xs.length.toDouble / hours.size
+      hours.filter(_._2.length > 2.0 * avg).keys
+        .map(h => (h - 1800000000L, h + 5400000000L))
+    }
+    val purchases = ev.filter(_._1 == "purchase")
+    assert(res.keySet === purchases.map(_._3).toSet)
+    purchases.foreach { case (_, t, id) =>
+      val n = alerts.count { case (lo, hi) => t >= lo && t < hi }
+      assert(res(id) === n.toLong, s"purchase $id") }
+    assert(res.values.exists(_ > 0L), "some purchase falls in an envelope")
+  }
+
   test("dq_reconcile: flags the broken edge and clears the intact one " +
     "(L83)") {
     val res = ops.Relational.queries("dq_reconcile")(spark, sf0001)
