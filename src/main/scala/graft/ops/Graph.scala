@@ -516,6 +516,51 @@ object Graph {
             col("sd2").cast("double") / (m2d * m2d)).as("modularity"))
     }),
 
+    // Degree assortativity — Pearson correlation of endpoint degrees over
+    // the directed edge list: do high-degree nodes attach to high-degree
+    // nodes (r>0, social cores) or to leaves (r<0, hub-and-spoke — the
+    // expected shape of a customer–supplier graph)? The third one-number
+    // graph diagnostic beside modularity and the triangle census.
+    // Determinism: degrees are integers, all five moment sums accumulate
+    // in exact DECIMAL, and the covariance/variance numerators close in
+    // exact DECIMAL too (the ts_acf anti-FMA construction) — only the
+    // final ratio is IEEE. Shapes: one degree aggregate + two joins onto
+    // the edge list, linear in ¦E¦.
+    "graph_assortativity" -> ((s, d) => {
+      val edges0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(1000000000L) + col("l_suppkey")).as("dst"))
+        .distinct()
+      val sym = edges0
+        .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val d30 = org.apache.spark.sql.types.DecimalType(30, 0)
+      val d8 = org.apache.spark.sql.types.DecimalType(8, 0)
+      val g = sym
+        .join(deg.select(col("src"), col("deg").as("dx")), "src")
+        .join(deg.select(col("src").as("dst2"), col("deg").as("dy")),
+          col("dst") === col("dst2"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("dx").cast(d19)).as("sx"),
+          sum(col("dy").cast(d19)).as("sy"),
+          sum(col("dx").cast(d19) * col("dx").cast(d19)).as("sxx"),
+          sum(col("dy").cast(d19) * col("dy").cast(d19)).as("syy"),
+          sum(col("dx").cast(d19) * col("dy").cast(d19)).as("sxy"))
+      val n8 = col("n").cast(d8)
+      val num = (n8 * col("sxy").cast(d30) -
+        col("sx").cast(d19) * col("sy").cast(d19)).cast("double")
+      val vx = (n8 * col("sxx").cast(d30) -
+        col("sx").cast(d19) * col("sx").cast(d19)).cast("double")
+      val vy = (n8 * col("syy").cast(d30) -
+        col("sy").cast(d19) * col("sy").cast(d19)).cast("double")
+      g.select(col("n").as("n_directed_edges"),
+        (num / sqrt(vx * vy)).as("assortativity"))
+    }),
+
     // Multi-source BFS: minimum hop distance from a seed set, 4 unrolled
     // rounds — the reachability primitive behind "everything within k
     // links of a flagged account" investigations and neighborhood-bounded
@@ -707,6 +752,31 @@ object Graph {
         |  CAST(intra2 AS DOUBLE) / m2 -
         |    CAST(sd2 AS DOUBLE) / (CAST(m2 AS DOUBLE) * m2) AS modularity
         |FROM tot, s2, n""".stripMargin,
+    // Exact-decimal moment mirror (the ts_acf closing form).
+    "graph_assortativity" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+        |    1000000000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL
+        |  SELECT dst, src FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |g AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(a.deg AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS sx,
+        |    CAST(sum(CAST(b.deg AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS sy,
+        |    CAST(sum(CAST(a.deg AS DECIMAL(19,0)) *
+        |      CAST(a.deg AS DECIMAL(19,0))) AS DECIMAL(30,0)) AS sxx,
+        |    CAST(sum(CAST(b.deg AS DECIMAL(19,0)) *
+        |      CAST(b.deg AS DECIMAL(19,0))) AS DECIMAL(30,0)) AS syy,
+        |    CAST(sum(CAST(a.deg AS DECIMAL(19,0)) *
+        |      CAST(b.deg AS DECIMAL(19,0))) AS DECIMAL(30,0)) AS sxy
+        |  FROM e JOIN deg a ON e.src = a.src JOIN deg b ON e.dst = b.src)
+        |SELECT CAST(n AS BIGINT) AS n_directed_edges,
+        |  CAST(CAST(n AS DECIMAL(8,0)) * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(CAST(n AS DECIMAL(8,0)) * sxx - sx * sx AS DOUBLE) *
+        |         CAST(CAST(n AS DECIMAL(8,0)) * syy - sy * sy AS DOUBLE))
+        |    AS assortativity
+        |FROM g""".stripMargin,
     // Unrolled 4-round mirror of the BFS min-hop propagation — pure
     // integer arithmetic, exact.
     "graph_bfs" -> {

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Q
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join surface (SURVEY.md §2.C). The reference has zero joins in code — its
@@ -170,6 +171,60 @@ object Joins {
           "left_outer")
         .groupBy("err_id")
         .agg(count(col("clk_ts")).as("n_prior_clicks"))
+        .orderBy("err_id")
+    }),
+
+    // NEAREST-event as-of with tolerance (both directions) — the sensor-
+    // alignment variant of join_asof: each error pairs with its nearest
+    // click by the same user within ±10 minutes, whichever side it lies
+    // on (ties to the earlier, i.e. backward, match; same-µs clicks are
+    // excluded on both sides — strict). Same merge-sort window technique
+    // as join_asof run in BOTH directions — two per-user ordered windows
+    // over the unioned stream, NO pair join at all, so the cost is two
+    // sorts of the event stream keyed by user regardless of click
+    // density (a pair range-join degrades with clicks-per-user).
+    "join_asof_nearest" -> ((s, d) => {
+      val TolUs = 600000000L
+      val e = events(s, d)
+        .withColumn("tsm", date_trunc("MILLISECOND", col("ts")))
+      val err = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("u"), col("tsm"), lit(0).as("typ"),
+          col("event_id").as("err_id"),
+          lit(null).cast("timestamp").as("clk_ts"))
+      val clk = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("u"), col("tsm"), lit(1).as("typ"),
+          lit(null).cast("long").as("err_id"), col("tsm").as("clk_ts"))
+      val uni = err.unionByName(clk)
+      val wB = Window.partitionBy("u").orderBy(col("tsm"), col("typ"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // reverse scan: at equal tsm the error (typ 0) sorts FIRST under
+      // typ ASC, so a same-µs click stays outside its window — strict
+      val wF = Window.partitionBy("u").orderBy(col("tsm").desc, col("typ"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val t = unix_micros(col("tsm"))
+      val db = t - unix_micros(col("before_clk"))
+      val da = unix_micros(col("after_clk")) - t
+      uni
+        .withColumn("before_clk",
+          last(col("clk_ts"), ignoreNulls = true).over(wB))
+        .withColumn("after_clk",
+          last(col("clk_ts"), ignoreNulls = true).over(wF))
+        .filter(col("typ") === 0)
+        .withColumn("db", when(col("before_clk").isNotNull &&
+          db <= TolUs, db))
+        .withColumn("da", when(col("after_clk").isNotNull &&
+          da <= TolUs, da))
+        .withColumn("diff_us",
+          when(col("db").isNotNull &&
+            (col("da").isNull || col("db") <= col("da")), col("db"))
+            .otherwise(col("da")))
+        .withColumn("direction",
+          when(col("diff_us").isNull, lit(null).cast("string"))
+            .when(col("db").isNotNull && col("diff_us") === col("db"),
+              "before")
+            .otherwise("after"))
+        .select(col("err_id"), col("u").as("user_id"),
+          col("diff_us"), col("direction"))
         .orderBy("err_id")
     }),
 
@@ -951,6 +1006,29 @@ object Joins {
         |  AND b.event_type = 'click' AND b.tsm < a.tsm
         |WHERE a.event_type = 'error'
         |GROUP BY 1,2 ORDER BY 1""".stripMargin,
+    // Direct pair mirror: nearest by abs diff, ties to the backward
+    // match; same-µs clicks excluded (strict both sides). LEFT-null rows
+    // trivially take rn 1.
+    "join_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    date_trunc('milliseconds', ts) AS tsm FROM events),
+        |a AS (SELECT event_id AS err_id, user_id, tsm FROM e
+        |  WHERE event_type = 'error'),
+        |b AS (SELECT user_id, tsm FROM e WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT a.err_id, a.user_id,
+        |    abs(epoch_us(b.tsm) - epoch_us(a.tsm)) AS diff_us,
+        |    CASE WHEN b.tsm IS NULL THEN NULL
+        |         WHEN b.tsm < a.tsm THEN 'before' ELSE 'after' END
+        |      AS direction,
+        |    row_number() OVER (PARTITION BY a.err_id
+        |      ORDER BY abs(epoch_us(b.tsm) - epoch_us(a.tsm)),
+        |        CASE WHEN b.tsm < a.tsm THEN 0 ELSE 1 END) AS rn
+        |  FROM a LEFT JOIN b ON a.user_id = b.user_id
+        |    AND b.tsm <> a.tsm
+        |    AND abs(epoch_us(b.tsm) - epoch_us(a.tsm)) <= 600000000)
+        |SELECT err_id, user_id, diff_us, direction
+        |FROM j WHERE rn = 1 ORDER BY err_id""".stripMargin,
     // The oracle spells the DIRECT keyless range join (fine at oracle
     // scale) — the engine's binned decomposition must reproduce it.
     "join_interval_bin" ->

@@ -199,6 +199,32 @@ class GraphSpec extends SparkSpec {
     res.keys.foreach(v => assert(rawDeg(v) >= 2, s"vertex $v"))
   }
 
+  test("graph_assortativity: r matches the brute-force degree Pearson " +
+    "and sits in [-1, 1] (L86)") {
+    val Array((m2, r)) =
+      ops.Graph.queries("graph_assortativity")(spark, sf0001)
+        .as[(Long, Double)].collect()
+    val edges = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, sf0001).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(1000000000L) + col("l_suppkey")).as("dst"))
+      .distinct().as[(Long, Long)].collect()
+    val sym = edges ++ edges.map(_.swap)
+    assert(m2 === sym.length.toLong)
+    val deg = sym.groupBy(_._1).map { case (v, es) => v -> es.size.toDouble }
+    val xs = sym.map(e => deg(e._1)); val ys = sym.map(e => deg(e._2))
+    val n = sym.length.toDouble
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val rRef = cov / math.sqrt(
+      xs.map(a => (a - mx) * (a - mx)).sum *
+        ys.map(b => (b - my) * (b - my)).sum)
+    assert(math.abs(r - rRef) < 1e-9, s"$r vs $rRef")
+    assert(r >= -1.0 && r <= 1.0)
+  }
+
   test("graph_modularity: Q matches the brute-force Newman computation " +
     "over the LPA labels (L82)") {
     val Array((nNodes, nComm, m, q)) =

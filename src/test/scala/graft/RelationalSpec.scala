@@ -539,6 +539,37 @@ class RelationalSpec extends SparkSpec {
     assert(crippled > 0L, "dropping dim rows must create orphans")
   }
 
+  test("join_asof_nearest: the two-directional window merge matches the " +
+    "brute-force nearest walk, ties fall backward (C2 ext)") {
+    val res = ops.Joins.queries("join_asof_nearest")(spark, sf0001)
+      .as[(Long, Long, Option[Long], Option[String])].collect()
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(date_trunc("MILLISECOND", col("ts"))).as("t"))
+      .as[(Long, Long, String, Long)].collect()
+    val clicksByUser = ev.filter(_._3 == "click")
+      .groupBy(_._2).map { case (u, xs) => u -> xs.map(_._4) }
+    val tol = 600000000L
+    val errs = ev.filter(_._3 == "error")
+    assert(res.map(_._1).toSet === errs.map(_._1).toSet)
+    val byId = res.map(r => r._1 -> r).toMap
+    errs.foreach { case (id, u, _, t) =>
+      val cands = clicksByUser.getOrElse(u, Array.empty[Long])
+        .filter(c => c != t && math.abs(c - t) <= tol)
+      val (_, _, diff, dir) = byId(id)
+      if (cands.isEmpty) assert(diff.isEmpty && dir.isEmpty, s"err $id")
+      else {
+        val best = cands.map(c => (math.abs(c - t),
+          if (c < t) 0 else 1)).min
+        assert(diff.contains(best._1), s"err $id diff")
+        assert(dir.contains(if (best._2 == 0) "before" else "after"),
+          s"err $id dir")
+      }
+    }
+    assert(res.exists(_._4.contains("before")) &&
+      res.exists(_._4.contains("after")), "both directions exercised")
+  }
+
   test("join_interval_bin: the keyless interval join plans as equi joins " +
     "only — no nested loop — and matches the direct-join walk (C+)") {
     val q = ops.Joins.queries("join_interval_bin")(spark, sf0001)
