@@ -582,6 +582,42 @@ object Relational {
           (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
     }),
 
+    // One-way ANOVA across ALL event types — the parametric k-group
+    // complement of stat_kruskal (and the k-group generalization of
+    // stat_ttest): F = (SSB/(k−1)) / (SSW/(N−k)) over integer-cents
+    // values. Per-group moments (n, Σc, Σc²) accumulate exactly in
+    // DECIMAL (one conditional-aggregation scan); the group terms
+    // sxᵢ²/nᵢ fold in sorted group order (the stat_kruskal ordered-IEEE
+    // contract — their ~1e12 magnitudes are outside the portable
+    // decimal-cast range), and SST/SSB/SSW close in IEEE on identical
+    // operands.
+    "stat_anova" -> ((s, d) => {
+      val d19 = DecimalType(19, 0)
+      val c = floor(col("value") * 100 + 0.5).cast("long")
+      val pg = events(s, d)
+        .select(col("event_type").as("grp"), c.as("c"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("ni"), sum(col("c").cast(d19)).as("si"),
+          sum((col("c") * col("c")).cast(d19)).as("sii"))
+      val sid = col("si").cast("double"); val nid = col("ni").cast("double")
+      val g = pg
+        .select(col("ni"), col("si"), col("sii"),
+          struct(col("grp"), (sid * sid / nid).as("term")).as("gt"))
+        .agg(sum("ni").as("n"), count(lit(1)).as("k"),
+          sum("si").as("sx"), sum("sii").as("sxx"),
+          aggregate(array_sort(collect_list(col("gt"))), lit(0.0),
+            (acc, x) => acc + x.getField("term")).as("sgn"))
+      val nd = col("n").cast("double"); val kd = col("k").cast("double")
+      val sxd = col("sx").cast("double"); val sxxd = col("sxx").cast("double")
+      val ssb = col("sgn") - sxd * sxd / nd
+      val ssw = sxxd - col("sgn")
+      val f = (ssb / (kd - 1)) / (ssw / (nd - kd))
+      g.select(col("n").as("n_total"), col("k").as("n_groups"),
+        // sums of squares reported in dollars² (cents² / 10⁴)
+        (ssb / 10000.0).as("ss_between"), (ssw / 10000.0).as("ss_within"),
+        f.as("f_stat"))
+    }),
+
     // Kruskal–Wallis H across ALL event types — the k-group nonparametric
     // ANOVA completing the rank family (stat_ttest: 2-group parametric,
     // stat_auc: 2-group rank): does `value` distribute identically across
@@ -1991,6 +2027,33 @@ object Relational {
         |      CAST(n_pos + 1 AS DECIMAL(19,0)) AS DOUBLE) /
         |    (2.0 * n_pos * n_neg) AS auc
         |FROM a""".stripMargin,
+    "stat_anova" ->
+      """WITH pg AS (
+        |  SELECT event_type AS grp, count(*) AS ni,
+        |    sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      AS DECIMAL(19,0))) AS si,
+        |    sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) *
+        |      CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      AS DECIMAL(19,0))) AS sii
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(sum(ni) AS BIGINT) AS n, count(*) AS k,
+        |    sum(si) AS sx, sum(sii) AS sxx,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      array_agg(CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / ni
+        |        ORDER BY grp)),
+        |      (a, b) -> a + b) AS sgn
+        |  FROM pg),
+        |z AS (
+        |  SELECT n, k,
+        |    sgn - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n AS ssb,
+        |    CAST(sxx AS DOUBLE) - sgn AS ssw
+        |  FROM g)
+        |SELECT n AS n_total, k AS n_groups,
+        |  ssb / 10000.0 AS ss_between, ssw / 10000.0 AS ss_within,
+        |  (ssb / (CAST(k AS DOUBLE) - 1)) /
+        |    (ssw / (CAST(n AS DOUBLE) - k)) AS f_stat
+        |FROM z""".stripMargin,
     "stat_kruskal" ->
       """WITH gv AS (
         |  SELECT event_type AS grp,

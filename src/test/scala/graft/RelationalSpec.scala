@@ -650,6 +650,31 @@ class RelationalSpec extends SparkSpec {
       assert(rows.map(_._5).distinct.length === 1, s"dow $dow") }
   }
 
+  test("stat_anova: F and sums of squares match the textbook partition, " +
+    "SST = SSB + SSW (D31)") {
+    val Array((n, k, ssb, ssw, f)) =
+      ops.Relational.queries("stat_anova")(spark, sf0001)
+        .as[(Long, Long, Double, Double, Double)].collect()
+    val rows = Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .as[(String, Long)].collect()
+    assert(n === rows.length.toLong)
+    assert(k === rows.map(_._1).distinct.length.toLong)
+    val all = rows.map(_._2.toDouble / 100)
+    val mean = all.sum / all.length
+    val sst = all.map(x => (x - mean) * (x - mean)).sum
+    val ssbRef = rows.groupBy(_._1).values.map { g =>
+      val gm = g.map(_._2.toDouble / 100).sum / g.length
+      g.length * (gm - mean) * (gm - mean)
+    }.sum
+    assert(math.abs(ssb - ssbRef) < 1e-4, s"$ssb vs $ssbRef")
+    assert(math.abs(ssb + ssw - sst) < 1e-4, "variance partitions")
+    val fRef = (ssbRef / (k - 1)) / ((sst - ssbRef) / (n - k))
+    assert(math.abs(f - fRef) < 1e-6)
+    assert(f >= 0.0 && ssb >= -1e-9 && ssw >= 0.0)
+  }
+
   test("stat_kruskal: H matches the textbook midrank computation (D30)") {
     val Array((n, k, h, hc)) =
       ops.Relational.queries("stat_kruskal")(spark, sf0001)
