@@ -271,6 +271,66 @@ object Curation {
         .orderBy("source")
     }),
 
+    // Second capstone — the r9 curation stack composed end-to-end:
+    // classifier gate (frozen logistic, z ≥ 0) → exact dedup → near-dup
+    // CC collapse keeping the BEST-z member per cluster (the keep_best
+    // policy with the classifier score as quality) → token-budget
+    // mixture (each source sampled down to the binding source's token
+    // mass via content-stable hash thresholds) → 90/5/5 hash split.
+    // Where pipeline_curate proves the r7 stack composes, this proves
+    // the new parts do — and that policies THREAD: the same z drives
+    // both the gate and the keeper, the same token accounting drives the
+    // mixture. Every stage is deterministic, so the whole composition is
+    // oracle-checkable down to exact ids.
+    "pipeline_curate2" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nTok = size(toks).cast("double")
+      val punct = regexp_count(lower(col("text")), lit("[^a-z0-9 ]"))
+        .cast("double") / length(col("text"))
+      val stopR = size(filter(toks,
+        t => array_contains(typedlit(TextSim.stopwords), t)))
+        .cast("double") / size(toks)
+      val avgLen = aggregate(transform(toks, t => length(t)),
+        lit(0), (acc, v) => acc + v).cast("double") / size(toks)
+      val z = lit(-1.0) + lit(2.5) * least(nTok / 100.0, lit(1.0)) +
+        lit(3.0) * stopR - lit(4.0) * punct + lit(0.8) * (avgLen / 10.0)
+      val gated = docs.withColumn("z", z).filter(col("z") >= 0)
+      val wEx = Window.partitionBy(h60(col("text")), col("text"))
+        .orderBy("doc_id")
+      val exact = gated
+        .withColumn("rn", row_number().over(wEx))
+        .filter(col("rn") === 1).drop("rn")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = TextSim.minhashPairs(exact)
+        .select(col("ia").as("src"), col("ib").as("dst"))
+      val lab = Graph.connectedComponents(exact.select("doc_id"), edges)
+      val scored = exact.join(lab, "doc_id")
+      val best = scored.groupBy("comp")
+        .agg(max_by(col("doc_id"), struct(col("z"), -col("doc_id")))
+          .as("best_id"))
+      val kept = scored.join(best, Seq("comp"))
+        .filter(col("doc_id") === col("best_id"))
+        .select(col("doc_id"), col("source"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val st = kept.groupBy("source")
+        .agg(sum(size(toks).cast("long")).as("n_tokens"))
+        .withColumn("budget",
+          min("n_tokens").over(Window.partitionBy()))
+        .select(col("source"),
+          floor(col("budget").cast("double") / col("n_tokens") * 1000000)
+            .cast("long").as("thr"))
+      val mixed = kept.join(st, Seq("source"))
+        .filter(pmod(h60(concat(lit("mix2"), col("doc_id"))),
+          lit(1000000)) < col("thr"))
+      mixed
+        .select(col("doc_id"), col("source"),
+          size(toks).cast("long").as("n_tok"), splitCol.as("split"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"), sum("n_tok").as("tokens"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source", "split")
+    }),
+
     // Token-budget mixture plan: mixtures are specified in TOKENS, not
     // documents (a source of long documents over-contributes under a
     // doc-count plan — L16/L33 quota machinery measures the wrong unit
@@ -628,6 +688,53 @@ object Curation {
         |  round(sq / z, 6) AS w_t2,
         |  CAST(floor(sq / z * total + 0.5) AS BIGINT) AS n_target
         |FROM z ORDER BY source""".stripMargin,
+    "pipeline_curate2" -> {
+      val stop = TextSim.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH RECURSIVE
+        |f AS (SELECT doc_id, text, source,
+        |    -1.0 + 2.5 * least(CAST(len($dToks) AS DOUBLE) / 100.0, 1.0) +
+        |    3.0 * (CAST(len(list_filter($dToks,
+        |      t -> list_contains($stop, t))) AS DOUBLE) / len($dToks)) -
+        |    4.0 * (CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+        |      AS DOUBLE) / length(text)) +
+        |    0.8 * (CAST(list_sum(list_transform($dToks, t -> length(t)))
+        |      AS DOUBLE) / len($dToks) / 10.0) AS z
+        |  FROM documents),
+        |g1 AS (SELECT * FROM f WHERE z >= 0),
+        |x AS (SELECT *, row_number() OVER
+        |  (PARTITION BY text ORDER BY doc_id) AS rn FROM g1),
+        |ex AS (SELECT doc_id, text, source, z FROM x WHERE rn = 1),
+        |${TextSim.dMinhashCteFrom("ex")},
+        |edges AS (SELECT ia AS src, ib AS dst FROM pairs
+        |  UNION SELECT ib, ia FROM pairs),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS r FROM ex
+        |  UNION
+        |  SELECT w.doc_id, e.dst AS r FROM reach w
+        |  JOIN edges e ON w.r = e.src),
+        |labv AS (SELECT doc_id, min(r) AS comp FROM reach GROUP BY 1),
+        |sc AS (SELECT e.*, labv.comp FROM ex e JOIN labv USING (doc_id)),
+        |rk AS (SELECT *, row_number() OVER
+        |  (PARTITION BY comp ORDER BY z DESC, doc_id) AS krn FROM sc),
+        |kept AS (SELECT doc_id, source, text FROM rk WHERE krn = 1),
+        |st AS (SELECT source,
+        |    CAST(sum(len($dToks)) AS BIGINT) AS n_tokens FROM kept
+        |  GROUP BY 1),
+        |b AS (SELECT source,
+        |    CAST(floor(CAST(min(n_tokens) OVER () AS DOUBLE) / n_tokens
+        |      * 1000000) AS BIGINT) AS thr
+        |  FROM st),
+        |mixed AS (SELECT k.* FROM kept k JOIN b USING (source)
+        |  WHERE ${dH60("'mix2' || CAST(doc_id AS VARCHAR)")} % 1000000
+        |    < thr),
+        |spl AS (SELECT doc_id, source,
+        |    CAST(len($dToks) AS BIGINT) AS n_tok, $dSplitCase AS split
+        |  FROM mixed)
+        |SELECT source, split, count(*) AS n,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM spl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "mix_token_budget" ->
       s"""WITH st AS (
         |  SELECT source, count(*) AS n_docs,

@@ -325,7 +325,7 @@ object TextSim {
       .orderBy("label", "ia", "ib")
   }
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private[graft] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
   /** Inverted-index 3-gram Jaccard with an explicit stop-shingle cap.
     * The declared `dedup_ngram_jaccard` query pins tau =

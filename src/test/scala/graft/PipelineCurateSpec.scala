@@ -29,4 +29,29 @@ class PipelineCurateSpec extends SparkSpec {
     card.unpersist()
     ()
   }
+
+  test("pipeline_curate2: the r9 stack composes — attrition at every " +
+    "policy, token masses near-balanced across sources") {
+    val card = ops.Curation.queries("pipeline_curate2")(spark, sf0001)
+      .cache()
+    val total = Tables.documents(spark, sf0001).count()
+    val survivors = card.agg(sum("n")).as[Long].head()
+    assert(survivors > 0 && survivors < total,
+      s"expected real attrition: $survivors of $total")
+    assert(card.filter(col("n") <= 0).count() == 0)
+    // the token-budget mixture stage must land every source's planned
+    // mass near the binding source's (hash sampling is binomial around
+    // the per-source rate — allow wide but real tolerance)
+    val bySource = card.groupBy("source").agg(sum("tokens").as("t"))
+      .as[(String, Long)].collect().map(_._2)
+    assert(bySource.max.toDouble / bySource.min < 2.5,
+      s"token masses should be near-balanced: ${bySource.toSeq.sorted}")
+    // train dominates (90/5/5 downstream of everything)
+    val bySplit = card.groupBy("split").agg(sum("n").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L) &&
+      bySplit("train") > bySplit.getOrElse("test", 0L))
+    card.unpersist()
+    ()
+  }
 }

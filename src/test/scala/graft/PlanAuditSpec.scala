@@ -147,7 +147,9 @@ class PlanAuditSpec extends SparkSpec {
     "graph_modularity" -> Set("BroadcastNestedLoopJoin"),
     // binding-source min over the |sources| aggregate (mix_temperature's
     // domain bound)
-    "mix_token_budget" -> Set("GlobalWindow")
+    "mix_token_budget" -> Set("GlobalWindow"),
+    // the same binding-source min inside the capstone's mixture stage
+    "pipeline_curate2" -> Set("GlobalWindow")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {
