@@ -479,6 +479,41 @@ object Corpus {
     // each CDF an IEEE division of identical exact integers, |diff| and
     // max order-free — so the statistic needs no rounding. Argmax
     // tie-breaks on the smallest value for a deterministic report row.
+    // Jensen–Shannon divergence between two corpus halves' UNIGRAM
+    // distributions (nats) — drift on the TOKEN axis, where dq_drift_psi
+    // and dq_drift_ks watch the length axis: a vocabulary shift (new
+    // domain, new boilerplate, new language) moves JS long before length
+    // histograms notice. Symmetric and bounded (≤ ln 2), zero-count
+    // tokens contribute only through the other side's ½q·ln(q/m) term —
+    // exactly the property KL lacks. One exploded-token aggregation
+    // builds both distributions (conditional sums, map-side combined);
+    // totals ride a window over the VOCABULARY spine; per-token ln terms
+    // follow the round-then-decimal-sum contract at 9dp (term magnitudes
+    // are ~1e-4; 6dp would quantize them away).
+    "text_js_divergence" -> ((s, d) => {
+      val cnt = tokenRows(Tables.documents(s, d))
+        .groupBy("tok")
+        .agg(count(when(col("doc_id") % 2 === 0, 1)).as("cr"),
+          count(when(col("doc_id") % 2 === 1, 1)).as("cc"))
+      val wAll = Window.partitionBy()
+      val p = col("cr").cast("double") / col("tr")
+      val q = col("cc").cast("double") / col("tc")
+      val m = (p + q) / 2
+      val term =
+        when(col("cr") > 0, p * log(p / m) / 2).otherwise(0.0) +
+          when(col("cc") > 0, q * log(q / m) / 2).otherwise(0.0)
+      cnt
+        .withColumn("tr", sum("cr").over(wAll))
+        .withColumn("tc", sum("cc").over(wAll))
+        .select(col("tr"), col("tc"),
+          round(term, 9).cast(DecimalType(30, 10)).as("t"))
+        .groupBy("tr", "tc")
+        .agg(count(lit(1)).as("vocab"),
+          round(sum("t").cast("double"), 9).as("js_nats"))
+        .select(col("vocab"), col("tr").as("n_ref_tokens"),
+          col("tc").as("n_cur_tokens"), col("js_nats"))
+    }),
+
     "dq_drift_ks" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
       val cnt = docs
@@ -774,6 +809,33 @@ object Corpus {
         |r AS (SELECT pair, n,
         |  row_number() OVER (ORDER BY n DESC, pair) AS rk FROM g)
         |SELECT rk, pair, n FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "text_js_divergence" ->
+      s"""WITH t AS ($dTokRows),
+        |cnt AS (
+        |  SELECT tok,
+        |    count(*) FILTER (doc_id % 2 = 0) AS cr,
+        |    count(*) FILTER (doc_id % 2 = 1) AS cc
+        |  FROM t GROUP BY 1),
+        |w AS (
+        |  SELECT tok, cr, cc,
+        |    CAST(sum(cr) OVER () AS BIGINT) AS tr,
+        |    CAST(sum(cc) OVER () AS BIGINT) AS tc
+        |  FROM cnt),
+        |z AS (
+        |  SELECT tr, tc,
+        |    CAST(round(
+        |      CASE WHEN cr > 0 THEN (CAST(cr AS DOUBLE) / tr) *
+        |        ln((CAST(cr AS DOUBLE) / tr) /
+        |          ((CAST(cr AS DOUBLE) / tr + CAST(cc AS DOUBLE) / tc)
+        |            / 2)) / 2 ELSE 0.0 END +
+        |      CASE WHEN cc > 0 THEN (CAST(cc AS DOUBLE) / tc) *
+        |        ln((CAST(cc AS DOUBLE) / tc) /
+        |          ((CAST(cr AS DOUBLE) / tr + CAST(cc AS DOUBLE) / tc)
+        |            / 2)) / 2 ELSE 0.0 END, 9) AS DECIMAL(30,10)) AS t
+        |  FROM w)
+        |SELECT count(*) AS vocab, tr AS n_ref_tokens, tc AS n_cur_tokens,
+        |  round(CAST(sum(t) AS DOUBLE), 9) AS js_nats
+        |FROM z GROUP BY tr, tc""".stripMargin,
     "dq_drift_ks" ->
       """WITH cnt AS (SELECT n_chars,
         |    count(*) FILTER (doc_id % 2 = 0) AS nr,

@@ -838,6 +838,36 @@ object Relational {
         .orderBy("day")
     }),
 
+    // Ingestion-order audit: per user, are events time-ordered when read
+    // in event_id order? Out-of-order fraction per user (adjacent-pair
+    // inversions via lag over the per-user id order) rolled up to a
+    // distribution summary — the first question asked when a downstream
+    // sessionization misbehaves (late/replayed delivery shows here before
+    // anywhere else). Windows are per-user (bounded by a user's events,
+    // the sessionize_batch bound); the rollup is one 1-row aggregate;
+    // rates are IEEE divisions of exact longs.
+    "dq_order_audit" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val pairs = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .filter(col("prev_ts").isNotNull)
+        .withColumn("inv", when(col("ts") < col("prev_ts"), 1L)
+          .otherwise(0L))
+      pairs
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"), sum("inv").as("n_inv"))
+        .agg(count(lit(1)).as("n_users"),
+          sum("n_pairs").as("pairs_total"),
+          sum("n_inv").as("inversions_total"),
+          sum(when(col("n_inv") > 0, 1L).otherwise(0L))
+            .as("users_with_inversions"))
+        .select(col("n_users"), col("pairs_total"), col("inversions_total"),
+          (col("inversions_total").cast("double") / col("pairs_total"))
+            .as("inversion_rate"),
+          col("users_with_inversions"))
+    }),
+
     // Value-reconciliation audit — the consistency sibling of
     // dq_referential's existence checks: does a STORED value equal the
     // value RECOMPUTED from its source-of-truth? Two panels: (a) the
@@ -2200,6 +2230,28 @@ object Relational {
         |    CAST(seas_num AS DOUBLE) / (CAST(n_dow AS DOUBLE) * 700.0)
         |    AS residual
         |FROM g ORDER BY day""".stripMargin,
+    "dq_order_audit" ->
+      """WITH p AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, count(*) AS n_pairs,
+        |    CAST(sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_inv
+        |  FROM p WHERE prev_ts IS NOT NULL GROUP BY 1),
+        |g AS (
+        |  SELECT count(*) AS n_users,
+        |    CAST(sum(n_pairs) AS BIGINT) AS pairs_total,
+        |    CAST(sum(n_inv) AS BIGINT) AS inversions_total,
+        |    CAST(sum(CASE WHEN n_inv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS users_with_inversions
+        |  FROM u)
+        |SELECT n_users, pairs_total, inversions_total,
+        |  CAST(inversions_total AS DOUBLE) / pairs_total AS inversion_rate,
+        |  users_with_inversions
+        |FROM g""".stripMargin,
     "dq_reconcile" ->
       """WITH dp AS (
         |  SELECT 'documents.n_chars=len(text)' AS chk,

@@ -419,4 +419,33 @@ class CorpusSpec extends SparkSpec {
     val n = d.deflate(buf)
     assert(got.find(_._1 == repetitive._1).get._3 === n.toLong)
   }
+
+  test("text_js_divergence: matches the brute-force JS walk, symmetric, " +
+    "bounded by ln 2 (L89)") {
+    val Array((vocab, tr, tc, js)) =
+      ops.Corpus.queries("text_js_divergence")(spark, sf0001)
+        .as[(Long, Long, Long, Double)].collect()
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(split(lower(col("text")), " "))
+        .as("tok")).as[(Long, String)].collect()
+    val ref = toks.filter(_._1 % 2 == 0).groupBy(_._2)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val cur = toks.filter(_._1 % 2 == 1).groupBy(_._2)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    assert(tr === ref.values.sum && tc === cur.values.sum)
+    assert(vocab === (ref.keySet ++ cur.keySet).size.toLong)
+    def jsOf(a: Map[String, Long], b: Map[String, Long]): Double = {
+      val (ta, tb) = (a.values.sum.toDouble, b.values.sum.toDouble)
+      (a.keySet ++ b.keySet).toSeq.map { t =>
+        val p = a.getOrElse(t, 0L) / ta; val q = b.getOrElse(t, 0L) / tb
+        val m = (p + q) / 2
+        (if (p > 0) p * math.log(p / m) / 2 else 0.0) +
+          (if (q > 0) q * math.log(q / m) / 2 else 0.0)
+      }.sum
+    }
+    val jsRef = jsOf(ref, cur)
+    assert(math.abs(js - jsRef) < 1e-6, s"$js vs $jsRef")
+    assert(math.abs(jsRef - jsOf(cur, ref)) < 1e-12, "symmetric")
+    assert(js >= 0.0 && js <= math.log(2) + 1e-9)
+  }
 }

@@ -149,7 +149,9 @@ class PlanAuditSpec extends SparkSpec {
     // domain bound)
     "mix_token_budget" -> Set("GlobalWindow"),
     // the same binding-source min inside the capstone's mixture stage
-    "pipeline_curate2" -> Set("GlobalWindow")
+    "pipeline_curate2" -> Set("GlobalWindow"),
+    // distribution totals over the VOCABULARY spine (dq_drift_ks's bound)
+    "text_js_divergence" -> Set("GlobalWindow")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {

@@ -600,6 +600,26 @@ class RelationalSpec extends SparkSpec {
     assert(res.values.exists(_ > 0L), "some purchase falls in an envelope")
   }
 
+  test("dq_order_audit: inversion counts match the driver-side adjacent " +
+    "walk (L90)") {
+    val Array((nu, pt, it_, rate, uwi)) =
+      ops.Relational.queries("dq_order_audit")(spark, sf0001)
+        .as[(Long, Long, Long, Double, Long)].collect()
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")))
+      .as[(Long, Long, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+      .map { case (u, xs) => u -> xs.sortBy(_._2).map(_._3) }
+      .filter(_._2.length >= 2)
+    assert(nu === byUser.size.toLong)
+    val inv = byUser.values.map(ts =>
+      ts.zip(ts.tail).count { case (a, b) => b < a }).toSeq
+    assert(pt === byUser.values.map(_.length - 1).sum.toLong)
+    assert(it_ === inv.sum.toLong)
+    assert(rate === it_.toDouble / pt)
+    assert(uwi === inv.count(_ > 0).toLong)
+  }
+
   test("dq_reconcile: flags the broken edge and clears the intact one " +
     "(L83)") {
     val res = ops.Relational.queries("dq_reconcile")(spark, sf0001)
