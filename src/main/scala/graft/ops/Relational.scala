@@ -582,6 +582,29 @@ object Relational {
           (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
     }),
 
+    // Two-proportion z-test: purchase RATE between two user cohorts
+    // (even vs odd user_id — the deterministic stand-in for an
+    // experiment's bucketing hash) — the conversion-rate readout beside
+    // stat_ttest's value readout. One conditional scan; p̂₁, p̂₂ and the
+    // pooled p̂ are IEEE ratios of exact longs, the z statistic closes in
+    // IEEE on those identical operands, unrounded (agg_stddev contract).
+    "stat_proportion" -> ((s, d) => {
+      val inA = col("user_id") % 2 === 0
+      val hit = (col("event_type") === "purchase").cast("long")
+      val g = events(s, d)
+        .agg(sum(when(inA, 1L).otherwise(0L)).as("n1"),
+          sum(when(!inA, 1L).otherwise(0L)).as("n2"),
+          sum(when(inA, hit).otherwise(0L)).as("x1"),
+          sum(when(!inA, hit).otherwise(0L)).as("x2"))
+      val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+      val p1 = col("x1").cast("double") / n1
+      val p2 = col("x2").cast("double") / n2
+      val pp = (col("x1") + col("x2")).cast("double") / (n1 + n2)
+      g.select(col("n1"), col("n2"), p1.as("p1"), p2.as("p2"),
+        ((p1 - p2) / sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 +
+          lit(1.0) / n2))).as("z_stat"))
+    }),
+
     // One-way ANOVA across ALL event types — the parametric k-group
     // complement of stat_kruskal (and the k-group generalization of
     // stat_ttest): F = (SSB/(k−1)) / (SSW/(N−k)) over integer-cents
@@ -2057,6 +2080,26 @@ object Relational {
         |      CAST(n_pos + 1 AS DECIMAL(19,0)) AS DOUBLE) /
         |    (2.0 * n_pos * n_neg) AS auc
         |FROM a""".stripMargin,
+    "stat_proportion" ->
+      """WITH g AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x2
+        |  FROM events)
+        |SELECT n1, n2,
+        |  CAST(x1 AS DOUBLE) / n1 AS p1,
+        |  CAST(x2 AS DOUBLE) / n2 AS p2,
+        |  (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2) /
+        |    sqrt((CAST(x1 + x2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + n2)) *
+        |      (1.0 - CAST(x1 + x2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + n2)) *
+        |      (1.0 / n1 + 1.0 / n2)) AS z_stat
+        |FROM g""".stripMargin,
     "stat_anova" ->
       """WITH pg AS (
         |  SELECT event_type AS grp, count(*) AS ni,

@@ -670,6 +670,26 @@ class RelationalSpec extends SparkSpec {
       assert(rows.map(_._5).distinct.length === 1, s"dow $dow") }
   }
 
+  test("stat_proportion: z matches the textbook pooled two-proportion " +
+    "computation (D32)") {
+    val Array((n1, n2, p1, p2, z)) =
+      ops.Relational.queries("stat_proportion")(spark, sf0001)
+        .as[(Long, Long, Double, Double, Double)].collect()
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)].collect()
+    val (a, b) = ev.partition(_._1 % 2 == 0)
+    assert(n1 === a.length.toLong && n2 === b.length.toLong)
+    val (x1, x2) = (a.count(_._2 == "purchase"), b.count(_._2 == "purchase"))
+    assert(p1 === x1.toDouble / n1 && p2 === x2.toDouble / n2)
+    val pp = (x1 + x2).toDouble / (n1 + n2)
+    val zRef = (p1 - p2) /
+      math.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+    assert(math.abs(z - zRef) < 1e-12)
+    // deterministic hash buckets should give near-equal cohort sizes
+    assert(math.abs(n1 - n2).toDouble / (n1 + n2) < 0.2)
+  }
+
   test("stat_anova: F and sums of squares match the textbook partition, " +
     "SST = SSB + SSW (D31)") {
     val Array((n, k, ssb, ssw, f)) =
