@@ -45,7 +45,11 @@ object ScaleProbe {
     // r9 fourth wave: the eval/keeper/peel family over the LSH graph and
     // the reconciliation join
     "dedup_minhash_eval", "dedup_keep_best", "graph_core",
-    "graph_modularity", "dq_reconcile", "dedup_minhash_eval_sampled")
+    "graph_modularity", "dq_reconcile", "dedup_minhash_eval_sampled",
+    // r9 close: the second capstone, the two window-merge/bin joins, the
+    // per-user order audit, the vocabulary-spine divergence, assortativity
+    "pipeline_curate2", "join_asof_nearest", "join_interval_bin",
+    "dq_order_audit", "text_js_divergence", "graph_assortativity")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
