@@ -934,6 +934,34 @@ object Relational {
       docsPanel.union(ordersPanel).orderBy("chk")
     }),
 
+    // Maximum drawdown of the cumulative daily-revenue curve: the largest
+    // peak-to-trough fall, with the peak and trough days — the
+    // regression-severity metric for any cumulative KPI (and finance's
+    // standard risk readout). Pure integer contract end-to-end: running
+    // cum, running peak, and drawdown = peak − cum are exact cents longs
+    // over the daily spine; only the final /100 display division is IEEE.
+    // Argmax ties break to the EARLIEST day (first time the worst
+    // drawdown is realized). Spine-bounded windows like ts_acf.
+    "ts_drawdown" -> ((s, d) => {
+      val daily = lineitem(s, d)
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(exactSum(col("l_extendedprice")).as("rev"))
+        .select(col("day"),
+          floor(col("rev").cast("double") * 100 + 0.5).cast("long").as("c"))
+      val wCum = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("peak", max("cum").over(wCum))
+        .withColumn("dd", col("peak") - col("cum"))
+        .orderBy(col("dd").desc, col("day"))
+        .limit(1)
+        .select(col("day").as("trough_day"),
+          (col("dd").cast("double") / 100.0).as("max_drawdown"),
+          (col("peak").cast("double") / 100.0).as("peak_cum"),
+          (col("cum").cast("double") / 100.0).as("trough_cum"))
+    }),
+
     // Referential-integrity audit: orphan rate per FK edge (lineitem→
     // orders, orders→customer) — the relationship-level gate beside
     // dq_rule_check's column-level one; a nonzero orphan rate is how a
@@ -2273,6 +2301,29 @@ object Relational {
         |    CAST(seas_num AS DOUBLE) / (CAST(n_dow AS DOUBLE) * 700.0)
         |    AS residual
         |FROM g ORDER BY day""".stripMargin,
+    "ts_drawdown" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8)))
+        |      AS DOUBLE) * 100 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |w AS (
+        |  SELECT day,
+        |    CAST(sum(c) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM daily),
+        |p AS (
+        |  SELECT day, cum,
+        |    CAST(max(cum) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS peak
+        |  FROM w)
+        |SELECT day AS trough_day,
+        |  CAST(peak - cum AS DOUBLE) / 100.0 AS max_drawdown,
+        |  CAST(peak AS DOUBLE) / 100.0 AS peak_cum,
+        |  CAST(cum AS DOUBLE) / 100.0 AS trough_cum
+        |FROM p ORDER BY peak - cum DESC, day LIMIT 1""".stripMargin,
     "dq_order_audit" ->
       """WITH p AS (
         |  SELECT user_id, ts,

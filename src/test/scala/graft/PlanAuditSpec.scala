@@ -151,7 +151,10 @@ class PlanAuditSpec extends SparkSpec {
     // the same binding-source min inside the capstone's mixture stage
     "pipeline_curate2" -> Set("GlobalWindow"),
     // distribution totals over the VOCABULARY spine (dq_drift_ks's bound)
-    "text_js_divergence" -> Set("GlobalWindow")
+    "text_js_divergence" -> Set("GlobalWindow"),
+    // running cum/peak over the per-day pre-aggregate (ts_changepoint's
+    // bound)
+    "ts_drawdown" -> Set("GlobalWindow")
   )
 
   private def flags(p: SparkPlan): Set[String] = p.collect {

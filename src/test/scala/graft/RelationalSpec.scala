@@ -600,6 +600,29 @@ class RelationalSpec extends SparkSpec {
     assert(res.values.exists(_ > 0L), "some purchase falls in an envelope")
   }
 
+  test("ts_drawdown: matches the driver-side peak-to-trough walk (D33)") {
+    val Array((day, dd, peak, trough)) =
+      ops.Relational.queries("ts_drawdown")(spark, sf0001)
+        .as[(java.sql.Date, Double, Double, Double)].collect()
+    val daily = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(ops.exactSum(col("l_extendedprice")).as("rev"))
+      .select(col("day"),
+        expr("CAST(floor(CAST(rev AS DOUBLE) * 100 + 0.5) AS BIGINT)"))
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.getTime)
+    var cum = 0L; var pk = 0L; var best = -1L
+    var bestRow: (java.sql.Date, Long, Long) = null
+    daily.foreach { case (d0, c) =>
+      cum += c; pk = math.max(pk, cum)
+      if (pk - cum > best) { best = pk - cum; bestRow = (d0, pk, cum) }
+    }
+    assert(day === bestRow._1)
+    assert(dd === best.toDouble / 100)
+    assert(peak === bestRow._2.toDouble / 100 &&
+      trough === bestRow._3.toDouble / 100)
+    assert(dd >= 0.0 && peak >= trough)
+  }
+
   test("dq_order_audit: inversion counts match the driver-side adjacent " +
     "walk (L90)") {
     val Array((nu, pt, it_, rate, uwi)) =
