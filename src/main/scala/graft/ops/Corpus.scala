@@ -139,6 +139,28 @@ object Corpus {
         .orderBy("doc_id")
     }),
 
+    // Normalization-keyed exact dedup — the C4-style middle rung between
+    // byte-exact dedup (misses a reflowed copy entirely) and the near-dup
+    // machinery (wastes an inverted-index pass on what is literally the
+    // same text in different casing/punctuation): dedup on the NORMALIZED
+    // form (text_normalize's casefold + symbol-strip + whitespace
+    // collapse), keep the min-id variant, report how many formatting
+    // variants collapsed. Group key is (h60, normalized text) — the
+    // dedup_hash collision-safety convention; per-group windows only.
+    "dedup_exact_norm" -> ((s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val wg = Window.partitionBy("nh", "n")
+      Tables.documents(s, d)
+        .withColumn("n", norm)
+        .withColumn("nh", h60(col("n")))
+        .withColumn("rn", row_number().over(wg.orderBy("doc_id")))
+        .withColumn("n_variants", count(lit(1)).over(wg))
+        .select(col("doc_id"), col("nh").as("norm_h60"),
+          col("n_variants"), (col("rn") === 1).cast("int").as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // Per-document TF-IDF keyword extraction: top-3 terms per doc by
     // tf·ln(N/df). The rank window is PARTITION BY doc_id over that doc's
     // distinct tokens — partition-local, never global. Ranking key is the
@@ -669,6 +691,18 @@ object Corpus {
         |SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_norm,
         |  substr(sha256(norm), 1, 16) AS norm_hash
         |FROM n ORDER BY doc_id""".stripMargin,
+    "dedup_exact_norm" ->
+      s"""WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+        |  FROM documents),
+        |g AS (SELECT doc_id, ${dH60("n")} AS norm_h60,
+        |    row_number() OVER (PARTITION BY ${dH60("n")}, n
+        |      ORDER BY doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY ${dH60("n")}, n) AS n_variants
+        |  FROM n)
+        |SELECT doc_id, norm_h60, CAST(n_variants AS BIGINT) AS n_variants,
+        |  CAST(rn = 1 AS INT) AS kept
+        |FROM g ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       s"""WITH t AS ($dTokRows),
         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),

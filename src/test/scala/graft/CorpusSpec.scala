@@ -420,6 +420,30 @@ class CorpusSpec extends SparkSpec {
     assert(got.find(_._1 == repetitive._1).get._3 === n.toLong)
   }
 
+  test("dedup_exact_norm: a reformatted copy collapses onto its original " +
+    "while byte-exact dedup misses it (L91)") {
+    val docs = Seq(
+      (0L, "the quick brown fox"),
+      (1L, "The QUICK, brown   fox!!"), // reformatted copy of doc 0
+      (2L, "a different document"))
+    val dir = java.nio.file.Files.createTempDirectory("norm").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = ops.Corpus.queries("dedup_exact_norm")(spark, dir)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._3, r._4)).toSeq ===
+      Seq((0L, 2L, 1), (1L, 2L, 0), (2L, 1L, 1)))
+    assert(got(0)._2 === got(1)._2, "same normalized hash")
+    // byte-exact dedup keeps all three (the gap this operator closes)
+    assert(docs.map(_._2).distinct.length === 3)
+    // and the real corpus: keepers + dropped variants partition the table
+    val full = ops.Corpus.queries("dedup_exact_norm")(spark, sf0001)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(full.length.toLong === Tables.documents(spark, sf0001).count())
+    full.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.count(_._4 == 1) === 1) }
+  }
+
   test("text_js_divergence: matches the brute-force JS walk, symmetric, " +
     "bounded by ln 2 (L89)") {
     val Array((vocab, tr, tc, js)) =
