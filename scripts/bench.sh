@@ -77,6 +77,29 @@ if prev:
         if q in prev and prev[q] > 0.05 and t > 2.0 * prev[q])
 json.dump(d, open(out, 'w'), separators=(',', ':'))
 PYEOF
+# Embed the spread-aware gate verdict (scripts/bench_gate.sh) in the
+# artifact, so each round's BENCH_r{N}_full.json carries its own
+# round-over-round comparison (suspects, common-subset ratio) instead of
+# leaving that analysis to BASELINE.md prose. Compared against the newest
+# committed full artifact (same choice as the legacy `suspect` field).
+PREVFULL=""
+for f in $(ls BENCH_r[0-9]*_full.json 2>/dev/null | sort); do
+  n=$(printf '%s' "$f" | sed -nE 's/^BENCH_r0*([0-9]+)_full\.json$/\1/p')
+  [ -z "$n" ] && continue
+  if [ "$round" -eq 0 ] || [ "$n" -lt "$round" ]; then PREVFULL="$f"; fi
+done
+if [ -n "$PREVFULL" ]; then
+  GATE=$(scripts/bench_gate.sh "$OUT" "$PREVFULL" || true)
+  python3 - "$OUT" <<PYEOF2
+import json, sys
+d = json.load(open(sys.argv[1]))
+try:
+    d['gate'] = json.loads('''$GATE''')
+except Exception:
+    d['gate'] = {"gate": "bench", "verdict": "gate_error"}
+json.dump(d, open(sys.argv[1], 'w'), separators=(',', ':'))
+PYEOF2
+fi
 # Guard BOTH ways before publishing the round artifact: a subset run
 # (BENCH_ONLY set) must not overwrite it, and neither must a degenerate
 # run — BENCH_ONLY set-but-EMPTY selects zero queries and once clobbered

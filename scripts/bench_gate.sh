@@ -1,0 +1,86 @@
+#!/usr/bin/env bash
+# Spread-aware round-over-round bench gate: compares a bench artifact's
+# per-query medians against the previous round's committed full artifact
+# and emits ONE JSON verdict line on stdout.
+#
+# This promotes BASELINE.md's manual guard workflow ("suspect = >2x the
+# previous round; re-test with median-of-5 before believing it") to a
+# machine check. Two refinements over the raw 2x rule:
+#   - spread-aware: a flagged regression must ALSO exceed the max of the
+#     two rounds' observed max-min spreads plus a 0.3s fresh-JVM floor —
+#     BASELINE.md documents 1.2-1.4s spreads producing false 2x flags on
+#     0.2s queries (win_trailing7, date_seq, date_parse all tripped the
+#     raw rule and re-tested clean).
+#   - common-subset totals: the only fair round-over-round total is over
+#     queries present in BOTH artifacts (suites grow every round).
+#
+# Exit code is ALWAYS 0: the verdict is advisory (flag-then-re-test), not
+# a build blocker — a busy host must not fail CI. Consumers read .verdict.
+#
+# Usage: scripts/bench_gate.sh CUR.json [PREV.json]
+#   PREV defaults to the highest-numbered BENCH_r*_full.json whose round
+#   is lower than CUR's (or the highest of all if CUR is not round-named).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+python3 - "$1" "${2:-}" <<'PYEOF'
+import json, sys, glob, re, os
+
+cur_path, prev_path = sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else ""
+cur = json.load(open(cur_path))
+
+def round_of(p):
+    m = re.search(r'r0*(\d+)', os.path.basename(p))
+    return int(m.group(1)) if m else None
+
+if not prev_path:
+    cur_round = round_of(cur_path)
+    cands = [(round_of(f), f) for f in glob.glob('BENCH_r[0-9]*_full.json')]
+    cands = [(r, f) for r, f in cands
+             if r is not None and (cur_round is None or r < cur_round)
+             and os.path.abspath(f) != os.path.abspath(cur_path)]
+    if not cands:
+        print(json.dumps({"gate": "bench", "verdict": "no_prev",
+                          "cur": cur_path}))
+        sys.exit(0)
+    prev_path = max(cands)[1]
+prev = json.load(open(prev_path))
+
+cq, pq = cur.get('queries', {}), prev.get('queries', {})
+cs, ps = cur.get('spread', {}), prev.get('spread', {})
+FLOOR = 0.3   # fresh-JVM JIT noise floor (sec) — see BASELINE.md
+MIN_PREV = 0.05  # below this the timer is all noise
+
+common = sorted(q for q in cq if q in pq
+                and cq[q] is not None and pq[q] is not None)
+suspects = []
+for q in common:
+    c, p = cq[q], pq[q]
+    if p <= MIN_PREV:
+        continue
+    band = max(cs.get(q, 0.0), ps.get(q, 0.0), FLOOR)
+    if c > 2.0 * p and (c - p) > band:
+        suspects.append({"q": q, "prev": p, "cur": c,
+                         "ratio": round(c / p, 2),
+                         "band": round(band, 3)})
+suspects.sort(key=lambda s: -s["ratio"])
+
+tot_c = sum(cq[q] for q in common)
+tot_p = sum(pq[q] for q in common)
+ratio = round(tot_c / tot_p, 3) if tot_p > 0 else None
+verdict = "pass"
+if suspects:
+    verdict = "suspect"          # re-test each with median-of-5
+elif ratio is not None and ratio > 1.15:
+    verdict = "drift"            # broad host drift, no per-query culprit
+
+print(json.dumps({
+    "gate": "bench", "verdict": verdict,
+    "cur": os.path.basename(cur_path), "prev": os.path.basename(prev_path),
+    "n_common": len(common),
+    "common_total_cur": round(tot_c, 2), "common_total_prev": round(tot_p, 2),
+    "ratio": ratio,
+    "new_queries": sorted(set(cq) - set(pq)),
+    "lost_queries": sorted(set(pq) - set(cq)),
+    "suspects": suspects,
+}, separators=(',', ':')))
+PYEOF

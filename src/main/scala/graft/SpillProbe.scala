@@ -27,16 +27,18 @@ import org.apache.spark.sql.SparkSession
   */
 object SpillProbe {
 
-  /** Top-5 by median wall-clock in the last committed bench artifact,
-    * plus the r9 eval/graph wave: graph_modularity (three passes over the
-    * edge list) and the eval harness in its SAMPLED form — the full
-    * exact-truth harness is probed at 1× only (completes, zero spill);
-    * at the decade under a pinched pool it runs long past any sane probe
-    * budget, which is precisely why the sampled form is the documented
-    * production path (BASELINE.md r9 fourth wave). */
-  private val Heavy = Seq("pipeline_curate", "graph_label_prop",
-    "graph_pagerank", "dedup_containment", "dedup_ngram_jaccard",
-    "graph_modularity", "dedup_minhash_eval_sampled")
+  /** The bench's heaviest queries by median wall-clock (r9 top-10), so
+    * every family that dominates the round total has spill evidence:
+    * the two capstones, the Pregel family (LPA / pagerank / modularity /
+    * BFS / neighborhood-Jaccard), the near-dup inverted-index family,
+    * the LSH eval harness in BOTH forms (full exact-truth — whose
+    * documented super-linearity is exactly why it must be SEEN to
+    * degrade gracefully, not assumed — and the sampled 100 TB form),
+    * and the argmax keeper. */
+  private val Heavy = Seq("pipeline_curate", "pipeline_curate2",
+    "graph_label_prop", "graph_pagerank", "graph_bfs", "graph_jaccard",
+    "dedup_containment", "dedup_ngram_jaccard", "dedup_keep_best",
+    "graph_modularity", "dedup_minhash_eval", "dedup_minhash_eval_sampled")
 
   private final class SpillListener extends SparkListener {
     val memSpilled = new java.util.concurrent.atomic.LongAdder
@@ -105,12 +107,13 @@ object SpillProbe {
     }
 
     val hdr =
-      s"""# SCALE — memory & spill evidence (round 9)
+      s"""# SCALE — memory & spill evidence (round 10)
          |
          |ScaleProbe (BASELINE.md "Scale evidence") shows TIME per decade;
-         |this table shows MEMORY behavior for the bench's 5 heaviest
-         |queries under deliberate memory pressure, produced by
-         |`graft.SpillProbe` via `scripts/spill_probe.sh`.
+         |this table shows MEMORY behavior for the bench's heaviest
+         |queries (the r9 top-10 cost families) under deliberate memory
+         |pressure, produced by `graft.SpillProbe` via
+         |`scripts/spill_probe.sh`.
          |
          |Setup: local[$cpus], `spark.memory.fraction=$memFraction` (a ~${
         (memFraction.toDouble * 100).round}% unified pool — the per-task

@@ -28,8 +28,12 @@ import org.apache.spark.sql.types._
   *
   * A7 (object-store put): every writer/reader here takes any Hadoop
   * filesystem URI — pointing the same code at `s3a://bucket/path` is
-  * config, not code (untestable in this sandbox: no object store, no
-  * hadoop-aws jars). Standard production settings:
+  * config, not code. This is TESTED, not just asserted:
+  * S3ObjectStoreSpec runs these writers (and the parquet/CSV round-trip
+  * paths) against an `s3a://` URI backed by an in-process flat-namespace
+  * blob store (S3StubFileSystem: list-by-prefix, copy+delete rename) and
+  * measures the rename-commit tax directly. Standard production settings
+  * for the real connector:
   * {{{
   * spark.hadoop.fs.s3a.aws.credentials.provider=
   *   org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider
@@ -58,6 +62,54 @@ object Ingest {
       StructField("dailyBoxOfficeList",
         ArrayType(StructType(listFields.map(StructField(_, StringType)))))
     )))))
+
+  /** A1: fetch one day's payload over HTTP — the reference's
+    * `requests.get(url); if status_code != 200: raise`
+    * (daily_parquet_pipeline.py:23-42, daily_csv_pipeline.py:63-64) with
+    * the production hardening the reference delegates to Airflow retries:
+    * connect/read timeouts, bounded retry with linear backoff on 5xx and
+    * transport errors, fail-fast on 4xx (a bad key or date never succeeds
+    * on retry, so retrying would only mask it).
+    *
+    * Driver-side by design: the KOFIC feed is ONE ~10-row payload per day
+    * (BASELINE.md "per-run data volume"), so a driver fetch is the honest
+    * shape. A large-scale variant (millions of URLs) would distribute the
+    * SAME function over a URL Dataset via mapPartitions with per-partition
+    * connection reuse — the parse stage downstream is already
+    * distributed and unchanged.
+    */
+  def fetch(url: String, connectTimeoutMs: Int = 5000,
+      readTimeoutMs: Int = 10000, retries: Int = 2,
+      backoffMs: Long = 200): String = {
+    var attempt = 0
+    var lastErr: Exception = null
+    while (attempt <= retries) {
+      if (attempt > 0) Thread.sleep(backoffMs * attempt)
+      try {
+        val conn = new java.net.URI(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setConnectTimeout(connectTimeoutMs)
+        conn.setReadTimeout(readTimeoutMs)
+        conn.setRequestMethod("GET")
+        try {
+          val code = conn.getResponseCode
+          if (code == 200)
+            return new String(conn.getInputStream.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+          if (code >= 400 && code < 500)
+            throw new IllegalStateException(
+              s"GET $url -> $code (client error, not retried)")
+          lastErr = new java.io.IOException(s"GET $url -> $code")
+        } finally conn.disconnect()
+      } catch {
+        case e: IllegalStateException => throw e // 4xx: fail fast
+        case e: java.io.IOException => lastErr = e // timeout/refused/5xx
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"GET $url failed after ${retries + 1} attempts", lastErr)
+  }
 
   /** A2: payload JSON text → one row per ranked movie, parent fields
     * hoisted (daily_parquet_pipeline.py:34-40).

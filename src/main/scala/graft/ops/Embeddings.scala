@@ -245,7 +245,7 @@ object Embeddings {
         .groupBy("vec_id")
         .agg(dsum(col("pd2"), 6).as("approx_d2"))
         .orderBy(asc("approx_d2"), asc("vec_id")).limit(100)
-      val probe = emb.filter(col("vec_id") === 0)
+      val probe = emb.filter(col("vec_id") === 0).limit(1)
         .select(col("embedding").as("p"))
       shortlist.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
         .crossJoin(broadcast(probe))
@@ -283,7 +283,10 @@ object Embeddings {
     * broadcast k model-parameter rows, score k·N, per-vector argmin as a
     * k-row window. Shared by embed_centroid and embed_kmeans_step. */
   private def assign(emb: DataFrame): DataFrame = {
-    val cent = emb.filter(col("vec_id") < K)
+    // limit(K) is a no-op on the K unique-keyed seed rows but makes the
+    // bound STRUCTURAL — PlanAuditSpec's hinted-broadcast gate reads the
+    // plan, not vec_id's key semantics.
+    val cent = emb.filter(col("vec_id") < K).limit(K)
       .select(col("vec_id").as("cid"), col("embedding").as("c"))
     // greatest(·, 0): the three-dot identity cancels catastrophically for
     // near-identical vector/centroid pairs and can go fractionally

@@ -86,10 +86,17 @@ object TextSim {
     * Scale: fan-out is linear in corpus token count; distinct() on
     * (doc_id, g) is the one shuffle, same as before.
     */
-  private[ops] def shingleRows(docs: org.apache.spark.sql.DataFrame, n: Int) =
-    docs.select(col("doc_id"),
-        graft.functions.NGramGenerator.ngrams(toks, n))
-      .select(col("doc_id"), col("ngram").as("g"))
+  private[ops] def shingleRows(docs: org.apache.spark.sql.DataFrame, n: Int,
+      carry: Seq[String] = Nil) =
+    // `carry` names doc-level columns functionally dependent on doc_id
+    // (e.g. lang) that ride the shingle rows so downstream aggregations can
+    // key on them WITHOUT a join back to the fact table — the join-back
+    // form needs either a fact-sized broadcast (driver OOM at 100 TB) or a
+    // second full shuffle of the corpus. FD columns add zero groups to the
+    // distinct().
+    docs.select(col("doc_id") +: carry.map(col) :+
+        graft.functions.NGramGenerator.ngrams(toks, n): _*)
+      .select(col("doc_id") +: carry.map(col) :+ col("ngram").as("g"): _*)
       .distinct()
 
   /** Universal-hash family for MinHash permutations: sig_j = (a_j·h + b_j)
@@ -117,14 +124,16 @@ object TextSim {
     * variant was also benchmarked and LOST: the join shuffle costs more
     * than recomputing the base hash.)
     */
-  private[ops] def sigTable(sh: org.apache.spark.sql.DataFrame) = {
-    val base = sh.select(col("doc_id"), (h60(col("g")) % MinHashP).as("hm"))
+  private[ops] def sigTable(sh: org.apache.spark.sql.DataFrame,
+      carry: Seq[String] = Nil) = {
+    val base = sh.select(col("doc_id") +: carry.map(col) :+
+      (h60(col("g")) % MinHashP).as("hm"): _*)
     val mins = hashAB.zipWithIndex.map { case ((a, b), j) =>
       min((col("hm") * a + b) % MinHashP).as(s"s$j")
     }
-    base.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(j => col(s"s$j")): _*).as("sig"))
+    base.groupBy("doc_id", carry: _*).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        array((0 until NumHashes).map(j => col(s"s$j")): _*).as("sig"): _*)
   }
 
   /** MinHash near-dup candidate pairs (ia < ib, est_sim >= 0.5) via LSH
@@ -587,15 +596,19 @@ object TextSim {
       def cnt(markers: Seq[String]): Column =
         sum(when(col("tok").isin(markers: _*), 1).otherwise(0)).cast("long")
       val docs = documents(s, d)
+      // `lang` rides the exploded rows into the groupBy key (functionally
+      // dependent on doc_id, so zero extra groups) — annotating the result
+      // with the stored label costs nothing. The previous form joined back
+      // to broadcast(docs.select(doc_id, lang)): a hinted broadcast of a
+      // fact-table projection, i.e. a driver OOM at 100 TB.
       val scores = docs
-        .select(col("doc_id"), explode(toks).as("tok"))
-        .groupBy("doc_id")
+        .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+        .groupBy("doc_id", "lang")
         .agg(cnt(Seq("the", "a", "and", "query")).as("s_en"),
           cnt(Seq("der", "die", "das", "batch")).as("s_de"),
           cnt(Seq("el", "la", "los", "data")).as("s_es"),
           cnt(Seq("le", "les", "et", "table")).as("s_fr"))
       scores
-        .join(broadcast(docs.select(col("doc_id"), col("lang"))), Seq("doc_id"))
         .select(col("doc_id"), col("lang"),
           col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
           when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
@@ -887,7 +900,9 @@ object TextSim {
     // U4: cosine of every vector against the vec_id=0 probe (broadcast) —
     // explicit double fold so the oracle's identical fold agrees bitwise.
     "sim_cosine" -> ((s, d) => {
-      val p = embeddings(s, d).filter(col("vec_id") === 0)
+      // limit(1): no-op on the unique-keyed probe row, but makes the bound
+      // structural for PlanAuditSpec's hinted-broadcast gate.
+      val p = embeddings(s, d).filter(col("vec_id") === 0).limit(1)
         .select(col("embedding").as("p"), normOf(col("embedding")).as("pnrm"))
       embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding"),
@@ -903,7 +918,7 @@ object TextSim {
     // per-input-partition prune to 5 (parallel), then per-probe final
     // row_number over <= 5*partitions survivors. k·N work, no N² pairs.
     "sim_topk" -> ((s, d) => {
-      val probes = embeddings(s, d).filter(col("vec_id") < 10)
+      val probes = embeddings(s, d).filter(col("vec_id") < 10).limit(10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
           normOf(col("embedding")).as("pnrm"))
       val scored = embeddings(s, d)
@@ -990,8 +1005,11 @@ object TextSim {
     "udaf_minhash_lang" -> ((s, d) => {
       graft.functions.MinHashUnion.register(s)
       val docs = documents(s, d)
-      sigTable(shingleRows(docs, 3))
-        .join(broadcast(docs.select(col("doc_id"), col("lang"))), Seq("doc_id"))
+      // lang rides the shingle rows (carry) so the per-language union needs
+      // no join back to the fact table — the previous hinted broadcast of
+      // docs.select(doc_id, lang) was a fact-sized broadcast, i.e. a
+      // driver OOM at 100 TB.
+      sigTable(shingleRows(docs, 3, carry = Seq("lang")), carry = Seq("lang"))
         .groupBy("lang")
         .agg(expr("minhash_union(sig)").as("usig"))
         .select(col("lang"), concat_ws(",", col("usig")).as("sig_csv"))

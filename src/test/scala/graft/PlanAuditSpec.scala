@@ -184,6 +184,124 @@ class PlanAuditSpec extends SparkSpec {
         stale.mkString("\n"))
   }
 
+  // ---- r10 gate: hinted broadcasts of unreduced fact-table subtrees ----
+  //
+  // The r9 judge found two queries broadcast()-pinning a PROJECTION of the
+  // documents fact table (text_langid, udaf_minhash_lang). A hinted
+  // broadcast of an unbounded table is not a BNLJ or cartesian, so the
+  // typed-node gate above never saw it — yet at 100 TB it is a driver OOM
+  // just the same. This gate walks every ResolvedHint in every declared
+  // query's ANALYZED plan and fails when the hinted subtree scans a fact
+  // table (the tables that scale with the corpus/SF) with no Aggregate or
+  // Limit between the scan and the hint. Aggregates and limits are the
+  // two operators that re-bound cardinality by something other than the
+  // input size (group domain / k), which is what makes a broadcast legal.
+  //
+  // The hint-level (logical) walk is deliberate: stats-driven broadcasts
+  // chosen by the planner or AQE are scale-safe (they re-decide from real
+  // sizes at 100 TB), so only EXPLICIT pins are in scope — same rationale
+  // as the near-dup no-hint gate below.
+
+  /** Tables whose size scales with the corpus / scale factor. region and
+    * nation are fixed-size; customer/supplier/part technically scale in
+    * TPC-H but are the reference's declared broadcast dims (Joins.scala
+    * header) — at the SF where they stop fitting, the hint should move to
+    * stats-driven, which is a documented posture, not a silent OOM. */
+  private val factTables = Set("documents", "embeddings", "lineitem",
+    "orders", "events")
+
+  /** Hinted-broadcast allow-list: query -> fact tables whose hinted
+    * broadcast is bounded by something the plan can't express. Same
+    * contract as `allow`: every entry documents WHY, and a stale entry
+    * fails the gate. The one benign shape so far is the EVAL-SLICE
+    * broadcast: `documents.filter(doc_id < 10)` is the held-out eval set,
+    * whose size is fixed by the benchmark suite (thousands of docs), not
+    * by the training corpus — the filter bound is semantic, invisible to
+    * this structural walk. */
+  private val allowHinted: Map[String, Set[String]] = Map(
+    // eval-slice 8-gram set (distinct g of doc_id < 10) — bounded by the
+    // eval suite, probed by the corpus-side inverted-index join
+    "decontaminate" -> Set("documents"),
+    // same eval-gram broadcast behind the Bloom prefilter
+    "decontaminate_bloom" -> Set("documents"),
+    // same eval-gram broadcast inside the capstone's decontamination stage
+    "pipeline_curate" -> Set("documents"))
+
+  private def tableOf(
+      lr: org.apache.spark.sql.execution.datasources.LogicalRelation)
+      : Option[String] = lr.relation match {
+    case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+      fs.location.rootPaths.headOption
+        .map(_.getName.takeWhile(_ != '.'))
+    case _ => None
+  }
+
+  /** Fact tables scanned in `p` with no Aggregate/Limit above them. */
+  private def unreducedFactScans(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: Aggregate => Nil
+      case _: GlobalLimit => Nil
+      case _: LocalLimit => Nil
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        tableOf(lr).filter(factTables).toSeq
+      case other => other.children.flatMap(unreducedFactScans)
+    }
+  }
+
+  private def hintedFactBroadcasts(
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    // Only BROADCAST-strategy hints are in scope: hint("merge") on a fact
+    // table (join_sortmerge, join_bucketed) pins the SCALE-SAFE direction
+    // and must stay legal.
+    df.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+        unreducedFactScans(h.child)
+    }.flatten
+  }
+
+  test("no declared query broadcast-hints an unreduced fact-table subtree " +
+    "(beyond the documented eval-slice broadcasts)") {
+    val observed: Seq[(String, Set[String])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> hintedFactBroadcasts(fn(spark, sf0001)).toSet
+      }
+    val bad = observed.flatMap { case (name, ts) =>
+      (ts -- allowHinted.getOrElse(name, Set.empty))
+        .map(t => s"$name: broadcast of unreduced $t")
+    }
+    assert(bad.isEmpty,
+      s"fact-sized broadcast pins in declared plans:\n${bad.mkString("\n")}")
+    val byName = observed.toMap
+    val stale = allowHinted.toSeq.flatMap { case (name, ts) =>
+      (ts -- byName.getOrElse(name, Set.empty)).map(t => s"$name: $t")
+    }
+    assert(stale.isEmpty,
+      s"stale allowHinted entries (no longer observed — remove):\n" +
+        stale.mkString("\n"))
+  }
+
+  test("the hinted-broadcast gate detects the r9 offender shape") {
+    // Reconstruct text_langid's pre-fix plan: a per-doc aggregate joined
+    // back to broadcast(documents.select(doc_id, lang)) — the gate must
+    // red-flag it (it no longer appears in any declared query).
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val offender = docs.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .join(org.apache.spark.sql.functions.broadcast(
+        docs.select("doc_id", "lang")), Seq("doc_id"))
+    assert(hintedFactBroadcasts(offender) == Seq("documents"))
+    // ...while an aggregate-reduced broadcast stays legal:
+    val reduced = docs.join(org.apache.spark.sql.functions.broadcast(
+      docs.groupBy("lang").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))), Seq("lang"))
+    assert(hintedFactBroadcasts(reduced).isEmpty)
+  }
+
   test("near-dup family forces no broadcast hint (corpus-scaling tables " +
     "must be planned by stats, not pinned)") {
     // r8 verdict: ngramJaccard/dedup_containment broadcast a per-document
