@@ -294,7 +294,13 @@ object Curation {
         lit(0), (acc, v) => acc + v).cast("double") / size(toks)
       val z = lit(-1.0) + lit(2.5) * least(nTok / 100.0, lit(1.0)) +
         lit(3.0) * stopR - lit(4.0) * punct + lit(0.8) * (avgLen / 10.0)
-      val gated = docs.withColumn("z", z).filter(col("z") >= 0)
+      // z quantized at 6dp before BOTH decision surfaces that read it —
+      // the keep gate (z >= 0) and the per-cluster keeper argmax: the
+      // multiply-add z chain is the FMA-contraction surface ts_acf
+      // documents, so raw-z comparisons within ~1 ulp of the boundary (or
+      // of a rival cluster member) could flip cross-engine (ADVICE r9).
+      // The oracle mirrors round(z, 6) in its f CTE.
+      val gated = docs.withColumn("z", round(z, 6)).filter(col("z") >= 0)
       val wEx = Window.partitionBy(h60(col("text")), col("text"))
         .orderBy("doc_id")
       val exact = gated
@@ -403,7 +409,11 @@ object Curation {
         .select(col("k"), col("tot"), col("n"),
           (col("i").cast(d19) * col("n").cast(d19)).as("iw"),
           round(-p * log(p), 6).cast(dec).as("ent_term"),
-          round(p * p, 9).cast(dec).as("hhi_term"))
+          // (30,10), not the entropy terms' (30,8): an 8dp cast would
+          // silently re-quantize the 9dp rounding above and make the
+          // final round(hhi, 9) vacuous (ADVICE r9) — the same reason
+          // text_js_divergence holds its 9dp terms in (30,10)
+          round(p * p, 9).cast(DecimalType(30, 10)).as("hhi_term"))
         .groupBy("k", "tot")
         .agg(sum("iw").as("siw"), sum("ent_term").as("se"),
           sum("hhi_term").as("sh"), max("n").as("nmax"))
@@ -692,13 +702,14 @@ object Curation {
       val stop = TextSim.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
       s"""WITH RECURSIVE
         |f AS (SELECT doc_id, text, source,
+        |    round(
         |    -1.0 + 2.5 * least(CAST(len($dToks) AS DOUBLE) / 100.0, 1.0) +
         |    3.0 * (CAST(len(list_filter($dToks,
         |      t -> list_contains($stop, t))) AS DOUBLE) / len($dToks)) -
         |    4.0 * (CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
         |      AS DOUBLE) / length(text)) +
         |    0.8 * (CAST(list_sum(list_transform($dToks, t -> length(t)))
-        |      AS DOUBLE) / len($dToks) / 10.0) AS z
+        |      AS DOUBLE) / len($dToks) / 10.0), 6) AS z
         |  FROM documents),
         |g1 AS (SELECT * FROM f WHERE z >= 0),
         |x AS (SELECT *, row_number() OVER
@@ -770,7 +781,7 @@ object Curation {
         |    CAST(round(-(CAST(n AS DOUBLE) / tot) *
         |      ln(CAST(n AS DOUBLE) / tot), 6) AS DECIMAL(30,8)) AS ent_term,
         |    CAST(round((CAST(n AS DOUBLE) / tot) *
-        |      (CAST(n AS DOUBLE) / tot), 9) AS DECIMAL(30,8)) AS hhi_term
+        |      (CAST(n AS DOUBLE) / tot), 9) AS DECIMAL(30,10)) AS hhi_term
         |  FROM r)
         |SELECT k AS n_sources, tot AS n_docs,
         |  2.0 * CAST(sum(iw) AS DOUBLE) / (k * tot) -

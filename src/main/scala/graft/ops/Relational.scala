@@ -534,8 +534,13 @@ object Relational {
           sum(when(!col("a"), 1L).otherwise(0L)).as("nb"),
           sum(when(col("a"), col("c").cast(dec19))).as("sxa"),
           sum(when(!col("a"), col("c").cast(dec19))).as("sxb"),
-          sum(when(col("a"), (col("c") * col("c")).cast(dec19))).as("sxxa"),
-          sum(when(!col("a"), (col("c") * col("c")).cast(dec19))).as("sxxb"))
+          // square in DECIMAL ((19,0)² → (38,0)), not long-then-cast: a
+          // value domain above ~$30M in cents would wrap c*c silently in
+          // 64-bit (ADVICE r9); the decimal square cannot
+          sum(when(col("a"), col("c").cast(dec19) * col("c").cast(dec19)))
+            .as("sxxa"),
+          sum(when(!col("a"), col("c").cast(dec19) * col("c").cast(dec19)))
+            .as("sxxb"))
       val na = col("na").cast("double"); val nb = col("nb").cast("double")
       val sxa = col("sxa").cast("double"); val sxb = col("sxb").cast("double")
       val sxxa = col("sxxa").cast("double"); val sxxb = col("sxxb").cast("double")
@@ -621,7 +626,8 @@ object Relational {
         .select(col("event_type").as("grp"), c.as("c"))
         .groupBy("grp")
         .agg(count(lit(1)).as("ni"), sum(col("c").cast(d19)).as("si"),
-          sum((col("c") * col("c")).cast(d19)).as("sii"))
+          // decimal square, same rationale as stat_ttest's sxx terms
+          sum(col("c").cast(d19) * col("c").cast(d19)).as("sii"))
       val sid = col("si").cast("double"); val nid = col("ni").cast("double")
       val g = pg
         .select(col("ni"), col("si"), col("sii"),
@@ -680,12 +686,14 @@ object Relational {
         .agg(sum("ni").as("n"), count(lit(1)).as("k"),
           aggregate(array_sort(collect_list(col("gt"))), lit(0.0),
             (acc, x) => acc + x.getField("term")).as("srn"))
-      // tie terms t³−t are exact LONGS (documented bound: per-value tie
-      // count < 2·10⁶ keeps t³ in range; shard hotter domains) summed in
-      // exact DECIMAL — no float surface at all
+      // tie terms t³−t are cubed in exact DECIMAL, not long: cast BEFORE
+      // cubing so (12,0)³ → (38,0) and a per-value tie count up to 1e12
+      // cannot silently wrap the way a 64-bit cube would past ~2e6 (Spark
+      // non-ANSI wraps longs silently; DuckDB errors loudly — divergent
+      // failure modes with no Spark-side signal, ADVICE r9)
+      val cd = col("cnt").cast(DecimalType(12, 0))
       val ties = mr
-        .agg(sum((col("cnt") * col("cnt") * col("cnt") - col("cnt"))
-          .cast(DecimalType(38, 0))).as("t3t"))
+        .agg(sum(cd * cd * cd - cd).as("t3t"))
       val nd = col("n").cast("double")
       val h = lit(12.0) / (nd * (nd + 1)) * col("srn").cast("double") -
         lit(3.0) * (nd + 1)
@@ -721,14 +729,19 @@ object Relational {
         .agg(exactSum(col("l_extendedprice")).as("rev"))
         .select(col("day"),
           floor(col("rev").cast("double") * 100 + 0.5).cast("long").as("c"))
-      val wd = Window.orderBy("day")
-      val lagged = daily
-        .withColumn("l1", lag("c", 1).over(wd))
-        .withColumn("l2", lag("c", 2).over(wd))
-        .withColumn("l7", lag("c", 7).over(wd))
-      def acfAt(lagCol: String, lagN: Int): DataFrame = {
-        val g = lagged.filter(col(lagCol).isNotNull)
-          .select(col("c").as("x"), col(lagCol).as("y"))
+      // lag alignment is CALENDAR-true, not row-true: each (x, y) pair
+      // joins day to day − k DAYS, so on a spine with gap days "lag 7"
+      // still means one week, where a ROW lag over the ordered spine
+      // would silently shift (ADVICE r9; both engines previously agreed
+      // on the row form, so this is a semantic fix, not a parity fix —
+      // on the dense testdata spine the values are identical). Bonus:
+      // the spine-global ordered window disappears from the plan — the
+      // alignment is now an equi join AQE can replan.
+      def acfAt(lagN: Int): DataFrame = {
+        val prev = daily.select(date_add(col("day"), lagN).as("day"),
+          col("c").as("y"))
+        val g = daily.join(prev, "day")
+          .select(col("c").as("x"), col("y"))
           .agg(count(lit(1)).as("n"),
             sum(col("x").cast(dec19)).as("sx"),
             sum(col("y").cast(dec19)).as("sy"),
@@ -747,7 +760,7 @@ object Relational {
         g.select(lit(lagN).as("lag"), col("n"),
           (num / sqrt(vx * vy)).as("acf"))
       }
-      acfAt("l1", 1).union(acfAt("l2", 2)).union(acfAt("l7", 7))
+      acfAt(1).union(acfAt(2)).union(acfAt(7))
         .orderBy("lag")
     }),
 
@@ -800,12 +813,16 @@ object Relational {
         .agg(exactSum(col("l_extendedprice")).as("rev"))
         .select(col("day"),
           floor(col("rev").cast("double") * 100 + 0.5).cast("long").as("c"))
-      val wd = Window.orderBy("day")
       val cd = col("c").cast("double")
       val fd = col("f").cast("double")
+      // the "same weekday last week" forecast joins day − 7 DAYS on the
+      // calendar, not 7 ROWS back on the spine — on a gapped spine a row
+      // lag silently stops meaning "one week" (ADVICE r9, same fix as
+      // ts_acf; identical values on the dense testdata spine)
       daily
-        .withColumn("f", lag("c", 7).over(wd))
-        .filter(col("f").isNotNull && col("c") > 0)
+        .join(daily.select(date_add(col("day"), 7).as("day"),
+          col("c").as("f")), "day")
+        .filter(col("c") > 0)
         .select(
           round(abs(cd - fd) / cd, 6).cast(dec).as("ape"),
           round((cd - fd) / cd, 6).cast(dec).as("pe"))
@@ -2197,18 +2214,15 @@ object Relational {
         |    CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8)))
         |      AS DOUBLE) * 100 + 0.5) AS BIGINT) AS c
         |  FROM lineitem GROUP BY 1),
-        |lagged AS (
-        |  SELECT c,
-        |    lag(c, 1) OVER (ORDER BY day) AS l1,
-        |    lag(c, 2) OVER (ORDER BY day) AS l2,
-        |    lag(c, 7) OVER (ORDER BY day) AS l7
-        |  FROM daily),
         |u AS (
-        |  SELECT 1 AS lag, c AS x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+        |  SELECT 1 AS lag, t.c AS x, p.c AS y FROM daily t
+        |    JOIN daily p ON p.day = t.day - INTERVAL 1 DAY
         |  UNION ALL
-        |  SELECT 2, c, l2 FROM lagged WHERE l2 IS NOT NULL
+        |  SELECT 2, t.c, p.c FROM daily t
+        |    JOIN daily p ON p.day = t.day - INTERVAL 2 DAY
         |  UNION ALL
-        |  SELECT 7, c, l7 FROM lagged WHERE l7 IS NOT NULL),
+        |  SELECT 7, t.c, p.c FROM daily t
+        |    JOIN daily p ON p.day = t.day - INTERVAL 7 DAY),
         |g AS (
         |  SELECT lag, count(*) AS n,
         |    CAST(sum(CAST(x AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS sx,
@@ -2256,14 +2270,15 @@ object Relational {
         |    CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8)))
         |      AS DOUBLE) * 100 + 0.5) AS BIGINT) AS c
         |  FROM lineitem GROUP BY 1),
-        |l AS (SELECT day, c, lag(c, 7) OVER (ORDER BY day) AS f FROM daily),
+        |l AS (SELECT t0.day, t0.c, p.c AS f FROM daily t0
+        |  JOIN daily p ON p.day = t0.day - INTERVAL 7 DAY),
         |t AS (
         |  SELECT
         |    CAST(round(abs(CAST(c AS DOUBLE) - CAST(f AS DOUBLE)) /
         |      CAST(c AS DOUBLE), 6) AS DECIMAL(30,8)) AS ape,
         |    CAST(round((CAST(c AS DOUBLE) - CAST(f AS DOUBLE)) /
         |      CAST(c AS DOUBLE), 6) AS DECIMAL(30,8)) AS pe
-        |  FROM l WHERE f IS NOT NULL AND c > 0)
+        |  FROM l WHERE c > 0)
         |SELECT count(*) AS n_days,
         |  round(CAST(sum(ape) AS DOUBLE) / count(*), 6) AS mape,
         |  round(CAST(sum(pe) AS DOUBLE) / count(*), 6) AS bias

@@ -512,14 +512,15 @@ object TextSim {
         lit(3.0) * stopR - lit(4.0) * punct + lit(0.8) * (avgLen / 10.0)
       documents(s, d)
         .select(col("doc_id"), z.as("z"))
-        // z displayed at 6dp — multiply-add chains are exactly the surface
-        // a vectorized engine may FMA-contract (the ts_acf lesson), and
-        // 6dp absorbs the last-ulp wobble; the keep gate compares the raw
-        // z against 0, where a sub-ulp difference would need z itself to
-        // sit within 1e-16 of the decision boundary
+        // z quantized at 6dp BEFORE the gate — multiply-add chains are
+        // exactly the surface a vectorized engine may FMA-contract (the
+        // ts_acf lesson), so gating on raw z would let a z within ~1 ulp
+        // of 0 flip keep between engines; 6dp absorbs the wobble on gate
+        // and display alike (ADVICE r9). The oracle mirrors the same
+        // round-then-compare.
         .select(col("doc_id"), round(col("z"), 6).as("z"),
-          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"),
-          (col("z") >= 0).as("keep"))
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"))
+        .withColumn("keep", col("z") >= 0)
         .orderBy("doc_id")
     }),
 
@@ -1188,7 +1189,7 @@ object TextSim {
         |  FROM f)
         |SELECT doc_id, round(z, 6) AS z,
         |  round(1.0 / (1.0 + exp(-z)), 6) AS score,
-        |  z >= 0 AS keep
+        |  round(z, 6) >= 0 AS keep
         |FROM z ORDER BY doc_id""".stripMargin
     },
     "text_langid" -> {

@@ -43,6 +43,67 @@ object Pipeline {
     df.observe(obs,
       F.count(F.lit(1)).as("n_rows"),
       F.sum(F.when(F.col(keyCol).isNull, 1L).otherwise(0L)).as("n_null_key"))
+
+  /** K2 backfill/catchup semantics — the ENGINE half of the reference's
+    * `schedule_interval` + `catchup` + manual backfill (dbt_dags.py:37-38,
+    * README.md:48,125). Given an inclusive logical-date interval and a
+    * probe for already-materialized dates, run the missing dates in order
+    * through a day-parameterized job, each with the K3 retry contract.
+    * Idempotent by construction: a date whose output exists is SKIPPED
+    * (the reference's `CREATE TABLE IF NOT EXISTS` per-day idempotency),
+    * so re-invoking the same interval after a crash resumes where it
+    * stopped and a full re-invoke is a no-op. A date that exhausts its
+    * retries aborts the backfill with dates-run-so-far preserved on disk —
+    * matching Airflow's depends-on-past=false task-level failure, where
+    * earlier successful runs stand.
+    *
+    * Returns the logical dates actually executed. The WALL-CLOCK trigger
+    * (cron) stays with the orchestrator, exactly as SURVEY §2.K declares —
+    * what the engine owns is which dates run, in what order, and the
+    * exactly-once-per-date materialization contract.
+    */
+  def backfill(start: java.time.LocalDate, endInclusive: java.time.LocalDate,
+      isDone: java.time.LocalDate => Boolean,
+      run: java.time.LocalDate => Unit,
+      retries: Int = 1): Seq[java.time.LocalDate] = {
+    require(!endInclusive.isBefore(start), s"empty interval $start..$endInclusive")
+    val dates = Iterator.iterate(start)(_.plusDays(1))
+      .takeWhile(!_.isAfter(endInclusive)).toSeq
+    val ran = Seq.newBuilder[java.time.LocalDate]
+    dates.foreach { day =>
+      if (!isDone(day)) {
+        var attempt = 0
+        var last: Throwable = null
+        var ok = false
+        while (!ok && attempt <= retries) {
+          try { run(day); ok = true }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              last = e; attempt += 1
+              if (attempt <= retries)
+                System.err.println(
+                  s"[backfill] $day failed (attempt $attempt), retrying")
+          }
+        }
+        if (!ok) throw last
+        ran += day
+      }
+    }
+    ran.result()
+  }
+
+  /** The standard `isDone` probe for a partitioned long-format store
+    * (Ingest.appendLongStore): a date is materialized iff its
+    * `show_range=<date>` partition directory exists. A metadata-only
+    * filesystem check — never a data scan, so probing a year of dates
+    * against a 100 TB store is 365 directory stats.
+    */
+  def partitionDone(spark: org.apache.spark.sql.SparkSession, path: String,
+      partCol: String = "show_range"): java.time.LocalDate => Boolean = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    day => fs.exists(new org.apache.hadoop.fs.Path(path, s"$partCol=$day"))
+  }
 }
 
 final class Pipeline(

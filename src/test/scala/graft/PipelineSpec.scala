@@ -287,4 +287,63 @@ class PipelineSpec extends SparkSpec {
     assert(m("n_rows") === 4L)
     assert(m("n_null_key") === 2L)
   }
+
+  test("K2: backfill runs exactly the missing dates, in order, and a " +
+    "re-invoke is a no-op") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft_backfill").toString
+    val store = s"$out/longstore"
+    def writeDay(day: LocalDate): Unit = {
+      val d8 = day.toString.replace("-", "")
+      val raw = payload(d8, Seq((1, s"Movie$d8", 1000L, 100L)))
+      val wide = Ingest.dailyTable(
+        Ingest.requireNonEmpty(Ingest.parsePayload(Seq(raw).toDS()), d8), d8)
+      Ingest.appendLongStore(Ingest.toLong(wide, d8), store)
+    }
+    val jan = (d: Int) => LocalDate.of(2025, 1, d)
+    // pre-materialized: 13 and 15; the 14th and 16th..17th are the gap
+    writeDay(jan(13)); writeDay(jan(15))
+    val isDone = pipeline.Pipeline.partitionDone(spark, store)
+    val ran = pipeline.Pipeline.backfill(jan(13), jan(17), isDone, writeDay)
+    assert(ran === Seq(jan(14), jan(16), jan(17)))
+    // all five days materialized exactly once
+    val days = spark.read.parquet(store)
+      .select("show_range").distinct().count()
+    assert(days === 5)
+    assert(spark.read.parquet(store).count() === 5)
+    // catchup is idempotent: nothing left to run
+    assert(pipeline.Pipeline.backfill(jan(13), jan(17), isDone, writeDay)
+      .isEmpty)
+  }
+
+  test("K2: a flaky date is retried; earlier dates' output stands on " +
+    "abort") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft_backfill2").toString
+    val store = s"$out/longstore"
+    val jan = (d: Int) => LocalDate.of(2025, 2, d)
+    val attempts = scala.collection.mutable.Map.empty[LocalDate, Int]
+    def flakyWrite(day: LocalDate): Unit = {
+      attempts(day) = attempts.getOrElse(day, 0) + 1
+      // day 2 fails once then succeeds; day 3 always fails
+      if (day == jan(2) && attempts(day) == 1)
+        throw new RuntimeException("transient")
+      if (day == jan(3)) throw new RuntimeException("permanent")
+      val d8 = day.toString.replace("-", "")
+      val raw = payload(d8, Seq((1, s"Movie$d8", 1000L, 100L)))
+      val wide = Ingest.dailyTable(
+        Ingest.requireNonEmpty(Ingest.parsePayload(Seq(raw).toDS()), d8), d8)
+      Ingest.appendLongStore(Ingest.toLong(wide, d8), store)
+    }
+    val isDone = pipeline.Pipeline.partitionDone(spark, store)
+    val e = intercept[RuntimeException] {
+      pipeline.Pipeline.backfill(jan(1), jan(4), isDone, flakyWrite,
+        retries = 1)
+    }
+    assert(e.getMessage === "permanent")
+    assert(attempts(jan(2)) === 2, "transient failure retried once")
+    assert(attempts(jan(3)) === 2, "permanent failure exhausted retries")
+    // days 1 and 2 survived the abort; resuming runs only 3 and 4
+    assert(isDone(jan(1)) && isDone(jan(2)) && !isDone(jan(4)))
+  }
 }

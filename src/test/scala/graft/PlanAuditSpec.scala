@@ -120,9 +120,8 @@ class PlanAuditSpec extends SparkSpec {
     // midrank cum-count over the distinct-VALUE spine (dq_drift_ks's
     // bound: ≤|cent values| rows, never the event count)
     "stat_auc" -> Set("GlobalWindow"),
-    // lag alignment over the per-day PRE-AGGREGATE — the win_trailing7
-    // bound (calendar cardinality, not fact cardinality)
-    "ts_acf" -> Set("GlobalWindow"),
+    // (ts_acf / ts_forecast_naive left this list in r10: their lag
+    // alignment became calendar equi joins, no window at all)
     // CUSUM cumulative/total windows over the same per-day pre-aggregate
     "ts_changepoint" -> Set("GlobalWindow"),
     // per FK edge, the 1-row orphan count crossed into the 1-row total
@@ -134,8 +133,6 @@ class PlanAuditSpec extends SparkSpec {
     // centered 7-day frame over the per-day PRE-AGGREGATE (win_trailing7
     // bound); the seasonal window partitions by dow
     "ts_seasonal_decompose" -> Set("GlobalWindow"),
-    // lag-7 alignment over the per-day pre-aggregate (the ts_acf bound)
-    "ts_forecast_naive" -> Set("GlobalWindow"),
     // midrank cum-count over the value spine (stat_auc's bound) + the
     // 1-row group-sums × 1-row tie-correction cross (funnel shape)
     "stat_kruskal" -> Set("GlobalWindow", "BroadcastNestedLoopJoin"),
