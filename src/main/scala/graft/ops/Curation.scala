@@ -425,6 +425,36 @@ object Curation {
           (col("nmax").cast("double") / col("tot")).as("top1_share"))
     }),
 
+    // Gopher-style rule battery (r10; Rae et al. 2021 §A1.1 shape): the
+    // transparent heuristic gate run BEFORE any learned classifier —
+    // word-count bounds, mean-word-length bounds, minimum stopword
+    // evidence, and a repetition cap (unique-token ratio — the
+    // document-level cousin of text_repetition's n-gram form). Per-rule
+    // booleans are emitted alongside the conjunction so a dataset card
+    // can report WHICH rule rejected, not just that one did (the reason
+    // real pipelines keep rule gates next to classifier gates). Pure
+    // map-side projection; thresholds tuned to this corpus's 10–60-token
+    // documents, same contract as curate_classifier's weights.
+    // Determinism: the two ratio rules compare an IEEE division of
+    // identical exact integers (deterministic cross-engine; no FMA
+    // surface in a single divide), the rest are integer comparisons.
+    "curate_gopher_rules" -> ((s, d) => {
+      val nW = size(toks)
+      val meanLen = aggregate(transform(toks, t => length(t)),
+        lit(0), (acc, v) => acc + v).cast("double") / nW
+      val stopCnt = size(filter(toks,
+        t => array_contains(typedlit(TextSim.stopwords), t)))
+      val uniqR = size(array_distinct(toks)).cast("double") / nW
+      Tables.documents(s, d).select(col("doc_id"),
+          (nW >= 10 && nW <= 1000).as("r_len"),
+          (meanLen >= 3.0 && meanLen <= 10.0).as("r_word_len"),
+          (stopCnt >= 2).as("r_stop"),
+          (round(uniqR, 6) >= 0.5).as("r_unique"))
+        .withColumn("keep",
+          col("r_len") && col("r_word_len") && col("r_stop") && col("r_unique"))
+        .orderBy("doc_id")
+    }),
+
     // Eval-set decontamination: flag corpus docs sharing any 8-gram with
     // the held-out eval docs (doc_id < 10). The eval shingle set is tiny
     // and broadcast; the corpus streams through one inverted-index join.
@@ -621,6 +651,28 @@ object Curation {
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "curate_gopher_rules" -> {
+      val stop = TextSim.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH t AS (SELECT doc_id, $dToks AS tk FROM documents)
+        |SELECT doc_id,
+        |  len(tk) >= 10 AND len(tk) <= 1000 AS r_len,
+        |  CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+        |    / len(tk) >= 3.0 AND
+        |  CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+        |    / len(tk) <= 10.0 AS r_word_len,
+        |  len(list_filter(tk, x -> list_contains($stop, x))) >= 2 AS r_stop,
+        |  round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6)
+        |    >= 0.5 AS r_unique,
+        |  (len(tk) >= 10 AND len(tk) <= 1000) AND
+        |  (CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+        |    / len(tk) >= 3.0 AND
+        |   CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+        |    / len(tk) <= 10.0) AND
+        |  (len(list_filter(tk, x -> list_contains($stop, x))) >= 2) AND
+        |  (round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6)
+        |    >= 0.5) AS keep
+        |FROM t ORDER BY doc_id""".stripMargin
+    },
     "sample_hash" ->
       s"""SELECT doc_id, lang FROM documents
         |WHERE ${dH60("'smp' || CAST(doc_id AS VARCHAR)")} % 1000 <

@@ -999,6 +999,44 @@ object TextSim {
     "dedup_embed" -> ((s, d) =>
       embedNearDupPairs(embeddings(s, d), blockCap = 1000, threshold = 0.35)),
 
+    // PII detection + redaction (r10): the scrub step every training-data
+    // pipeline runs before anything ships (CCNet/FineWeb-style). Four
+    // standard detector classes — email, SSN, 13–16-digit card runs,
+    // IPv4 — counted per doc and rewritten to typed placeholders in ONE
+    // map-side projection (no shuffle, no UDF: regexp_count /
+    // regexp_replace are codegen'd). Patterns are deliberately inside the
+    // Java∩RE2 common dialect (no lookaround, no backrefs) so the DuckDB
+    // mirror is the same regex text. The synthetic corpus is PII-free, so
+    // the oracle here checks the identity path cross-engine; the POSITIVE
+    // behavior (hits counted, text rewritten, placeholders stable) is
+    // pinned by TextSimSpec on an injected fixture via [[piiRedact]].
+    "text_pii_redact" -> ((s, d) => piiRedact(documents(s, d))),
+
+    // Embedding-space decontamination (r10): the semantic complement of
+    // Curation's 8-gram `decontaminate` — an eval item paraphrased or
+    // reformatted shares no shingles but still sits next to its source in
+    // embedding space. Corpus vectors scoring >= 0.35 cosine against ANY
+    // of the k held-out eval vectors (vec_id < 10) are flagged with their
+    // max score and hit count. Scale: the eval side is k model-parameter
+    // rows (broadcast, structurally limit(10)); the corpus streams through
+    // one k·N scoring pass + per-vector aggregate — never pairs, never a
+    // corpus-side collect. At real scale, band the eval side with sign-LSH
+    // first (embedNearDupPairs' bucketing) to cut k·N to collisions only.
+    "decontaminate_embed" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val ev = emb.filter(col("vec_id") < 10).limit(10)
+        .select(col("embedding").as("e"))
+      emb.filter(col("vec_id") >= 10)
+        .crossJoin(broadcast(ev))
+        .select(col("vec_id"),
+          round(cosine(col("embedding"), col("e")), 6).as("cos"))
+        .groupBy("vec_id")
+        .agg(max("cos").as("max_cos"),
+          sum(when(col("cos") >= 0.35, 1L).otherwise(0L)).as("n_hits"))
+        .filter(col("max_cos") >= 0.35)
+        .orderBy("vec_id")
+    }),
+
     // U6 surface: the custom Aggregator (graft.functions.MinHashUnion,
     // registered as a UDAF) unions per-doc MinHash signatures into one
     // per-language signature via elementwise min — a mergeable sketch, the
@@ -1017,6 +1055,33 @@ object TextSim {
         .orderBy("lang")
     })
   )
+
+  /** PII detector classes, ordered: (name, pattern, placeholder). The
+    * REPLACEMENT order is part of the contract (SSN's dashed groups must
+    * rewrite before the bare 13–16-digit card run can see them; IPv4 last —
+    * its dot-broken digit runs are disjoint from both). Patterns stay in
+    * the Java∩RE2 common dialect so Spark (java.util.regex) and DuckDB
+    * (RE2) compile the same text to the same automaton. */
+  private[graft] val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("card", "\\b\\d{13,16}\\b", "<CARD>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Per-doc PII counts + redacted text — one map-side projection over any
+    * (doc_id, text) frame; the shared core of `text_pii_redact` and
+    * TextSimSpec's injected-fixture cases. */
+  private[graft] def piiRedact(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val counts = PiiPatterns.map { case (n, p, _) =>
+      regexp_count(col("text"), lit(p)).cast("long").as(s"n_$n")
+    }
+    val redacted = PiiPatterns.foldLeft(col("text")) {
+      case (acc, (_, p, repl)) => regexp_replace(acc, p, repl)
+    }
+    docs.select(col("doc_id") +: counts :+ redacted.as("redacted"): _*)
+      .orderBy("doc_id")
+  }
 
   /** DuckDB mirror of [[shingleRows]] — shared with Curation's
     * decontamination grams (n=8). */
@@ -1059,6 +1124,30 @@ object TextSim {
     s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
 
   val oracles: Map[String, String] = Map(
+    // counts via regexp_extract_all length; replacement chain in the SAME
+    // order as PiiPatterns (one source of truth — both engines' SQL/plan
+    // are generated from it); DuckDB needs the explicit 'g' flag where
+    // Spark's regexp_replace is global by default.
+    "text_pii_redact" -> {
+      val cnts = PiiPatterns.map { case (n, p, _) =>
+        s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$n"
+      }
+      val red = PiiPatterns.foldLeft("text") { case (acc, (_, p, r)) =>
+        s"regexp_replace($acc, '$p', '$r', 'g')"
+      }
+      s"""SELECT doc_id, ${cnts.mkString(",\n  ")},
+        |  $red AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "decontaminate_embed" ->
+      s"""WITH ev AS (SELECT embedding AS e FROM embeddings WHERE vec_id < 10),
+        |sc AS (SELECT vec_id, round(${dCos("embedding", "e")}, 6) AS cos
+        |  FROM embeddings, ev WHERE vec_id >= 10),
+        |g AS (SELECT vec_id, max(cos) AS max_cos,
+        |    CAST(sum(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hits
+        |  FROM sc GROUP BY 1)
+        |SELECT * FROM g WHERE max_cos >= 0.35 ORDER BY vec_id""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id, unnest($dToks) AS tok,
         |unnest(generate_series(1, len($dToks))) AS pos

@@ -31,6 +31,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim_cosine" -> Set("BroadcastNestedLoopJoin"),
     // 10 broadcast probe rows × vectors, then two-phase top-k
     "sim_topk" -> Set("BroadcastNestedLoopJoin"),
+    // 10 broadcast eval vectors × corpus scoring pass (the sim_topk
+    // shape) — the eval side is model-parameter-sized by construction
+    "decontaminate_embed" -> Set("BroadcastNestedLoopJoin"),
     // 1-row corpus total crossed into per-source rates (|sources| rows)
     "mix_resample" -> Set("BroadcastNestedLoopJoin"),
     // 1-row broadcast (min, max) bounds crossed into the scan

@@ -387,4 +387,32 @@ class TextSimSpec extends SparkSpec {
     cand.foreach { case (a, b) =>
       assert(inSample(a) && inSample(b)) }
   }
+
+  test("text_pii_redact positive path: injected PII is counted and " +
+    "rewritten, clean text passes through untouched") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "contact alice.smith+x@example.com or bob@sub.domain.org now"),
+      (2L, "ssn 123-45-6789 card 4111111111111111 ip 10.0.255.1 end"),
+      (3L, "a perfectly clean sentence with no identifiers at all"),
+      (4L, "two ips 192.168.0.1 8.8.8.8 and mail c@d.io"),
+      // a 12-digit run is NOT a card (below the 13-digit floor); the
+      // dashed SSN shape must not match a plain 9-digit run
+      (5L, "123456789012 and 123456789 stay as they are")
+    ).toDF("doc_id", "text")
+    val out = ops.TextSim.piiRedact(fixture)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === 2L && out(1L)._6 ===
+      "contact <EMAIL> or <EMAIL> now")
+    assert((out(2L)._3, out(2L)._4, out(2L)._5) === ((1L, 1L, 1L)))
+    assert(out(2L)._6 === "ssn <SSN> card <CARD> ip <IP> end")
+    assert(out(3L)._6 === "a perfectly clean sentence with no identifiers at all")
+    assert((out(3L)._2, out(3L)._3, out(3L)._4, out(3L)._5) ===
+      ((0L, 0L, 0L, 0L)))
+    assert(out(4L)._5 === 2L && out(4L)._2 === 1L)
+    assert(out(4L)._6 === "two ips <IP> <IP> and mail <EMAIL>")
+    assert((out(5L)._3, out(5L)._4) === ((0L, 0L)) &&
+      out(5L)._6 === "123456789012 and 123456789 stay as they are")
+  }
 }
