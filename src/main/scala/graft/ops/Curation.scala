@@ -425,6 +425,90 @@ object Curation {
           (col("nmax").cast("double") / col("tot")).as("top1_share"))
     }),
 
+    // Dataset-card capstone (r10): the one-table summary a curation run
+    // PUBLISHES — per source: volume (docs, tokens), exact-dup rate,
+    // eval-contamination rate (8-gram, train side only), PII incidence,
+    // mean classifier z, Gopher-rule keep rate, and language entropy.
+    // Every number is the declared operator's own definition re-aggregated
+    // per source, so the card can't drift from the pipeline it describes.
+    // Scale: one pass over documents computes every per-doc feature
+    // map-side (z, PII, rules, text hash) into ONE groupBy(source);
+    // language entropy and contamination are |sources|-sized aggregates
+    // joined at the end; the eval-gram probe is the decontaminate shape
+    // (bounded eval slice broadcast, corpus streams through). No window,
+    // no collect, no per-doc join-back.
+    // Determinism: rates are IEEE divisions of exact longs; mean_z and
+    // entropy follow the round-then-decimal-sum contract (6dp terms in
+    // DECIMAL(30,8), one closing IEEE division/round).
+    "dataset_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nTok = size(toks).cast("double")
+      val punct = regexp_count(lower(col("text")), lit("[^a-z0-9 ]"))
+        .cast("double") / length(col("text"))
+      val stopR = size(filter(toks,
+        t => array_contains(typedlit(TextSim.stopwords), t)))
+        .cast("double") / size(toks)
+      val avgLen = aggregate(transform(toks, t => length(t)),
+        lit(0), (acc, v) => acc + v).cast("double") / size(toks)
+      val z = lit(-1.0) + lit(2.5) * least(nTok / 100.0, lit(1.0)) +
+        lit(3.0) * stopR - lit(4.0) * punct + lit(0.8) * (avgLen / 10.0)
+      val nW = size(toks)
+      val meanLen = aggregate(transform(toks, t => length(t)),
+        lit(0), (acc, v) => acc + v).cast("double") / nW
+      val stopCnt = size(filter(toks,
+        t => array_contains(typedlit(TextSim.stopwords), t)))
+      val uniqR = size(array_distinct(toks)).cast("double") / nW
+      val gKeep = (nW >= 10 && nW <= 1000) &&
+        (meanLen >= 3.0 && meanLen <= 10.0) && (stopCnt >= 2) &&
+        (round(uniqR, 6) >= 0.5)
+      val piiAny = TextSim.PiiPatterns.map { case (_, p, _) =>
+        regexp_count(col("text"), lit(p)) > 0
+      }.reduce(_ || _)
+      val base = docs.select(col("source"), col("lang"),
+        col("doc_id"), size(toks).cast("long").as("n_tok"),
+        round(z, 6).cast(DecimalType(30, 8)).as("z"),
+        when(piiAny, 1L).otherwise(0L).as("pii"),
+        when(gKeep, 1L).otherwise(0L).as("gk"),
+        sha2(col("text"), 256).as("h"))
+      val perSource = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        countDistinct(col("h")).as("n_distinct"),
+        sum("pii").as("n_pii"), sum("gk").as("n_keep"),
+        sum("z").as("sz"))
+      val langEnt = base.groupBy("source", "lang")
+        .agg(count(lit(1)).as("c"))
+        .join(base.groupBy("source").agg(count(lit(1)).as("n")), "source")
+        .select(col("source"),
+          round(-(col("c").cast("double") / col("n")) *
+            log(col("c").cast("double") / col("n")), 6)
+            .cast(DecimalType(30, 8)).as("term"))
+        .groupBy("source")
+        .agg(round(sum("term").cast("double"), 6).as("lang_entropy"))
+      // contamination: train docs (doc_id >= 10) sharing any 8-gram with
+      // the eval slice — source rides the shingle rows (carry), so no
+      // join back to the fact table
+      val evalG = grams(docs.filter(col("doc_id") < 10))
+        .select("g").distinct()
+      val contam = TextSim.shingleRows(docs.filter(col("doc_id") >= 10),
+          EvalGram, carry = Seq("source"))
+        .join(broadcast(evalG), Seq("g"))
+        .select("doc_id", "source").distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_contam"))
+      perSource
+        .join(langEnt, Seq("source"))
+        .join(contam, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          ((col("n_docs") - col("n_distinct")).cast("double") /
+            col("n_docs")).as("dup_rate"),
+          (coalesce(col("n_contam"), lit(0L)).cast("double") /
+            col("n_docs")).as("contam_rate"),
+          (col("n_pii").cast("double") / col("n_docs")).as("pii_rate"),
+          (col("n_keep").cast("double") / col("n_docs")).as("keep_rate"),
+          round(col("sz").cast("double") / col("n_docs"), 6).as("mean_z"),
+          col("lang_entropy"))
+        .orderBy("source")
+    }),
+
     // Gopher-style rule battery (r10; Rae et al. 2021 §A1.1 shape): the
     // transparent heuristic gate run BEFORE any learned classifier —
     // word-count bounds, mean-word-length bounds, minimum stopword
@@ -651,6 +735,65 @@ object Curation {
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dataset_card" -> {
+      val stop = TextSim.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      val piiAny = TextSim.PiiPatterns.map { case (_, p, _) =>
+        s"len(regexp_extract_all(text, '$p')) > 0"
+      }.mkString(" OR ")
+      s"""WITH tk AS (SELECT doc_id, source, lang, text, $dToks AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, source, lang,
+        |    CAST(len(t) AS BIGINT) AS n_tok,
+        |    CAST(round(
+        |      -1.0 + 2.5 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) +
+        |      3.0 * (CAST(len(list_filter(t, x -> list_contains($stop, x)))
+        |        AS DOUBLE) / len(t)) -
+        |      4.0 * (CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+        |        AS DOUBLE) / length(text)) +
+        |      0.8 * (CAST(list_sum(list_transform(t, x -> length(x)))
+        |        AS DOUBLE) / len(t) / 10.0), 6) AS DECIMAL(30,8)) AS z,
+        |    CASE WHEN $piiAny THEN 1 ELSE 0 END AS pii,
+        |    CASE WHEN (len(t) >= 10 AND len(t) <= 1000) AND
+        |      (CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+        |        / len(t) >= 3.0 AND
+        |       CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+        |        / len(t) <= 10.0) AND
+        |      (len(list_filter(t, x -> list_contains($stop, x))) >= 2) AND
+        |      (round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+        |        >= 0.5) THEN 1 ELSE 0 END AS gk,
+        |    sha256(text) AS h
+        |  FROM tk),
+        |ps AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |    count(DISTINCT h) AS n_distinct,
+        |    CAST(sum(pii) AS BIGINT) AS n_pii,
+        |    CAST(sum(gk) AS BIGINT) AS n_keep, sum(z) AS sz
+        |  FROM base GROUP BY 1),
+        |lc AS (SELECT source, lang, count(*) AS c FROM base GROUP BY 1, 2),
+        |tot AS (SELECT source, count(*) AS n FROM base GROUP BY 1),
+        |le AS (SELECT source,
+        |    round(CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / n) *
+        |      ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(30,8))) AS DOUBLE),
+        |      6) AS lang_entropy
+        |  FROM lc JOIN tot USING (source) GROUP BY 1),
+        |ev AS (SELECT DISTINCT unnest(${TextSim.dShingles(EvalGram)}) AS g
+        |  FROM documents WHERE doc_id < 10),
+        |tg AS (SELECT doc_id, source,
+        |    unnest(${TextSim.dShingles(EvalGram)}) AS g
+        |  FROM documents WHERE doc_id >= 10),
+        |cd AS (SELECT DISTINCT doc_id, source FROM tg
+        |  WHERE g IN (SELECT g FROM ev)),
+        |ct AS (SELECT source, count(*) AS n_contam FROM cd GROUP BY 1)
+        |SELECT ps.source, n_docs, n_tokens,
+        |  CAST(n_docs - n_distinct AS DOUBLE) / n_docs AS dup_rate,
+        |  CAST(COALESCE(n_contam, 0) AS DOUBLE) / n_docs AS contam_rate,
+        |  CAST(n_pii AS DOUBLE) / n_docs AS pii_rate,
+        |  CAST(n_keep AS DOUBLE) / n_docs AS keep_rate,
+        |  round(CAST(sz AS DOUBLE) / n_docs, 6) AS mean_z,
+        |  lang_entropy
+        |FROM ps JOIN le USING (source) LEFT JOIN ct USING (source)
+        |ORDER BY source""".stripMargin
+    },
     "curate_gopher_rules" -> {
       val stop = TextSim.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
       s"""WITH t AS (SELECT doc_id, $dToks AS tk FROM documents)

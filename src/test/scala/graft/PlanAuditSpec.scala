@@ -225,7 +225,9 @@ class PlanAuditSpec extends SparkSpec {
     // same eval-gram broadcast behind the Bloom prefilter
     "decontaminate_bloom" -> Set("documents"),
     // same eval-gram broadcast inside the capstone's decontamination stage
-    "pipeline_curate" -> Set("documents"))
+    "pipeline_curate" -> Set("documents"),
+    // same eval-gram broadcast inside the dataset card's contamination row
+    "dataset_card" -> Set("documents"))
 
   private def tableOf(
       lr: org.apache.spark.sql.execution.datasources.LogicalRelation)
