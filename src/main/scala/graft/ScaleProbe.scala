@@ -49,7 +49,11 @@ object ScaleProbe {
     // r9 close: the second capstone, the two window-merge/bin joins, the
     // per-user order audit, the vocabulary-spine divergence, assortativity
     "pipeline_curate2", "join_asof_nearest", "join_interval_bin",
-    "dq_order_audit", "text_js_divergence", "graph_assortativity")
+    "dq_order_audit", "text_js_divergence", "graph_assortativity",
+    // r10: the PII scrub, both new decontamination surfaces, the rule
+    // battery, and the dataset-card capstone
+    "text_pii_redact", "text_pii_classes", "decontaminate_embed",
+    "curate_gopher_rules", "curation_card")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -425,7 +425,8 @@ object Curation {
           (col("nmax").cast("double") / col("tot")).as("top1_share"))
     }),
 
-    // Dataset-card capstone (r10): the one-table summary a curation run
+    // Curation-card capstone (r10; distinct from Corpus's volume-rollup
+    // `dataset_card`): the one-table summary a curation run
     // PUBLISHES — per source: volume (docs, tokens), exact-dup rate,
     // eval-contamination rate (8-gram, train side only), PII incidence,
     // mean classifier z, Gopher-rule keep rate, and language entropy.
@@ -440,7 +441,7 @@ object Curation {
     // Determinism: rates are IEEE divisions of exact longs; mean_z and
     // entropy follow the round-then-decimal-sum contract (6dp terms in
     // DECIMAL(30,8), one closing IEEE division/round).
-    "dataset_card" -> ((s, d) => {
+    "curation_card" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val nTok = size(toks).cast("double")
       val punct = regexp_count(lower(col("text")), lit("[^a-z0-9 ]"))
@@ -735,7 +736,7 @@ object Curation {
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "dataset_card" -> {
+    "curation_card" -> {
       val stop = TextSim.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
       val piiAny = TextSim.PiiPatterns.map { case (_, p, _) =>
         s"len(regexp_extract_all(text, '$p')) > 0"

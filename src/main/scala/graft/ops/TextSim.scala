@@ -999,18 +999,30 @@ object TextSim {
     "dedup_embed" -> ((s, d) =>
       embedNearDupPairs(embeddings(s, d), blockCap = 1000, threshold = 0.35)),
 
-    // PII detection + redaction (r10): the scrub step every training-data
-    // pipeline runs before anything ships (CCNet/FineWeb-style). Four
-    // standard detector classes — email, SSN, 13–16-digit card runs,
-    // IPv4 — counted per doc and rewritten to typed placeholders in ONE
-    // map-side projection (no shuffle, no UDF: regexp_count /
-    // regexp_replace are codegen'd). Patterns are deliberately inside the
-    // Java∩RE2 common dialect (no lookaround, no backrefs) so the DuckDB
-    // mirror is the same regex text. The synthetic corpus is PII-free, so
-    // the oracle here checks the identity path cross-engine; the POSITIVE
-    // behavior (hits counted, text rewritten, placeholders stable) is
-    // pinned by TextSimSpec on an injected fixture via [[piiRedact]].
-    "text_pii_redact" -> ((s, d) => piiRedact(documents(s, d))),
+    // PII class battery (r10): extends L11's email/phone `text_pii_redact`
+    // (Corpus.scala) to the four-class detector set — email, SSN,
+    // 13–16-digit card runs, IPv4 — counted per doc and rewritten to
+    // typed placeholders in ONE map-side projection (no shuffle, no UDF:
+    // regexp_count / regexp_replace are codegen'd). Patterns are
+    // deliberately inside the Java∩RE2 common dialect (no lookaround, no
+    // backrefs) so the DuckDB mirror is the same regex text, and the
+    // replacement ORDER is part of the contract (one PiiPatterns source
+    // generates both plans). L11's convention for a PII-free corpus:
+    // deterministic SSN/card/IP strings derived from doc_id are appended
+    // per row, so the oracle checks real replacement semantics, not just
+    // the identity path; TextSimSpec additionally pins edge behavior
+    // (negative lookalikes) on a hand fixture via [[piiRedact]].
+    "text_pii_classes" -> ((s, d) => {
+      val aug = concat(col("text"),
+        lit(" ssn "), (pmod(col("doc_id"), lit(900)) + 100).cast("string"),
+        lit("-"), (pmod(col("doc_id"), lit(90)) + 10).cast("string"),
+        lit("-"), (pmod(col("doc_id"), lit(9000)) + 1000).cast("string"),
+        lit(" card "),
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 16, "4"),
+        lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".0.1"))
+      piiRedact(documents(s, d).withColumn("text", aug))
+    }),
 
     // Embedding-space decontamination (r10): the semantic complement of
     // Curation's 8-gram `decontaminate` — an eval item paraphrased or
@@ -1127,17 +1139,25 @@ object TextSim {
     // counts via regexp_extract_all length; replacement chain in the SAME
     // order as PiiPatterns (one source of truth — both engines' SQL/plan
     // are generated from it); DuckDB needs the explicit 'g' flag where
-    // Spark's regexp_replace is global by default.
-    "text_pii_redact" -> {
+    // Spark's regexp_replace is global by default. The aug CTE mirrors
+    // the query's deterministic doc_id-derived SSN/card/IP injection.
+    "text_pii_classes" -> {
       val cnts = PiiPatterns.map { case (n, p, _) =>
         s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$n"
       }
       val red = PiiPatterns.foldLeft("text") { case (acc, (_, p, r)) =>
         s"regexp_replace($acc, '$p', '$r', 'g')"
       }
-      s"""SELECT doc_id, ${cnts.mkString(",\n  ")},
+      s"""WITH aug AS (SELECT doc_id,
+        |    text || ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||
+        |    CAST(doc_id % 90 + 10 AS VARCHAR) || '-' ||
+        |    CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' card ' ||
+        |    lpad(CAST(doc_id % 1000 AS VARCHAR), 16, '4') || ' ip 10.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS text
+        |  FROM documents)
+        |SELECT doc_id, ${cnts.mkString(",\n  ")},
         |  $red AS redacted
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM aug ORDER BY doc_id""".stripMargin
     },
     "decontaminate_embed" ->
       s"""WITH ev AS (SELECT embedding AS e FROM embeddings WHERE vec_id < 10),

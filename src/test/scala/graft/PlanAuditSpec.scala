@@ -226,8 +226,8 @@ class PlanAuditSpec extends SparkSpec {
     "decontaminate_bloom" -> Set("documents"),
     // same eval-gram broadcast inside the capstone's decontamination stage
     "pipeline_curate" -> Set("documents"),
-    // same eval-gram broadcast inside the dataset card's contamination row
-    "dataset_card" -> Set("documents"))
+    // same eval-gram broadcast inside the curation card's contamination row
+    "curation_card" -> Set("documents"))
 
   private def tableOf(
       lr: org.apache.spark.sql.execution.datasources.LogicalRelation)
