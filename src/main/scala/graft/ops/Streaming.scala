@@ -106,6 +106,13 @@ object Streaming {
         .select(col("o_orderkey"), col("last_op"), col("price"))
         .orderBy("o_orderkey")),
 
+    // T++ windowed top-k, batch-checked: the same hourlyCounts → rankTopK
+    // pair StreamingSpec drives through MemoryStream (append mode ranks
+    // each finalized window exactly once in foreachBatch).
+    "stream_topk" -> ((s, d) =>
+      StreamOps.rankTopK(StreamOps.hourlyCounts(events(s, d)), 3)
+        .orderBy("win_us", "rk")),
+
     "stream_enrich" -> ((s, d) => {
       val dim = customer(s, d).select(col("c_custkey").as("user_id"),
         col("c_mktsegment").as("segment"))
@@ -159,6 +166,18 @@ object Streaming {
         |WHERE c.event_type = 'click' AND e.event_type = 'error'
         |  AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts
         |ORDER BY err_id, click_us""".stripMargin,
+    // Hour windows start epoch-aligned == date_trunc('hour'); per-window
+    // rank over the type domain.
+    "stream_topk" ->
+      """WITH w AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, h, n, row_number() OVER
+        |    (PARTITION BY h ORDER BY n DESC, event_type) AS rk
+        |  FROM w)
+        |SELECT epoch_us(h) AS win_us, CAST(rk AS BIGINT) AS rk,
+        |  event_type, n
+        |FROM r WHERE rk <= 3 ORDER BY win_us, rk""".stripMargin,
     // Hour windows start epoch-aligned == date_trunc('hour'); baseline =
     // total / distinct active hours per type.
     "stream_rate_alert" ->

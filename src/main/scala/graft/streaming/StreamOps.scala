@@ -120,6 +120,34 @@ object StreamOps {
       .select(col("event_type"), col("window.start").as("win_ts"),
         col("n"), col("avg_hourly"))
 
+  /** Windowed top-k, stream side (T++): per-hour (event_type, count)
+    * aggregates under a 1h watermark. The RANKING step deliberately lives
+    * in [[rankTopK]], NOT here: Structured Streaming cannot run a rank
+    * window over a streaming aggregate, so the production shape is
+    * append-mode output of FINALIZED windows into
+    * `foreachBatch(rankTopK(_, k))` — each closed window is ranked exactly
+    * once, and state is one count per open (window, type), bounded by the
+    * watermark. Batch-checked via `stream_topk` (same two functions, no
+    * watermark node after EliminateEventTimeWatermark).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Rank a (window, event_type, n) count table to its per-window top-k —
+    * the foreachBatch half of the streaming top-k (partition-local window:
+    * one hour's type counts, bounded by the type domain). */
+  def rankTopK(counts: DataFrame, k: Int): DataFrame =
+    counts
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("window").orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rk") <= k)
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("rk").cast("long").as("rk"), col("event_type"), col("n"))
+
   /** Stream-stream inner join: clicks within the 10 minutes before each
     * error by the same user — the streaming form of the batch `join_range`
     * query. Both sides carry watermarks and the join condition bounds

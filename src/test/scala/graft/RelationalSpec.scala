@@ -496,11 +496,19 @@ class RelationalSpec extends SparkSpec {
     }
     val acf = ops.Relational.queries("ts_acf")(spark, sf0001)
       .as[(Int, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // calendar-true pairing (r10): (x, y) exists iff BOTH day and
+    // day − l DAYS are on the spine — a row lag would silently pair
+    // across gap days (the sf0.001 spine has them, which is exactly why
+    // this walk must join the calendar, like the operator now does)
+    val byDay = daily.map { case (d, v) => d.toLocalDate -> v.toDouble }.toMap
     for (l <- Seq(1, 2, 7)) {
+      val pairs = daily.flatMap { case (d, v) =>
+        byDay.get(d.toLocalDate.minusDays(l.toLong)).map(p => (v.toDouble, p))
+      }
       val (n, got) = acf(l)
-      assert(n === c.length - l)
-      assert(math.abs(got - pearson(c.drop(l), c.dropRight(l))) < 1e-9,
-        s"lag $l")
+      assert(n === pairs.length.toLong, s"lag $l pair count")
+      assert(math.abs(got -
+        pearson(pairs.map(_._1), pairs.map(_._2))) < 1e-9, s"lag $l")
     }
     val Array((day, nDays, cusum)) =
       ops.Relational.queries("ts_changepoint")(spark, sf0001)
@@ -777,9 +785,14 @@ class RelationalSpec extends SparkSpec {
       .agg(ops.exactSum(col("l_extendedprice")).as("rev"))
       .select(col("day"),
         expr("CAST(floor(CAST(rev AS DOUBLE) * 100 + 0.5) AS BIGINT)"))
-      .as[(java.sql.Date, Long)].collect().sortBy(_._1.getTime).map(_._2)
-    val pairs = daily.drop(7).zip(daily.dropRight(7))
-      .filter { case (c, _) => c > 0 }
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.getTime)
+    // calendar-true forecast pairing (r10): f(day) = c(day − 7 DAYS),
+    // defined only when last week's same weekday is on the spine — the
+    // row-lag walk would forecast from "7 rows back" across gaps
+    val byDay = daily.map { case (d, v) => d.toLocalDate -> v }.toMap
+    val pairs = daily.flatMap { case (d, c) =>
+      byDay.get(d.toLocalDate.minusDays(7L)).map(f => (c, f))
+    }.filter { case (c, _) => c > 0 }
     assert(n === pairs.length.toLong)
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

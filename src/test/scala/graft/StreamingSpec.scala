@@ -361,6 +361,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T++ stream top-k: append mode ranks each finalized window " +
+    "exactly once in foreachBatch") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{concat, lit, col}
+    val ms = MemoryStream[Ev]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+    val q = StreamOps.hourlyCounts(ms.toDF()
+        .withColumn("event_type", concat(lit("t"), col("user_id"))))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ranked = StreamOps.rankTopK(batch, 2)
+          .as[(Long, Long, String, Long)].collect()
+        out.synchronized { out ++= ranked }
+        ()
+      }
+      .start()
+    try {
+      // hour 10: t1 ×3, t2 ×2, t3 ×1 (t3 must fall out of the top-2);
+      // hour 11: t2 ×2, t1 ×1
+      ms.addData(
+        Ev(1, ts(10, 1), 1, 0), Ev(2, ts(10, 2), 1, 0), Ev(3, ts(10, 3), 1, 0),
+        Ev(4, ts(10, 4), 2, 0), Ev(5, ts(10, 5), 2, 0), Ev(6, ts(10, 6), 3, 0),
+        Ev(7, ts(11, 1), 2, 0), Ev(8, ts(11, 2), 2, 0), Ev(9, ts(11, 3), 1, 0))
+      q.processAllAvailable()
+      assert(out.isEmpty, "no window may rank before the watermark closes it")
+      // advance the watermark past 12:00 → both hours finalize, once
+      ms.addData(Ev(10, ts(13), 9, 0))
+      q.processAllAvailable()
+      val byWin = out.toSeq.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, rows) =>
+          rows.sortBy(_._2).map(r => (r._2, r._3, r._4))
+        }
+      assert(byWin === Seq(
+        Seq((1L, "t1", 3L), (2L, "t2", 2L)),
+        Seq((1L, "t2", 2L), (2L, "t1", 1L))))
+    } finally q.stop()
+  }
+
   test("T2/T4 transforms produce identical results in batch re-runs") {
     // determinism: the same StreamOps transform over the same input is
     // stable run to run (required for idempotent micro-batch re-execution).
