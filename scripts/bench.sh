@@ -66,7 +66,8 @@ fulls = sorted(glob.glob('BENCH_r[0-9]*_full.json'))
 cand = [f for f in fulls
         if int(re.search(r'r0*(\d+)', f).group(1)) < rnd or rnd == 0]
 if cand:
-    prev_name = cand[-1]
+    # numeric max (lexicographic [-1] breaks at r100)
+    prev_name = max(cand, key=lambda f: int(re.search(r'r0*(\d+)', f).group(1)))
     prev = json.load(open(prev_name)).get('queries', {})
 d['loadavg_before'] = load1
 d['contaminated'] = load1 > 4.0
@@ -82,11 +83,16 @@ PYEOF
 # round-over-round comparison (suspects, common-subset ratio) instead of
 # leaving that analysis to BASELINE.md prose. Compared against the newest
 # committed full artifact (same choice as the legacy `suspect` field).
+# numeric max, not lexicographic last: %02d padding only keeps ls|sort
+# ordered through r99 (r100 would sort before r11)
 PREVFULL=""
-for f in $(ls BENCH_r[0-9]*_full.json 2>/dev/null | sort); do
+PREVN=-1
+for f in $(ls BENCH_r[0-9]*_full.json 2>/dev/null); do
   n=$(printf '%s' "$f" | sed -nE 's/^BENCH_r0*([0-9]+)_full\.json$/\1/p')
   [ -z "$n" ] && continue
-  if [ "$round" -eq 0 ] || [ "$n" -lt "$round" ]; then PREVFULL="$f"; fi
+  if { [ "$round" -eq 0 ] || [ "$n" -lt "$round" ]; } && [ "$n" -gt "$PREVN" ]; then
+    PREVN=$n; PREVFULL="$f"
+  fi
 done
 if [ -n "$PREVFULL" ]; then
   GATE=$(scripts/bench_gate.sh "$OUT" "$PREVFULL" || true)

@@ -289,6 +289,29 @@ object Ingest {
   def appendLongStore(df: DataFrame, path: String): Unit =
     df.write.mode("append").partitionBy("show_range").parquet(path)
 
+  /** Retry-safe long-store writer for per-date jobs (the form
+    * `Pipeline.backfill` requires): DYNAMIC partition overwrite replaces
+    * exactly the show_range partitions present in `df`, so re-running a
+    * date after a mid-job failure rewrites its partition instead of
+    * appending duplicates — plain `append` is NOT retry-safe once any
+    * task file has committed. Same mechanism as the streaming
+    * `idempotentDailySink`; commit is staged under `_temporary` and moved
+    * only on job commit, so a crashed attempt leaves no partition files
+    * behind (on object stores pair this with the magic committer, per the
+    * A7 note above).
+    */
+  def upsertLongStore(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy("show_range").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Inverse of toLong: reproduce the reference's wide per-day layout
     * (SURVEY §1.1) from the canonical long format — the derived view that
     * keeps every reference query expressible. Column ORDER matches

@@ -45,6 +45,24 @@ object Curation {
     when(b < 90, "train").when(b < 95, "val").otherwise("test")
   }
 
+  /** The Gopher-style rule columns, ordered — ONE home for the thresholds,
+    * shared by `curate_gopher_rules` (per-rule reporting) and
+    * `curation_card`'s keep_rate (r10 review: the card must aggregate the
+    * SAME rules it reports on, not a hand-copy that can drift). */
+  private def gopherRules: Seq[(String, Column)] = {
+    val nW = size(toks)
+    val meanLen = aggregate(transform(toks, t => length(t)),
+      lit(0), (acc, v) => acc + v).cast("double") / nW
+    val stopCnt = size(filter(toks,
+      t => array_contains(typedlit(TextSim.stopwords), t)))
+    val uniqR = size(array_distinct(toks)).cast("double") / nW
+    Seq(
+      "r_len" -> (nW >= 10 && nW <= 1000),
+      "r_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "r_stop" -> (stopCnt >= 2),
+      "r_unique" -> (round(uniqR, 6) >= 0.5))
+  }
+
   /** DuckDB mirror of [[splitCol]]. */
   private lazy val dSplitCase: String =
     s"""CASE WHEN ${dH60("'spl' || CAST(doc_id AS VARCHAR)")} % 100 < 90
@@ -284,16 +302,7 @@ object Curation {
     // oracle-checkable down to exact ids.
     "pipeline_curate2" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val nTok = size(toks).cast("double")
-      val punct = regexp_count(lower(col("text")), lit("[^a-z0-9 ]"))
-        .cast("double") / length(col("text"))
-      val stopR = size(filter(toks,
-        t => array_contains(typedlit(TextSim.stopwords), t)))
-        .cast("double") / size(toks)
-      val avgLen = aggregate(transform(toks, t => length(t)),
-        lit(0), (acc, v) => acc + v).cast("double") / size(toks)
-      val z = lit(-1.0) + lit(2.5) * least(nTok / 100.0, lit(1.0)) +
-        lit(3.0) * stopR - lit(4.0) * punct + lit(0.8) * (avgLen / 10.0)
+      val z = TextSim.classifierZ // the ONE model definition
       // z quantized at 6dp before BOTH decision surfaces that read it —
       // the keep gate (z >= 0) and the per-cluster keeper argmax: the
       // multiply-add z chain is the FMA-contraction surface ts_acf
@@ -443,31 +452,17 @@ object Curation {
     // DECIMAL(30,8), one closing IEEE division/round).
     "curation_card" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val nTok = size(toks).cast("double")
-      val punct = regexp_count(lower(col("text")), lit("[^a-z0-9 ]"))
-        .cast("double") / length(col("text"))
-      val stopR = size(filter(toks,
-        t => array_contains(typedlit(TextSim.stopwords), t)))
-        .cast("double") / size(toks)
-      val avgLen = aggregate(transform(toks, t => length(t)),
-        lit(0), (acc, v) => acc + v).cast("double") / size(toks)
-      val z = lit(-1.0) + lit(2.5) * least(nTok / 100.0, lit(1.0)) +
-        lit(3.0) * stopR - lit(4.0) * punct + lit(0.8) * (avgLen / 10.0)
-      val nW = size(toks)
-      val meanLen = aggregate(transform(toks, t => length(t)),
-        lit(0), (acc, v) => acc + v).cast("double") / nW
-      val stopCnt = size(filter(toks,
-        t => array_contains(typedlit(TextSim.stopwords), t)))
-      val uniqR = size(array_distinct(toks)).cast("double") / nW
-      val gKeep = (nW >= 10 && nW <= 1000) &&
-        (meanLen >= 3.0 && meanLen <= 10.0) && (stopCnt >= 2) &&
-        (round(uniqR, 6) >= 0.5)
+      // the card aggregates the OPERATORS' OWN definitions — classifierZ
+      // and gopherRules are the same Column trees curate_classifier /
+      // pipeline_curate2 / curate_gopher_rules plan, so the published
+      // card cannot drift from the gates it summarizes
+      val gKeep = gopherRules.map(_._2).reduce(_ && _)
       val piiAny = TextSim.PiiPatterns.map { case (_, p, _) =>
         regexp_count(col("text"), lit(p)) > 0
       }.reduce(_ || _)
       val base = docs.select(col("source"), col("lang"),
         col("doc_id"), size(toks).cast("long").as("n_tok"),
-        round(z, 6).cast(DecimalType(30, 8)).as("z"),
+        round(TextSim.classifierZ, 6).cast(DecimalType(30, 8)).as("z"),
         when(piiAny, 1L).otherwise(0L).as("pii"),
         when(gKeep, 1L).otherwise(0L).as("gk"),
         sha2(col("text"), 256).as("h"))
@@ -476,9 +471,12 @@ object Curation {
         countDistinct(col("h")).as("n_distinct"),
         sum("pii").as("n_pii"), sum("gk").as("n_keep"),
         sum("z").as("sz"))
+      // entropy denominator REUSES perSource's n_docs instead of a third
+      // aggregation over the regex-heavy base projection (r10 review)
       val langEnt = base.groupBy("source", "lang")
         .agg(count(lit(1)).as("c"))
-        .join(base.groupBy("source").agg(count(lit(1)).as("n")), "source")
+        .join(perSource.select(col("source"), col("n_docs").as("n")),
+          "source")
         .select(col("source"),
           round(-(col("c").cast("double") / col("n")) *
             log(col("c").cast("double") / col("n")), 6)
@@ -524,19 +522,10 @@ object Curation {
     // identical exact integers (deterministic cross-engine; no FMA
     // surface in a single divide), the rest are integer comparisons.
     "curate_gopher_rules" -> ((s, d) => {
-      val nW = size(toks)
-      val meanLen = aggregate(transform(toks, t => length(t)),
-        lit(0), (acc, v) => acc + v).cast("double") / nW
-      val stopCnt = size(filter(toks,
-        t => array_contains(typedlit(TextSim.stopwords), t)))
-      val uniqR = size(array_distinct(toks)).cast("double") / nW
-      Tables.documents(s, d).select(col("doc_id"),
-          (nW >= 10 && nW <= 1000).as("r_len"),
-          (meanLen >= 3.0 && meanLen <= 10.0).as("r_word_len"),
-          (stopCnt >= 2).as("r_stop"),
-          (round(uniqR, 6) >= 0.5).as("r_unique"))
+      Tables.documents(s, d).select(col("doc_id") +:
+          gopherRules.map { case (n, c) => c.as(n) }: _*)
         .withColumn("keep",
-          col("r_len") && col("r_word_len") && col("r_stop") && col("r_unique"))
+          gopherRules.map { case (n, _) => col(n) }.reduce(_ && _))
         .orderBy("doc_id")
     }),
 

@@ -689,9 +689,16 @@ object Relational {
       // tie terms t³−t are cubed in exact DECIMAL, not long: cast BEFORE
       // cubing so (12,0)³ → (38,0) and a per-value tie count up to 1e12
       // cannot silently wrap the way a 64-bit cube would past ~2e6 (Spark
-      // non-ANSI wraps longs silently; DuckDB errors loudly — divergent
-      // failure modes with no Spark-side signal, ADVICE r9)
-      val cd = col("cnt").cast(DecimalType(12, 0))
+      // non-ANSI wraps longs silently — ADVICE r9). Past the 1e12 decimal
+      // bound the failure is LOUD, not null-and-skip: non-ANSI decimal
+      // overflow would NULL the term and sum() would silently drop it, so
+      // a raise_error guard turns the out-of-domain case into the same
+      // hard error DuckDB throws — matching failure modes, no silent H.
+      val cnt12 = when(col("cnt") > 999999999999L,
+        raise_error(lit("stat_kruskal: per-value tie count exceeds 1e12" +
+          " — shard the value domain")).cast("long"))
+        .otherwise(col("cnt"))
+      val cd = cnt12.cast(DecimalType(12, 0))
       val ties = mr
         .agg(sum(cd * cd * cd - cd).as("t3t"))
       val nd = col("n").cast("double")

@@ -501,17 +501,8 @@ object TextSim {
     // libm boundary; the displayed sigmoid score is round(…,6) like every
     // exp/ln surface (text_entropy contract).
     "curate_classifier" -> ((s, d) => {
-      val nTok = size(toks).cast("double")
-      val punct = regexp_count(lower(col("text")), lit("[^a-z0-9 ]"))
-        .cast("double") / length(col("text"))
-      val stopR = size(filter(toks,
-        t => array_contains(typedlit(stopwords), t))).cast("double") / size(toks)
-      val avgLen = aggregate(transform(toks, t => length(t)),
-        lit(0), (acc, v) => acc + v).cast("double") / size(toks)
-      val z = lit(-1.0) + lit(2.5) * least(nTok / 100.0, lit(1.0)) +
-        lit(3.0) * stopR - lit(4.0) * punct + lit(0.8) * (avgLen / 10.0)
       documents(s, d)
-        .select(col("doc_id"), z.as("z"))
+        .select(col("doc_id"), classifierZ.as("z"))
         // z quantized at 6dp BEFORE the gate — multiply-add chains are
         // exactly the surface a vectorized engine may FMA-contract (the
         // ts_acf lesson), so gating on raw z would let a z within ~1 ulp
@@ -1067,6 +1058,26 @@ object TextSim {
         .orderBy("lang")
     })
   )
+
+  /** The frozen linear quality model z over the text_quality feature
+    * vector — ONE home for the weights, shared by `curate_classifier`,
+    * `pipeline_curate2`'s gate AND keeper argmax, and `curation_card`'s
+    * mean_z (the r10 review found three hand-copies accumulating: a
+    * weight change that missed one site would silently make the card
+    * disagree with the gate it summarizes). The DuckDB mirrors
+    * interpolate the same weights; every consumer quantizes with
+    * round(z, 6) before any decision surface (ADVICE r9). */
+  private[ops] def classifierZ: Column = {
+    val nTok = size(toks).cast("double")
+    val punct = regexp_count(lower(col("text")), lit("[^a-z0-9 ]"))
+      .cast("double") / length(col("text"))
+    val stopR = size(filter(toks,
+      t => array_contains(typedlit(stopwords), t))).cast("double") / size(toks)
+    val avgLen = aggregate(transform(toks, t => length(t)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(toks)
+    lit(-1.0) + lit(2.5) * least(nTok / 100.0, lit(1.0)) +
+      lit(3.0) * stopR - lit(4.0) * punct + lit(0.8) * (avgLen / 10.0)
+  }
 
   /** PII detector classes, ordered: (name, pattern, placeholder). The
     * REPLACEMENT order is part of the contract (SSN's dashed groups must

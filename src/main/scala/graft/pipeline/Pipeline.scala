@@ -49,18 +49,28 @@ object Pipeline {
     * README.md:48,125). Given an inclusive logical-date interval and a
     * probe for already-materialized dates, run the missing dates in order
     * through a day-parameterized job, each with the K3 retry contract.
-    * Idempotent by construction: a date whose output exists is SKIPPED
-    * (the reference's `CREATE TABLE IF NOT EXISTS` per-day idempotency),
-    * so re-invoking the same interval after a crash resumes where it
-    * stopped and a full re-invoke is a no-op. A date that exhausts its
-    * retries aborts the backfill with dates-run-so-far preserved on disk —
-    * matching Airflow's depends-on-past=false task-level failure, where
-    * earlier successful runs stand.
+    * A date whose output exists is SKIPPED (the reference's `CREATE TABLE
+    * IF NOT EXISTS` per-day idempotency), so re-invoking the same interval
+    * after a crash resumes where it stopped and a full re-invoke is a
+    * no-op. A date that exhausts its retries aborts the backfill with
+    * dates-run-so-far preserved on disk — matching Airflow's
+    * depends-on-past=false task-level failure, where earlier successful
+    * runs stand.
+    *
+    * Exactly-once-per-date holds ONLY when `run` is itself retry-safe for
+    * one date — the in-loop retry re-invokes `run(day)` after a failure
+    * that may already have committed task files. A plain append writer is
+    * NOT (a half-committed attempt + retry = duplicate rows); use a
+    * per-date overwrite such as `Ingest.upsertLongStore` (dynamic
+    * partition overwrite: the retry REPLACES the partition), whose
+    * job-commit staging also keeps `isDone`'s directory probe from seeing
+    * a crashed attempt's partials. PipelineSpec's mid-write crash case
+    * pins exactly this composition.
     *
     * Returns the logical dates actually executed. The WALL-CLOCK trigger
     * (cron) stays with the orchestrator, exactly as SURVEY §2.K declares —
     * what the engine owns is which dates run, in what order, and the
-    * exactly-once-per-date materialization contract.
+    * per-date materialization contract above.
     */
   def backfill(start: java.time.LocalDate, endInclusive: java.time.LocalDate,
       isDone: java.time.LocalDate => Boolean,

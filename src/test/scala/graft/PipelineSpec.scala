@@ -298,7 +298,7 @@ class PipelineSpec extends SparkSpec {
       val raw = payload(d8, Seq((1, s"Movie$d8", 1000L, 100L)))
       val wide = Ingest.dailyTable(
         Ingest.requireNonEmpty(Ingest.parsePayload(Seq(raw).toDS()), d8), d8)
-      Ingest.appendLongStore(Ingest.toLong(wide, d8), store)
+      Ingest.upsertLongStore(Ingest.toLong(wide, d8), store)
     }
     val jan = (d: Int) => LocalDate.of(2025, 1, d)
     // pre-materialized: 13 and 15; the 14th and 16th..17th are the gap
@@ -333,7 +333,7 @@ class PipelineSpec extends SparkSpec {
       val raw = payload(d8, Seq((1, s"Movie$d8", 1000L, 100L)))
       val wide = Ingest.dailyTable(
         Ingest.requireNonEmpty(Ingest.parsePayload(Seq(raw).toDS()), d8), d8)
-      Ingest.appendLongStore(Ingest.toLong(wide, d8), store)
+      Ingest.upsertLongStore(Ingest.toLong(wide, d8), store)
     }
     val isDone = pipeline.Pipeline.partitionDone(spark, store)
     val e = intercept[RuntimeException] {
@@ -345,5 +345,33 @@ class PipelineSpec extends SparkSpec {
     assert(attempts(jan(3)) === 2, "permanent failure exhausted retries")
     // days 1 and 2 survived the abort; resuming runs only 3 and 4
     assert(isDone(jan(1)) && isDone(jan(2)) && !isDone(jan(4)))
+  }
+
+  test("K2: a failure AFTER the day's write commits does not duplicate " +
+    "rows on retry (upsert writer is the retry-safe form)") {
+    // The hazard: attempt 1 commits the partition, then fails before
+    // reporting success; the in-loop retry re-runs the whole day. With an
+    // append writer that means duplicate rows; upsertLongStore's dynamic
+    // partition overwrite makes the retry REPLACE the partition instead.
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft_backfill3").toString
+    val store = s"$out/longstore"
+    val day = LocalDate.of(2025, 3, 1)
+    var attempts = 0
+    def crashAfterCommit(d: LocalDate): Unit = {
+      attempts += 1
+      val d8 = d.toString.replace("-", "")
+      val raw = payload(d8, Seq((1, s"Movie$d8", 1000L, 100L)))
+      val wide = Ingest.dailyTable(
+        Ingest.requireNonEmpty(Ingest.parsePayload(Seq(raw).toDS()), d8), d8)
+      Ingest.upsertLongStore(Ingest.toLong(wide, d8), store)
+      if (attempts == 1) throw new RuntimeException("post-commit failure")
+    }
+    val ran = pipeline.Pipeline.backfill(day, day,
+      pipeline.Pipeline.partitionDone(spark, store), crashAfterCommit,
+      retries = 1)
+    assert(ran === Seq(day) && attempts === 2)
+    // exactly one copy of the day's single row — no append duplication
+    assert(spark.read.parquet(store).count() === 1)
   }
 }

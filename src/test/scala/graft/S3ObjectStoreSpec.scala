@@ -19,8 +19,8 @@ class S3ObjectStoreSpec extends SparkSpec {
     val hc = spark.sparkContext.hadoopConfiguration
     hc.set("fs.s3a.impl", classOf[S3StubFileSystem].getName)
     // one FS instance per (scheme, authority) is cached; the stub's store
-    // is JVM-global so caching is safe — but disable to keep tests honest
-    // about re-initialization too.
+    // is JVM-global, so the cached-instance path (the production default)
+    // is both safe and the one worth exercising — leave caching ON.
     hc.set("fs.s3a.impl.disable.cache", "false")
     // hadoop-mapreduce maps scheme s3a -> S3ACommitterFactory by default;
     // that class lives in hadoop-aws (absent here) and targets the REAL
