@@ -53,7 +53,7 @@ object ScaleProbe {
     // r10: the PII scrub, both new decontamination surfaces, the rule
     // battery, and the dataset-card capstone
     "text_pii_redact", "text_pii_classes", "decontaminate_embed",
-    "curate_gopher_rules", "curation_card")
+    "curate_gopher_rules", "curation_card", "stream_topk")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
