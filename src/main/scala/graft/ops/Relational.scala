@@ -1788,10 +1788,17 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)),
 
+    // ORDER BY every emitted column: the synthetic lineitem has duplicate
+    // (l_orderkey, l_linenumber) pairs, so a 2-column sort leaves the
+    // LIMIT boundary tie engine-dependent — the sf1ish decade sweep
+    // caught Spark and DuckDB picking different tie rows at row 100
+    // (invisible at the driver SFs, where scan order happened to agree).
+    // With the full row as the key, the top-100 multiset is unique even
+    // though which physical copy wins a full-row tie is not.
     "limit_n" -> ((s, d) =>
       lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
         .limit(100)),
 
     // Deequ-style data-quality profile in ONE pass: per-column non-null
@@ -2753,7 +2760,7 @@ object Relational {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "limit_n" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""".stripMargin,
     "filter_exists" ->
       """SELECT o_orderkey, o_totalprice FROM orders o
         |WHERE EXISTS (
