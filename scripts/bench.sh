@@ -58,11 +58,11 @@ fi
 # with median-of-5 before believing them (host noise, not code, is the
 # usual culprit: BASELINE.md "Bench noise").
 python3 - "$OUT" "$LOAD1" "$round" <<'PYEOF'
-import json, sys, glob, re
+import json, sys, glob, re, subprocess
 out, load1, rnd = sys.argv[1], float(sys.argv[2]), int(sys.argv[3])
 d = json.load(open(out))
 prev, prev_name = None, None
-fulls = sorted(glob.glob('BENCH_r[0-9]*_full.json'))
+fulls = glob.glob('BENCH_r[0-9]*_full.json')
 cand = [f for f in fulls
         if int(re.search(r'r0*(\d+)', f).group(1)) < rnd or rnd == 0]
 if cand:
@@ -76,36 +76,19 @@ if prev:
     d['suspect'] = sorted(
         q for q, t in d.get('queries', {}).items()
         if q in prev and prev[q] > 0.05 and t > 2.0 * prev[q])
+    # embed the spread-aware gate verdict (scripts/bench_gate.sh) so each
+    # round's artifact carries its own round-over-round comparison. ONE
+    # prev-resolution (above) feeds both the legacy suspect field and the
+    # gate; the verdict travels via subprocess stdout, not a shell splice.
+    try:
+        gate_out = subprocess.run(
+            ['scripts/bench_gate.sh', out, prev_name],
+            capture_output=True, text=True, timeout=120)
+        d['gate'] = json.loads(gate_out.stdout.strip().splitlines()[-1])
+    except Exception:
+        d['gate'] = {"gate": "bench", "verdict": "gate_error"}
 json.dump(d, open(out, 'w'), separators=(',', ':'))
 PYEOF
-# Embed the spread-aware gate verdict (scripts/bench_gate.sh) in the
-# artifact, so each round's BENCH_r{N}_full.json carries its own
-# round-over-round comparison (suspects, common-subset ratio) instead of
-# leaving that analysis to BASELINE.md prose. Compared against the newest
-# committed full artifact (same choice as the legacy `suspect` field).
-# numeric max, not lexicographic last: %02d padding only keeps ls|sort
-# ordered through r99 (r100 would sort before r11)
-PREVFULL=""
-PREVN=-1
-for f in $(ls BENCH_r[0-9]*_full.json 2>/dev/null); do
-  n=$(printf '%s' "$f" | sed -nE 's/^BENCH_r0*([0-9]+)_full\.json$/\1/p')
-  [ -z "$n" ] && continue
-  if { [ "$round" -eq 0 ] || [ "$n" -lt "$round" ]; } && [ "$n" -gt "$PREVN" ]; then
-    PREVN=$n; PREVFULL="$f"
-  fi
-done
-if [ -n "$PREVFULL" ]; then
-  GATE=$(scripts/bench_gate.sh "$OUT" "$PREVFULL" || true)
-  python3 - "$OUT" <<PYEOF2
-import json, sys
-d = json.load(open(sys.argv[1]))
-try:
-    d['gate'] = json.loads('''$GATE''')
-except Exception:
-    d['gate'] = {"gate": "bench", "verdict": "gate_error"}
-json.dump(d, open(sys.argv[1], 'w'), separators=(',', ':'))
-PYEOF2
-fi
 # Guard BOTH ways before publishing the round artifact: a subset run
 # (BENCH_ONLY set) must not overwrite it, and neither must a degenerate
 # run — BENCH_ONLY set-but-EMPTY selects zero queries and once clobbered

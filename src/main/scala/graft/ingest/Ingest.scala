@@ -81,12 +81,16 @@ object Ingest {
   def fetch(url: String, connectTimeoutMs: Int = 5000,
       readTimeoutMs: Int = 10000, retries: Int = 2,
       backoffMs: Long = 200): String = {
+    // resolve the URL BEFORE the retry loop: MalformedURLException is an
+    // IOException, so inside the loop it would be retried as if transient
+    // — a typo'd scheme never succeeds on retry (the 4xx rationale)
+    val target = new java.net.URI(url).toURL
     var attempt = 0
     var lastErr: Exception = null
     while (attempt <= retries) {
       if (attempt > 0) Thread.sleep(backoffMs * attempt)
       try {
-        val conn = new java.net.URI(url).toURL.openConnection()
+        val conn = target.openConnection()
           .asInstanceOf[java.net.HttpURLConnection]
         conn.setConnectTimeout(connectTimeoutMs)
         conn.setReadTimeout(readTimeoutMs)
@@ -300,17 +304,14 @@ object Ingest {
     * behind (on object stores pair this with the magic committer, per the
     * A7 note above).
     */
-  def upsertLongStore(df: DataFrame, path: String): Unit = {
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode("overwrite").partitionBy("show_range").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+  def upsertLongStore(df: DataFrame, path: String): Unit =
+    // per-WRITER option, not the session conf: mutating the session-global
+    // partitionOverwriteMode is racy under concurrent jobs (another
+    // writer's static overwrite would silently become dynamic, and
+    // interleaved restores can strand the session on the wrong mode)
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("show_range").parquet(path)
 
   /** Inverse of toLong: reproduce the reference's wide per-day layout
     * (SURVEY §1.1) from the canonical long format — the derived view that

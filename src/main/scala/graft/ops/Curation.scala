@@ -470,7 +470,11 @@ object Curation {
         count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
         countDistinct(col("h")).as("n_distinct"),
         sum("pii").as("n_pii"), sum("gk").as("n_keep"),
-        sum("z").as("sz"))
+        sum("z").as("sz"),
+        // contam_rate's denominator: the rate is TRAIN-side only
+        // (doc_id >= 10 in the numerator), so dividing by all docs would
+        // understate contamination for any source contributing eval docs
+        sum(when(col("doc_id") >= 10, 1L).otherwise(0L)).as("n_train"))
       // entropy denominator REUSES perSource's n_docs instead of a third
       // aggregation over the regex-heavy base projection (r10 review)
       val langEnt = base.groupBy("source", "lang")
@@ -500,7 +504,7 @@ object Curation {
           ((col("n_docs") - col("n_distinct")).cast("double") /
             col("n_docs")).as("dup_rate"),
           (coalesce(col("n_contam"), lit(0L)).cast("double") /
-            col("n_docs")).as("contam_rate"),
+            col("n_train")).as("contam_rate"),
           (col("n_pii").cast("double") / col("n_docs")).as("pii_rate"),
           (col("n_keep").cast("double") / col("n_docs")).as("keep_rate"),
           round(col("sz").cast("double") / col("n_docs"), 6).as("mean_z"),
@@ -757,7 +761,9 @@ object Curation {
         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |    count(DISTINCT h) AS n_distinct,
         |    CAST(sum(pii) AS BIGINT) AS n_pii,
-        |    CAST(sum(gk) AS BIGINT) AS n_keep, sum(z) AS sz
+        |    CAST(sum(gk) AS BIGINT) AS n_keep, sum(z) AS sz,
+        |    CAST(sum(CASE WHEN doc_id >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_train
         |  FROM base GROUP BY 1),
         |lc AS (SELECT source, lang, count(*) AS c FROM base GROUP BY 1, 2),
         |tot AS (SELECT source, count(*) AS n FROM base GROUP BY 1),
@@ -776,7 +782,7 @@ object Curation {
         |ct AS (SELECT source, count(*) AS n_contam FROM cd GROUP BY 1)
         |SELECT ps.source, n_docs, n_tokens,
         |  CAST(n_docs - n_distinct AS DOUBLE) / n_docs AS dup_rate,
-        |  CAST(COALESCE(n_contam, 0) AS DOUBLE) / n_docs AS contam_rate,
+        |  CAST(COALESCE(n_contam, 0) AS DOUBLE) / n_train AS contam_rate,
         |  CAST(n_pii AS DOUBLE) / n_docs AS pii_rate,
         |  CAST(n_keep AS DOUBLE) / n_docs AS keep_rate,
         |  round(CAST(sz AS DOUBLE) / n_docs, 6) AS mean_z,

@@ -699,8 +699,17 @@ object Relational {
           " — shard the value domain")).cast("long"))
         .otherwise(col("cnt"))
       val cd = cnt12.cast(DecimalType(12, 0))
+      // the SUM itself gets the same loud treatment: non-ANSI decimal sum
+      // overflow (many ~1e36 terms past the 38-digit budget) yields NULL,
+      // which coalesce turns into a hard error instead of a silently-NULL
+      // tie correction. (A NULL here can only mean overflow or an empty
+      // events table — both worth stopping on.)
       val ties = mr
         .agg(sum(cd * cd * cd - cd).as("t3t"))
+        .select(coalesce(col("t3t"),
+          raise_error(lit("stat_kruskal: tie-term sum overflowed" +
+            " DECIMAL(38,0) — shard the value domain"))
+            .cast(DecimalType(38, 0))).as("t3t"))
       val nd = col("n").cast("double")
       val h = lit(12.0) / (nd * (nd + 1)) * col("srn").cast("double") -
         lit(3.0) * (nd + 1)

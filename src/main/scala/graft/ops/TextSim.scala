@@ -1092,17 +1092,24 @@ object TextSim {
     ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
 
   /** Per-doc PII counts + redacted text — one map-side projection over any
-    * (doc_id, text) frame; the shared core of `text_pii_redact` and
-    * TextSimSpec's injected-fixture cases. */
+    * (doc_id, text) frame; the shared core of `text_pii_classes` and
+    * TextSimSpec's injected-fixture cases. Each class is COUNTED on the
+    * text with all EARLIER classes already redacted (stage i of the same
+    * replacement chain), so `n_<class>` equals the number of
+    * `<PLACEHOLDER>`s that class actually emits — counting every class on
+    * the raw text would over-count when patterns overlap (e.g. a 13-digit
+    * email local part matches the card run but is consumed by the email
+    * rewrite first). */
   private[graft] def piiRedact(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val counts = PiiPatterns.map { case (n, p, _) =>
-      regexp_count(col("text"), lit(p)).cast("long").as(s"n_$n")
-    }
-    val redacted = PiiPatterns.foldLeft(col("text")) {
+    // stages(i) = text with the first i patterns redacted
+    val stages = PiiPatterns.scanLeft(col("text")) {
       case (acc, (_, p, repl)) => regexp_replace(acc, p, repl)
     }
-    docs.select(col("doc_id") +: counts :+ redacted.as("redacted"): _*)
+    val counts = PiiPatterns.zipWithIndex.map { case ((n, p, _), i) =>
+      regexp_count(stages(i), lit(p)).cast("long").as(s"n_$n")
+    }
+    docs.select(col("doc_id") +: counts :+ stages.last.as("redacted"): _*)
       .orderBy("doc_id")
   }
 
@@ -1153,12 +1160,15 @@ object TextSim {
     // Spark's regexp_replace is global by default. The aug CTE mirrors
     // the query's deterministic doc_id-derived SSN/card/IP injection.
     "text_pii_classes" -> {
-      val cnts = PiiPatterns.map { case (n, p, _) =>
-        s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$n"
-      }
-      val red = PiiPatterns.foldLeft("text") { case (acc, (_, p, r)) =>
+      // stage-i counting mirrors piiRedact: class i counts on the text
+      // with classes 0..i-1 already replaced
+      val stages = PiiPatterns.scanLeft("text") { case (acc, (_, p, r)) =>
         s"regexp_replace($acc, '$p', '$r', 'g')"
       }
+      val cnts = PiiPatterns.zipWithIndex.map { case ((n, p, _), i) =>
+        s"CAST(len(regexp_extract_all(${stages(i)}, '$p')) AS BIGINT) AS n_$n"
+      }
+      val red = stages.last
       s"""WITH aug AS (SELECT doc_id,
         |    text || ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||
         |    CAST(doc_id % 90 + 10 AS VARCHAR) || '-' ||

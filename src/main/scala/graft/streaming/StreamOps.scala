@@ -185,21 +185,15 @@ object StreamOps {
     * EXISTS / per-day-table idempotency, in streaming form. Use with
     * `writeStream.foreachBatch(idempotentDailySink(path))`.
     */
-  def idempotentDailySink(path: String)(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      batch
-        .withColumn("day", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("day").parquet(path)
-    } finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
+  def idempotentDailySink(path: String)(batch: DataFrame, batchId: Long): Unit =
+    // per-WRITER option, not a session-conf set/restore: the conf mutation
+    // was racy under concurrent jobs sharing the session (same fix as
+    // Ingest.upsertLongStore)
+    batch
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
 
   final case class SessState(startMs: Long, lastMs: Long, n: Int)
   final case class SessionOut(user_id: Long, session_start_us: Long,
