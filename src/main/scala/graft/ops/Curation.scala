@@ -45,6 +45,24 @@ object Curation {
     when(b < 90, "train").when(b < 95, "val").otherwise("test")
   }
 
+  /** The packing manifest (shard, seq, n_docs, seq_tok, first/last doc) —
+    * shared by `pack_sequences` (the loader-facing manifest) and
+    * `pack_efficiency` (its waste report). */
+  private def packManifest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tok"),
+        pmod(h60(concat(lit("pck"), col("doc_id"))), lit(PackShards))
+          .as("shard"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("cum0", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("seq", expr(s"cum0 div $PackBudget"))
+      .groupBy("shard", "seq")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("seq_tok"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
   /** The Gopher-style rule columns, ordered — ONE home for the thresholds,
     * shared by `curate_gopher_rules` (per-rule reporting) and
     * `curation_card`'s keep_rate (r10 review: the card must aggregate the
@@ -623,21 +641,28 @@ object Curation {
     // good as any other because document order is arbitrary by design.
     // Output: the packing manifest (per-sequence doc count, token load,
     // doc-id range) a loader would mmap.
-    "pack_sequences" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), size(toks).cast("long").as("n_tok"),
-          pmod(h60(concat(lit("pck"), col("doc_id"))), lit(PackShards))
-            .as("shard"))
-      val w = Window.partitionBy("shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      docs
-        .withColumn("cum0", coalesce(sum("n_tok").over(w), lit(0L)))
-        .withColumn("seq", expr(s"cum0 div $PackBudget"))
-        .groupBy("shard", "seq")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("seq_tok"),
-          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-        .orderBy("shard", "seq")
-    }),
+    "pack_sequences" -> ((s, d) => packManifest(s, d).orderBy("shard", "seq")),
+
+    // Packing-efficiency report (r10): the padding-waste metric a trainer
+    // tracks per data release — per shard: sequence/doc/token counts,
+    // fill rate vs the budgeted capacity (n_seqs × budget), the largest
+    // overhang, and how many sequences overflow the budget (the
+    // no-doc-splitting trade pack_sequences documents). Re-aggregates the
+    // SAME manifest pack_sequences emits (shared [[packManifest]]), so
+    // the report can't drift from the layout it describes. Fill rate is
+    // one IEEE division of exact longs; everything else is integer.
+    "pack_efficiency" -> ((s, d) =>
+      packManifest(s, d)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_seqs"), sum("n_docs").as("n_docs"),
+          sum("seq_tok").as("n_tokens"), max("seq_tok").as("max_seq_tok"),
+          sum(when(col("seq_tok") > PackBudget, 1L).otherwise(0L))
+            .as("n_overflow"))
+        .select(col("shard"), col("n_seqs"), col("n_docs"), col("n_tokens"),
+          (col("n_tokens").cast("double") /
+            (col("n_seqs") * PackBudget)).as("fill_rate"),
+          col("max_seq_tok"), col("n_overflow"))
+        .orderBy("shard")),
 
     // L54 — snapshot diff: the audit a corpus release runs between two
     // curated versions — which docs were added, removed, changed, kept.
@@ -1046,6 +1071,28 @@ object Curation {
         |  CAST(sum(n_tok) AS BIGINT) AS seq_tok,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pack_efficiency" ->
+      s"""WITH t AS (SELECT doc_id,
+        |  CAST(len($dToks) AS BIGINT) AS n_tok,
+        |  ${dH60("'pck' || CAST(doc_id AS VARCHAR)")} % $PackShards AS shard
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok, shard,
+        |  CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cum0
+        |  FROM t),
+        |m AS (SELECT shard, cum0 // $PackBudget AS seq,
+        |    count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS seq_tok
+        |  FROM c GROUP BY 1, 2)
+        |SELECT shard, count(*) AS n_seqs,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(seq_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(seq_tok) AS DOUBLE) / (count(*) * $PackBudget)
+        |    AS fill_rate,
+        |  max(seq_tok) AS max_seq_tok,
+        |  CAST(sum(CASE WHEN seq_tok > $PackBudget THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_overflow
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "corpus_diff" ->
       s"""WITH old AS (SELECT doc_id, ${dH60("text")} AS h_old
         |  FROM documents WHERE doc_id % 7 <> 0),
