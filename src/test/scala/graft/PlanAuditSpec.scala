@@ -238,13 +238,28 @@ class PlanAuditSpec extends SparkSpec {
     case _ => None
   }
 
-  /** Fact tables scanned in `p` with no Aggregate/Limit above them. */
+  /** Per-row key columns of the fact tables: an Aggregate whose grouping
+    * keys INCLUDE one of these has per-row output cardinality — it is
+    * still corpus-sized and must NOT count as reducing (r10 ADVICE: the
+    * r9 offender shape plus one per-doc aggregate would otherwise evade
+    * the gate). l_linenumber alone is bounded (1..7), so only the order
+    * key matters for lineitem. */
+  private val perRowKeys = Set("doc_id", "vec_id", "l_orderkey",
+    "o_orderkey", "event_id")
+
+  /** Fact tables scanned in `p` with no REDUCING Aggregate/Limit above
+    * them. Aggregates and limits re-bound cardinality by something other
+    * than input size (group domain / k) — except an aggregate grouped by
+    * a per-row key, whose group domain IS the input size. */
   private def unreducedFactScans(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Seq[String] = {
     import org.apache.spark.sql.catalyst.plans.logical._
     p match {
-      case _: Aggregate => Nil
+      case a: Aggregate
+          if !a.groupingExpressions.exists(_.references.exists(att =>
+            perRowKeys.contains(att.name))) => Nil
+      case a: Aggregate => a.children.flatMap(unreducedFactScans)
       case _: GlobalLimit => Nil
       case _: LocalLimit => Nil
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -302,6 +317,17 @@ class PlanAuditSpec extends SparkSpec {
       docs.groupBy("lang").agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n"))), Seq("lang"))
     assert(hintedFactBroadcasts(reduced).isEmpty)
+    // ...and the r10-ADVICE evasion shape — the offender plus a PER-DOC
+    // aggregate inside the hint — is caught too: groupBy(doc_id) has
+    // per-row group domain, so the aggregate reduces nothing.
+    val evader = docs.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .join(org.apache.spark.sql.functions.broadcast(
+        docs.groupBy("doc_id", "lang").agg(
+          org.apache.spark.sql.functions.max("n_chars").as("mx"))),
+        Seq("doc_id"))
+    assert(hintedFactBroadcasts(evader) == Seq("documents"))
   }
 
   test("near-dup family forces no broadcast hint (corpus-scaling tables " +
