@@ -103,4 +103,36 @@ all_q = set(os.path.basename(p) for p in glob.glob(os.path.join(outdir, "*")) if
 no_oracle = all_q - set(oracle)
 if no_oracle:
     print("rows-only (no oracle):", sorted(no_oracle))
+
+# optional machine artifact (--json PATH): per-query verdicts in the
+# CORRECTNESS_rN shape, so the decade sweep can ship as DECADE_rN.json
+# instead of living only in README prose (r10 verdict item 2)
+if "--json" in sys.argv:
+    jpath = sys.argv[sys.argv.index("--json") + 1]
+    out = {}
+    for q in sorted(all_q | set(oracle)):
+        v = results.get(q)
+        try:
+            srows = con.execute("SELECT count(*) FROM read_parquet(" +
+                f"'{os.path.join(outdir, q)}/*.parquet')").fetchone()[0]
+        except Exception:
+            srows = None
+        if v is None:
+            out[q] = {"rows_match": None, "schema_match": None,
+                      "hash_match": None, "spark_rows": srows,
+                      "oracle_rows": None, "err": "no_oracle"}
+        elif v == "OK":
+            out[q] = {"rows_match": True, "schema_match": True,
+                      "hash_match": True, "spark_rows": srows,
+                      "oracle_rows": srows, "err": None}
+        else:
+            out[q] = {"rows_match": not v.startswith("ROWS"),
+                      "schema_match": not v.startswith("SCHEMA"),
+                      "hash_match": False, "spark_rows": srows,
+                      "oracle_rows": None, "err": str(v)[:300]}
+    with open(jpath, "w") as f:
+        json.dump({"sfdir": sfdir, "n_ok": n_ok, "n_checked": len(results),
+                   "rows_only": sorted(no_oracle), "queries": out}, f,
+                  indent=1, sort_keys=True)
+    print(f"wrote {jpath}")
 sys.exit(0 if n_ok == len(results) else 1)

@@ -5,13 +5,14 @@
 # bug (limit_n's non-unique LIMIT tiebreak) that sf0.001/sf0.01 masked by
 # scan-order luck.
 #
-# Known by-design non-match: dedup_embed (over-cap LSH recall trade — the
-# engine answers from sign-LSH sub-buckets at measured ~91.8% recall when
-# label blocks exceed the exact cap, while the oracle replays exact
-# blocked all-pairs; see TextSim's dedup_embed scaladoc). Expect
-# 242/243-style results with exactly that row failing on ROWS.
+# r11: dedup_embed's over-cap LSH path is now part of the declared
+# cross-engine contract (the oracle mirrors the sign-LSH sub-bucketing
+# from the same plane literals), so the full board is expected GREEN at
+# the decade — 243/243-style. A machine artifact in the CORRECTNESS_rN
+# shape is written per run (default DECADE.json in the repo root; set
+# DECADE_JSON to place it, e.g. DECADE_JSON=DECADE_r11.json).
 #
-# Usage: scripts/decade_check.sh          (run `sbt compile` first;
+# Usage: scripts/decade_check.sh [outdir]  (run `sbt compile` first;
 #   builds the stack on first use via ScaleProbe.buildStack through any
 #   probe run, or reuses /tmp/graft_sf1ish)
 set -euo pipefail
@@ -37,4 +38,4 @@ java "${ADD_OPENS[@]}" -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC -Xmx"${SPARK_DRIVER_MEM:-24g}" \
   -cp "$CLASSES:/opt/spark/jars/*" \
   graft.Verify "$SF1" "$OUT" 2>&1 | grep '\[verify\]' || true
-python3 scripts/check_oracle.py "$SF1" "$OUT"
+python3 scripts/check_oracle.py "$SF1" "$OUT" --json "${DECADE_JSON:-DECADE.json}"

@@ -18,6 +18,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // Bench hygiene IN the artifact (r10 verdict nit: the driver's tail
+    // scrape of a busy-host run published a second, contradictory total
+    // for the round). Capture the 1-minute load BEFORE the JVM warms up:
+    // any scrape of ANY Bench run now self-identifies contamination, so
+    // a number measured on a non-idle host can't be read as definitive.
+    val load1 = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    val contaminated = load1 > 4.0 // same bar as scripts/bench.sh
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -79,8 +89,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = f(results.flatMap(_._2).sum)
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val hygiene =
+      s""""loadavg_before":$load1,"contaminated":$contaminated"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spreads,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spreads,"failed":$failedJson,$hygiene,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt [info] noise — ALSO write the JSON to a
     // file so the bench gate can always machine-parse it (BENCH_r01 had
     // "parsed": null from scraping the sbt tail). scripts/bench.sh emits
@@ -104,7 +116,7 @@ object Bench {
       .map { case (k, m) => s"\"" + k + "\":" + f(m) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs":$runs,"failed":$failedJson,"top10_median":$top10,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"runs":$runs,"failed":$failedJson,"top10_median":$top10,$hygiene,"sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

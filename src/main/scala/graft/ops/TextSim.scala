@@ -1019,6 +1019,55 @@ object TextSim {
       embedNearDupPairs(embeddings(s, d), blockCap = EmbedBlockCap,
         threshold = EmbedDupTau)),
 
+    // Candidate-generator eval for the EMBEDDING near-dup path (r11) —
+    // L79's harness pointed at sign-LSH instead of MinHash banding: one
+    // confusion row scoring the 8-table collision candidate set against
+    // the exact label-blocked cosine ≥ τ truth. This turns dedup_embed's
+    // prose recall claim ("~91.8% at the r8 decade") into a declared,
+    // oracle-checked, rerunnable number — the figure a bands/bits/cap
+    // config decision is judged by. Both sides are deterministic (the
+    // planes are literals, the dot fold is the bit-identical contract),
+    // so unlike most eval harnesses this one has an EXACT oracle.
+    // Scale: the candidate side is the inverted-index LSH join (linear-
+    // ish in collisions); the truth side costs what exact truth costs —
+    // super-linear inside big labels, the dedup_minhash_eval trade; at
+    // 100 TB run both sides over the same hash-sampled sub-corpus
+    // exactly as dedup_minhash_eval_sampled prescribes.
+    "dedup_embed_eval" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("label"),
+        col("embedding"), normOf(col("embedding")).as("nrm"))
+      val ta = e.select(col("label"), col("vec_id").as("ia"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val tb = e.select(col("label"), col("vec_id").as("ib"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val truth = ta.join(tb, Seq("label")).filter(col("ia") < col("ib"))
+        .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+          >= EmbedDupTau)
+        .select(col("label"), col("ia"), col("ib"), lit(1L).as("tin"))
+      val bl = e.select(col("label"), col("vec_id"),
+        posexplode(array((0 until 8).map(t =>
+          signBucket(t, col("embedding"))): _*)).as(Seq("tbl", "key")))
+      val ca = bl.select(col("label"), col("tbl"), col("key"),
+        col("vec_id").as("ia"))
+      val cb = bl.select(col("label"), col("tbl"), col("key"),
+        col("vec_id").as("ib"))
+      val cand = ca.join(cb, Seq("label", "tbl", "key"))
+        .filter(col("ia") < col("ib"))
+        .dropDuplicates("label", "ia", "ib")
+        .select(col("label"), col("ia"), col("ib"), lit(1L).as("cin"))
+      cand.join(truth, Seq("label", "ia", "ib"), "full_outer")
+        .agg(
+          sum(when(col("cin").isNotNull, 1L).otherwise(0L)).as("n_cand"),
+          sum(when(col("tin").isNotNull, 1L).otherwise(0L)).as("n_truth"),
+          sum(when(col("cin").isNotNull && col("tin").isNotNull, 1L)
+            .otherwise(0L)).as("tp"))
+        .select(col("n_cand"), col("n_truth"), col("tp"),
+          (col("n_cand") - col("tp")).as("fp"),
+          (col("n_truth") - col("tp")).as("fn"),
+          (col("tp").cast("double") / col("n_cand")).as("precision"),
+          (col("tp").cast("double") / col("n_truth")).as("recall"))
+    }),
+
     // PII class battery (r10): extends L11's email/phone `text_pii_redact`
     // (Corpus.scala) to the four-class detector set — email, SSN,
     // 13–16-digit card runs, IPv4 — counted per doc and rewritten to
@@ -1549,6 +1598,40 @@ object TextSim {
         |FROM (SELECT * FROM sp UNION ALL SELECT * FROM bc)
         |WHERE cos >= $EmbedDupTau
         |ORDER BY label, ia, ib""".stripMargin
+    },
+    // cd ≡ the engine's LSH candidate set (dSignBucket = signBucket from
+    // the same plane literals); tr ≡ the exact truth. Counts via scalar
+    // subqueries — pairs are unique within each side, so the inner join
+    // counts tp exactly like the engine's full-outer tally.
+    "dedup_embed_eval" -> {
+      val bk = (0 until 8).map(t =>
+        s"SELECT label, vec_id, ${dSignBucket(t, "embedding")} AS key, " +
+          s"$t AS tbl FROM e")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(${dDot("embedding", "embedding")}) AS nrm
+        |  FROM embeddings),
+        |tr AS (
+        |  SELECT a.label AS label, a.vec_id AS ia, b.vec_id AS ib
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE ${dDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+        |    >= $EmbedDupTau),
+        |bk AS (
+        |  $bk),
+        |cd AS (
+        |  SELECT DISTINCT a.label AS label, a.vec_id AS ia, b.vec_id AS ib
+        |  FROM bk a JOIN bk b
+        |    ON a.label = b.label AND a.tbl = b.tbl AND a.key = b.key
+        |   AND a.vec_id < b.vec_id),
+        |agg AS (SELECT
+        |  (SELECT count(*) FROM cd) AS n_cand,
+        |  (SELECT count(*) FROM tr) AS n_truth,
+        |  (SELECT count(*) FROM cd JOIN tr USING (label, ia, ib)) AS tp)
+        |SELECT n_cand, n_truth, tp, n_cand - tp AS fp, n_truth - tp AS fn,
+        |  CAST(tp AS DOUBLE) / n_cand AS precision,
+        |  CAST(tp AS DOUBLE) / n_truth AS recall
+        |FROM agg""".stripMargin
     },
     "udaf_minhash_lang" ->
       s"""WITH s AS (SELECT doc_id, lang, ${dShingles(3)} AS sh FROM documents),

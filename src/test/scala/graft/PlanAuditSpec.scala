@@ -348,4 +348,61 @@ class PlanAuditSpec extends SparkSpec {
         s"$name plans ${hints.size} forced broadcast hint(s)")
     }
   }
+
+  // ---- r11 gate: the same rules on EXECUTED (AQE-final) plans ----
+  //
+  // The static gates above read `sparkPlan` (pre-AQE) — AQE can replace
+  // joins and introduce runtime broadcasts the static walk never sees
+  // (r10 verdict item 3). This gate EXECUTES every declared query at
+  // sf0.001 and walks the adaptive plan AFTER final replanning with the
+  // same cartesian/BNLJ/global-window rules. AdaptiveSparkPlanExec and
+  // query stages hide their content from a plain `collect` (stages are
+  // leaf wrappers), so the walk expands them explicitly.
+
+  private def finalFlags(p: SparkPlan): Set[String] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def nodes(q: SparkPlan): Seq[SparkPlan] = q match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case s: QueryStageExec => s +: nodes(s.plan)
+      case r: ReusedExchangeExec => Seq(r) // flags already counted at origin
+      case other => other +: other.children.flatMap(nodes)
+    }
+    nodes(p).collect {
+      case _: CartesianProductExec => "CartesianProduct"
+      case _: BroadcastNestedLoopJoinExec => "BroadcastNestedLoopJoin"
+      case w: WindowExec if w.partitionSpec.isEmpty => "GlobalWindow"
+    }.toSet
+  }
+
+  test("no declared query's EXECUTED (AQE-final) plan contains a " +
+    "cartesian / BNLJ / global window beyond the documented probes") {
+    val staticByName = scala.collection.mutable.Map.empty[String, Set[String]]
+    val observed: Seq[(String, Set[String])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val df = fn(spark, sf0001)
+        staticByName(name) = flags(df.queryExecution.sparkPlan)
+        df.collect() // materialize so AQE finishes replanning every stage
+        val fs = finalFlags(df.queryExecution.executedPlan)
+        spark.catalog.clearCache() // drop persisted intermediates
+        name -> fs
+      }
+    val bad = observed.flatMap { case (name, fs) =>
+      (fs -- allow.getOrElse(name, Set.empty)).map(f => s"$name: $f")
+    }
+    assert(bad.isEmpty,
+      s"scale red flags in AQE-final plans:\n${bad.mkString("\n")}")
+    // fails-when-stale, jointly with the static audit: an allow entry is
+    // earned if EITHER the pre-AQE or the final plan still shows the flag
+    // (AQE may legitimately prune a benign probe join at tiny SF — e.g.
+    // an empty-side BNLJ — without making the static allowance stale).
+    val byName = observed.toMap
+    val stale = allow.toSeq.flatMap { case (name, fs) =>
+      (fs -- byName.getOrElse(name, Set.empty)
+        -- staticByName.getOrElse(name, Set.empty)).map(f => s"$name: $f")
+    }
+    assert(stale.isEmpty,
+      s"stale allowlist entries (flag in neither static nor final plan):\n" +
+        stale.mkString("\n"))
+  }
 }
