@@ -53,7 +53,12 @@ object ScaleProbe {
     // r10: the PII scrub, both new decontamination surfaces, the rule
     // battery, and the dataset-card capstone
     "text_pii_redact", "text_pii_classes", "decontaminate_embed",
-    "curate_gopher_rules", "curation_card", "stream_topk")
+    "curate_gopher_rules", "curation_card", "stream_topk",
+    // r11: the embedding near-dup pair/eval family — dedup_embed switches
+    // to the LSH path above the cap at the decade (cost shape changes by
+    // DESIGN there), and the eval harness carries the exact-truth side's
+    // super-linearity (the dedup_minhash_eval trade, embedding form)
+    "dedup_embed", "dedup_embed_eval")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -79,10 +79,17 @@ object Embeddings {
       .filter(col("i") > col("j") && cos >= tau)
       .select(col("i").as("vec_id"))
     val big = vc.filter(col("cnt") > cap)
-    val bl = big.select(col("cid"), col("vec_id"), col("embedding"),
-      col("nrm"),
-      posexplode(array((0 until 8).map(t =>
-        TextSim.signBucket(t, col("embedding"))): _*)).as(Seq("tbl", "key")))
+    // r11: adaptive width (TextSim.bucketBits) — 2^bits ≥ cnt/cap buckets
+    // keep the expected cell-bucket population ≤ cap at any skew, so the
+    // over-cap pair stage is linear in the cell, not 0.4·n² (the 8-table
+    // union loses most of a fixed 4-bit split; see bucketBits scaladoc)
+    val bl = big
+      .withColumn("bits", TextSim.bucketBits(col("cnt"), cap))
+      .select(col("cid"), col("vec_id"), col("embedding"),
+        col("nrm"),
+        posexplode(array((0 until 8).map(t =>
+          TextSim.signBucketMasked(t, col("embedding"), col("bits"))): _*))
+          .as(Seq("tbl", "key")))
     val ba = bl.select(col("cid"), col("tbl"), col("key"),
       col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
     val bb = bl.select(col("cid"), col("tbl"), col("key"),

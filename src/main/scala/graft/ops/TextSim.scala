@@ -281,6 +281,57 @@ object TextSim {
       (when(dot(e, typedlit(plane(t, b))) > 0, 1).otherwise(0)) * (1 << b)
     }.reduce(_ + _)
 
+  /** Adaptive bucket WIDTH for a block of `cnt` members under `cap` (r11).
+    *
+    * Why fixed 4 bits is not enough at 100 TB: a candidate pair survives
+    * if it collides in ANY of the 8 tables, and for uncorrelated vectors
+    * P(collide in one 4-bit table) = 1/16, so the union keeps
+    * 1−(15/16)⁸ ≈ 40% of ALL in-block pairs — measured exactly at the
+    * decade (8.23M candidates / 20.0M in-label pairs = 0.41). That is a
+    * 2.5× reduction, not a defeat of the n² term: a 1M-vector hot label
+    * would still emit ~4·10¹¹ pairs. The fix is to spend MORE bits on
+    * BIGGER blocks: with 2^bits ≥ cnt/cap buckets the expected bucket
+    * population is ≤ cap, so the per-table pair mass is ≤ 8 · cnt·cap/2 —
+    * LINEAR in cnt for a fixed cap, at every block size.
+    *
+    * bits = ceil(log2(cnt/cap)) clamped to [4, 16], computed INTEGER-ONLY
+    * (ceil-div then bit_length via `length(bin(q-1))`) because a
+    * float log2 can land on 0.99999… and flip the ceil differently per
+    * engine — the DuckDB mirror [[dBucketBits]] is the same integer
+    * spelling. Below 16·cap the clamp keeps today's 4 bits, so every
+    * result at current test scales (decade included: 2000/1000 → q=2 →
+    * clamps to 4) is bit-for-bit unchanged; only genuinely runaway blocks
+    * get wider keys. Recall trade at width b per table is p^b with
+    * p = 1 − θ/π (θ = angle): near-identical pairs (cos ≥ 0.9, p ≈ .909)
+    * still collide in ≥1 of 8 tables with P ≈ 0.99 at b = 8 — the pairs
+    * dedup keeps stay found; the 0.35–0.7 tail thins, same trade as
+    * before, now size-independent. */
+  private[ops] def bucketBits(cnt: Column, cap: Int): Column = {
+    // ceil-div as floor((cnt+cap−1)/cap): one double division of exact
+    // longs, floor'd — exact for any block a filesystem can hold (the
+    // half-ulp flip needs cnt ≳ 2⁴³·cap); DuckDB mirrors with integer //
+    val q = floor((cnt + lit(cap - 1)) / lit(cap)).cast("long")
+    greatest(lit(4), least(lit(16), length(bin(q - 1)).cast("int")))
+  }
+
+  /** Width-masked 16-bit sign bucket: the full 16-bit key of table `t`
+    * masked down to the block's adaptive width. All 16 planes are
+    * evaluated unconditionally (codegen-friendly, no per-row branching on
+    * plane count); the mask keeps the LOW `bits` — so a 4-bit masked key
+    * equals [[signBucket]] exactly (same planes b = 0..3). The mask is a
+    * 13-arm CASE over the clamped width domain rather than a variable
+    * shift (shiftleft(Column, Column) has no DSL form; the CASE stays
+    * inside whole-stage codegen). */
+  private[ops] def signBucketMasked(t: Int, e: Column, bits: Column): Column = {
+    val key16 = (0 until 16).map { b =>
+      (when(dot(e, typedlit(plane(t, b))) > 0, 1).otherwise(0)) * (1 << b)
+    }.reduce(_ + _)
+    val mask = (5 to 16).foldLeft(when(bits === 4, (1 << 4) - 1)) {
+      (acc, b) => acc.when(bits === b, (1 << b) - 1)
+    }.otherwise((1 << 4) - 1)
+    key16.bitwiseAND(mask)
+  }
+
   /** DuckDB mirror of [[plane]] (t, b): the identical hyperplane, each
     * float emitted as its EXACT double value (Float→Double widening is
     * exact; Double.toString round-trips), so both engines dot against
@@ -300,6 +351,22 @@ object TextSim {
       s"(CASE WHEN ${dDot(e, dPlane(t, b))} > 0 THEN 1 ELSE 0 END)*${1 << b}"
     }.mkString(" + ")
 
+  /** DuckDB mirror of [[bucketBits]]: integer ceil-div (`//`) and the
+    * same bit_length-via-bin spelling — no float log2 anywhere, so the
+    * width can never ceil differently across engines. */
+  private def dBucketBits(cnt: String, cap: Int): String =
+    s"GREATEST(4, LEAST(16, length(bin((($cnt + ${cap - 1}) // $cap) - 1))))"
+
+  /** DuckDB mirror of [[signBucketMasked]]: full 16-bit key AND'd to the
+    * adaptive width (variable shift is fine here; the MASK VALUE is what
+    * must agree, and both spellings produce 2^bits − 1). */
+  private def dSignBucketMasked(t: Int, e: String, bits: String): String = {
+    val key16 = (0 until 16).map { b =>
+      s"(CASE WHEN ${dDot(e, dPlane(t, b))} > 0 THEN 1 ELSE 0 END)*${1 << b}"
+    }.mkString(" + ")
+    s"(($key16) & ((1 << ($bits)) - 1))"
+  }
+
   /** dedup_embed's declared contract constants — interpolated into BOTH
     * the Spark plan and the DuckDB oracle so there is no runtime knob to
     * diverge on (the StopShingleDf pattern). */
@@ -310,16 +377,20 @@ object TextSim {
     *
     * Labels with ≤ `blockCap` members do exact all-pairs inside the block —
     * at most cap² comparisons per block, by construction. Labels BIGGER
-    * than the cap are sub-blocked by sign-LSH (8 tables × 4 bits, the same
-    * deterministic hyperplanes as sim_topk_lsh): candidate pairs only come
-    * from same-(label, table, bucket) collisions, shrinking the expected
-    * per-bucket population ~16× per table while keeping near-identical
-    * pairs (the ones dedup cares about: cos ≥ 0.9 collides in ≥1 of the 8
-    * tables with probability ≈ 1-(1-0.9⁴)⁸ ≈ 0.99) — so a single 1M-vector
-    * hot label can no longer produce a 10¹²-pair stage (VERDICT r2 "What's
-    * wrong" #3). Every surviving candidate is verified with the exact
-    * cosine, so precision is exact; recall inside oversized blocks is the
-    * documented LSH trade.
+    * than the cap are sub-blocked by sign-LSH (8 tables, the same
+    * deterministic hyperplanes as sim_topk_lsh) at an ADAPTIVE width:
+    * [[bucketBits]] spends ceil(log2(cnt/cap)) bits (clamped [4,16]) so
+    * the expected bucket population stays ≤ cap at ANY block size —
+    * candidate pairs only come from same-(label, table, bucket)
+    * collisions, bounding the over-cap pair stage at ~8·cnt·cap/2, LINEAR
+    * in the block (r11; the r2–r10 fixed-4-bit form only cut all-pairs
+    * ~2.5× once the 8-table union was accounted for — measured 0.41× at
+    * the decade). Near-identical pairs (the ones dedup cares about) still
+    * collide: cos ≥ 0.9 survives ≥1 of 8 tables with P ≈ 0.99 at 4 bits
+    * and ≈ 0.99 at 8 bits (p_bit ≈ 0.909 ⇒ p⁸ ≈ 0.47 per table). Every
+    * surviving candidate is verified with the exact cosine, so precision
+    * is exact; recall inside oversized blocks is the documented LSH
+    * trade, now size-independent.
     */
   private[graft] def embedNearDupPairs(
       e0: org.apache.spark.sql.DataFrame,
@@ -337,10 +408,18 @@ object TextSim {
       col("embedding").as("eb"), col("nrm").as("nb"))
     val smallPairs = sa.join(sb, Seq("label")).filter(col("ia") < col("ib"))
 
-    val bl = big.select(col("label"), col("vec_id"), col("embedding"),
-      col("nrm"),
-      posexplode(array((0 until 8).map(t =>
-        signBucket(t, col("embedding"))): _*)).as(Seq("tbl", "key")))
+    // adaptive width (r11): 2^bits ≥ cnt/cap buckets per table bounds the
+    // expected bucket population at cap, making the over-cap pair stage
+    // LINEAR in block size (see bucketBits' scaladoc for the union-of-8
+    // math that fixed 4 bits loses). bits is constant within a label, so
+    // keys never mix widths across the (label, tbl, key) join.
+    val bl = big
+      .withColumn("bits", bucketBits(col("cnt"), blockCap))
+      .select(col("label"), col("vec_id"), col("embedding"),
+        col("nrm"),
+        posexplode(array((0 until 8).map(t =>
+          signBucketMasked(t, col("embedding"), col("bits"))): _*))
+          .as(Seq("tbl", "key")))
     val ba = bl.select(col("label"), col("tbl"), col("key"),
       col("vec_id").as("ia"), col("embedding").as("ea"), col("nrm").as("na"))
     val bb = bl.select(col("label"), col("tbl"), col("key"),
@@ -1035,7 +1114,8 @@ object TextSim {
     // exactly as dedup_minhash_eval_sampled prescribes.
     "dedup_embed_eval" -> ((s, d) => {
       val e = embeddings(s, d).select(col("vec_id"), col("label"),
-        col("embedding"), normOf(col("embedding")).as("nrm"))
+        col("embedding"), normOf(col("embedding")).as("nrm"),
+        count(lit(1)).over(Window.partitionBy("label")).as("cnt"))
       val ta = e.select(col("label"), col("vec_id").as("ia"),
         col("embedding").as("ea"), col("nrm").as("na"))
       val tb = e.select(col("label"), col("vec_id").as("ib"),
@@ -1044,9 +1124,12 @@ object TextSim {
         .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb"))
           >= EmbedDupTau)
         .select(col("label"), col("ia"), col("ib"), lit(1L).as("tin"))
-      val bl = e.select(col("label"), col("vec_id"),
-        posexplode(array((0 until 8).map(t =>
-          signBucket(t, col("embedding"))): _*)).as(Seq("tbl", "key")))
+      val bl = e
+        .withColumn("bits", bucketBits(col("cnt"), EmbedBlockCap))
+        .select(col("label"), col("vec_id"),
+          posexplode(array((0 until 8).map(t =>
+            signBucketMasked(t, col("embedding"), col("bits"))): _*))
+            .as(Seq("tbl", "key")))
       val ca = bl.select(col("label"), col("tbl"), col("key"),
         col("vec_id").as("ia"))
       val cb = bl.select(col("label"), col("tbl"), col("key"),
@@ -1569,8 +1652,10 @@ object TextSim {
     // are cosine-verified in both engines, and the >= filter runs on the
     // unrounded cosine (round only for display), exactly as the plan does.
     "dedup_embed" -> {
+      val bits = dBucketBits("cnt", EmbedBlockCap)
       val bk = (0 until 8).map(t =>
-        s"SELECT label, vec_id, ${dSignBucket(t, "embedding")} AS key, " +
+        s"SELECT label, vec_id, " +
+          s"${dSignBucketMasked(t, "embedding", bits)} AS key, " +
           s"$t AS tbl FROM e WHERE cnt > $EmbedBlockCap")
         .mkString("\n  UNION ALL\n  ")
       s"""WITH e AS (
@@ -1604,13 +1689,16 @@ object TextSim {
     // subqueries — pairs are unique within each side, so the inner join
     // counts tp exactly like the engine's full-outer tally.
     "dedup_embed_eval" -> {
+      val bits = dBucketBits("cnt", EmbedBlockCap)
       val bk = (0 until 8).map(t =>
-        s"SELECT label, vec_id, ${dSignBucket(t, "embedding")} AS key, " +
+        s"SELECT label, vec_id, " +
+          s"${dSignBucketMasked(t, "embedding", bits)} AS key, " +
           s"$t AS tbl FROM e")
         .mkString("\n  UNION ALL\n  ")
       s"""WITH e AS (
         |  SELECT vec_id, label, embedding,
-        |    sqrt(${dDot("embedding", "embedding")}) AS nrm
+        |    sqrt(${dDot("embedding", "embedding")}) AS nrm,
+        |    count(*) OVER (PARTITION BY label) AS cnt
         |  FROM embeddings),
         |tr AS (
         |  SELECT a.label AS label, a.vec_id AS ia, b.vec_id AS ib
