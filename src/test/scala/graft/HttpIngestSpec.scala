@@ -32,6 +32,7 @@ class HttpIngestSpec extends SparkSpec with BeforeAndAfterAll {
   private var server: HttpServer = _
   private var base: String = _
   private val flakyHits = new AtomicInteger(0)
+  private val redirectHits = new AtomicInteger(0)
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(UTF_8)
@@ -54,6 +55,21 @@ class HttpIngestSpec extends SparkSpec with BeforeAndAfterAll {
       respond(ex, 403, "bad key"))
     server.createContext("/slow", (ex: HttpExchange) => {
       Thread.sleep(2000); respond(ex, 200, payload)
+    })
+    // cross-protocol redirect shape: HttpURLConnection will NOT follow
+    // http->https, so this must surface as a terminal error, not retries
+    server.createContext("/moved", (ex: HttpExchange) => {
+      ex.getResponseHeaders.add("Location", "https://127.0.0.1/ok")
+      respond(ex, 301, "moved")
+      redirectHits.incrementAndGet(); ()
+    })
+    server.createContext("/huge", (ex: HttpExchange) => {
+      // 1 MiB body, streamed in chunks
+      val chunk = new Array[Byte](64 * 1024)
+      java.util.Arrays.fill(chunk, 'x'.toByte)
+      ex.sendResponseHeaders(200, (chunk.length * 16).toLong)
+      (0 until 16).foreach(_ => ex.getResponseBody.write(chunk))
+      ex.close()
     })
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
@@ -94,6 +110,28 @@ class HttpIngestSpec extends SparkSpec with BeforeAndAfterAll {
       Ingest.fetch(s"$base/forbidden", retries = 5, backoffMs = 10)
     }
     assert(e.getMessage.contains("403"))
+  }
+
+  test("A1: 3xx fails fast with the Location surfaced, burning no " +
+    "retries (r10 ADVICE)") {
+    redirectHits.set(0)
+    val e = intercept[IllegalStateException] {
+      Ingest.fetch(s"$base/moved", retries = 5, backoffMs = 10)
+    }
+    assert(e.getMessage.contains("301"))
+    assert(e.getMessage.contains("https://127.0.0.1/ok"),
+      s"redirect target must be in the error: ${e.getMessage}")
+    assert(redirectHits.get() === 1, "3xx must not be retried")
+  }
+
+  test("A1: oversize body trips the maxBytes cap loudly (r10 ADVICE)") {
+    val e = intercept[IllegalStateException] {
+      Ingest.fetch(s"$base/huge", maxBytes = 128 * 1024)
+    }
+    assert(e.getMessage.contains("exceeded"))
+    // and the same endpoint succeeds when the cap accommodates it
+    assert(Ingest.fetch(s"$base/huge", maxBytes = 2L * 1024 * 1024)
+      .length === 16 * 64 * 1024)
   }
 
   test("A1: read timeout trips, retries, and fails visibly") {
