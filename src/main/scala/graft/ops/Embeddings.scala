@@ -235,8 +235,9 @@ object Embeddings {
     // multiple of k in production) is then re-ranked by EXACT L2 over the
     // shortlisted floats only — coarse 32-bit codes shortlist, exact math
     // decides, which is how IVF-PQ deployments actually answer queries.
-    // Approximate by construction (rows-only; the recall spec quantifies
-    // it against exact L2). Scale: stage 1 reads ONLY the 4-byte codes
+    // Approximate only vs the exact-L2 truth (the recall spec quantifies
+    // that); deterministic end-to-end, hence an EXACT oracle row since
+    // r11. Scale: stage 1 reads ONLY the 4-byte codes
     // (n·M code rows joined to a 128-row broadcast, then
     // TakeOrderedAndProject); stage 2 fetches |shortlist| full vectors.
     "sim_topk_pq" -> ((s, d) => {
@@ -365,25 +366,54 @@ object Embeddings {
         |  count(*) AS n
         |FROM el GROUP BY cid, dim_idx ORDER BY cid, dim_idx""".stripMargin,
     "embed_pq" ->
-      s"""WITH el AS (SELECT vec_id,
-        |    unnest(generate_series(0, len(embedding) - 1)) AS idx,
-        |    CAST(unnest(embedding) AS DOUBLE) AS x
-        |  FROM embeddings),
-        |e2 AS (SELECT vec_id, idx, x, idx // 8 AS sub FROM el),
-        |cb AS (SELECT vec_id AS cid, idx, x AS cx FROM e2
-        |  WHERE vec_id < $PqK),
-        |d2 AS (SELECT e2.vec_id, sub, cid,
-        |    CAST(SUM(CAST((x - cx) * (x - cx) AS DECIMAL(30,8)))
-        |      AS DOUBLE) AS d2
-        |  FROM e2 JOIN cb USING (idx)
-        |  GROUP BY 1, 2, 3),
-        |best AS (SELECT vec_id, sub, cid, d2, row_number() OVER
-        |    (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM d2)
+      s"""WITH $dPqChain
         |SELECT vec_id,
         |  CAST(SUM(cid * CAST(pow($PqK, sub) AS BIGINT)) AS BIGINT) AS code,
         |  CAST(round(SUM(CAST(d2 AS DECIMAL(30,8))), 6) AS DOUBLE) AS err
-        |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+        |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // r11: sim_topk_pq promoted from rows-only to an EXACT oracle row —
+    // every stage is deterministic (seeded codebook, decimal-summed d2,
+    // dsum'd ADC distances, full-key ordered limits, bit-identical dots),
+    // so the whole two-stage ADC answer is mirrorable: lut = probe row 0's
+    // sub-distances, shortlist = top-100 by code-only ADC sum, re-rank =
+    // exact L2 over the shortlisted floats. The recall spec (vs exact L2)
+    // stays — the oracle proves determinism, the spec quantifies quality.
+    "sim_topk_pq" ->
+      s"""WITH $dPqChain,
+        |lut AS (SELECT sub, cid, d2 AS pd2 FROM d2 WHERE vec_id = 0),
+        |sl AS (SELECT b.vec_id,
+        |    CAST(round(SUM(CAST(pd2 AS DECIMAL(30,8))), 6) AS DOUBLE)
+        |      AS approx_d2
+        |  FROM best b JOIN lut USING (sub, cid)
+        |  WHERE rn = 1 AND b.vec_id <> 0
+        |  GROUP BY 1 ORDER BY approx_d2, vec_id LIMIT 100),
+        |pr AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+        |SELECT s.vec_id, approx_d2,
+        |  round(greatest(${dDot("y.embedding", "y.embedding")} -
+        |    2.0 * ${dDot("y.embedding", "p")} + ${dDot("p", "p")}, 0.0), 6)
+        |    AS exact_d2
+        |FROM sl s JOIN embeddings y ON y.vec_id = s.vec_id, pr
+        |ORDER BY exact_d2, s.vec_id LIMIT 5""".stripMargin
   )
+
+  /** Shared PQ CTE chain `el → e2 → cb → d2 → best` — the DuckDB mirror
+    * of [[pqD2]]/[[pqBest]], used by embed_pq AND sim_topk_pq so the two
+    * oracles cannot drift. */
+  private lazy val dPqChain: String =
+    s"""el AS (SELECT vec_id,
+      |    unnest(generate_series(0, len(embedding) - 1)) AS idx,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |e2 AS (SELECT vec_id, idx, x, idx // 8 AS sub FROM el),
+      |cb AS (SELECT vec_id AS cid, idx, x AS cx FROM e2
+      |  WHERE vec_id < $PqK),
+      |d2 AS (SELECT e2.vec_id, sub, cid,
+      |    CAST(SUM(CAST((x - cx) * (x - cx) AS DECIMAL(30,8)))
+      |      AS DOUBLE) AS d2
+      |  FROM e2 JOIN cb USING (idx)
+      |  GROUP BY 1, 2, 3),
+      |best AS (SELECT vec_id, sub, cid, d2, row_number() OVER
+      |    (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn FROM d2)""".stripMargin
 
   /** DuckDB mirror of [[assign]] — CTE chain ending in `r(vec_id, cid,
     * d2, rn)`; the E-step rows are `WHERE rn = 1`. */

@@ -12,8 +12,10 @@ import graft.functions.DotProductExpr
   *
   * The quantizer is fit with a DataFrame-native Lloyd iteration:
   * assignment is a broadcast argmin over the k centroids, the update step
-  * is an explode-by-dimension average (groupBy(cell, pos).avg — one
-  * shuffle of n×dim skinny rows). Centroids are collected to the driver
+  * is an explode-by-dimension decimal-exact mean (groupBy(cell, pos),
+  * exactSum/count — one shuffle of n×dim skinny rows; deterministic
+  * regardless of partition order, which makes the whole fit oracle-
+  * replayable). Centroids are collected to the driver
   * between iterations: they are MODEL PARAMETERS (k×dim floats, ~4 KB
   * here), not data — the same role as a broadcast dimension table, so the
   * collect is scale-legitimate; the data itself never leaves executors.
@@ -44,9 +46,16 @@ object Ivf {
       .select(col("embedding")).as[Seq[Float]].collect().toSeq
     for (_ <- 1 to iters) {
       val assigned = assign(vectors, centroids)
+      // mean as decimal-exact sum / exact count (NOT avg(): a double avg
+      // sums in partition/combine order, so the same data could yield
+      // last-ulp-different centroids run to run — and r11 promotes
+      // sim_topk_ivf to an exact oracle row, which needs the whole fit
+      // replayable bit-for-bit in DuckDB)
       val updated = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell", "pos")
+        .agg((exactSum(col("x").cast("double")).cast("double") /
+          count(lit(1))).as("m"))
         .groupBy("cell")
         .agg(collect_list(struct(col("pos"), col("m"))).as("raw"))
         .select(col("cell"),

@@ -47,8 +47,8 @@ import org.apache.spark.sql.functions._
   *    sorts a whole probe's candidate set.
   *  - sim_topk_lsh: sign-random-projection buckets (8 tables × 4 bits)
   *    prune candidates before exact re-rank — the ANN path when the probe
-  *    set itself is large. No SQL oracle (recall is approximate);
-  *    TextSimSpec asserts recall vs the exact path.
+  *    set itself is large. Deterministic, hence an exact oracle row
+  *    (r11); TextSimSpec still asserts recall vs the exact path.
   *  - dedup_embed: blocked on `label` (pre-assigned cluster/shard key), so
   *    pairs are generated per-block — the blocking pattern that keeps exact
   *    near-dup search feasible at scale.
@@ -1041,8 +1041,11 @@ object TextSim {
     }),
 
     // ANN variant: sign-random-projection LSH (8 tables x 4 bits) prunes the
-    // candidate set before the exact re-rank. Approximate — no SQL oracle;
-    // TextSimSpec asserts recall against sim_topk's exact result.
+    // candidate set before the exact re-rank. "Approximate" only relative
+    // to the exact top-k truth (TextSimSpec's recall assertion); the
+    // algorithm is deterministic, so since r11 it is an EXACT oracle row
+    // (the DuckDB mirror rebuilds the same buckets from the same plane
+    // literals and replays candidate generation + re-rank verbatim).
     "sim_topk_lsh" -> ((s, d) => {
       val emb = embeddings(s, d)
       val buckets = emb.select(col("vec_id") +: col("embedding") +:
@@ -1070,8 +1073,12 @@ object TextSim {
 
     // IVF ANN variant: data-adaptive coarse quantizer (DataFrame-native
     // Lloyd iterations), probes search their 3 nearest of 8 cells then
-    // exact-re-rank. Approximate — rows-only checked here; TextSimSpec
-    // asserts recall vs the exact path.
+    // exact-re-rank. "Approximate" only vs the exact top-k truth
+    // (TextSimSpec's recall assertion); the fit is deterministic —
+    // lowest-id seeds, decimal-exact means, (d, cell)-keyed argmins — so
+    // since r11 the ENTIRE pipeline (2 Lloyd iterations included) is
+    // replayed by the DuckDB oracle as chained CTEs and the row is
+    // exact-checked.
     "sim_topk_ivf" -> ((s, d) => {
       val emb = embeddings(s, d)
       val centroids = Ivf.fitCentroids(emb, k = 8, iters = 2)
@@ -1313,6 +1320,11 @@ object TextSim {
 
   private def dCos(a: String, b: String): String =
     s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
+
+  /** DuckDB mirror of Ivf.rankDist: ||e−c||² minus the probe-constant
+    * ||e||² term — same expression order, bit-identical doubles. */
+  private def dRankDist(e: String, c: String): String =
+    s"${dDot(c, c)} - 2.0 * ${dDot(e, c)}"
 
   val oracles: Map[String, String] = Map(
     // counts via regexp_extract_all length; replacement chain in the SAME
@@ -1683,6 +1695,84 @@ object TextSim {
         |FROM (SELECT * FROM sp UNION ALL SELECT * FROM bc)
         |WHERE cos >= $EmbedDupTau
         |ORDER BY label, ia, ib""".stripMargin
+    },
+    // r11: sim_topk_ivf promoted from rows-only to an EXACT oracle row —
+    // the oracle replays the WHOLE IVF pipeline as chained CTEs: lowest-8
+    // seeds (cell = rank by vec_id), two Lloyd iterations (argmin by
+    // (rank-dist, cell), decimal-exact per-dimension means cast to FLOAT,
+    // empty cells COALESCE to the previous centroid — Ivf.fitCentroids
+    // verbatim), final cell assignment, nprobe=3 probe routing, exact
+    // cosine re-rank. Every comparison is on bit-identical doubles
+    // (dDot ≡ DotProductExpr) or exact integers, so even the LEARNED
+    // quantizer is cross-engine reproducible.
+    "sim_topk_ivf" -> {
+      def assign(cRel: String, alias: String) =
+        s"""$alias AS (SELECT vec_id, embedding, cell FROM (
+           |  SELECT e.vec_id, e.embedding, c.cell, row_number() OVER
+           |    (PARTITION BY e.vec_id
+           |     ORDER BY ${dRankDist("e.embedding", "c.c")}, c.cell) AS rn
+           |  FROM embeddings e, $cRel c) WHERE rn = 1)""".stripMargin
+      def step(aRel: String, prevC: String, alias: String) =
+        s"""$alias AS (SELECT s.cell, COALESCE(u.c, s.c) AS c
+           |  FROM $prevC s LEFT JOIN (
+           |    SELECT cell, list(m ORDER BY pos) AS c FROM (
+           |      SELECT cell, pos,
+           |        CAST(CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)
+           |          / count(*) AS FLOAT) AS m
+           |      FROM $aRel JOIN el USING (vec_id) GROUP BY 1, 2)
+           |    GROUP BY cell) u USING (cell))""".stripMargin
+      s"""WITH el AS (SELECT vec_id,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |    embedding AS c
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        ORDER BY vec_id LIMIT 8)),
+        |${assign("c0", "a1")},
+        |${step("a1", "c0", "c1")},
+        |${assign("c1", "a2")},
+        |${step("a2", "c1", "c2")},
+        |${assign("c2", "af")},
+        |pc AS (SELECT probe_id, p, cell FROM (
+        |  SELECT e.vec_id AS probe_id, e.embedding AS p, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY ${dRankDist("e.embedding", "c.c")}, c.cell) AS rn
+        |  FROM embeddings e, c2 c WHERE e.vec_id < 10) WHERE rn <= 3),
+        |sc AS (SELECT pc.probe_id, af.vec_id AS cand_id,
+        |    ${dCos("af.embedding", "pc.p")} AS cos
+        |  FROM pc JOIN af ON af.cell = pc.cell
+        |  WHERE af.vec_id <> pc.probe_id),
+        |rk AS (SELECT probe_id, cand_id, cos, row_number() OVER
+        |  (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rk FROM sc)
+        |SELECT probe_id, rk, cand_id, round(cos, 6) AS cos_sim
+        |FROM rk WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
+    },
+    // r11: sim_topk_lsh promoted from rows-only to an EXACT oracle row —
+    // the "approximate" in ANN-LSH is relative to the exact top-k TRUTH
+    // (quantified by TextSimSpec's recall assertion, which stays); the
+    // ALGORITHM itself is deterministic, and with dSignBucket rebuilding
+    // the same buckets from the same plane literals the oracle replays
+    // candidate generation + exact re-rank verbatim.
+    "sim_topk_lsh" -> {
+      val bk = (0 until 8).map(t =>
+        s"SELECT vec_id, ${dSignBucket(t, "embedding")} AS key, " +
+          s"$t AS tbl FROM embeddings")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH bk AS (
+        |  $bk),
+        |cd AS (
+        |  SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS cand_id
+        |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.key = b.key
+        |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id),
+        |sc AS (
+        |  SELECT probe_id, cand_id,
+        |    ${dCos("y.embedding", "x.embedding")} AS cos
+        |  FROM cd JOIN embeddings x ON x.vec_id = cd.probe_id
+        |          JOIN embeddings y ON y.vec_id = cd.cand_id),
+        |rk AS (SELECT probe_id, cand_id, cos, row_number() OVER
+        |  (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rk FROM sc)
+        |SELECT probe_id, rk, cand_id, round(cos, 6) AS cos_sim
+        |FROM rk WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
     },
     // cd ≡ the engine's LSH candidate set (dSignBucket = signBucket from
     // the same plane literals); tr ≡ the exact truth. Counts via scalar
