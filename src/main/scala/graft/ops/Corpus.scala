@@ -279,6 +279,78 @@ object Corpus {
         .orderBy(desc("score"), asc("doc_id")).limit(20)
     }),
 
+    // Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.
+    // SIGIR 2009): the standard way deployed search fuses a lexical
+    // (BM25) arm with a dense (embedding-cosine) arm — score =
+    // Σ 1/(60 + rank), missing-from-an-arm contributes 0. Probe = doc 0's
+    // tokens / vec 0's embedding (the fixed-probe convention of text_bm25
+    // and sim_cosine; doc↔vec ids align in this corpus), self excluded
+    // from both arms. Each arm ranks its top-50 by its own
+    // deterministically-ordered score (BM25 through the text_bm25 exact
+    // chain; the raw cosine is bit-identical across engines), so the
+    // fused order mirrors exactly; 1/(60+rank) is a single IEEE division
+    // of exact integers and their sum is two fixed-order adds — no
+    // quantization needed before the final ORDER BY (doc_id breaks the
+    // swapped-rank-pair ties). Scale: the lexical arm is the audited
+    // text_bm25 shape (|q|-bounded past the tokenizer), the dense arm one
+    // broadcast-probe scan (sim_cosine shape); both end in
+    // TakeOrderedAndProject top-50, and the rank windows run AFTER that
+    // prune over ≤50 rows (the text_vocab pattern). Fusion itself is a
+    // 50×50 full-outer join — constant-sized at any corpus scale.
+    "retrieval_rrf" -> ((s, d) => {
+      val tfAll = tokenRows(Tables.documents(s, d))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dl = tfAll.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val q = tfAll.filter(col("doc_id") === 0).select("tok")
+      val tf = tfAll.join(q, "tok")
+      // df is corpus-true (doc 0 included, as in text_bm25); only the
+      // SCORED set excludes the probe doc itself.
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val lexScore = tf.filter(col("doc_id") =!= 0)
+        .join(df, "tok").join(dl, "doc_id").crossJoin(stats)
+        .select(col("doc_id"),
+          round(
+            log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+                (col("df") + lit(0.5)) + lit(1.0)) *
+            (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+                col("avgdl"))),
+            6).as("sc"))
+        .groupBy("doc_id").agg(dsum(col("sc"), 6).as("score"))
+      val lex = lexScore
+        .orderBy(desc("score"), asc("doc_id")).limit(50)
+        .withColumn("lr", row_number().over(
+          Window.orderBy(desc("score"), asc("doc_id"))))
+        .select(col("doc_id"), col("lr"))
+      val probe = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .limit(1)
+        .select(col("embedding").as("p"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("pnrm"))
+      val den = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"), col("embedding"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+        .crossJoin(broadcast(probe))
+        .select(col("doc_id"),
+          (dot(col("embedding"), col("p")) / (col("nrm") * col("pnrm")))
+            .as("cos"))
+        .orderBy(desc("cos"), asc("doc_id")).limit(50)
+        .withColumn("dr", row_number().over(
+          Window.orderBy(desc("cos"), asc("doc_id"))))
+        .select(col("doc_id"), col("dr"))
+      val rrf =
+        coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0))
+      lex.join(den, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("lr"), lit(0)).as("lex_rank"),
+          coalesce(col("dr"), lit(0)).as("dense_rank"),
+          round(rrf, 6).as("rrf_score"))
+        .orderBy(desc("rrf_score"), asc("doc_id")).limit(20)
+    }),
+
     // Heavy hitters via Count-Min Sketch prefilter + exact verify: one
     // pass builds the CMS (and the stream total) — collected driver-side
     // as a model parameter — then token ROWS are prefiltered map-side by
@@ -766,6 +838,51 @@ object Corpus {
         |  count(*) AS n_terms
         |FROM sc GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // Same BM25 chain as text_bm25 (df corpus-true, probe doc excluded
+    // only from the scored set); dense arm = the sim_cosine fold; both
+    // arms rank on their deterministic scores, and the fused order runs
+    // on the ROUNDED rrf + doc_id in both engines (the sim_topk_pq
+    // ordering convention).
+    "retrieval_rrf" ->
+      s"""WITH t AS ($dTokRows),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |q AS (SELECT DISTINCT tok FROM t WHERE doc_id = 0),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf
+        |  FROM t JOIN q USING (tok) GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |    round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)
+        |        + 1.0) *
+        |      (CAST(tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf AS DOUBLE) + 1.2 *
+        |        (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)), 6) AS sc
+        |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st
+        |  WHERE doc_id <> 0),
+        |ls AS (SELECT doc_id,
+        |    CAST(round(SUM(CAST(sc AS DECIMAL(30,8))), 6) AS DOUBLE)
+        |      AS score
+        |  FROM sc GROUP BY doc_id),
+        |lex AS (SELECT doc_id, lr FROM (SELECT doc_id, row_number()
+        |    OVER (ORDER BY score DESC, doc_id) AS lr FROM ls)
+        |  WHERE lr <= 50),
+        |pr AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+        |dsc AS (SELECT vec_id AS doc_id,
+        |    ${dDot("embedding", "p")} /
+        |      (sqrt(${dDot("embedding", "embedding")}) *
+        |       sqrt(${dDot("p", "p")})) AS cos
+        |  FROM embeddings, pr WHERE vec_id <> 0),
+        |den AS (SELECT doc_id, dr FROM (SELECT doc_id, row_number()
+        |    OVER (ORDER BY cos DESC, doc_id) AS dr FROM dsc)
+        |  WHERE dr <= 50)
+        |SELECT coalesce(l.doc_id, n.doc_id) AS doc_id,
+        |  coalesce(lr, 0) AS lex_rank, coalesce(dr, 0) AS dense_rank,
+        |  round(coalesce(CAST(1 AS DOUBLE) / (60 + lr), 0.0) +
+        |        coalesce(CAST(1 AS DOUBLE) / (60 + dr), 0.0), 6)
+        |    AS rrf_score
+        |FROM lex l FULL OUTER JOIN den n ON l.doc_id = n.doc_id
+        |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
     "agg_cms_heavy" ->
       s"""WITH t AS ($dTokRows),
         |th AS (SELECT (count(*) + 999) // 1000 AS t0 FROM t)

@@ -102,6 +102,38 @@ object Embeddings {
     smallDups.unionByName(bigDups).distinct()
   }
 
+  /** Anchor count for mine_triplets (first MineAnchors vec_ids). */
+  private val MineAnchors = 20
+
+  /** Semi-hard margin for mine_triplets (FaceNet's α): a negative inside
+    * `pos_cos − α` of the hardest positive is the training-signal zone. */
+  private val TripletMargin = 0.2
+
+  /** Prefix widths evaluated by embed_matryoshka_eval (full dim = 64). */
+  private val MrlWidths = Seq(8, 16, 32)
+
+  /** Probes-vs-corpus cosine rows `(probe_id, cand_id, cos)` for the first
+    * `nProbes` vectors against every other vector, optionally over the
+    * first `width` dims only (matryoshka prefix). The RAW double cosine is
+    * bit-identical across engines (ascending-index fold), so downstream
+    * ranks/gates on it are safe unquantized — the sim_topk contract.
+    * Scale: nProbes model-parameter rows broadcast, ONE corpus scan, k·N
+    * work; the limit is structural for the hinted-broadcast gate. */
+  private def probeCos(emb: DataFrame, nProbes: Int,
+      width: Option[Int]): DataFrame = {
+    val v = width.map(w => slice(col("embedding"), 1, w))
+      .getOrElse(col("embedding"))
+    val base = emb.select(col("vec_id"), v.as("v"))
+      .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"))
+    val probes = base.filter(col("vec_id") < nProbes).limit(nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("p"),
+        col("nrm").as("pnrm"))
+    base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        (dot(col("v"), col("p")) / (col("nrm") * col("pnrm"))).as("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // L2 norm + first normalized component per vector. Map-only.
@@ -268,8 +300,107 @@ object Embeddings {
             lit(2.0) * dot(col("embedding"), col("p")) +
             dot(col("p"), col("p")), lit(0.0)), 6).as("exact_d2"))
         .orderBy(asc("exact_d2"), asc("vec_id")).limit(5)
-    })
+    }),
+
+    // Hard-triplet mining for contrastive training (FaceNet shape, Schroff
+    // et al. 2015, arXiv:1503.03832): for each anchor, the hardest positive
+    // (same label, LOWEST cosine) and hardest negative (different label,
+    // HIGHEST cosine), the margin between them, and the semi-hard flag
+    // (neg_cos > pos_cos − α) that marks the anchors actually carrying
+    // training signal. Ranks/gates run on the RAW cosine (bit-identical
+    // fold in both engines — the sim_topk contract); round(…,6) is display
+    // only, and the margin is ONE subtraction of identical doubles (no
+    // multiply-add chain, so no FMA-contraction quantization needed).
+    // Scale: anchors are model-parameter rows (broadcast, structural
+    // limit); one corpus scan scores k·N pairs; the per-anchor argmin /
+    // argmax are k-partitioned windows — never an N² self-join. At 100 TB
+    // the corpus side stays a single pass per mining batch, which is how
+    // hard-negative mining actually runs (per-batch against the current
+    // encoder's embedding snapshot).
+    "mine_triplets" -> ((s, d) =>
+      tripletMine(Tables.embeddings(s, d), MineAnchors, TripletMargin)),
+
+    // Matryoshka truncation eval (MRL, Kusupati et al. 2022,
+    // arXiv:2205.13147): recall@5 of prefix-dim cosine search against the
+    // full-dim exact top-5 truth, one row per truncation width — the
+    // measurement behind "serve the first w dims and re-rank"
+    // embedding-compression deployments. Everything is exact: the same 10
+    // probes rank the corpus once per width (slice(embedding, 1, w) — the
+    // prefix fold is the full fold truncated, still bit-identical across
+    // engines), hits are integer set intersections, and recall is ONE
+    // division of exact integers. Scale: (|widths|+1) broadcast-probe
+    // corpus scans, each the audited sim_topk shape; nothing is ever
+    // pairwise beyond k·N.
+    "embed_matryoshka_eval" -> ((s, d) =>
+      matryoshkaEval(Tables.embeddings(s, d), MrlWidths, 10))
   )
+
+  /** mine_triplets core over any (vec_id, label, embedding) frame —
+    * extracted so the spec can pin both semi-hard branches on synthetic
+    * separable clusters (the sf slices' random vectors never produce a
+    * positive margin). */
+  private[graft] def tripletMine(emb0: DataFrame, nAnchors: Int,
+      margin: Double): DataFrame = {
+    val emb = emb0
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val anchors = emb.filter(col("vec_id") < nAnchors).limit(nAnchors)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("embedding").as("p"), col("nrm").as("pnrm"))
+    val scored = emb.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("a_label"),
+        col("vec_id"), col("label"),
+        (dot(col("embedding"), col("p")) / (col("nrm") * col("pnrm")))
+          .as("cos"))
+    val pos = scored.filter(col("label") === col("a_label"))
+      .withColumn("rn", row_number().over(Window.partitionBy("anchor_id")
+        .orderBy(asc("cos"), asc("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id"), col("a_label"),
+        col("vec_id").as("hard_pos_id"), col("cos").as("pc"))
+    val neg = scored.filter(col("label") =!= col("a_label"))
+      .withColumn("rn", row_number().over(Window.partitionBy("anchor_id")
+        .orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id"), col("vec_id").as("hard_neg_id"),
+        col("cos").as("nc"))
+    pos.join(neg, "anchor_id")
+      .select(col("anchor_id"), col("a_label").as("label"),
+        col("hard_pos_id"), round(col("pc"), 6).as("pos_cos"),
+        col("hard_neg_id"), round(col("nc"), 6).as("neg_cos"),
+        round(col("pc") - col("nc"), 6).as("margin"),
+        when(col("nc") > col("pc") - lit(margin), 1).otherwise(0)
+          .as("semi_hard"))
+      .orderBy("anchor_id")
+  }
+
+  /** embed_matryoshka_eval core over any (vec_id, embedding) frame —
+    * extracted so the spec can pin recall = 1.0 when all information
+    * lives in the evaluated prefix. */
+  private[graft] def matryoshkaEval(emb: DataFrame, widths: Seq[Int],
+      nProbes: Int): DataFrame = {
+    def top5(width: Option[Int]): DataFrame =
+      probeCos(emb, nProbes, width)
+        .withColumn("rk", row_number().over(Window.partitionBy("probe_id")
+          .orderBy(desc("cos"), asc("cand_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("cand_id"))
+    val truth = top5(None)
+    // 1-row denominator (nProbes × 5) derived from truth, not a
+    // literal, so the query stays honest on any corpus slice.
+    val tn = truth.agg(count(lit(1)).as("n_truth")).limit(1)
+    widths.map { w =>
+      top5(Some(w)).join(truth, Seq("probe_id", "cand_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(w).as("width"), col("hits"))
+    }.reduce(_.unionByName(_))
+      .crossJoin(broadcast(tn))
+      .select(col("width"), col("hits"),
+        round(col("hits").cast("double") / col("n_truth"), 6)
+          .as("recall_at5"))
+      .orderBy("width")
+  }
 
   /** All subspace distances (vec_id, sub, cid, d2): elements joined to the
     * 16-seed codebook, squared distances accumulated in exact decimal.
@@ -393,8 +524,63 @@ object Embeddings {
         |    2.0 * ${dDot("y.embedding", "p")} + ${dDot("p", "p")}, 0.0), 6)
         |    AS exact_d2
         |FROM sl s JOIN embeddings y ON y.vec_id = s.vec_id, pr
-        |ORDER BY exact_d2, s.vec_id LIMIT 5""".stripMargin
+        |ORDER BY exact_d2, s.vec_id LIMIT 5""".stripMargin,
+    // Ranks and the semi-hard gate run on the RAW cosine in both engines
+    // (bit-identical ascending fold); round(…,6) is display-only, the
+    // margin is one subtraction of identical doubles.
+    "mine_triplets" ->
+      s"""WITH a AS (SELECT vec_id AS anchor_id, label AS a_label,
+        |    embedding AS p FROM embeddings WHERE vec_id < $MineAnchors),
+        |sc AS (SELECT anchor_id, a_label, e.vec_id, e.label,
+        |    ${dCosE("e.embedding", "p")} AS cos
+        |  FROM embeddings e JOIN a ON e.vec_id <> a.anchor_id),
+        |pos AS (SELECT anchor_id, a_label, vec_id AS hard_pos_id,
+        |    cos AS pc, row_number() OVER
+        |      (PARTITION BY anchor_id ORDER BY cos ASC, vec_id) AS rn
+        |  FROM sc WHERE label = a_label),
+        |neg AS (SELECT anchor_id, vec_id AS hard_neg_id, cos AS nc,
+        |    row_number() OVER
+        |      (PARTITION BY anchor_id ORDER BY cos DESC, vec_id) AS rn
+        |  FROM sc WHERE label <> a_label)
+        |SELECT p.anchor_id, a_label AS label, hard_pos_id,
+        |  round(pc, 6) AS pos_cos, hard_neg_id, round(nc, 6) AS neg_cos,
+        |  round(pc - nc, 6) AS margin,
+        |  CASE WHEN nc > pc - CAST($TripletMargin AS DOUBLE)
+        |    THEN 1 ELSE 0 END AS semi_hard
+        |FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+        |WHERE p.rn = 1 AND n.rn = 1
+        |ORDER BY p.anchor_id""".stripMargin,
+    // Per width, the candidate top-5 CTE is the truth CTE with the lists
+    // sliced to the prefix — the prefix fold is the full fold truncated,
+    // so the raw-cosine ranks mirror exactly.
+    "embed_matryoshka_eval" -> {
+      def blk(name: String, a: String, p: String): String =
+        s"""$name AS (SELECT probe_id, cand_id FROM (
+          |  SELECT probe_id, e.vec_id AS cand_id, row_number() OVER
+          |    (PARTITION BY probe_id
+          |     ORDER BY ${dCosE(a, p)} DESC, e.vec_id) AS rk
+          |  FROM embeddings e JOIN pr ON e.vec_id <> probe_id)
+          |  WHERE rk <= 5)""".stripMargin
+      val ws = MrlWidths.map(w =>
+        blk(s"w$w", s"e.embedding[1:$w]", s"p[1:$w]") + ",\n" +
+          s"h$w AS (SELECT $w AS width, count(*) AS hits " +
+          s"FROM w$w JOIN tr USING (probe_id, cand_id))").mkString(",\n")
+      val un = MrlWidths.map(w => s"SELECT * FROM h$w")
+        .mkString(" UNION ALL ")
+      s"""WITH pr AS (SELECT vec_id AS probe_id, embedding AS p
+        |    FROM embeddings WHERE vec_id < 10),
+        |${blk("tr", "e.embedding", "p")},
+        |tn AS (SELECT count(*) AS n_truth FROM tr),
+        |$ws
+        |SELECT width, hits,
+        |  round(CAST(hits AS DOUBLE) / n_truth, 6) AS recall_at5
+        |FROM ($un), tn ORDER BY width""".stripMargin
+    }
   )
+
+  /** DuckDB cosine mirror of `dot(a,b)/(nrm·nrm)` over raw lists. */
+  private def dCosE(a: String, b: String): String =
+    s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
 
   /** Shared PQ CTE chain `el → e2 → cb → d2 → best` — the DuckDB mirror
     * of [[pqD2]]/[[pqBest]], used by embed_pq AND sim_topk_pq so the two

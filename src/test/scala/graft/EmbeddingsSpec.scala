@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Behavioral pins for the r11 embedding-side training-data ops. The
+  * oracle rows prove cross-engine equality; these tests pin the SEMANTICS
+  * on inputs the random sf slices cannot produce — separable clusters for
+  * the semi-hard branches, prefix-concentrated vectors for recall = 1 —
+  * plus an internal-consistency recomputation of the RRF fusion.
+  */
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: Seq[(Long, Int, Seq[Double])]): DataFrame =
+    rows.map { case (id, lab, v) => (id, lab, v.map(_.toFloat).toArray) }
+      .toDF("vec_id", "label", "embedding")
+
+  test("mine_triplets: separated clusters give a positive margin and " +
+    "semi_hard = 0") {
+    // label 0 hugs e1, label 1 hugs e2 — the hardest negative is still
+    // nearly orthogonal to every anchor.
+    val df = ops.Embeddings.tripletMine(emb(Seq(
+      (0L, 0, Seq(1.0, 0.0, 0.01, 0.0)),
+      (1L, 0, Seq(0.99, 0.02, 0.0, 0.01)),
+      (2L, 0, Seq(0.98, 0.01, 0.02, 0.0)),
+      (3L, 1, Seq(0.0, 1.0, 0.01, 0.0)),
+      (4L, 1, Seq(0.02, 0.99, 0.0, 0.0)))), nAnchors = 1, margin = 0.2)
+    val r = df.collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("anchor_id") === 0L)
+    assert(Set(1L, 2L).contains(row.getAs[Long]("hard_pos_id")))
+    assert(Set(3L, 4L).contains(row.getAs[Long]("hard_neg_id")))
+    assert(row.getAs[Double]("margin") > 0.9)
+    assert(row.getAs[Int]("semi_hard") === 0)
+  }
+
+  test("mine_triplets: a near-boundary negative flips semi_hard to 1 " +
+    "while the margin stays positive") {
+    // id 5 is label 1 but sits close to the label-0 cluster: inside the
+    // 0.2 semi-hard band, yet not past the hardest positive.
+    val df = ops.Embeddings.tripletMine(emb(Seq(
+      (0L, 0, Seq(1.0, 0.0, 0.01, 0.0)),
+      (1L, 0, Seq(0.99, 0.02, 0.0, 0.01)),
+      (2L, 0, Seq(0.98, 0.01, 0.02, 0.0)),
+      (3L, 1, Seq(0.0, 1.0, 0.01, 0.0)),
+      (5L, 1, Seq(0.93, 0.35, 0.0, 0.0)))), nAnchors = 1, margin = 0.2)
+    val row = df.collect().head
+    assert(row.getAs[Long]("hard_neg_id") === 5L)
+    val m = row.getAs[Double]("margin")
+    assert(m > 0.0 && m < 0.2, s"margin $m should be inside the band")
+    assert(row.getAs[Int]("semi_hard") === 1)
+  }
+
+  test("embed_matryoshka_eval: recall@5 is 1.0 when all information " +
+    "lives in the evaluated prefix") {
+    // 64-dim vectors, signal only in dims 1–8 (a deterministic spread so
+    // no two cosines tie) — the width-8 ranking IS the full ranking.
+    val rows = (0L until 8L).map { i =>
+      val v = Array.fill(64)(0.0)
+      v(0) = 1.0; v((i % 7 + 1).toInt) = 0.05 + 0.11 * i
+      (i, 0, v.toSeq)
+    }
+    val r = ops.Embeddings.matryoshkaEval(emb(rows), Seq(8), nProbes = 2)
+      .collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Int]("width") === 8)
+    assert(r.head.getAs[Double]("recall_at5") === 1.0)
+  }
+
+  test("retrieval_rrf: emitted score equals 1/(60+r) recomputed from the " +
+    "emitted ranks, and both arms contribute") {
+    val rows = ops.Corpus.queries("retrieval_rrf")(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val lr = r.getAs[Int]("lex_rank"); val dr = r.getAs[Int]("dense_rank")
+      assert(lr >= 0 && lr <= 50 && dr >= 0 && dr <= 50)
+      assert(lr > 0 || dr > 0)
+      val want = BigDecimal(
+        (if (lr > 0) 1.0 / (60 + lr) else 0.0) +
+          (if (dr > 0) 1.0 / (60 + dr) else 0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("rrf_score") === want)
+    }
+    // the fused list actually mixes arms at sf0.001 (5 docs rank in both)
+    assert(rows.exists(r =>
+      r.getAs[Int]("lex_rank") > 0 && r.getAs[Int]("dense_rank") > 0))
+    val scores = rows.map(_.getAs[Double]("rrf_score"))
+    assert(scores.sameElements(scores.sortBy(-_)), "sorted by fused score")
+  }
+}

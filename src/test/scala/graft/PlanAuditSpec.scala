@@ -34,6 +34,16 @@ class PlanAuditSpec extends SparkSpec {
     // 10 broadcast eval vectors × corpus scoring pass (the sim_topk
     // shape) — the eval side is model-parameter-sized by construction
     "decontaminate_embed" -> Set("BroadcastNestedLoopJoin"),
+    // 20 broadcast anchor rows × vectors (the sim_topk probe shape);
+    // the hardest-pos/neg argmins are anchor-partitioned windows
+    "mine_triplets" -> Set("BroadcastNestedLoopJoin"),
+    // 10 broadcast probe rows × vectors, once per prefix width, plus the
+    // 1-row truth-count denominator cross — all model-parameter sides
+    "embed_matryoshka_eval" -> Set("BroadcastNestedLoopJoin"),
+    // 1-row corpus-stats cross (text_bm25's shape) + 1-row probe-vector
+    // cross (sim_cosine's); each arm's rank window runs AFTER its
+    // TakeOrderedAndProject top-50 prune (the text_vocab pattern)
+    "retrieval_rrf" -> Set("BroadcastNestedLoopJoin", "GlobalWindow"),
     // 1-row corpus total crossed into per-source rates (|sources| rows)
     "mix_resample" -> Set("BroadcastNestedLoopJoin"),
     // 1-row broadcast (min, max) bounds crossed into the scan
