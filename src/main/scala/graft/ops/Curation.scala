@@ -668,6 +668,45 @@ object Curation {
           col("max_seq_tok"), col("n_overflow"))
         .orderBy("shard")),
 
+    // Length-bucketed dynamic-batching waste (L104): the OTHER padding
+    // strategy next to pack_sequences' concat-and-chunk — group docs into
+    // power-of-two length buckets (the fairseq/HF group_by_length
+    // recipe), fill fixed batches of 8 in (len, doc_id) order within each
+    // (bucket, shard), pad every batch member to the batch max. Per
+    // bucket: doc/batch/token counts, padded slots, waste ratio — the
+    // report that decides bucket boundaries for a training run.
+    // Everything is integer until the ONE waste division. Scale: the
+    // batching window partitions by (bucket, shard) — shard = doc_id % 4
+    // here, the per-shard batch construction a real loader does anyway —
+    // so no window partition grows with the corpus share of one bucket
+    // (a bucket-only window would concentrate whole-corpus skew on ≤5
+    // keys at 100 TB).
+    "batch_padding_report" -> ((s, d) => {
+      val len = size(toks).cast("long")
+      val bucket = when(len <= 16, 16L).when(len <= 32, 32L)
+        .when(len <= 64, 64L).when(len <= 128, 128L).otherwise(100000L)
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"), len.as("len"), bucket.as("bucket"),
+          pmod(col("doc_id"), lit(4)).as("shard"))
+      val perBatch = rows
+        .withColumn("rn", row_number().over(Window
+          .partitionBy("bucket", "shard")
+          .orderBy(asc("len"), asc("doc_id"))))
+        .withColumn("batch", expr("(rn - 1) div 8"))
+        .groupBy("bucket", "shard", "batch")
+        .agg(count(lit(1)).as("nb"), max("len").as("mx"),
+          sum("len").as("sm"))
+      perBatch.groupBy("bucket")
+        .agg(sum("nb").as("n_docs"), count(lit(1)).as("n_batches"),
+          sum("sm").as("total_tokens"),
+          sum(col("nb") * col("mx")).as("padded_tokens"))
+        .select(col("bucket"), col("n_docs"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          round(lit(1.0) - col("total_tokens").cast("double") /
+            col("padded_tokens"), 6).as("waste_ratio"))
+        .orderBy("bucket")
+    }),
+
     // L54 — snapshot diff: the audit a corpus release runs between two
     // curated versions — which docs were added, removed, changed, kept.
     // Snapshots are derived deterministically from the one documents
@@ -1099,6 +1138,28 @@ object Curation {
         |  CAST(sum(CASE WHEN seq_tok > $PackBudget THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_overflow
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "batch_padding_report" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    CAST(len($dToks) AS BIGINT) AS len FROM documents),
+        |b AS (SELECT doc_id, len,
+        |    CAST(CASE WHEN len <= 16 THEN 16 WHEN len <= 32 THEN 32
+        |      WHEN len <= 64 THEN 64 WHEN len <= 128 THEN 128
+        |      ELSE 100000 END AS BIGINT) AS bucket,
+        |    doc_id % 4 AS shard
+        |  FROM t),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY bucket, shard
+        |    ORDER BY len, doc_id) AS rn FROM b),
+        |pb AS (SELECT bucket, shard, (rn - 1) // 8 AS batch,
+        |    count(*) AS nb, max(len) AS mx,
+        |    CAST(sum(len) AS BIGINT) AS sm
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT bucket, CAST(sum(nb) AS BIGINT) AS n_docs,
+        |  count(*) AS n_batches,
+        |  CAST(sum(sm) AS BIGINT) AS total_tokens,
+        |  CAST(sum(nb * mx) AS BIGINT) AS padded_tokens,
+        |  round(1.0 - CAST(sum(sm) AS DOUBLE) / sum(nb * mx), 6)
+        |    AS waste_ratio
+        |FROM pb GROUP BY 1 ORDER BY 1""".stripMargin,
     "corpus_diff" ->
       s"""WITH old AS (SELECT doc_id, ${dH60("text")} AS h_old
         |  FROM documents WHERE doc_id % 7 <> 0),

@@ -105,6 +105,15 @@ object Embeddings {
   /** Anchor count for mine_triplets (first MineAnchors vec_ids). */
   private val MineAnchors = 20
 
+  /** MMR relevance weight λ (and its complement spelled as its OWN literal:
+    * `1 - 0.7` in Scala is 0.30000000000000004, not the double 0.3 the
+    * oracle's `0.3` parses to — the two must come from the same decimal
+    * text in both engines). */
+  private val MmrLambda = 0.7
+  private val MmrMu = 0.3
+  private val MmrK = 5
+  private val MmrPool = 20
+
   /** Semi-hard margin for mine_triplets (FaceNet's α): a negative inside
     * `pos_cos − α` of the hardest positive is the training-signal zone. */
   private val TripletMargin = 0.2
@@ -332,8 +341,125 @@ object Embeddings {
     // corpus scans, each the audited sim_topk shape; nothing is ever
     // pairwise beyond k·N.
     "embed_matryoshka_eval" -> ((s, d) =>
-      matryoshkaEval(Tables.embeddings(s, d), MrlWidths, 10))
+      matryoshkaEval(Tables.embeddings(s, d), MrlWidths, 10)),
+
+    // Int8 quantized-search recall: the eval row for L20's symmetric
+    // quantization (floor(x·127/mx + 0.5), per-vector scale), completing
+    // the compression-eval family — PQ has sim_topk_pq, matryoshka has
+    // L101, int8 now has this. Candidates rank by the DEQUANTIZED cosine
+    // ((intdot · sc_c) · sc_p) / (nrm_c · nrm_p) — the integer dot is
+    // exact in a double fold (|q| ≤ 127, 64 dims ⇒ ≤ ~1M, far inside
+    // 2^53, so accumulation order cannot matter), and the scale chain is
+    // written with one parenthesization mirrored in the oracle. recall@5
+    // vs the exact float top-5 truth. Scale: mx comes from the audited
+    // embed_quantize explode shape (element rows, map-side combined) so
+    // the quantize lambda never nests inside another HOF after
+    // ProjectCollapse (the shingleRows codegen note); the search itself
+    // is the broadcast-probe k·N scan.
+    "embed_quantize_eval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val mx = emb
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy("vec_id")
+        .agg(max(abs(col("v").cast("double"))).as("mx"))
+        .filter(col("mx") > 0)
+      val quant = emb.join(mx, "vec_id")
+        .select(col("vec_id"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
+          (col("mx") / lit(127.0)).as("sc"),
+          // cast to array<float> for the codegen dot: |q| ≤ 127 integers
+          // are exact in float, so the fold still sums exact integers
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(127.0) / col("mx") + lit(0.5)))
+            .cast("array<float>").as("q"))
+      val probes = quant.filter(col("vec_id") < 10).limit(10)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+          col("sc").as("psc"), col("nrm").as("pnrm"))
+      val cand = quant.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("cand_id"),
+          (dot(col("q"), col("pq")) * col("sc") * col("psc") /
+            (col("nrm") * col("pnrm"))).as("s"))
+        .withColumn("rk", row_number().over(Window.partitionBy("probe_id")
+          .orderBy(desc("s"), asc("cand_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("cand_id"))
+      val truth = probeCos(emb, 10, None)
+        .withColumn("rk", row_number().over(Window.partitionBy("probe_id")
+          .orderBy(desc("cos"), asc("cand_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("probe_id"), col("cand_id"))
+      val tn = truth.agg(count(lit(1)).as("n_truth")).limit(1)
+      cand.join(truth, Seq("probe_id", "cand_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(tn))
+        .select(col("hits"), col("n_truth"),
+          round(col("hits").cast("double") / col("n_truth"), 6)
+            .as("recall_at5"))
+    }),
+
+    // Maximal marginal relevance re-rank (Carbonell & Goldstein SIGIR
+    // 1998): greedy diversified top-k over the relevance-top-20 shortlist —
+    // the de-dup step RAG context assembly runs after retrieval, trading
+    // relevance against redundancy: pick_t = argmax λ·rel(c) −
+    // (1−λ)·max_{s∈picked} cos(c, s). Greedy is inherently sequential, so
+    // the k rounds are unrolled (the graph_label_prop fixed-iteration
+    // pattern) over the POOL, which is model-parameter-sized by
+    // construction (TakeOrderedAndProject top-20; pairwise cos is pool² =
+    // 400 rows) — corpus cost is one broadcast-probe scan regardless of N.
+    // Each round's score is a multiply-add chain, so it is round(…,6)-
+    // quantized BEFORE the argmax in both engines (the classifier-z FMA
+    // contract); ties break on vec_id. localCheckpoint truncates the
+    // selected-set lineage between rounds (the graph-family convention) —
+    // 5 tiny jobs, not a 3^k plan tree.
+    "sim_mmr" -> ((s, d) =>
+      mmrSelect(Tables.embeddings(s, d), MmrK, MmrPool))
   )
+
+  /** sim_mmr core over any (vec_id, embedding) frame (probe = vec 0) —
+    * extracted so the spec can pin the diversity semantics on a synthetic
+    * near-dup cluster (MMR must skip the duplicate plain top-k would
+    * take). */
+  private[graft] def mmrSelect(emb: DataFrame, k: Int,
+      poolN: Int): DataFrame = {
+    val rel = probeCos(emb, 1, None)
+      .select(col("cand_id").as("vec_id"), col("cos").as("rel"))
+    val pool = rel.orderBy(desc("rel"), asc("vec_id")).limit(poolN)
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("rel"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      .localCheckpoint(true)
+    val a = pool.select(col("vec_id").as("ai"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = pool.select(col("vec_id").as("bi"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.crossJoin(broadcast(b)).filter(col("ai") =!= col("bi"))
+      .select(col("ai"), col("bi"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("pc"))
+      .localCheckpoint(true)
+    var selected = pool
+      .select(col("vec_id"), round(lit(MmrLambda) * col("rel"), 6)
+        .as("score"))
+      .orderBy(desc("score"), asc("vec_id")).limit(1)
+      .select(lit(1).as("pick_round"), col("vec_id"), col("score"))
+      .localCheckpoint(true)
+    for (r <- 2 to k) {
+      val pen = pairs
+        .join(selected.select(col("vec_id").as("bi")), "bi")
+        .groupBy("ai").agg(max("pc").as("pen"))
+        .withColumnRenamed("ai", "vec_id")
+      val pick = pool
+        .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(pen, Seq("vec_id"))
+        .select(col("vec_id"),
+          round(lit(MmrLambda) * col("rel") -
+            lit(MmrMu) * col("pen"), 6).as("score"))
+        .orderBy(desc("score"), asc("vec_id")).limit(1)
+        .select(lit(r).as("pick_round"), col("vec_id"), col("score"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected.orderBy("pick_round")
+  }
 
   /** mine_triplets core over any (vec_id, label, embedding) frame —
     * extracted so the spec can pin both semi-hard branches on synthetic
@@ -575,6 +701,80 @@ object Embeddings {
         |SELECT width, hits,
         |  round(CAST(hits AS DOUBLE) / n_truth, 6) AS recall_at5
         |FROM ($un), tn ORDER BY width""".stripMargin
+    },
+    // The integer dot is exact in both engines (ints ≤ 127 summed in a
+    // double fold stay far inside 2^53); the dequantize scale chain uses
+    // ONE parenthesization mirrored verbatim.
+    "embed_quantize_eval" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(${dDot("embedding", "embedding")}) AS nrm
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, max(abs(v)) AS mx FROM (SELECT vec_id,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+        |  GROUP BY 1),
+        |qv AS (SELECT e.vec_id, nrm, mx / 127.0 AS sc,
+        |    list_transform(embedding, x ->
+        |      floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5)) AS q
+        |  FROM e JOIN m USING (vec_id) WHERE mx > 0),
+        |pq AS (SELECT vec_id AS probe_id, q AS pqv, sc AS psc,
+        |    nrm AS pnrm FROM qv WHERE vec_id < 10),
+        |ap AS (SELECT probe_id, c.vec_id AS cand_id,
+        |    ${dDot("c.q", "pqv")} * c.sc * psc / (c.nrm * pnrm) AS s
+        |  FROM qv c JOIN pq ON c.vec_id <> probe_id),
+        |cd AS (SELECT probe_id, cand_id FROM (SELECT probe_id, cand_id,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY s DESC, cand_id) AS rk FROM ap) WHERE rk <= 5),
+        |pr AS (SELECT vec_id AS probe_id, embedding AS p
+        |  FROM embeddings WHERE vec_id < 10),
+        |tr AS (SELECT probe_id, cand_id FROM (
+        |  SELECT probe_id, e.vec_id AS cand_id, row_number() OVER
+        |    (PARTITION BY probe_id
+        |     ORDER BY ${dCosE("e.embedding", "p")} DESC, e.vec_id) AS rk
+        |  FROM embeddings e JOIN pr ON e.vec_id <> probe_id)
+        |  WHERE rk <= 5),
+        |tn AS (SELECT count(*) AS n_truth FROM tr),
+        |h AS (SELECT count(*) AS hits
+        |  FROM cd JOIN tr USING (probe_id, cand_id))
+        |SELECT hits, n_truth,
+        |  round(CAST(hits AS DOUBLE) / n_truth, 6) AS recall_at5
+        |FROM h, tn""".stripMargin,
+    // Unrolled greedy: s1..s5 each pick one id; later rounds exclude and
+    // penalize against the UNION of earlier picks via a correlated max —
+    // scores round(…,6)-quantized before every ORDER BY … LIMIT 1, λ and
+    // 1−λ spelled from the same decimal text as the Spark literals.
+    "sim_mmr" -> {
+      val lam = s"CAST($MmrLambda AS DOUBLE)"
+      val mu = s"CAST($MmrMu AS DOUBLE)"
+      val blocks = (2 to MmrK).map { r =>
+        val sel = (1 until r).map(i => s"SELECT vec_id FROM s$i")
+          .mkString(" UNION ALL ")
+        s"""s$r AS (SELECT $r AS pick_round, vec_id, score FROM (
+          |  SELECT p.vec_id,
+          |    round($lam * rel - $mu * (SELECT max(pc.pc) FROM pc
+          |      WHERE pc.ai = p.vec_id AND pc.bi IN ($sel)), 6) AS score
+          |  FROM pool p WHERE p.vec_id NOT IN ($sel))
+          |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val un = (1 to MmrK).map(i => s"SELECT * FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""WITH pr AS (SELECT embedding AS p FROM embeddings
+        |  WHERE vec_id = 0),
+        |rel AS (SELECT e.vec_id, ${dCosE("e.embedding", "p")} AS rel
+        |  FROM embeddings e, pr WHERE e.vec_id <> 0),
+        |pool AS (SELECT r.vec_id, rel, embedding,
+        |    sqrt(${dDot("embedding", "embedding")}) AS nrm
+        |  FROM (SELECT vec_id, rel FROM rel
+        |    ORDER BY rel DESC, vec_id LIMIT $MmrPool) r
+        |  JOIN embeddings USING (vec_id)),
+        |pc AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+        |    ${dDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS pc
+        |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+        |s1 AS (SELECT 1 AS pick_round, vec_id, score FROM (
+        |  SELECT vec_id, round($lam * rel, 6) AS score FROM pool)
+        |  ORDER BY score DESC, vec_id LIMIT 1),
+        |$blocks
+        |SELECT pick_round, vec_id, score FROM ($un)
+        |ORDER BY pick_round""".stripMargin
     }
   )
 

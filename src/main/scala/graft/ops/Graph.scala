@@ -252,6 +252,47 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank over the same symmetrized-edge machinery as
+    * [[pageRank]], with restart mass on the 3 lowest customer-side node
+    * ids. Every node receives ≥1 message per iteration (symmetric edges),
+    * so the contribution groupBy covers the full node set and the
+    * seed-teleport left join never drops a node. Scale: identical per-
+    * iteration cost profile to pageRank — one edge⋈rank join + one
+    * grouped sum — plus a |V|-sized left join against the 3-row seed
+    * frame (broadcast at any scale). */
+  private[graft] def personalizedPageRank(edges0: DataFrame,
+      iters: Int): DataFrame = {
+    val sym = edges0.select(col("src"), col("dst"))
+      .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val seeds = deg.filter(col("src") < 1000000000L)
+      .select(col("src").as("id")).orderBy("id").limit(3)
+      .withColumn("isSeed", lit(1))
+      .localCheckpoint(true)
+    val msgs = sym.join(deg, "src")
+    var ranks = deg.select(col("src").as("id"))
+      .join(broadcast(seeds), Seq("id"), "left")
+      .select(col("id"),
+        when(col("isSeed").isNotNull, lit(1.0) / lit(3.0))
+          .otherwise(lit(0.0)).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = msgs
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          (col("pr") / col("deg"))
+            .cast(org.apache.spark.sql.types.DecimalType(30, 15)).as("c"))
+      ranks = contrib.groupBy("id")
+        .agg(sum("c").cast("double").as("flow"))
+        .join(broadcast(seeds), Seq("id"), "left")
+        .select(col("id"),
+          (when(col("isSeed").isNotNull, lit(0.15) / lit(3.0))
+            .otherwise(lit(0.0)) + lit(0.85) * col("flow")).as("pr"))
+    }
+    ranks
+  }
+
   /** Per-node triangle counts of an undirected graph given as CANONICAL
     * edges (a < b, one row per edge). The compact-forward algorithm as two
     * equi joins: wedges a<b<c from edges (a,b)⋈(b,c), closed by probing
@@ -332,6 +373,32 @@ object Graph {
             .as("kind"),
           round(col("pr"), 9).as("pr"))
         .orderBy("id")
+    }),
+
+    // Personalized PageRank (3 iterations, damping 0.85, restart mass on
+    // a 3-node seed set — the graph-RAG relevance primitive: "what is
+    // most related to THESE seeds", not globally central). Same machinery
+    // as graph_pagerank with the teleport term concentrated on the seeds
+    // (the 3 lowest customer ids — a deterministic stand-in for a query's
+    // entity links); rank mass starts at 1/|S| on seeds, 0 elsewhere.
+    // Contributions quantize through DECIMAL(30,15) exactly as pageRank
+    // (partition-order-independent sums); teleport constants are spelled
+    // as the DIVISION 0.15/3 in both engines, never a 0.05 literal (the
+    // two doubles differ in the last ulp). Output is the top-50 shortlist
+    // by rounded ppr — the retrieval answer shape, not a full node dump.
+    "graph_ppr" -> ((s, d) => {
+      val edges = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(1000000000L) + col("l_suppkey")).as("dst"))
+        .distinct()
+      personalizedPageRank(edges, 3)
+        .select(col("id"),
+          when(col("id") >= 1000000000L, "supplier").otherwise("customer")
+            .as("kind"),
+          round(col("pr"), 9).as("ppr"))
+        .orderBy(desc("ppr"), asc("id")).limit(50)
     }),
 
     // Triangle census of the MinHash/LSH candidate graph: a node's
@@ -719,6 +786,41 @@ object Graph {
         |    AS kind,
         |  round(pr, 9) AS pr
         |FROM r3 ORDER BY id""".stripMargin
+    },
+    // Same unrolled iterations with the teleport CASE concentrated on the
+    // seed rows; constants spelled as the division 0.15/3, mirroring the
+    // Spark literals exactly.
+    "graph_ppr" -> {
+      def iter(k: Int) =
+        s"""r$k AS (
+          |  SELECT id, CASE WHEN sid IS NOT NULL
+          |      THEN CAST(0.15 AS DOUBLE)/3 ELSE CAST(0 AS DOUBLE) END
+          |    + CAST(0.85 AS DOUBLE) * flow AS pr
+          |  FROM (SELECT e.dst AS id,
+          |      CAST(sum(CAST(r.pr/deg.deg AS DECIMAL(30,15)))
+          |        AS DOUBLE) AS flow
+          |    FROM e JOIN r${k - 1} r ON e.src = r.id
+          |    JOIN deg ON e.src = deg.src
+          |    GROUP BY e.dst)
+          |  LEFT JOIN sd ON id = sd.sid)""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+        |    1000000000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |sd AS (SELECT src AS sid FROM deg WHERE src < 1000000000
+        |  ORDER BY src LIMIT 3),
+        |r0 AS (SELECT deg.src AS id, CASE WHEN sd.sid IS NOT NULL
+        |    THEN CAST(1 AS DOUBLE)/3 ELSE CAST(0 AS DOUBLE) END AS pr
+        |  FROM deg LEFT JOIN sd ON deg.src = sd.sid),
+        |${iter(1)},
+        |${iter(2)},
+        |${iter(3)}
+        |SELECT id,
+        |  CASE WHEN id >= 1000000000 THEN 'supplier' ELSE 'customer' END
+        |    AS kind,
+        |  round(pr, 9) AS ppr
+        |FROM r3 ORDER BY ppr DESC, id LIMIT 50""".stripMargin
     },
     // Unrolled 3-round mirror of the synchronous label propagation: each
     // round is the same grouped neighbor-label count with the identical

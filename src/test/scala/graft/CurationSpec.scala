@@ -283,4 +283,31 @@ class CurationSpec extends SparkSpec {
     assert(hhi >= 1.0 / k - 1e-12 && hhi <= 1.0)
     assert(top1 === shares.max)
   }
+
+  test("batch_padding_report: bucket accounting closes and waste is a " +
+    "true padding fraction") {
+    val rows = ops.Curation.queries("batch_padding_report")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    var buckets = Seq.empty[Long]
+    rows.foreach { r =>
+      val nd = r.getAs[Long]("n_docs"); val nb = r.getAs[Long]("n_batches")
+      val tt = r.getAs[Long]("total_tokens")
+      val pt = r.getAs[Long]("padded_tokens")
+      val w = r.getAs[Double]("waste_ratio")
+      // batches fill to 8 within each of the 4 shards — at least
+      // ceil(nd/8), at most one partial batch per shard
+      assert(nb >= (nd + 7) / 8 && nb <= nd / 8 + 4)
+      assert(pt >= tt && tt > 0)
+      // every doc in the bucket fits the bucket bound, so no batch can
+      // pad a slot past it
+      assert(pt <= nb * 8 * r.getAs[Long]("bucket"))
+      val want = BigDecimal(1.0 - tt.toDouble / pt)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(w === want)
+      buckets = buckets :+ r.getAs[Long]("bucket")
+    }
+    assert(buckets === buckets.sorted)
+    assert(buckets.distinct.length === buckets.length)
+  }
 }

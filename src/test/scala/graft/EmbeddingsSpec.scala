@@ -68,6 +68,35 @@ class EmbeddingsSpec extends SparkSpec {
     assert(r.head.getAs[Double]("recall_at5") === 1.0)
   }
 
+  test("sim_mmr: skips the near-duplicate plain top-k would take") {
+    // probe (vec 0) at e1; id 1 and its near-dup id 2 sit at ~37° from the
+    // probe (rel 0.8 — plain top-3 takes both); id 3 mirrors on the OTHER
+    // side (rel 0.75, cos to id 1 only ~0.2); id 4 is orthogonal-ish.
+    // MMR: round 1 → id 1; round 2 must prefer diverse id 3 (score
+    // ≈ .525 − .3·.203 ≈ .46) over the dup id 2 (≈ .56 − .3·1 ≈ .26).
+    val df = ops.Embeddings.mmrSelect(emb(Seq(
+      (0L, 0, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, 0, Seq(0.8, 0.6, 0.0, 0.0)),
+      (2L, 0, Seq(0.8, 0.6, 0.001, 0.0)),
+      (3L, 0, Seq(0.75, -0.661, 0.0, 0.0)),
+      (4L, 0, Seq(0.6, 0.0, 0.8, 0.0)),
+      (5L, 0, Seq(0.1, 0.0, 0.0, 0.99)))), k = 3, poolN = 10)
+    val picks = df.collect().map(r =>
+      r.getAs[Int]("pick_round") -> r.getAs[Long]("vec_id"))
+    assert(picks.toSeq === Seq(1 -> 1L, 2 -> 3L, 3 -> 4L))
+    assert(!picks.map(_._2).contains(2L), "the near-dup must be skipped")
+  }
+
+  test("embed_quantize_eval: int8 search recovers most of the exact " +
+    "top-5 at sf0.001") {
+    val r = ops.Embeddings.queries("embed_quantize_eval")(spark, sf0001)
+      .collect().head
+    val recall = r.getAs[Double]("recall_at5")
+    assert(r.getAs[Long]("n_truth") === 50L)
+    assert(recall >= 0.8 && recall <= 1.0,
+      s"int8 recall@5 $recall outside the pinned band")
+  }
+
   test("retrieval_rrf: emitted score equals 1/(60+r) recomputed from the " +
     "emitted ranks, and both arms contribute") {
     val rows = ops.Corpus.queries("retrieval_rrf")(spark, sf0001).collect()

@@ -276,4 +276,21 @@ class GraphSpec extends SparkSpec {
     assert(bestKeepers !== ccKeepers,
       "corpus must exercise a non-min-id best pick")
   }
+
+  test("graph_ppr: restart mass concentrates on the seeds and the " +
+    "shortlist is sorted") {
+    val rows = ops.Graph.queries("graph_ppr")(spark, sf0001).collect()
+    assert(rows.length === 50)
+    val scores = rows.map(_.getAs[Double]("ppr"))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.sameElements(scores.sortBy(-_)), "sorted by ppr")
+    // the 3 seed customers carry the teleport term (0.15/3 = 0.05) on top
+    // of propagated flow; no OTHER customer can reach that band in 3
+    // hops (suppliers may — at tiny SF the handful of supplier hubs
+    // absorb most seed mass, which is the PPR locality working)
+    val cust = rows.filter(_.getAs[String]("kind") == "customer")
+      .map(_.getAs[Double]("ppr"))
+    assert(cust.count(_ > 0.05) === 3, "exactly the 3 seeds in the band")
+    assert(cust.count(_ < 0.05) === cust.length - 3)
+  }
 }

@@ -40,6 +40,10 @@ class PlanAuditSpec extends SparkSpec {
     // 10 broadcast probe rows × vectors, once per prefix width, plus the
     // 1-row truth-count denominator cross — all model-parameter sides
     "embed_matryoshka_eval" -> Set("BroadcastNestedLoopJoin"),
+    // same 10-probe broadcast scan (int8 arm + float truth arm) + the
+    // 1-row truth-count cross; sim_mmr carries no entry because its
+    // bounded pool/pairs stages are localCheckpoint-materialized
+    "embed_quantize_eval" -> Set("BroadcastNestedLoopJoin"),
     // 1-row corpus-stats cross (text_bm25's shape) + 1-row probe-vector
     // cross (sim_cosine's); each arm's rank window runs AFTER its
     // TakeOrderedAndProject top-50 prune (the text_vocab pattern)
