@@ -456,6 +456,31 @@ object Corpus {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer-fertility report (L106): chars-per-token and
+    // bytes-per-token per language — the tokenizer-efficiency numbers
+    // that drive multilingual mixture budgets (a language whose bytes
+    // cost 2× the tokens eats 2× the compute per learned byte; cf. the
+    // fertility tables in the XLM-R / NLLB tokenizer analyses). Pure
+    // map-side projection → one |langs|-sized groupBy; ratios are single
+    // IEEE divisions of exact integer sums. length() counts CHARACTERS
+    // and octet_length() UTF-8 BYTES in both engines — the byte/char gap
+    // IS the signal for zh vs en.
+    "text_fertility" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), size(toks).cast("long").as("n_tok"),
+          length(col("text")).cast("long").as("n_chars"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          sum("n_chars").as("n_chars"), sum("n_bytes").as("n_bytes"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          col("n_chars"), col("n_bytes"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 6)
+            .as("chars_per_tok"),
+          round(col("n_bytes").cast("double") / col("n_tokens"), 6)
+            .as("bytes_per_tok"))
+        .orderBy("lang")),
+
     // Vocabulary statistics: global top-20 tokens by collection frequency,
     // with document frequency and idf. The rank window runs AFTER the
     // top-k prune (TakeOrderedAndProject), never over the full vocabulary.
@@ -883,6 +908,16 @@ object Corpus {
         |    AS rrf_score
         |FROM lex l FULL OUTER JOIN den n ON l.doc_id = n.doc_id
         |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
+    "text_fertility" ->
+      s"""SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len($dToks)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+        |  round(CAST(sum(length(text)) AS DOUBLE) /
+        |    sum(len($dToks)), 6) AS chars_per_tok,
+        |  round(CAST(sum(strlen(text)) AS DOUBLE) /
+        |    sum(len($dToks)), 6) AS bytes_per_tok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "agg_cms_heavy" ->
       s"""WITH t AS ($dTokRows),
         |th AS (SELECT (count(*) + 999) // 1000 AS t0 FROM t)

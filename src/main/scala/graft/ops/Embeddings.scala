@@ -121,6 +121,17 @@ object Embeddings {
   /** Prefix widths evaluated by embed_matryoshka_eval (full dim = 64). */
   private val MrlWidths = Seq(8, 16, 32)
 
+  /** nDCG@5 position discounts 1/log2(i+1), rounded to 9dp ONCE here and
+    * interpolated as the same decimal literal into BOTH engines' plans
+    * (computing log2 at query time would race the two engines' libm to
+    * the last ulp — the sign-plane-literal trick from dedup_embed). */
+  private val NdcgW: Seq[Double] = (1 to 5).map { i =>
+    BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+  private val NdcgIdcg: Double = BigDecimal(NdcgW.sum)
+    .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Probes-vs-corpus cosine rows `(probe_id, cand_id, cos)` for the first
     * `nProbes` vectors against every other vector, optionally over the
     * first `width` dims only (matryoshka prefix). The RAW double cosine is
@@ -358,37 +369,8 @@ object Embeddings {
     // is the broadcast-probe k·N scan.
     "embed_quantize_eval" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val mx = emb
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
-        .groupBy("vec_id")
-        .agg(max(abs(col("v").cast("double"))).as("mx"))
-        .filter(col("mx") > 0)
-      val quant = emb.join(mx, "vec_id")
-        .select(col("vec_id"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
-          (col("mx") / lit(127.0)).as("sc"),
-          // cast to array<float> for the codegen dot: |q| ≤ 127 integers
-          // are exact in float, so the fold still sums exact integers
-          transform(col("embedding"),
-            x => floor(x.cast("double") * lit(127.0) / col("mx") + lit(0.5)))
-            .cast("array<float>").as("q"))
-      val probes = quant.filter(col("vec_id") < 10).limit(10)
-        .select(col("vec_id").as("probe_id"), col("q").as("pq"),
-          col("sc").as("psc"), col("nrm").as("pnrm"))
-      val cand = quant.crossJoin(broadcast(probes))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id").as("cand_id"),
-          (dot(col("q"), col("pq")) * col("sc") * col("psc") /
-            (col("nrm") * col("pnrm"))).as("s"))
-        .withColumn("rk", row_number().over(Window.partitionBy("probe_id")
-          .orderBy(desc("s"), asc("cand_id"))))
-        .filter(col("rk") <= 5)
-        .select(col("probe_id"), col("cand_id"))
-      val truth = probeCos(emb, 10, None)
-        .withColumn("rk", row_number().over(Window.partitionBy("probe_id")
-          .orderBy(desc("cos"), asc("cand_id"))))
-        .filter(col("rk") <= 5)
-        .select(col("probe_id"), col("cand_id"))
+      val cand = int8Top5(emb, 10).select(col("probe_id"), col("cand_id"))
+      val truth = exactTop5(emb, 10).select(col("probe_id"), col("cand_id"))
       val tn = truth.agg(count(lit(1)).as("n_truth")).limit(1)
       cand.join(truth, Seq("probe_id", "cand_id"))
         .agg(count(lit(1)).as("hits"))
@@ -413,7 +395,65 @@ object Embeddings {
     // selected-set lineage between rounds (the graph-family convention) —
     // 5 tiny jobs, not a 3^k plan tree.
     "sim_mmr" -> ((s, d) =>
-      mmrSelect(Tables.embeddings(s, d), MmrK, MmrPool))
+      mmrSelect(Tables.embeddings(s, d), MmrK, MmrPool)),
+
+    // ANN answer-quality scorecard (L107): recall@5, MRR and nDCG@5 for
+    // every compressed-search variant built from the shared probe
+    // machinery (matryoshka prefixes 8/16/32 + int8), each scored against
+    // the one exact float-cosine truth — the IR-standard metric row a
+    // deployment quotes when choosing its compression point, replacing
+    // four separate recall numbers with one comparable table. Determinism:
+    // candidate/truth ranks ride bit-identical scores; the nDCG discounts
+    // are 9dp literals interpolated into BOTH plans (never a query-time
+    // log2); every cross-row sum (DCG terms, per-probe MRR/nDCG means)
+    // accumulates through DECIMAL(30,8). Scale: |methods|+1 broadcast-
+    // probe corpus scans (each the audited sim_topk shape) and then
+    // constant-sized metric algebra.
+    "sim_rank_metrics" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val truth = exactTop5(emb, 10).localCheckpoint(true)
+      val trSet = truth.select(col("probe_id"), col("cand_id"))
+      val tr1 = truth.filter(col("rk") === 1)
+        .select(col("probe_id"), col("cand_id"))
+      val tn = truth.agg(count(lit(1)).as("n_truth"),
+        countDistinct(col("probe_id")).as("n_probes")).limit(1)
+      def mrlTop5(w: Int): DataFrame =
+        probeCos(emb, 10, Some(w))
+          .withColumn("rk", row_number().over(Window.partitionBy("probe_id")
+            .orderBy(desc("cos"), asc("cand_id"))))
+          .filter(col("rk") <= 5)
+          .select(col("probe_id"), col("cand_id"), col("rk"))
+      val lists: Seq[(String, DataFrame)] =
+        MrlWidths.map(w => s"mrl$w" -> mrlTop5(w)) :+
+          ("int8" -> int8Top5(emb, 10))
+      val wCase = when(col("rk") === 1, lit(NdcgW(0)))
+        .when(col("rk") === 2, lit(NdcgW(1)))
+        .when(col("rk") === 3, lit(NdcgW(2)))
+        .when(col("rk") === 4, lit(NdcgW(3)))
+        .otherwise(lit(NdcgW(4)))
+      lists.map { case (name, list) =>
+        val rel = list.join(trSet.withColumn("hit", lit(1)),
+            Seq("probe_id", "cand_id"), "left")
+          .select(col("probe_id"), col("rk"),
+            when(col("hit").isNotNull, 1).otherwise(0).as("rel"))
+        val ndcg = rel.groupBy("probe_id")
+          .agg(round(exactSum(wCase * col("rel")).cast("double") /
+            lit(NdcgIdcg), 6).as("ndcg"))
+        val rr = tr1.join(list, Seq("probe_id", "cand_id"), "left")
+          .select(col("probe_id"),
+            coalesce(lit(1.0) / col("rk"), lit(0.0)).as("rr"))
+        val hits = rel.agg(sum(col("rel")).as("hits"))
+        hits
+          .crossJoin(broadcast(rr.agg(dsum(col("rr"), 6).as("smrr"))))
+          .crossJoin(broadcast(ndcg.agg(dsum(col("ndcg"), 6).as("snd"))))
+          .crossJoin(broadcast(tn))
+          .select(lit(name).as("method"),
+            round(col("hits").cast("double") / col("n_truth"), 6)
+              .as("recall_at5"),
+            round(col("smrr") / col("n_probes"), 6).as("mrr"),
+            round(col("snd") / col("n_probes"), 6).as("ndcg_at5"))
+      }.reduce(_.unionByName(_)).orderBy("method")
+    })
   )
 
   /** sim_mmr core over any (vec_id, embedding) frame (probe = vec 0) —
@@ -499,6 +539,49 @@ object Embeddings {
         when(col("nc") > col("pc") - lit(margin), 1).otherwise(0)
           .as("semi_hard"))
       .orderBy("anchor_id")
+  }
+
+  /** Exact float-cosine top-5 per probe, ranks retained — the truth list
+    * every compression eval (int8, matryoshka, PQ) scores against. */
+  private[graft] def exactTop5(emb: DataFrame, nProbes: Int): DataFrame =
+    probeCos(emb, nProbes, None)
+      .withColumn("rk", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(desc("cos"), asc("cand_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("cand_id"), col("rk"))
+
+  /** Int8 symmetric-quantized search: top-5 per probe by the dequantized
+    * cosine, ranks retained. mx comes from the audited embed_quantize
+    * explode shape so the quantize lambda never nests inside another HOF
+    * after ProjectCollapse; the quantized vector casts to array<float>
+    * for the codegen dot (|q| ≤ 127 integers are exact in float, so the
+    * fold still sums exact integers). Shared by embed_quantize_eval and
+    * sim_rank_metrics (one implementation, one oracle chain — no drift). */
+  private[graft] def int8Top5(emb: DataFrame, nProbes: Int): DataFrame = {
+    val mx = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy("vec_id")
+      .agg(max(abs(col("v").cast("double"))).as("mx"))
+      .filter(col("mx") > 0)
+    val quant = emb.join(mx, "vec_id")
+      .select(col("vec_id"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
+        (col("mx") / lit(127.0)).as("sc"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(127.0) / col("mx") + lit(0.5)))
+          .cast("array<float>").as("q"))
+    val probes = quant.filter(col("vec_id") < nProbes).limit(nProbes)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+        col("sc").as("psc"), col("nrm").as("pnrm"))
+    quant.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        (dot(col("q"), col("pq")) * col("sc") * col("psc") /
+          (col("nrm") * col("pnrm"))).as("s"))
+      .withColumn("rk", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(desc("s"), asc("cand_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("cand_id"), col("rk"))
   }
 
   /** embed_matryoshka_eval core over any (vec_id, embedding) frame —
@@ -704,26 +787,9 @@ object Embeddings {
     },
     // The integer dot is exact in both engines (ints ≤ 127 summed in a
     // double fold stay far inside 2^53); the dequantize scale chain uses
-    // ONE parenthesization mirrored verbatim.
+    // ONE parenthesization, shared with sim_rank_metrics via dInt8Chain.
     "embed_quantize_eval" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-        |    sqrt(${dDot("embedding", "embedding")}) AS nrm
-        |  FROM embeddings),
-        |m AS (SELECT vec_id, max(abs(v)) AS mx FROM (SELECT vec_id,
-        |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
-        |  GROUP BY 1),
-        |qv AS (SELECT e.vec_id, nrm, mx / 127.0 AS sc,
-        |    list_transform(embedding, x ->
-        |      floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5)) AS q
-        |  FROM e JOIN m USING (vec_id) WHERE mx > 0),
-        |pq AS (SELECT vec_id AS probe_id, q AS pqv, sc AS psc,
-        |    nrm AS pnrm FROM qv WHERE vec_id < 10),
-        |ap AS (SELECT probe_id, c.vec_id AS cand_id,
-        |    ${dDot("c.q", "pqv")} * c.sc * psc / (c.nrm * pnrm) AS s
-        |  FROM qv c JOIN pq ON c.vec_id <> probe_id),
-        |cd AS (SELECT probe_id, cand_id FROM (SELECT probe_id, cand_id,
-        |    row_number() OVER (PARTITION BY probe_id
-        |      ORDER BY s DESC, cand_id) AS rk FROM ap) WHERE rk <= 5),
+      s"""WITH $dInt8Chain,
         |pr AS (SELECT vec_id AS probe_id, embedding AS p
         |  FROM embeddings WHERE vec_id < 10),
         |tr AS (SELECT probe_id, cand_id FROM (
@@ -734,10 +800,68 @@ object Embeddings {
         |  WHERE rk <= 5),
         |tn AS (SELECT count(*) AS n_truth FROM tr),
         |h AS (SELECT count(*) AS hits
-        |  FROM cd JOIN tr USING (probe_id, cand_id))
+        |  FROM i8c JOIN tr USING (probe_id, cand_id))
         |SELECT hits, n_truth,
         |  round(CAST(hits AS DOUBLE) / n_truth, 6) AS recall_at5
         |FROM h, tn""".stripMargin,
+    // Four candidate chains (three prefix slices + the shared int8
+    // chain) scored by identical metric CTE blocks against one truth;
+    // nDCG discounts are the same 9dp literals the Spark plan carries.
+    "sim_rank_metrics" -> {
+      val wCase = "CASE WHEN rk = 1 THEN " + NdcgW(0) +
+        " WHEN rk = 2 THEN " + NdcgW(1) +
+        " WHEN rk = 3 THEN " + NdcgW(2) +
+        " WHEN rk = 4 THEN " + NdcgW(3) +
+        " ELSE " + NdcgW(4) + " END"
+      def cand(name: String, a: String, p: String): String =
+        s"""$name AS (SELECT probe_id, cand_id, rk FROM (
+          |  SELECT probe_id, e.vec_id AS cand_id, row_number() OVER
+          |    (PARTITION BY probe_id
+          |     ORDER BY ${dCosE(a, p)} DESC, e.vec_id) AS rk
+          |  FROM embeddings e JOIN pr ON e.vec_id <> probe_id)
+          |  WHERE rk <= 5)""".stripMargin
+      def met(m: String, c: String): String =
+        s"""${m}_rel AS (SELECT c.probe_id, c.rk,
+          |    CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+          |  FROM $c c LEFT JOIN trset t
+          |    ON c.probe_id = t.probe_id AND c.cand_id = t.cand_id),
+          |${m}_dcg AS (SELECT probe_id,
+          |    round(CAST(SUM(CAST($wCase * rel AS DECIMAL(30,8)))
+          |      AS DOUBLE) / $NdcgIdcg, 6) AS ndcg
+          |  FROM ${m}_rel GROUP BY 1),
+          |${m}_rr AS (SELECT t1.probe_id,
+          |    coalesce(CAST(1 AS DOUBLE) / c.rk, CAST(0 AS DOUBLE)) AS rr
+          |  FROM tr1 t1 LEFT JOIN $c c
+          |    ON c.probe_id = t1.probe_id AND c.cand_id = t1.cand_id),
+          |${m}_met AS (SELECT '$m' AS method,
+          |    round(CAST(h.hits AS DOUBLE) / tn.n_truth, 6) AS recall_at5,
+          |    round(r.smrr / tn.n_probes, 6) AS mrr,
+          |    round(g.snd / tn.n_probes, 6) AS ndcg_at5
+          |  FROM (SELECT CAST(sum(rel) AS BIGINT) AS hits
+          |      FROM ${m}_rel) h,
+          |    (SELECT CAST(round(SUM(CAST(rr AS DECIMAL(30,8))), 6)
+          |      AS DOUBLE) AS smrr FROM ${m}_rr) r,
+          |    (SELECT CAST(round(SUM(CAST(ndcg AS DECIMAL(30,8))), 6)
+          |      AS DOUBLE) AS snd FROM ${m}_dcg) g, tn)""".stripMargin
+      val methods = MrlWidths.map(w => (s"mrl$w", s"c$w")) :+
+        (("int8", "i8c"))
+      s"""WITH pr AS (SELECT vec_id AS probe_id, embedding AS p
+        |  FROM embeddings WHERE vec_id < 10),
+        |${cand("tr", "e.embedding", "p")},
+        |trset AS (SELECT probe_id, cand_id FROM tr),
+        |tr1 AS (SELECT probe_id, cand_id FROM tr WHERE rk = 1),
+        |tn AS (SELECT count(*) AS n_truth,
+        |  count(DISTINCT probe_id) AS n_probes FROM tr),
+        |${MrlWidths.map(w =>
+            cand(s"c$w", s"e.embedding[1:$w]", s"p[1:$w]"))
+          .mkString(",\n")},
+        |$dInt8Chain,
+        |${methods.map { case (m, c) => met(m, c) }.mkString(",\n")}
+        |SELECT method, recall_at5, mrr, ndcg_at5 FROM (
+        |  ${methods.map { case (m, _) => s"SELECT * FROM ${m}_met" }
+          .mkString(" UNION ALL ")})
+        |ORDER BY method""".stripMargin
+    },
     // Unrolled greedy: s1..s5 each pick one id; later rounds exclude and
     // penalize against the UNION of earlier picks via a correlated max —
     // scores round(…,6)-quantized before every ORDER BY … LIMIT 1, λ and
@@ -781,6 +905,30 @@ object Embeddings {
   /** DuckDB cosine mirror of `dot(a,b)/(nrm·nrm)` over raw lists. */
   private def dCosE(a: String, b: String): String =
     s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
+
+  /** Shared int8 candidate CTE chain ending in `i8c(probe_id, cand_id,
+    * rk ≤ 5)` — the DuckDB mirror of [[int8Top5]] (10 probes), used by
+    * embed_quantize_eval AND sim_rank_metrics so the two oracles cannot
+    * drift. */
+  private lazy val dInt8Chain: String =
+    s"""i8b AS (SELECT vec_id, embedding,
+      |    sqrt(${dDot("embedding", "embedding")}) AS nrm
+      |  FROM embeddings),
+      |i8m AS (SELECT vec_id, max(abs(v)) AS mx FROM (SELECT vec_id,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+      |  GROUP BY 1),
+      |i8qv AS (SELECT b.vec_id, nrm, mx / 127.0 AS sc,
+      |    list_transform(embedding, x ->
+      |      floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5)) AS q
+      |  FROM i8b b JOIN i8m USING (vec_id) WHERE mx > 0),
+      |i8pq AS (SELECT vec_id AS probe_id, q AS pqv, sc AS psc,
+      |    nrm AS pnrm FROM i8qv WHERE vec_id < 10),
+      |i8ap AS (SELECT probe_id, c.vec_id AS cand_id,
+      |    ${dDot("c.q", "pqv")} * c.sc * psc / (c.nrm * pnrm) AS s
+      |  FROM i8qv c JOIN i8pq ON c.vec_id <> probe_id),
+      |i8c AS (SELECT probe_id, cand_id, rk FROM (SELECT probe_id,
+      |    cand_id, row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY s DESC, cand_id) AS rk FROM i8ap) WHERE rk <= 5)""".stripMargin
 
   /** Shared PQ CTE chain `el → e2 → cb → d2 → best` — the DuckDB mirror
     * of [[pqD2]]/[[pqBest]], used by embed_pq AND sim_topk_pq so the two

@@ -87,6 +87,21 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("text_fertility: ratios recompute from the integer sums and " +
+    "bytes can never undercount chars") {
+    val rows = ops.Corpus.queries("text_fertility")(spark, sf0001).collect()
+    assert(rows.length === 5) // de/en/es/fr/zh
+    rows.foreach { r =>
+      val tok = r.getAs[Long]("n_tokens"); val ch = r.getAs[Long]("n_chars")
+      val by = r.getAs[Long]("n_bytes")
+      assert(by >= ch, "UTF-8 bytes >= characters always")
+      def rnd(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("chars_per_tok") === rnd(ch.toDouble / tok))
+      assert(r.getAs[Double]("bytes_per_tok") === rnd(by.toDouble / tok))
+    }
+  }
+
   test("embed_norm: u0 is a unit-vector component, norms positive") {
     val rows = ops.Embeddings.queries("embed_norm")(spark, sf0001)
       .select("dim", "l2_norm", "u0").as[(Long, Double, Double)].collect()

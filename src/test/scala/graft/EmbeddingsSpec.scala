@@ -97,6 +97,30 @@ class EmbeddingsSpec extends SparkSpec {
       s"int8 recall@5 $recall outside the pinned band")
   }
 
+  test("sim_rank_metrics: metrics are bounded, int8 dominates every " +
+    "lossy prefix, and the int8 recall agrees with embed_quantize_eval") {
+    val rows = ops.Embeddings.queries("sim_rank_metrics")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("method") ->
+        (r.getAs[Double]("recall_at5"), r.getAs[Double]("mrr"),
+          r.getAs[Double]("ndcg_at5"))).toMap
+    assert(rows.keySet === Set("int8", "mrl8", "mrl16", "mrl32"))
+    rows.values.foreach { case (rec, mrr, ndcg) =>
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(mrr >= 0.0 && mrr <= 1.0)
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+    }
+    // 4-byte-per-dim int8 beats every ≤32-of-64 prefix on this corpus —
+    // the scorecard's reason to exist is making that tradeoff visible
+    val (i8r, i8m, i8n) = rows("int8")
+    Seq("mrl8", "mrl16", "mrl32").foreach { m =>
+      val (r, mr, n) = rows(m)
+      assert(i8r > r && i8m > mr && i8n > n, s"int8 must dominate $m")
+    }
+    val qe = ops.Embeddings.queries("embed_quantize_eval")(spark, sf0001)
+      .collect().head.getAs[Double]("recall_at5")
+    assert(i8r === qe, "shared int8 machinery must agree across queries")
+  }
+
   test("retrieval_rrf: emitted score equals 1/(60+r) recomputed from the " +
     "emitted ranks, and both arms contribute") {
     val rows = ops.Corpus.queries("retrieval_rrf")(spark, sf0001).collect()

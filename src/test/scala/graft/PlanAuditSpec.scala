@@ -44,6 +44,10 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row truth-count cross; sim_mmr carries no entry because its
     // bounded pool/pairs stages are localCheckpoint-materialized
     "embed_quantize_eval" -> Set("BroadcastNestedLoopJoin"),
+    // one 10-probe broadcast scan per scored method (mrl8/16/32 + int8)
+    // plus the 1-row metric-denominator crosses — all model-parameter
+    // sides (truth itself is checkpoint-materialized)
+    "sim_rank_metrics" -> Set("BroadcastNestedLoopJoin"),
     // 1-row corpus-stats cross (text_bm25's shape) + 1-row probe-vector
     // cross (sim_cosine's); each arm's rank window runs AFTER its
     // TakeOrderedAndProject top-50 prune (the text_vocab pattern)
