@@ -380,6 +380,33 @@ object Embeddings {
             .as("recall_at5"))
     }),
 
+    // IVF index maintenance report (L109): after a day's ingest (the
+    // vec_id % 7 == 0 slice as the arriving batch), how did each frozen
+    // cell grow, and which cells need the coarse quantizer re-trained?
+    // Deployed IVF indexes freeze centroids between rebuilds and route
+    // new vectors into existing cells — drift shows up as lopsided cell
+    // growth, and THIS report is the rebuild trigger. One E-step over
+    // the full corpus (broadcast k seed centroids, the audited `assign`
+    // shape), then a k-row conditional aggregate; growth is one guarded
+    // division (a cell can have zero historical members), the rebuild
+    // flag compares exact-integer-derived doubles identically in both
+    // engines.
+    "ivf_maintenance" -> ((s, d) =>
+      assign(Tables.embeddings(s, d))
+        .select(col("cid"),
+          (col("vec_id") % 7 === 0).cast("int").as("is_new"))
+        .groupBy("cid")
+        .agg(sum(lit(1) - col("is_new")).as("n_old"),
+          sum("is_new").as("n_new"))
+        .select(col("cid").as("centroid_id"), col("n_old"), col("n_new"),
+          (col("n_old") + col("n_new")).as("n_total"),
+          when(col("n_old") > 0,
+            round(col("n_new").cast("double") / col("n_old"), 6))
+            .otherwise(lit(0.0)).as("growth"),
+          (col("n_new").cast("double") > lit(0.25) * col("n_old"))
+            .cast("int").as("rebuild"))
+        .orderBy("centroid_id")),
+
     // Maximal marginal relevance re-rank (Carbonell & Goldstein SIGIR
     // 1998): greedy diversified top-k over the relevance-top-20 shortlist —
     // the de-dup step RAG context assembly runs after retrieval, trading
@@ -804,6 +831,24 @@ object Embeddings {
         |SELECT hits, n_truth,
         |  round(CAST(hits AS DOUBLE) / n_truth, 6) AS recall_at5
         |FROM h, tn""".stripMargin,
+    // Same dAssign E-step; conditional counts close from exact integers,
+    // growth guarded exactly like the Spark `when(n_old > 0, …)`.
+    "ivf_maintenance" ->
+      s"""WITH $dAssign,
+        |a AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+        |g AS (SELECT cid,
+        |    CAST(sum(CASE WHEN vec_id % 7 = 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_old,
+        |    CAST(sum(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new
+        |  FROM a GROUP BY 1)
+        |SELECT cid AS centroid_id, n_old, n_new,
+        |  n_old + n_new AS n_total,
+        |  CASE WHEN n_old > 0
+        |    THEN round(CAST(n_new AS DOUBLE) / n_old, 6)
+        |    ELSE CAST(0 AS DOUBLE) END AS growth,
+        |  CAST(CAST(n_new AS DOUBLE) > 0.25 * n_old AS INT) AS rebuild
+        |FROM g ORDER BY centroid_id""".stripMargin,
     // Four candidate chains (three prefix slices + the shared int8
     // chain) scored by identical metric CTE blocks against one truth;
     // nDCG discounts are the same 9dp literals the Spark plan carries.

@@ -356,6 +356,33 @@ object Graph {
         .orderBy("doc_id")
     }),
 
+    // Cluster-size distribution of the near-dup graph (L108): the
+    // release-notes rollup a dedup report leads with — how many clusters
+    // of each size, the doc mass they hold, and its share of the corpus
+    // (singletons = unique docs; the heavy tail = boilerplate families).
+    // Same components as dedup_cc, then two collapses: comp → size,
+    // size → (n_clusters, n_docs). Everything integer except the ONE
+    // share division. Scale: the second groupBy keys on comp_size —
+    // ≤ log-many distinct values on real power-law dup distributions,
+    // after the comp aggregate already shrank the data to one row per
+    // cluster.
+    "dedup_cluster_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = TextSim.minhashPairs(docs)
+        .select(col("ia").as("src"), col("ib").as("dst"))
+      val sizes = connectedComponents(docs.select("doc_id"), edges)
+        .groupBy("comp").agg(count(lit(1)).as("comp_size"))
+      val tot = docs.agg(count(lit(1)).as("n_total")).limit(1)
+      sizes.groupBy("comp_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("comp_size").as("n_docs"))
+        .crossJoin(broadcast(tot))
+        .select(col("comp_size"), col("n_clusters"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_total"), 6)
+            .as("doc_share"))
+        .orderBy("comp_size")
+    }),
+
     // PageRank (3 iterations, damping 0.85) over the bipartite
     // customer–supplier graph induced by orders⋈lineitem: an edge links a
     // customer to every supplier that shipped one of its orders. Supplier
@@ -683,6 +710,26 @@ object Graph {
         |  count(*) OVER (PARTITION BY comp) AS comp_size,
         |  CAST(doc_id = comp AS INT) AS kept
         |FROM lab ORDER BY doc_id""".stripMargin,
+    // Same reachability CTE as dedup_cc, collapsed twice (comp → size →
+    // distribution); the share division runs on exact integers.
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE
+        |${TextSim.dMinhashCte},
+        |edges AS (SELECT ia AS src, ib AS dst FROM pairs
+        |  UNION SELECT ib, ia FROM pairs),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT w.doc_id, e.dst AS r FROM reach w
+        |  JOIN edges e ON w.r = e.src),
+        |lab AS (SELECT doc_id, min(r) AS comp FROM reach GROUP BY 1),
+        |sz AS (SELECT comp, count(*) AS comp_size FROM lab GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM documents)
+        |SELECT comp_size, count(*) AS n_clusters,
+        |  CAST(sum(comp_size) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(comp_size) AS DOUBLE) / n_total, 6) AS doc_share
+        |FROM sz, tot GROUP BY comp_size, n_total
+        |ORDER BY comp_size""".stripMargin,
     // Same reachability CTE as dedup_cc; the keeper is row 1 of the
     // per-cluster (quality DESC, doc_id) order — identical to max_by on
     // the (q, −id) struct.

@@ -97,6 +97,26 @@ class EmbeddingsSpec extends SparkSpec {
       s"int8 recall@5 $recall outside the pinned band")
   }
 
+  test("ivf_maintenance: cell accounting closes over the corpus and " +
+    "growth/rebuild recompute from the counts") {
+    val rows = ops.Embeddings.queries("ivf_maintenance")(spark, sf0001)
+      .collect()
+    val nVec = Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_total")).sum === nVec)
+    rows.foreach { r =>
+      val o = r.getAs[Long]("n_old"); val n = r.getAs[Long]("n_new")
+      assert(r.getAs[Long]("n_total") === o + n)
+      val wantG = if (o > 0) BigDecimal(n.toDouble / o)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0
+      assert(r.getAs[Double]("growth") === wantG)
+      assert(r.getAs[Int]("rebuild") === (if (n.toDouble > 0.25 * o) 1
+        else 0))
+    }
+    // the %7 slice is ~1/7 of every cell — some cell must trip the 25%
+    // trigger on this corpus, or the flag is vacuous
+    assert(rows.exists(_.getAs[Int]("rebuild") === 1))
+  }
+
   test("sim_rank_metrics: metrics are bounded, int8 dominates every " +
     "lossy prefix, and the int8 recall agrees with embed_quantize_eval") {
     val rows = ops.Embeddings.queries("sim_rank_metrics")(spark, sf0001)

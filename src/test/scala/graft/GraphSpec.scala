@@ -277,6 +277,27 @@ class GraphSpec extends SparkSpec {
       "corpus must exercise a non-min-id best pick")
   }
 
+  test("dedup_cluster_stats: the distribution accounts for every doc " +
+    "exactly once and shares recompute") {
+    val rows = ops.Graph.queries("dedup_cluster_stats")(spark, sf0001)
+      .collect()
+    val nTotal = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nTotal)
+    rows.foreach { r =>
+      val sz = r.getAs[Long]("comp_size")
+      val nc = r.getAs[Long]("n_clusters"); val nd = r.getAs[Long]("n_docs")
+      assert(nd === sz * nc, "doc mass = size x clusters")
+      val want = BigDecimal(nd.toDouble / nTotal)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("doc_share") === want)
+    }
+    // the corpus plants near-dups, so a >1 cluster must exist, and
+    // singletons must still dominate a sane corpus
+    assert(rows.exists(_.getAs[Long]("comp_size") > 1))
+    val singles = rows.find(_.getAs[Long]("comp_size") === 1L).get
+    assert(singles.getAs[Double]("doc_share") > 0.5)
+  }
+
   test("graph_ppr: restart mass concentrates on the seeds and the " +
     "shortlist is sorted") {
     val rows = ops.Graph.queries("graph_ppr")(spark, sf0001).collect()

@@ -60,6 +60,10 @@ class PlanAuditSpec extends SparkSpec {
     // every vector against all k centroids — that IS the operator.
     "embed_centroid" -> Set("BroadcastNestedLoopJoin"),
     "embed_kmeans_step" -> Set("BroadcastNestedLoopJoin"),
+    // same k=8 broadcast E-step (shared `assign`) + nothing else
+    "ivf_maintenance" -> Set("BroadcastNestedLoopJoin"),
+    // 1-row corpus-total cross into the ≤log-many size-distribution rows
+    "dedup_cluster_stats" -> Set("BroadcastNestedLoopJoin"),
     // same k=8 broadcast-centroid E-step as embed_centroid (shared
     // `assign`); the in-cell pair generation itself is an equi join on cid
     "dedup_semantic" -> Set("BroadcastNestedLoopJoin"),
