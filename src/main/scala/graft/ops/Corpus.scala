@@ -30,6 +30,16 @@ object Corpus {
 
   private val SpanLen = 16
 
+  /** Reference-vocabulary size for text_oov_rate. Deliberately SMALL
+    * relative to the corpus's token inventory (the synthetic generator
+    * draws all languages from one shared ~31-token pool, differing only
+    * in distribution — language signal lives in frequencies, not
+    * inventory), so coverage is distribution-sensitive: a top-16
+    * English-frequency vocab covers English running text best and every
+    * other language measurably worse. At 100 TB this is the 30–50k BPE
+    * vocab against a ~10⁶-type corpus — same ratio logic, same plan. */
+  private val VocabTopK = 16
+
   /** (doc_id, pos, tok) rows — 0-based pos. */
   private def tokenRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
@@ -702,6 +712,78 @@ object Corpus {
         .orderBy("source", "doc_id")
     }),
 
+    // CCNet perplexity bucketing (L110; Wenzek et al. 2020 §4.3): per
+    // language, docs ranked by reference-LM score and split into the
+    // head / middle / tail terciles CCNet releases as quality strata —
+    // the bucket a doc lands in decides whether it enters pretraining
+    // at all (head+middle) or only after re-filtering (tail). Reuses the
+    // DECLARED text_lm_score operator verbatim (same lambda), so the
+    // strata cannot drift from the published per-doc score; the oracle
+    // nests text_lm_score's oracle as a subquery for the same reason.
+    // Determinism: avg_nll is bit-identical cross-engine (its own green
+    // oracle row proves it), ntile(3) runs over the unique
+    // (avg_nll, doc_id) order, and the bucket means round each summand
+    // to 6dp into DECIMAL(30,8) before the cross-row sum. Scale: the
+    // window partitions by lang over per-DOC rows (id + two numbers —
+    // ~10^10 skinny rows at 100 TB, a routine shuffle sort, the
+    // sample_balanced precedent); the 100 TB shortcut is per-lang
+    // approx_percentile cutoffs instead of exact ntile, the
+    // dq_profile_approx convention.
+    "curate_ccnet_buckets" -> ((s, d) => {
+      val scored = queries("text_lm_score")(s, d) // (doc_id, n_tok, avg_nll)
+      val langs = Tables.documents(s, d).select("doc_id", "lang")
+      val w = Window.partitionBy("lang")
+        .orderBy(col("avg_nll"), col("doc_id"))
+      scored.join(langs, "doc_id")
+        .withColumn("bucket_id", ntile(3).over(w))
+        .groupBy("lang", "bucket_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"),
+          exactSum(round(col("avg_nll"), 6)).as("snll"))
+        .select(col("lang"), col("bucket_id"),
+          when(col("bucket_id") === 1, "head")
+            .when(col("bucket_id") === 2, "middle")
+            .otherwise("tail").as("bucket"),
+          col("n_docs"), col("n_tok"),
+          round(col("snll").cast("double") / col("n_docs"), 6)
+            .as("mean_nll"))
+        .orderBy("lang", "bucket_id")
+    }),
+
+    // Vocabulary-coverage / OOV report (L111): per language, the share of
+    // running tokens outside a frozen top-VocabTopK reference vocabulary
+    // (built from the English slice — the fixed-tokenizer stand-in; see
+    // VocabTopK's scaladoc for why it is sized below the inventory).
+    // THE number a tokenizer/vocab decision is judged by per language:
+    // high OOV means the vocab fragments that language into fallback
+    // bytes, the capacity tax text_fertility prices in chars-per-token.
+    // Vocab ties break (count DESC, tok) — deterministic in both
+    // engines; rates are single IEEE divisions of exact longs. Scale:
+    // the vocab is a model-parameter table (structural limit(VocabTopK)
+    // → broadcastable), the probe join is map-side against it, and the
+    // per-lang rollup is |langs|-sized with map-side combine. The
+    // tokenizer runs once over the full corpus for the probe plus once
+    // over the English slice for the vocab (no shared-scan persist — the
+    // vocab pass reads one lang's partitions and aggregates immediately).
+    "text_oov_rate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tr = docs.select(col("doc_id"), col("lang"),
+        explode(toks).as("tok"))
+      val vocab = tr.filter(col("lang") === "en")
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("tok")).limit(VocabTopK)
+        .select(col("tok"), lit(1).as("inv"))
+      tr.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"),
+          countDistinct(when(col("inv").isNull, col("tok")))
+            .as("n_oov_types"))
+        .select(col("lang"), col("n_tok"), col("n_oov"), col("n_oov_types"),
+          round(col("n_oov").cast("double") / col("n_tok"), 6)
+            .as("oov_rate"))
+        .orderBy("lang")
+    }),
+
     // Compressibility quality signal (Gopher's repetition family, the
     // whole-document form): deflate(text) size over byte size. Boilerplate
     // and generated spam compress far below natural text, so a low ratio
@@ -732,6 +814,23 @@ object Corpus {
         .orderBy("doc_id")
     })
   )
+
+  /** text_lm_score's full oracle, factored so curate_ccnet_buckets can
+    * nest it verbatim — one SQL text, two rows, zero drift (the engine
+    * side shares the declared lambda the same way). */
+  private lazy val dLmScore: String =
+    s"""WITH t AS (SELECT doc_id, unnest($dToks) AS tok FROM documents),
+      |rt AS (SELECT t.tok FROM t JOIN documents d USING (doc_id)
+      |  WHERE d.lang = 'en'),
+      |lm AS (SELECT tok, count(*) AS c FROM rt GROUP BY 1),
+      |scal AS (SELECT sum(c) AS n_ref, count(*) AS v_ref FROM lm),
+      |nll AS (SELECT doc_id,
+      |    CAST(round(-ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) /
+      |      CAST(n_ref + v_ref AS DOUBLE)), 4) AS DECIMAL(30,8)) AS nll
+      |  FROM t LEFT JOIN lm USING (tok), scal)
+      |SELECT doc_id, count(*) AS n_tok,
+      |  CAST(sum(nll) AS DOUBLE) / count(*) AS avg_nll
+      |FROM nll GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_repetition" ->
@@ -950,19 +1049,41 @@ object Corpus {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  CAST(sum(nll) AS DOUBLE) / count(*) AS avg_nll
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
-    "text_lm_score" ->
-      s"""WITH t AS (SELECT doc_id, unnest($dToks) AS tok FROM documents),
-        |rt AS (SELECT t.tok FROM t JOIN documents d USING (doc_id)
-        |  WHERE d.lang = 'en'),
-        |lm AS (SELECT tok, count(*) AS c FROM rt GROUP BY 1),
-        |scal AS (SELECT sum(c) AS n_ref, count(*) AS v_ref FROM lm),
-        |nll AS (SELECT doc_id,
-        |    CAST(round(-ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) /
-        |      CAST(n_ref + v_ref AS DOUBLE)), 4) AS DECIMAL(30,8)) AS nll
-        |  FROM t LEFT JOIN lm USING (tok), scal)
-        |SELECT doc_id, count(*) AS n_tok,
-        |  CAST(sum(nll) AS DOUBLE) / count(*) AS avg_nll
-        |FROM nll GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_lm_score" -> dLmScore,
+    // Nests the text_lm_score oracle verbatim (dLmScore — the engine side
+    // reuses the declared lambda the same way), then the identical
+    // ntile(3) over (avg_nll, doc_id) per lang; bucket means sum 6dp
+    // decimal quanta.
+    "curate_ccnet_buckets" ->
+      s"""WITH sc AS (SELECT * FROM ($dLmScore)),
+        |j AS (SELECT sc.doc_id, sc.n_tok, sc.avg_nll, d.lang,
+        |    ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY sc.avg_nll, sc.doc_id) AS bucket_id
+        |  FROM sc JOIN documents d USING (doc_id))
+        |SELECT lang, bucket_id,
+        |  CASE bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok,
+        |  round(CAST(sum(CAST(round(avg_nll, 6) AS DECIMAL(30,8)))
+        |    AS DOUBLE) / count(*), 6) AS mean_nll
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Same top-VocabTopK (count DESC, tok) vocab; OOV = left-join miss.
+    "text_oov_rate" ->
+      s"""WITH t AS (SELECT doc_id, lang, unnest($dToks) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, 1 AS inv FROM (
+        |  SELECT tok, count(*) AS c FROM t WHERE lang = 'en' GROUP BY 1
+        |  ORDER BY c DESC, tok LIMIT $VocabTopK)),
+        |p AS (SELECT t.lang, t.tok, v.inv FROM t
+        |  LEFT JOIN v ON t.tok = v.tok)
+        |SELECT lang, count(*) AS n_tok,
+        |  CAST(sum(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  count(DISTINCT CASE WHEN inv IS NULL THEN tok END)
+        |    AS n_oov_types,
+        |  round(CAST(sum(CASE WHEN inv IS NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_vocab" ->
       s"""WITH t AS ($dTokRows),
         |st AS (SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS df

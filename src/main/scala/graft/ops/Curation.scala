@@ -387,6 +387,41 @@ object Curation {
         .orderBy("source")
     }),
 
+    // Uniform-language repetition schedule (L113; the planning table
+    // behind multilingual rebalancing, graded by Muennighoff et al.
+    // 2023's data-constrained scaling): hold the total token budget at
+    // the corpus mass (B = T) but split it UNIFORMLY across languages —
+    // the α→0 limit of temperature sampling (mix_temperature's knob).
+    // epochs_lang = (T/¦langs¦)/T_lang: the dominant language is
+    // subsampled (epochs < 1), small languages repeat (epochs > 1), and
+    // `over4` trips where repetition exceeds the paper's ~4-epoch
+    // useful-repeat regime and the plan should re-weight instead.
+    // Shape: one map-side token count → ¦langs¦ aggregate → window over
+    // that aggregate; every ratio is a compound IEEE division of exact
+    // longs evaluated identically in both engines.
+    "mix_epochs" -> ((s, d) => {
+      val wAll = Window.partitionBy()
+      Tables.documents(s, d)
+        .select(col("lang"), size(split(lower(col("text")), " "))
+          .cast("long").as("t"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"))
+        .withColumn("total", sum("n_tokens").over(wAll))
+        .withColumn("n_lang", count(lit(1)).over(wAll))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("total"), 6)
+            .as("tok_share"),
+          floor(col("total").cast("double") / col("n_lang") + 0.5)
+            .cast("long").as("alloc_tokens"),
+          round(col("total").cast("double") / col("n_lang") /
+            col("n_tokens"), 6).as("epochs"),
+          (col("total").cast("double") / col("n_lang") > col("n_tokens"))
+            .cast("int").as("repeated"),
+          (col("total").cast("double") / col("n_lang") >
+            lit(4.0) * col("n_tokens")).cast("int").as("over4"))
+        .orderBy("lang")
+    }),
+
     // Class-balanced downsampling: every label keeps exactly min-class-
     // count members — the balanced-training-set prep that prevents a
     // majority class from dominating a classifier. Selection is
@@ -1018,6 +1053,29 @@ object Curation {
         |  CAST(floor(CAST(budget AS DOUBLE) / n_tokens * n_docs + 0.5)
         |    AS BIGINT) AS est_docs
         |FROM b ORDER BY source""".stripMargin,
+    // Same exact-long token stats; every ratio the identical compound
+    // IEEE division (total / n_lang [/ n_tokens]) both engines evaluate
+    // left-to-right on the same exact integers. The over4 multiplier is
+    // spelled 4e0 — DuckDB parses `4.0` as DECIMAL and would run the
+    // comparison in decimal arithmetic, silently breaking the IEEE
+    // contract (the MmrLambda lesson, decimal-literal flavor).
+    "mix_epochs" ->
+      s"""WITH st AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len($dToks)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |b AS (SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS total,
+        |    count(*) OVER () AS n_lang FROM st)
+        |SELECT lang, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / total, 6) AS tok_share,
+        |  CAST(floor(CAST(total AS DOUBLE) / n_lang + 0.5) AS BIGINT)
+        |    AS alloc_tokens,
+        |  round(CAST(total AS DOUBLE) / n_lang / n_tokens, 6) AS epochs,
+        |  CAST(CAST(total AS DOUBLE) / n_lang > n_tokens AS INT)
+        |    AS repeated,
+        |  CAST(CAST(total AS DOUBLE) / n_lang > 4e0 * n_tokens AS INT)
+        |    AS over4
+        |FROM b ORDER BY lang""".stripMargin,
     "sample_balanced" ->
       s"""WITH n AS (SELECT label, count(*) AS n FROM embeddings
         |  GROUP BY 1),

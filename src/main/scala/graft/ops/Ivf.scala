@@ -76,9 +76,12 @@ object Ivf {
     vectors.withColumn("cell", array_min(array(dists: _*)).getField("i"))
   }
 
-  /** Exact re-rank inside the probes' `nprobe` nearest cells. */
-  def search(vectors: DataFrame, centroids: Seq[Seq[Float]],
-      probes: DataFrame, k: Int, nprobe: Int,
+  /** All (probe_id, cand_id, cos) candidates the index scores for each
+    * probe's `nprobe` nearest cells — `search` minus the final top-k, so
+    * the nprobe tuning sweep (`ivf_nprobe_sweep`) can count scored
+    * candidates and compute recall from the same rows `search` ranks. */
+  def candidates(vectors: DataFrame, centroids: Seq[Seq[Float]],
+      probes: DataFrame, nprobe: Int,
       idCol: String = "vec_id"): DataFrame = {
     val indexed = assign(vectors, centroids)
       .select(col(idCol).as("cand_id"), col("embedding").as("e"),
@@ -100,11 +103,17 @@ object Ivf {
         (DotProductExpr.dot(col("e"), col("p")) /
           (sqrt(DotProductExpr.dot(col("e"), col("e"))) *
             sqrt(DotProductExpr.dot(col("p"), col("p"))))).as("cos"))
+  }
+
+  /** Exact re-rank inside the probes' `nprobe` nearest cells. */
+  def search(vectors: DataFrame, centroids: Seq[Seq[Float]],
+      probes: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id"): DataFrame =
+    candidates(vectors, centroids, probes, nprobe, idCol)
       .withColumn("rk", row_number().over(Window.partitionBy("probe_id")
         .orderBy(col("cos").desc, col("cand_id"))))
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("rk"), col("cand_id"),
         round(col("cos"), 6).as("cos_sim"))
       .orderBy("probe_id", "rk")
-  }
 }

@@ -1086,6 +1086,47 @@ object TextSim {
         emb.filter(col("vec_id") < 10), k = 5, nprobe = 3)
     }),
 
+    // IVF nprobe tuning curve (L112): recall@5 AND scan fraction for
+    // nprobe ∈ {1, 2, 4} against the exact top-5 truth — THE
+    // accuracy/cost trade-off table every deployed IVF index is tuned
+    // from (FAISS's nprobe sweep): recall climbs toward 1 as nprobe→k
+    // while scan_frac climbs toward a full scan, and the knee picks the
+    // operating point. The truth side IS the declared sim_topk operator
+    // (same lambda — the curate_ccnet_buckets reuse convention), the
+    // candidate side IS Ivf.candidates, which `search` itself ranks, so
+    // the sweep measures exactly the shipped answer path. Deterministic
+    // end-to-end (the oracle replays the Lloyd fit via the shared
+    // dIvfLloyd chain), hence an exact oracle row — the sim_rank_metrics
+    // convention for eval harnesses. Scale: per nprobe the cost is the
+    // audited sim_topk_ivf shape (nprobe/k of the corpus per probe);
+    // counts close per probe-set, truth is 10×5 rows, and every division
+    // is IEEE on exact longs.
+    "ivf_nprobe_sweep" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val centroids = Ivf.fitCentroids(emb, k = 8, iters = 2)
+      val probes = emb.filter(col("vec_id") < 10)
+      val truth = queries("sim_topk")(s, d).select("probe_id", "cand_id")
+        .localCheckpoint(true)
+      val tn = truth.agg(count(lit(1)).as("n_truth")).limit(1)
+      val nc = emb.agg(count(lit(1)).as("n_corpus")).limit(1)
+      Seq(1, 2, 4).map { np =>
+        val cand = Ivf.candidates(emb, centroids, probes, nprobe = np)
+        val hits = Ivf.search(emb, centroids, probes, k = 5, nprobe = np)
+          .join(truth, Seq("probe_id", "cand_id"), "left_semi")
+          .agg(count(lit(1)).as("hits")).limit(1)
+        cand.agg(count(lit(1)).as("n_scored")).limit(1)
+          .crossJoin(broadcast(hits))
+          .select(lit(np).as("nprobe"), col("n_scored"), col("hits"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(tn)).crossJoin(broadcast(nc))
+        .select(col("nprobe"), col("n_scored"), col("hits"),
+          round(col("hits").cast("double") / col("n_truth"), 6)
+            .as("recall_at5"),
+          round(col("n_scored").cast("double") /
+            (lit(10L) * (col("n_corpus") - 1)), 6).as("scan_frac"))
+        .orderBy("nprobe")
+    }),
+
     // Embedding near-dup with label blocking and a bounded per-block cost:
     // exact all-pairs only inside blocks of ≤ EmbedBlockCap vectors;
     // bigger blocks fall to sign-LSH sub-bucketed candidates
@@ -1325,6 +1366,44 @@ object TextSim {
     * ||e||² term — same expression order, bit-identical doubles. */
   private def dRankDist(e: String, c: String): String =
     s"${dDot(c, c)} - 2.0 * ${dDot(e, c)}"
+
+  /** The full Ivf.fitCentroids replay as a chained-CTE fragment (el,
+    * c0, a1, c1, a2, c2, af): lowest-8 seeds, two Lloyd iterations
+    * (argmin by (rank-dist, cell), decimal-exact per-dimension means
+    * cast to FLOAT, empty cells COALESCE to the previous centroid),
+    * final assignment in `af`, fitted centroids in `c2`. Factored so
+    * sim_topk_ivf and ivf_nprobe_sweep replay the SAME learned
+    * quantizer from one SQL text — zero drift between the answer path
+    * and the tuning sweep that grades it. */
+  private lazy val dIvfLloyd: String = {
+    def assign(cRel: String, alias: String) =
+      s"""$alias AS (SELECT vec_id, embedding, cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.cell, row_number() OVER
+         |    (PARTITION BY e.vec_id
+         |     ORDER BY ${dRankDist("e.embedding", "c.c")}, c.cell) AS rn
+         |  FROM embeddings e, $cRel c) WHERE rn = 1)""".stripMargin
+    def step(aRel: String, prevC: String, alias: String) =
+      s"""$alias AS (SELECT s.cell, COALESCE(u.c, s.c) AS c
+         |  FROM $prevC s LEFT JOIN (
+         |    SELECT cell, list(m ORDER BY pos) AS c FROM (
+         |      SELECT cell, pos,
+         |        CAST(CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)
+         |          / count(*) AS FLOAT) AS m
+         |      FROM $aRel JOIN el USING (vec_id) GROUP BY 1, 2)
+         |    GROUP BY cell) u USING (cell))""".stripMargin
+    s"""el AS (SELECT vec_id,
+      |    unnest(generate_series(0, len(embedding) - 1)) AS pos,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+      |    embedding AS c
+      |  FROM (SELECT vec_id, embedding FROM embeddings
+      |        ORDER BY vec_id LIMIT 8)),
+      |${assign("c0", "a1")},
+      |${step("a1", "c0", "c1")},
+      |${assign("c1", "a2")},
+      |${step("a2", "c1", "c2")},
+      |${assign("c2", "af")}""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // counts via regexp_extract_all length; replacement chain in the SAME
@@ -1705,34 +1784,8 @@ object TextSim {
     // cosine re-rank. Every comparison is on bit-identical doubles
     // (dDot ≡ DotProductExpr) or exact integers, so even the LEARNED
     // quantizer is cross-engine reproducible.
-    "sim_topk_ivf" -> {
-      def assign(cRel: String, alias: String) =
-        s"""$alias AS (SELECT vec_id, embedding, cell FROM (
-           |  SELECT e.vec_id, e.embedding, c.cell, row_number() OVER
-           |    (PARTITION BY e.vec_id
-           |     ORDER BY ${dRankDist("e.embedding", "c.c")}, c.cell) AS rn
-           |  FROM embeddings e, $cRel c) WHERE rn = 1)""".stripMargin
-      def step(aRel: String, prevC: String, alias: String) =
-        s"""$alias AS (SELECT s.cell, COALESCE(u.c, s.c) AS c
-           |  FROM $prevC s LEFT JOIN (
-           |    SELECT cell, list(m ORDER BY pos) AS c FROM (
-           |      SELECT cell, pos,
-           |        CAST(CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)
-           |          / count(*) AS FLOAT) AS m
-           |      FROM $aRel JOIN el USING (vec_id) GROUP BY 1, 2)
-           |    GROUP BY cell) u USING (cell))""".stripMargin
-      s"""WITH el AS (SELECT vec_id,
-        |    unnest(generate_series(0, len(embedding) - 1)) AS pos,
-        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
-        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-        |    embedding AS c
-        |  FROM (SELECT vec_id, embedding FROM embeddings
-        |        ORDER BY vec_id LIMIT 8)),
-        |${assign("c0", "a1")},
-        |${step("a1", "c0", "c1")},
-        |${assign("c1", "a2")},
-        |${step("a2", "c1", "c2")},
-        |${assign("c2", "af")},
+    "sim_topk_ivf" ->
+      s"""WITH $dIvfLloyd,
         |pc AS (SELECT probe_id, p, cell FROM (
         |  SELECT e.vec_id AS probe_id, e.embedding AS p, c.cell,
         |    row_number() OVER (PARTITION BY e.vec_id
@@ -1745,8 +1798,48 @@ object TextSim {
         |rk AS (SELECT probe_id, cand_id, cos, row_number() OVER
         |  (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rk FROM sc)
         |SELECT probe_id, rk, cand_id, round(cos, 6) AS cos_sim
-        |FROM rk WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
-    },
+        |FROM rk WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    // Shares dIvfLloyd (identical learned quantizer); truth is the
+    // sim_topk oracle's exact top-5 shape; probe cells ranked once to
+    // rn ≤ 4, each nprobe reads its prefix. hits LEFT-joins onto the
+    // per-nprobe scored counts so a zero-hit sweep point still emits
+    // its row.
+    "ivf_nprobe_sweep" ->
+      s"""WITH $dIvfLloyd,
+        |tr AS (SELECT probe_id, cand_id FROM (
+        |  SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY ${dCos("b.embedding", "a.embedding")} DESC,
+        |        b.vec_id) AS rk
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id) WHERE rk <= 5),
+        |pcd AS (SELECT probe_id, p, cell, rn FROM (
+        |  SELECT e.vec_id AS probe_id, e.embedding AS p, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY ${dRankDist("e.embedding", "c.c")}, c.cell) AS rn
+        |  FROM embeddings e, c2 c WHERE e.vec_id < 10) WHERE rn <= 4),
+        |np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+        |cand AS (SELECT np.nprobe, pc.probe_id, af.vec_id AS cand_id,
+        |    ${dCos("af.embedding", "pc.p")} AS cos
+        |  FROM np JOIN pcd pc ON pc.rn <= np.nprobe
+        |  JOIN af ON af.cell = pc.cell
+        |  WHERE af.vec_id <> pc.probe_id),
+        |rk AS (SELECT nprobe, probe_id, cand_id, row_number() OVER
+        |  (PARTITION BY nprobe, probe_id ORDER BY cos DESC, cand_id)
+        |    AS rk FROM cand),
+        |hits AS (SELECT nprobe, count(*) AS hits FROM rk
+        |  JOIN tr USING (probe_id, cand_id) WHERE rk <= 5 GROUP BY 1),
+        |ns AS (SELECT nprobe, count(*) AS n_scored FROM cand GROUP BY 1),
+        |tn AS (SELECT count(*) AS n_truth FROM tr),
+        |nc AS (SELECT count(*) AS n_corpus FROM embeddings)
+        |SELECT ns.nprobe, ns.n_scored,
+        |  CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
+        |  round(CAST(coalesce(hits.hits, 0) AS DOUBLE) / n_truth, 6)
+        |    AS recall_at5,
+        |  round(CAST(ns.n_scored AS DOUBLE) / (10 * (n_corpus - 1)), 6)
+        |    AS scan_frac
+        |FROM ns LEFT JOIN hits USING (nprobe), tn, nc
+        |ORDER BY ns.nprobe""".stripMargin,
     // r11: sim_topk_lsh promoted from rows-only to an EXACT oracle row —
     // the "approximate" in ANN-LSH is relative to the exact top-k TRUTH
     // (quantified by TextSimSpec's recall assertion, which stays); the

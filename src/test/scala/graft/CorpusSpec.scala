@@ -102,6 +102,52 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("curate_ccnet_buckets: per-lang terciles partition the docs, " +
+    "sizes differ by at most one, and mean_nll orders head<middle<tail") {
+    val rows = ops.Corpus.queries("curate_ccnet_buckets")(spark, sf0001)
+      .collect()
+    val langCounts = Tables.documents(spark, sf0001)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, bs) =>
+      assert(bs.length === 3, s"$lang must have 3 buckets")
+      assert(bs.map(_.getAs[Long]("n_docs")).sum === langCounts(lang))
+      val sizes = bs.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1, "ntile sizes differ by <= 1")
+      val byId = bs.sortBy(_.getAs[Int]("bucket_id"))
+      assert(byId.map(_.getAs[String]("bucket")).toSeq ===
+        Seq("head", "middle", "tail"))
+      // ranked by avg_nll ascending -> bucket means must be non-decreasing
+      val means = byId.map(_.getAs[Double]("mean_nll"))
+      assert(means(0) <= means(1) && means(1) <= means(2),
+        s"$lang bucket means not ordered: ${means.toSeq}")
+    }
+    // the LM is English-trained: en's head must score better (lower nll)
+    // than zh's head, or the strata carry no signal
+    def headOf(l: String) = rows.find(r => r.getAs[String]("lang") == l &&
+      r.getAs[Int]("bucket_id") == 1).get.getAs[Double]("mean_nll")
+    assert(headOf("en") < headOf("zh"))
+  }
+
+  test("text_oov_rate: rates bounded and recomputable, English lowest " +
+    "against its own vocabulary") {
+    val rows = ops.Corpus.queries("text_oov_rate")(spark, sf0001).collect()
+    assert(rows.length === 5)
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val nt = r.getAs[Long]("n_tok"); val no = r.getAs[Long]("n_oov")
+      assert(no <= nt)
+      assert(r.getAs[Long]("n_oov_types") <= no)
+      assert(r.getAs[Double]("oov_rate") === rnd(no.toDouble / nt))
+    }
+    val byLang = rows.map(r =>
+      r.getAs[String]("lang") -> r.getAs[Double]("oov_rate")).toMap
+    assert(byLang("en") === byLang.values.min,
+      "vocab is built from en — en must have the lowest OOV rate")
+    assert(byLang.values.exists(_ > byLang("en")),
+      "some other language must actually fall outside the en vocab")
+  }
+
   test("embed_norm: u0 is a unit-vector component, norms positive") {
     val rows = ops.Embeddings.queries("embed_norm")(spark, sf0001)
       .select("dim", "l2_norm", "u0").as[(Long, Double, Double)].collect()

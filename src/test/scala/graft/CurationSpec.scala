@@ -236,6 +236,33 @@ class CurationSpec extends SparkSpec {
       assert(nTok === totals(src), src) }
   }
 
+  test("mix_epochs: shares sum to 1, epochs recompute from the uniform " +
+    "per-lang allocation, flags agree with their definitions (L113)") {
+    val rows = ops.Curation.queries("mix_epochs")(spark, sf0001).collect()
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val nLang = rows.length
+    assert(nLang === 5)
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rows.map(_.getAs[Double]("tok_share")).sum - 1.0)
+      < 1e-4)
+    rows.foreach { r =>
+      val nt = r.getAs[Long]("n_tokens")
+      val alloc = total.toDouble / nLang
+      assert(r.getAs[Long]("alloc_tokens") ===
+        math.floor(alloc + 0.5).toLong)
+      assert(r.getAs[Double]("epochs") === rnd(alloc / nt))
+      assert(r.getAs[Int]("repeated") === (if (alloc > nt) 1 else 0))
+      assert(r.getAs[Int]("over4") === (if (alloc > 4.0 * nt) 1 else 0))
+    }
+    // uniform language allocation over the en-dominant corpus must
+    // subsample en and repeat the smaller languages, or it is vacuous
+    val en = rows.find(_.getAs[String]("lang") == "en").get
+    assert(en.getAs[Int]("repeated") === 0, "en must be subsampled")
+    assert(rows.count(_.getAs[Int]("repeated") == 1) === 4,
+      "the four non-en languages must repeat")
+  }
+
   test("sample_balanced: every label keeps exactly the minority count, " +
     "selection is content-stable (L81)") {
     val res = ops.Curation.queries("sample_balanced")(spark, sf0001)

@@ -72,6 +72,19 @@ class PlanAuditSpec extends SparkSpec {
     "sim_topk_pq" -> Set("BroadcastNestedLoopJoin"),
     // 1-row broadcast vocab-size/token-total smoothing constants
     "text_lm_score" -> Set("BroadcastNestedLoopJoin"),
+    // inherits text_lm_score's 1-row smoothing-constant broadcast (the
+    // scorer is the same declared lambda); the tercile ntile itself is a
+    // lang-PARTITIONED window over per-doc rows, not a global window
+    "curate_ccnet_buckets" -> Set("BroadcastNestedLoopJoin"),
+    // three 1-row count crosses per sweep point (hits, n_truth,
+    // n_corpus — the embed_quantize_eval metric-denominator shape); the
+    // cell-candidate join is an equi join on cell, and truth is
+    // localCheckpoint-materialized so sim_topk's probe cross never
+    // enters this walk
+    "ivf_nprobe_sweep" -> Set("BroadcastNestedLoopJoin"),
+    // normalizing total/|langs| window over the |langs|-sized aggregate
+    // (mix_temperature's shape — bounded by the language domain)
+    "mix_epochs" -> Set("GlobalWindow"),
     // identical 1-row (n_ref, v_ref) smoothing-constant broadcast for the
     // backoff branch — the text_lm_score shape; the bigram/unigram model
     // joins themselves are equi joins

@@ -50,6 +50,33 @@ class TextSimSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall@5 too low: $recall")
   }
 
+  test("ivf_nprobe_sweep: recall and scan fraction are monotone in " +
+    "nprobe, nested candidate sets, ratios recompute") {
+    val rows = ops.TextSim.queries("ivf_nprobe_sweep")(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq === Seq(1, 2, 4))
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = Tables.embeddings(spark, sf0001).count()
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("hits"); val sc = r.getAs[Long]("n_scored")
+      assert(hits <= 50 && hits >= 0)
+      assert(r.getAs[Double]("recall_at5") === rnd(hits.toDouble / 50))
+      assert(r.getAs[Double]("scan_frac") ===
+        rnd(sc.toDouble / (10 * (n - 1))))
+      assert(r.getAs[Double]("scan_frac") <= 1.0 + 1e-9)
+    }
+    // candidate sets nest as nprobe grows -> both curves monotone
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("recall_at5") <= b.getAs[Double]("recall_at5"))
+      assert(a.getAs[Long]("n_scored") < b.getAs[Long]("n_scored"))
+    }
+    // the sweep's widest point must clear the deployed path's 60% bar,
+    // and probing 1 of 8 cells must NOT scan the whole corpus
+    assert(rows.last.getAs[Double]("recall_at5") >= 0.6)
+    assert(rows.head.getAs[Double]("scan_frac") < 0.9)
+  }
+
   test("sim_topk_pq: two-stage ADC achieves >=60% recall@5 vs exact L2") {
     val emb = Tables.embeddings(spark, sf0001)
     val probe = emb.filter(col("vec_id") === 0)
