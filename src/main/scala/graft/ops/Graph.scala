@@ -428,6 +428,62 @@ object Graph {
         .orderBy(desc("ppr"), asc("id")).limit(50)
     }),
 
+    // HITS hubs & authorities (L114; Kleinberg 1999), 2 synchronous
+    // iterations with L1 normalization, over the DIRECTED bipartite
+    // customer→supplier graph: a customer is a good HUB when it buys
+    // from authoritative suppliers, a supplier a good AUTHORITY when
+    // authoritative... when good hubs buy from it — the two-sided
+    // centrality PageRank's single score conflates (a high-volume buyer
+    // and a widely-bought supplier are different signals for curation
+    // weighting). L1 (sum) normalization instead of the textbook L2
+    // keeps the whole fixpoint inside the pageRank determinism contract:
+    // per-edge contributions quantize to DECIMAL(30,15) before the
+    // per-node sum, each normalizer is ONE decimal total, and every
+    // division is IEEE on identical operands — no sqrt anywhere, so the
+    // unrolled oracle replays bit-for-bit. Scale: per half-iteration one
+    // edge⋈score equi join + one grouped decimal sum (the Pregel shape,
+    // linear in |E|); normalizers are 1-row broadcast crosses
+    // (mix_resample's model-parameter shape); n_cust is a driver scalar
+    // exactly like pageRank's N.
+    "graph_hits" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(30, 15)
+      val edges = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(1000000000L) + col("l_suppkey")).as("dst"))
+        .distinct().localCheckpoint()
+      val nC = edges.select("src").distinct().count()
+      var hub = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), lit(1.0 / nC).as("h"))
+      var auth: DataFrame = hub // placeholder, overwritten in round 1
+      for (_ <- 1 to 2) {
+        val aRaw = edges
+          .join(hub.select(col("id").as("src"), col("h")), "src")
+          .select(col("dst").as("id"), col("h").cast(dec).as("c"))
+          .groupBy("id").agg(sum("c").as("raw"))
+        val aTot = aRaw.agg(sum("raw").as("tot")).limit(1)
+        auth = aRaw.crossJoin(broadcast(aTot))
+          .select(col("id"),
+            (col("raw").cast("double") / col("tot").cast("double"))
+              .as("a"))
+        val hRaw = edges
+          .join(auth.select(col("id").as("dst"), col("a")), "dst")
+          .select(col("src").as("id"), col("a").cast(dec).as("c"))
+          .groupBy("id").agg(sum("c").as("raw"))
+        val hTot = hRaw.agg(sum("raw").as("tot")).limit(1)
+        hub = hRaw.crossJoin(broadcast(hTot))
+          .select(col("id"),
+            (col("raw").cast("double") / col("tot").cast("double"))
+              .as("h"))
+      }
+      hub.select(col("id"), lit("customer").as("kind"),
+          round(col("h"), 9).as("score"))
+        .unionByName(auth.select(col("id"), lit("supplier").as("kind"),
+          round(col("a"), 9).as("score")))
+        .orderBy("id")
+    }),
+
     // Triangle census of the MinHash/LSH candidate graph: a node's
     // triangle count separates CLIQUE-like duplication (boilerplate
     // families — every copy pairs with every copy, counts ~ k²) from
@@ -833,6 +889,34 @@ object Graph {
         |    AS kind,
         |  round(pr, 9) AS pr
         |FROM r3 ORDER BY id""".stripMargin
+    },
+    // Unrolled 2-iteration HITS mirror: directed edges (no symmetrize),
+    // DECIMAL(30,15)-quantized contributions, one decimal L1 total per
+    // half-step, every division CAST-to-DOUBLE on identical operands.
+    "graph_hits" -> {
+      def half(inRel: String, inScore: String, outScore: String,
+          fromCol: String, toCol: String, alias: String) =
+        s"""${alias}r AS (SELECT e.$toCol AS id,
+          |    sum(CAST(r.$inScore AS DECIMAL(30,15))) AS raw
+          |  FROM e JOIN $inRel r ON e.$fromCol = r.id GROUP BY 1),
+          |${alias}t AS (SELECT sum(raw) AS tot FROM ${alias}r),
+          |$alias AS (SELECT id,
+          |    CAST(raw AS DOUBLE)/CAST(tot AS DOUBLE) AS $outScore
+          |  FROM ${alias}r, ${alias}t)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+        |    1000000000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nc AS (SELECT count(DISTINCT src) AS n FROM e),
+        |h0 AS (SELECT DISTINCT src AS id, CAST(1 AS DOUBLE)/nc.n AS h
+        |  FROM e, nc),
+        |${half("h0", "h", "a", "src", "dst", "a1")},
+        |${half("a1", "a", "h", "dst", "src", "h1")},
+        |${half("h1", "h", "a", "src", "dst", "a2")},
+        |${half("a2", "a", "h", "dst", "src", "h2")}
+        |SELECT id, 'customer' AS kind, round(h, 9) AS score FROM h2
+        |UNION ALL
+        |SELECT id, 'supplier' AS kind, round(a, 9) AS score FROM a2
+        |ORDER BY id""".stripMargin
     },
     // Same unrolled iterations with the teleport CASE concentrated on the
     // seed rows; constants spelled as the division 0.15/3, mirroring the

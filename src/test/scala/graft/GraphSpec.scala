@@ -298,6 +298,46 @@ class GraphSpec extends SparkSpec {
     assert(singles.getAs[Double]("doc_share") > 0.5)
   }
 
+  test("graph_hits: each side L1-normalizes to 1, kinds split by id " +
+    "space, and scores match a brute-force double walk") {
+    val rows = ops.Graph.queries("graph_hits")(spark, sf0001).collect()
+    val (cust, supp) = rows.partition(_.getAs[String]("kind") == "customer")
+    assert(cust.nonEmpty && supp.nonEmpty)
+    cust.foreach(r => assert(r.getAs[Long]("id") < 1000000000L))
+    supp.foreach(r => assert(r.getAs[Long]("id") >= 1000000000L))
+    assert(math.abs(cust.map(_.getAs[Double]("score")).sum - 1.0) < 1e-6)
+    assert(math.abs(supp.map(_.getAs[Double]("score")).sum - 1.0) < 1e-6)
+    rows.foreach(r => assert(r.getAs[Double]("score") >= 0.0))
+    // centrality must discriminate, or the fixpoint collapsed
+    assert(cust.map(_.getAs[Double]("score")).distinct.length > 1)
+    assert(supp.map(_.getAs[Double]("score")).distinct.length > 1)
+    // brute-force: 2 L1-normalized double iterations over the edges
+    val edges = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, sf0001).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(1000000000L) + col("l_suppkey")).as("dst"))
+      .distinct().as[(Long, Long)].collect()
+    var hub = edges.map(_._1).distinct.sorted
+      .map(_ -> 1.0 / edges.map(_._1).distinct.length).toMap
+    var auth = Map.empty[Long, Double]
+    for (_ <- 1 to 2) {
+      val ar = edges.groupBy(_._2).map { case (s0, es) =>
+        s0 -> es.map(e => hub(e._1)).sum }
+      val at = ar.values.sum
+      auth = ar.map { case (k, v) => k -> v / at }
+      val hr = edges.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => auth(e._2)).sum }
+      val ht = hr.values.sum
+      hub = hr.map { case (k, v) => k -> v / ht }
+    }
+    cust.foreach(r => assert(math.abs(r.getAs[Double]("score") -
+      hub(r.getAs[Long]("id"))) < 1e-6, s"hub ${r.getAs[Long]("id")}"))
+    supp.foreach(r => assert(math.abs(r.getAs[Double]("score") -
+      auth(r.getAs[Long]("id"))) < 1e-6, s"auth ${r.getAs[Long]("id")}"))
+  }
+
   test("graph_ppr: restart mass concentrates on the seeds and the " +
     "shortlist is sorted") {
     val rows = ops.Graph.queries("graph_ppr")(spark, sf0001).collect()

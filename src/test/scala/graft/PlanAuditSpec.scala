@@ -64,6 +64,10 @@ class PlanAuditSpec extends SparkSpec {
     "ivf_maintenance" -> Set("BroadcastNestedLoopJoin"),
     // 1-row corpus-total cross into the ≤log-many size-distribution rows
     "dedup_cluster_stats" -> Set("BroadcastNestedLoopJoin"),
+    // four 1-row L1-normalizer crosses (one per HITS half-step — the
+    // mix_resample model-parameter shape); the score-propagation joins
+    // themselves are equi joins on src/dst
+    "graph_hits" -> Set("BroadcastNestedLoopJoin"),
     // same k=8 broadcast-centroid E-step as embed_centroid (shared
     // `assign`); the in-cell pair generation itself is an equi join on cid
     "dedup_semantic" -> Set("BroadcastNestedLoopJoin"),
