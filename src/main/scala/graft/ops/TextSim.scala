@@ -715,6 +715,48 @@ object TextSim {
         .orderBy("doc_id")
     }),
 
+    // Language-ID confidence margin (L115): text_langid's marker scores
+    // plus the CALIBRATION a routing decision needs — margin = top1 −
+    // top2 marker count and an `ambiguous` flag (margin ≤ 1 or fewer
+    // than 3 marker hits total). Real pipelines route low-margin docs
+    // (mixed-language pages, boilerplate) to a heavier classifier or the
+    // discard pile rather than trusting the argmax; this emits that
+    // routing signal from the SAME one-pass conditional-sum aggregation
+    // (integer-only end-to-end, so the oracle is exact with no float
+    // contract at all). Scale: identical plan to text_langid — one
+    // exploded-token aggregation, map-side combinable; the top-2 runs
+    // over a 4-element array per ROW, not a window.
+    "text_langid_margin" -> ((s, d) => {
+      def cnt(markers: Seq[String]): Column =
+        sum(when(col("tok").isin(markers: _*), 1).otherwise(0)).cast("long")
+      val scores = documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id")
+        .agg(cnt(Seq("the", "a", "and", "query")).as("s_en"),
+          cnt(Seq("der", "die", "das", "batch")).as("s_de"),
+          cnt(Seq("el", "la", "los", "data")).as("s_es"),
+          cnt(Seq("le", "les", "et", "table")).as("s_fr"))
+      val sorted = reverse(sort_array(
+        array(col("s_en"), col("s_de"), col("s_es"), col("s_fr"))))
+      scores
+        .select(col("doc_id"),
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+            col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"),
+              "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr").as("lang_pred"),
+          sorted.getItem(0).as("top1"),
+          sorted.getItem(1).as("top2"),
+          (sorted.getItem(0) - sorted.getItem(1)).as("margin"),
+          (col("s_en") + col("s_de") + col("s_es") + col("s_fr"))
+            .as("evidence"),
+          (sorted.getItem(0) - sorted.getItem(1) <= 1 ||
+            col("s_en") + col("s_de") + col("s_es") + col("s_fr") < 3)
+            .cast("int").as("ambiguous"))
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprint: polynomial rolling hash over portable per-token
     // values (len*31 + first-char code), mod 1e9+7 — order-sensitive, so
     // re-ordered docs get different prints (unlike a bag-of-words hash).
@@ -1587,6 +1629,34 @@ object TextSim {
         |WHEN $de >= $es AND $de >= $fr THEN 'de'
         |WHEN $es >= $fr THEN 'es' ELSE 'fr' END AS lang_pred
         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // Same marker counts; top-2 via a per-row descending list sort
+    // (list_reverse_sort ≡ reverse(sort_array)) — integer-only, no float
+    // contract anywhere.
+    "text_langid_margin" -> {
+      def sc(ms: Seq[String]) =
+        s"len(list_filter($dToks, t -> list_contains(" +
+          ms.map(w => s"'$w'").mkString("[", ",", "]") + ", t)))"
+      val (en, de, es, fr) = (sc(Seq("the", "a", "and", "query")),
+        sc(Seq("der", "die", "das", "batch")),
+        sc(Seq("el", "la", "los", "data")),
+        sc(Seq("le", "les", "et", "table")))
+      s"""WITH s0 AS (SELECT doc_id, $en AS s_en, $de AS s_de,
+        |    $es AS s_es, $fr AS s_fr FROM documents),
+        |t AS (SELECT *, list_reverse_sort([s_en, s_de, s_es, s_fr]) AS srt
+        |  FROM s0)
+        |SELECT doc_id,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+        |      THEN 'en'
+        |    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |    WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+        |  CAST(srt[1] AS BIGINT) AS top1,
+        |  CAST(srt[2] AS BIGINT) AS top2,
+        |  CAST(srt[1] - srt[2] AS BIGINT) AS margin,
+        |  CAST(s_en + s_de + s_es + s_fr AS BIGINT) AS evidence,
+        |  CAST(srt[1] - srt[2] <= 1 OR s_en + s_de + s_es + s_fr < 3
+        |    AS INT) AS ambiguous
+        |FROM t ORDER BY doc_id""".stripMargin
     },
     "text_fingerprint" ->
       s"""SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),

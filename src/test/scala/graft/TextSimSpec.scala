@@ -50,6 +50,27 @@ class TextSimSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall@5 too low: $recall")
   }
 
+  test("text_langid_margin: agrees with text_langid's argmax, margin " +
+    "and flags recompute, both routing classes occur") {
+    val rows = ops.TextSim.queries("text_langid_margin")(spark, sf0001)
+      .collect()
+    val pred = ops.TextSim.queries("text_langid")(spark, sf0001)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    rows.foreach { r =>
+      assert(r.getAs[String]("lang_pred") === pred(r.getAs[Long]("doc_id")))
+      val t1 = r.getAs[Long]("top1"); val t2 = r.getAs[Long]("top2")
+      assert(t1 >= t2 && t2 >= 0)
+      assert(r.getAs[Long]("margin") === t1 - t2)
+      assert(r.getAs[Long]("evidence") >= t1 + t2)
+      assert(r.getAs[Int]("ambiguous") ===
+        (if (t1 - t2 <= 1 || r.getAs[Long]("evidence") < 3) 1 else 0))
+    }
+    assert(rows.exists(_.getAs[Int]("ambiguous") === 1),
+      "some doc must be low-margin on this corpus")
+    assert(rows.exists(_.getAs[Int]("ambiguous") === 0),
+      "some doc must be confidently identified")
+  }
+
   test("ivf_nprobe_sweep: recall and scan fraction are monotone in " +
     "nprobe, nested candidate sets, ratios recompute") {
     val rows = ops.TextSim.queries("ivf_nprobe_sweep")(spark, sf0001)
