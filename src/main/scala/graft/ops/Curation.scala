@@ -307,6 +307,91 @@ object Curation {
         .orderBy("source")
     }),
 
+    // Temperature-sweep tuning curve (the mixture sibling of
+    // ivf_nprobe_sweep): mix_temperature's w ∝ p^(1/T) reweighting
+    // evaluated at T ∈ {1, 2, 4} — per (T, lang): weight, target
+    // count, and effective epochs (n_target/n_orig, the repetition
+    // multiplier T buys a small language) — the table a mixture review
+    // reads before picking T (T=1 keeps the natural mix, T→∞ goes
+    // uniform; XLM-R ships T≈1.43 chosen from exactly this curve).
+    // Keyed on LANG, not source: this corpus's sources are exactly
+    // uniform (25 docs each — a sweep over them returns the same row at
+    // every T), while the language mix is skewed, which is also the
+    // axis temperature sampling is actually deployed on (mix_epochs'
+    // L113 precedent).
+    // POWERS ARE SQRT CHAINS BY DESIGN: 1/T ∈ {1, 1/2, 1/4} makes
+    // p^(1/T) ∈ {p, sqrt(p), sqrt(sqrt(p))} — IEEE sqrt is correctly
+    // rounded in both engines, so the sweep carries no libm pow()
+    // divergence surface (the reason the grid is powers of two, the
+    // nDCG-literal precedent). Normalizers follow mix_temperature's own
+    // decimal-sum contract per T, windowed over the |T|×|sources|
+    // aggregate — never document-scaled. Epochs close as a mul/div-only
+    // IEEE chain (no add — no FMA surface), rounded at 6dp for display.
+    "mix_temperature_sweep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = docs.groupBy("lang").agg(count(lit(1)).as("n_orig"))
+      val total = docs.agg(count(lit(1)).as("total"))
+      val dec = DecimalType(30, 8)
+      val wT = Window.partitionBy("temperature")
+      stats.crossJoin(broadcast(total))
+        .withColumn("p", col("n_orig").cast("double") / col("total"))
+        .withColumn("temperature", explode(typedlit(Seq(1, 2, 4))))
+        .withColumn("sq", when(col("temperature") === 1, col("p"))
+          .when(col("temperature") === 2, sqrt(col("p")))
+          .otherwise(sqrt(sqrt(col("p")))))
+        .withColumn("z", sum(col("sq").cast(dec)).over(wT).cast("double"))
+        .select(col("temperature"), col("lang"), col("n_orig"),
+          round(col("p"), 6).as("p"),
+          round(col("sq") / col("z"), 6).as("w_t"),
+          floor(col("sq") / col("z") * col("total") + 0.5).cast("long")
+            .as("n_target"),
+          round(col("sq") / col("z") * col("total") / col("n_orig"), 6)
+            .as("epochs"))
+        .orderBy("temperature", "lang")
+    }),
+
+    // Train/holdout leakage audit (the split-side complement of
+    // decontaminate): after the DECLARED 90/5/5 hash split (splitCol —
+    // the same one definition split_train and pipeline_curate plan),
+    // how much of val/test is already in train — exact-text collisions
+    // (the full-memorization risk) and 8-gram overlaps (the partial-
+    // leakage risk, EvalGram's own width). Duplication-saturated corpora
+    // leak exactly this way: dup clusters straddle any content-blind
+    // split, which is why real pipelines dedup BEFORE splitting — this
+    // audit is the number that justifies that order. Scale: the train
+    // hash/gram sets are corpus-sized, so both probes are plain shuffle
+    // LEFT SEMI equi joins planned by stats (NOT broadcast — the
+    // decontaminate shape only broadcasts because its eval slice is
+    // bounded); per-doc EXISTS semantics means the semi join never
+    // multiplies rows. Rates are IEEE divisions of exact longs.
+    "split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("split", splitCol)
+      val train = docs.filter(col("split") === "train")
+      val trainH = train.select(sha2(col("text"), 256).as("h")).distinct()
+      val trainG = grams(train).select("g").distinct()
+      val hold = docs.filter(col("split") =!= "train")
+      val holdH = hold.select(col("split"), col("doc_id"),
+        sha2(col("text"), 256).as("h"))
+      val exactLeak = holdH.join(trainH, Seq("h"), "left_semi")
+        .groupBy("split").agg(count(lit(1)).as("n_exact_leak"))
+      val gramLeak = TextSim
+        .shingleRows(hold, EvalGram, carry = Seq("split"))
+        .join(trainG, Seq("g"), "left_semi")
+        .select("split", "doc_id").distinct()
+        .groupBy("split").agg(count(lit(1)).as("n_gram_leak"))
+      hold.groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .join(exactLeak, Seq("split"), "left")
+        .join(gramLeak, Seq("split"), "left")
+        .select(col("split"), col("n_docs"),
+          coalesce(col("n_exact_leak"), lit(0L)).as("n_exact_leak"),
+          (coalesce(col("n_exact_leak"), lit(0L)).cast("double") /
+            col("n_docs")).as("exact_leak_rate"),
+          coalesce(col("n_gram_leak"), lit(0L)).as("n_gram_leak"),
+          (coalesce(col("n_gram_leak"), lit(0L)).cast("double") /
+            col("n_docs")).as("gram_leak_rate"))
+        .orderBy("split")
+    }),
+
     // Second capstone — the r9 curation stack composed end-to-end:
     // classifier gate (frozen logistic, z ≥ 0) → exact dedup → near-dup
     // CC collapse keeping the BEST-z member per cluster (the keep_best
@@ -590,6 +675,81 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // Curation-funnel attrition table (the release-notes companion of
+    // curation_card): each declared gate applied in canonical pipeline
+    // order — eval holdout → Gopher rules → classifier → near-dup
+    // collapse → decontamination — with per-stage in/out/drop counts,
+    // drop rate and cumulative keep rate. This is the funnel every data
+    // release publishes ("we started with N docs and kept M"), and
+    // because each stage reuses the DECLARED gate's own machinery
+    // (gopherRules, TextSim.classifierZ, dedup_cc's minhashPairs + CC
+    // components, the EvalGram decontamination probe), the funnel
+    // cannot drift from the gates it narrates. The dedup stage is
+    // NEAR-dup by design: this corpus duplicates by near-copy, never
+    // byte-exact (an exact-hash stage is provably zero-drop here), and
+    // pipeline_curate2 — the capstone the funnel narrates — collapses
+    // near-dup clusters too. ORDER MATTERS and is part of the contract:
+    // the collapse keeps the min-doc_id member among docs that SURVIVED
+    // the upstream gates (a cluster whose head was gopher-rejected
+    // elects a new head), one min-over-component window — bounded by
+    // cluster size, never global. A zero-drop stage is not vacuity, it
+    // is the funnel's finding: the classifier's marginal attrition
+    // after the Gopher gate is exactly what this table exists to
+    // reveal (a redundant gate reads as a 0 row). Scale: one map-side
+    // feature pass + dedup_cc's CC + the broadcast eval-gram probe
+    // (decontaminate's shape) + one 1-row conditional aggregate; the
+    // stage table itself is a constant-sized per-row explode of that
+    // one row. Determinism: counts are exact longs; rates are single
+    // IEEE divisions of identical exact longs; the classifier gate
+    // tests round(z,6) >= 0 (curate_classifier's quantize-before-gate
+    // contract).
+    "curate_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val gKeep = gopherRules.map(_._2).reduce(_ && _)
+      val sCond = col("tr") && col("gf") && col("cf")
+      val evalGrams = grams(docs.filter(col("doc_id") < 10))
+        .select(col("g")).distinct()
+      val contam = grams(docs.filter(col("doc_id") >= 10))
+        .join(broadcast(evalGrams), Seq("g"))
+        .select(col("doc_id")).distinct().withColumn("ct", lit(true))
+      val comps = Graph.connectedComponents(docs.select("doc_id"),
+        TextSim.minhashPairs(docs)
+          .select(col("ia").as("src"), col("ib").as("dst")))
+      val flags = docs
+        .select(col("doc_id"), (col("doc_id") >= 10).as("tr"),
+          gKeep.as("gf"), (round(TextSim.classifierZ, 6) >= 0).as("cf"))
+        .join(comps, Seq("doc_id"))
+        .withColumn("f", sCond && col("doc_id") ===
+          min(when(sCond, col("doc_id"))).over(Window.partitionBy("comp")))
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("ct", coalesce(col("ct"), lit(false)))
+      val one = flags.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("tr"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("tr") && col("gf"), 1L).otherwise(0L)).as("n2"),
+        sum(when(sCond, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("f"), 1L).otherwise(0L)).as("n4"),
+        sum(when(col("f") && !col("ct"), 1L).otherwise(0L)).as("n5"))
+      val stageDefs = Seq(
+        (1, "eval_holdout", "n0", "n1"), (2, "gopher_rules", "n1", "n2"),
+        (3, "classifier", "n2", "n3"), (4, "near_dup_collapse", "n3", "n4"),
+        (5, "decontaminate", "n4", "n5"))
+      val stageArr = array(stageDefs.map { case (i, nm, a, b) =>
+        struct(lit(i).as("stage_id"), lit(nm).as("stage"),
+          col(a).as("n_in"), col(b).as("n_out"))
+      }: _*)
+      one.select(col("n0"), explode(stageArr).as("st"))
+        .select(col("st.stage_id").as("stage_id"),
+          col("st.stage").as("stage"),
+          col("st.n_in").as("n_in"), col("st.n_out").as("n_out"),
+          (col("st.n_in") - col("st.n_out")).as("n_drop"),
+          ((col("st.n_in") - col("st.n_out")).cast("double") /
+            col("st.n_in")).as("drop_rate"),
+          (col("st.n_out").cast("double") / col("n0"))
+            .as("cum_keep_rate"))
+        .orderBy("stage_id")
+    }),
+
     // Eval-set decontamination: flag corpus docs sharing any 8-gram with
     // the held-out eval docs (doc_id < 10). The eval shingle set is tiny
     // and broadcast; the corpus streams through one inverted-index join.
@@ -831,7 +991,93 @@ object Curation {
       |FROM g JOIN ev USING (g) WHERE g.doc_id >= 10
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
+  /** DuckDB mirror of round(TextSim.classifierZ, 6) in a context where
+    * `t` holds the token list and `text` the raw text — the same
+    * interpolation curation_card's card oracle spells (one more consumer
+    * of the classifier contract: quantize at 6dp BEFORE any gate). */
+  private lazy val dZRound6: String = {
+    val stop = TextSim.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""round(
+       |      -1.0 + 2.5 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) +
+       |      3.0 * (CAST(len(list_filter(t, x -> list_contains($stop, x)))
+       |        AS DOUBLE) / len(t)) -
+       |      4.0 * (CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+       |        AS DOUBLE) / length(text)) +
+       |      0.8 * (CAST(list_sum(list_transform(t, x -> length(x)))
+       |        AS DOUBLE) / len(t) / 10.0), 6)""".stripMargin
+  }
+
+  /** DuckDB mirror of gopherRules' conjunction over the same `t`/`text`
+    * context (the card oracle's gk CASE, factored for curate_funnel). */
+  private lazy val dGopherKeep: String = {
+    val stop = TextSim.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""(len(t) >= 10 AND len(t) <= 1000) AND
+       |      (CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+       |        / len(t) >= 3.0 AND
+       |       CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+       |        / len(t) <= 10.0) AND
+       |      (len(list_filter(t, x -> list_contains($stop, x))) >= 2) AND
+       |      (round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+       |        >= 0.5)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // The funnel mirror replays each gate from the SAME factored
+    // fragments (dZRound6 / dGopherKeep), the prior-survivor window and
+    // the dDecontaminate gram probe; stage rows close as a UNION ALL
+    // over the one aggregated row.
+    "curate_funnel" -> {
+      val stages = Seq(
+        (1, "eval_holdout", "n0", "n1"), (2, "gopher_rules", "n1", "n2"),
+        (3, "classifier", "n2", "n3"), (4, "near_dup_collapse", "n3", "n4"),
+        (5, "decontaminate", "n4", "n5"))
+      val stageSelects = stages.map { case (i, nm, a, b) =>
+        s"""SELECT $i AS stage_id, '$nm' AS stage, $a AS n_in, $b AS n_out,
+           |  $a - $b AS n_drop,
+           |  CAST($a - $b AS DOUBLE) / $a AS drop_rate,
+           |  CAST($b AS DOUBLE) / n0 AS cum_keep_rate FROM one""".stripMargin
+      }.mkString("\n|UNION ALL\n|")
+      s"""WITH RECURSIVE
+        |${TextSim.dMinhashCte},
+        |edges AS (SELECT ia AS src, ib AS dst FROM pairs
+        |  UNION SELECT ib, ia FROM pairs),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT w.doc_id, e.dst AS r FROM reach w
+        |  JOIN edges e ON w.r = e.src),
+        |lab AS (SELECT doc_id, min(r) AS comp FROM reach GROUP BY 1),
+        |tk AS (SELECT doc_id, text, $dToks AS t FROM documents),
+        |f0 AS (SELECT tk.doc_id, tk.doc_id >= 10 AS tr,
+        |    ($dGopherKeep) AS gf,
+        |    $dZRound6 >= 0 AS cf,
+        |    comp
+        |  FROM tk JOIN lab ON tk.doc_id = lab.doc_id),
+        |f1 AS (SELECT doc_id, tr, gf, cf,
+        |    tr AND gf AND cf AND doc_id = MIN(
+        |      CASE WHEN tr AND gf AND cf THEN doc_id END) OVER (
+        |        PARTITION BY comp) AS f
+        |  FROM f0),
+        |gm AS (SELECT doc_id, unnest(${TextSim.dShingles(EvalGram)}) AS gr
+        |  FROM documents),
+        |ev AS (SELECT DISTINCT gr FROM gm WHERE doc_id < 10),
+        |ctd AS (SELECT DISTINCT gm.doc_id FROM gm JOIN ev USING (gr)
+        |  WHERE gm.doc_id >= 10),
+        |fl AS (SELECT f1.*, ctd.doc_id IS NOT NULL AS ct
+        |  FROM f1 LEFT JOIN ctd ON f1.doc_id = ctd.doc_id),
+        |one AS (SELECT count(*) AS n0,
+        |    CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN tr AND gf THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    CAST(SUM(CASE WHEN tr AND gf AND cf THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n3,
+        |    CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        |    CAST(SUM(CASE WHEN f AND NOT ct THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n5
+        |  FROM fl)
+        |$stageSelects
+        |ORDER BY stage_id""".stripMargin
+    },
     "curation_card" -> {
       val stop = TextSim.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
       val piiAny = TextSim.PiiPatterns.map { case (_, p, _) =>
@@ -980,6 +1226,53 @@ object Curation {
         |WHERE CAST(${dH60("'mix' || CAST(doc_id AS VARCHAR)")} % 10000
         |    AS DOUBLE) < rate * 10000.0
         |GROUP BY d.source, n_orig ORDER BY d.source""".stripMargin,
+    // Per-T normalizers replayed from the same decimal-sum contract;
+    // the T grid unnests inline, powers stay sqrt chains.
+    "mix_temperature_sweep" ->
+      """WITH st AS (SELECT lang, count(*) AS n_orig FROM documents
+        |  GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM documents),
+        |p AS (SELECT lang, n_orig, total,
+        |    CAST(n_orig AS DOUBLE) / total AS p
+        |  FROM st, t),
+        |e AS (SELECT *, unnest([1, 2, 4]) AS temperature FROM p),
+        |q AS (SELECT *, CASE WHEN temperature = 1 THEN p
+        |    WHEN temperature = 2 THEN sqrt(p)
+        |    ELSE sqrt(sqrt(p)) END AS sq FROM e),
+        |z AS (SELECT *, CAST(SUM(CAST(sq AS DECIMAL(30,8))) OVER (
+        |    PARTITION BY temperature) AS DOUBLE) AS z FROM q)
+        |SELECT temperature, lang, n_orig, round(p, 6) AS p,
+        |  round(sq / z, 6) AS w_t,
+        |  CAST(floor(sq / z * total + 0.5) AS BIGINT) AS n_target,
+        |  round(sq / z * total / n_orig, 6) AS epochs
+        |FROM z ORDER BY temperature, lang""".stripMargin,
+    "split_leakage" -> {
+      s"""WITH ds AS (SELECT doc_id, text, $dSplitCase AS split
+        |  FROM documents),
+        |th AS (SELECT DISTINCT sha256(text) AS h FROM ds
+        |  WHERE split = 'train'),
+        |tgm AS (SELECT doc_id, unnest(${TextSim.dShingles(EvalGram)}) AS gr
+        |  FROM ds WHERE split = 'train'),
+        |tg AS (SELECT DISTINCT gr FROM tgm),
+        |hold AS (SELECT split, doc_id, sha256(text) AS h, text FROM ds
+        |  WHERE split <> 'train'),
+        |el AS (SELECT split, count(*) AS n_exact FROM hold
+        |  WHERE h IN (SELECT h FROM th) GROUP BY 1),
+        |hg AS (SELECT split, doc_id, unnest(${TextSim.dShingles(EvalGram)})
+        |    AS gr FROM hold),
+        |gl AS (SELECT split, count(DISTINCT doc_id) AS n_gram FROM hg
+        |  WHERE gr IN (SELECT gr FROM tg) GROUP BY 1),
+        |ns AS (SELECT split, count(*) AS n_docs FROM hold GROUP BY 1)
+        |SELECT ns.split, n_docs,
+        |  CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact_leak,
+        |  CAST(COALESCE(n_exact, 0) AS DOUBLE) / n_docs
+        |    AS exact_leak_rate,
+        |  CAST(COALESCE(n_gram, 0) AS BIGINT) AS n_gram_leak,
+        |  CAST(COALESCE(n_gram, 0) AS DOUBLE) / n_docs AS gram_leak_rate
+        |FROM ns LEFT JOIN el ON ns.split = el.split
+        |LEFT JOIN gl ON ns.split = gl.split
+        |ORDER BY ns.split""".stripMargin
+    },
     "mix_temperature" ->
       """WITH st AS (SELECT source, count(*) AS n_orig FROM documents
         |  GROUP BY 1),

@@ -197,6 +197,44 @@ object Embeddings {
         .orderBy("vec_id")
     }),
 
+    // Embedding outlier detection (the vector-side sibling of Corpus's
+    // dq_outlier_mad): distance-to-assigned-centroid median/MAD gate per
+    // cell — the corrupt-embedding screen (bad encoder batches, zeroed
+    // vectors, wrong-space imports) a vector pipeline runs before
+    // indexing. Reuses the DECLARED E-step (`assign`, embed_centroid's
+    // own cell assignment and its round(sqrt,6) displayed distance) and
+    // the declared dq_outlier_mad recipe, so the screen can't drift from
+    // the index geometry it guards. Robust stats, not mean/stddev —
+    // distance distributions are heavy-tailed exactly when outliers are
+    // present. Determinism: medians are round(…,7)-quantized — exact
+    // percentile interpolation is two IEEE ops whose ORDER differs
+    // between engines' lerp spellings (a+(b−a)f vs (1−f)a+fb, up to
+    // 1 ulp apart), and 7dp absorbs that without ever landing on a
+    // round boundary (midpoints of 6dp-rounded dists are exact 7dp
+    // points). Scale: per-cell exact percentile materializes the cell's
+    // distance multiset on one reducer — dq_outlier_mad documents the
+    // trade and its approx_percentile twin is the wired 100 TB form
+    // (here k·cap-bounded cells keep it moot until cells grow with N).
+    "embed_outliers" -> ((s, d) => {
+      // the K seed vectors ARE the centroids (dist 0 to themselves) —
+      // they define the geometry and are excluded from the screened set,
+      // otherwise every seed is trivially flagged on the near side
+      val a = assign(Tables.embeddings(s, d))
+        .filter(col("vec_id") >= K)
+        .select(col("vec_id"), col("cid"),
+          round(sqrt(col("d2")), 6).as("dist"))
+      val med = a.groupBy("cid")
+        .agg(round(expr("percentile(dist, 0.5)"), 7).as("med"))
+      val mad = a.join(broadcast(med), "cid")
+        .groupBy("cid", "med")
+        .agg(round(expr("percentile(abs(dist - med), 0.5)"), 7).as("mad"))
+      a.join(broadcast(mad), "cid")
+        .filter(abs(col("dist") - col("med")) > lit(3) * col("mad"))
+        .select(col("vec_id"), col("cid").as("centroid_id"),
+          col("dist"), col("med"), col("mad"))
+        .orderBy("vec_id")
+    }),
+
     // Semantic dedup (SemDeDup shape, Abbas et al. 2023, arXiv:2303.09540):
     // cluster by nearest seed centroid, then drop any vector whose cluster
     // contains an EARLIER (smaller vec_id) vector with cosine ≥ TauSem —
@@ -706,6 +744,19 @@ object Embeddings {
       s"""WITH $dAssign
         |SELECT vec_id, cid AS centroid_id, round(sqrt(d2), 6) AS dist
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "embed_outliers" ->
+      s"""WITH $dAssign,
+        |a AS (SELECT vec_id, cid, round(sqrt(d2), 6) AS dist
+        |  FROM r WHERE rn = 1 AND vec_id >= $K),
+        |med AS (SELECT cid, round(quantile_cont(dist, 0.5), 7) AS med
+        |  FROM a GROUP BY 1),
+        |mad AS (SELECT a.cid, med,
+        |    round(quantile_cont(abs(dist - med), 0.5), 7) AS mad
+        |  FROM a JOIN med USING (cid) GROUP BY 1, 2)
+        |SELECT vec_id, a.cid AS centroid_id, dist, med, mad
+        |FROM a JOIN mad ON a.cid = mad.cid
+        |WHERE abs(dist - med) > 3 * mad
+        |ORDER BY vec_id""".stripMargin,
     "dedup_semantic" ->
       s"""WITH $dAssign,
         |a AS (SELECT vec_id, cid FROM r WHERE rn = 1),

@@ -383,6 +383,38 @@ object Graph {
         .orderBy("comp_size")
     }),
 
+    // Memorization-exposure screen (Carlini et al. 2022, "Quantifying
+    // Memorization Across Neural Language Models": extraction risk grows
+    // with duplication count and sequence length — and NEAR-duplicates
+    // drive it as much as byte-exact copies): every doc in a near-dup
+    // cluster, with its cluster size, token length, the dup_count ×
+    // n_tok exposure product a release review sorts by, and a coarse
+    // tier (dup_count ≥ 3 'high', a corpus-tuned threshold — both
+    // tiers non-vacuous on this data). The per-DOC risk view beside
+    // dedup_cluster_stats' distribution rollup, over the SAME declared
+    // components (dedup_cc's minhashPairs + CC), so the risk table and
+    // the dedup report can never disagree about what counts as a
+    // duplicate. This corpus's duplication is near-dup-only (zero
+    // byte-exact collisions — an exact-hash version of this screen is
+    // provably vacuous here, checked before this definition was chosen).
+    // Scale: dedup_cc's CC machinery + one comp-bounded window + one
+    // doc_id equi join for n_tok; exposure is an exact long product.
+    "memorization_risk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = TextSim.minhashPairs(docs)
+        .select(col("ia").as("src"), col("ib").as("dst"))
+      connectedComponents(docs.select("doc_id"), edges)
+        .withColumn("dup_count",
+          count(lit(1)).over(Window.partitionBy("comp")))
+        .filter(col("dup_count") > 1)
+        .join(docs.select(col("doc_id"),
+          size(toks).cast("long").as("n_tok")), Seq("doc_id"))
+        .select(col("doc_id"), col("comp"), col("dup_count"),
+          col("n_tok"), (col("dup_count") * col("n_tok")).as("exposure"),
+          when(col("dup_count") >= 3, "high").otherwise("low").as("tier"))
+        .orderBy("doc_id")
+    }),
+
     // PageRank (3 iterations, damping 0.85) over the bipartite
     // customer–supplier graph induced by orders⋈lineitem: an edge links a
     // customer to every supplier that shipped one of its orders. Supplier
@@ -786,6 +818,27 @@ object Graph {
         |  round(CAST(sum(comp_size) AS DOUBLE) / n_total, 6) AS doc_share
         |FROM sz, tot GROUP BY comp_size, n_total
         |ORDER BY comp_size""".stripMargin,
+    // Same reachability CTE as dedup_cc, kept to clustered docs and
+    // joined back for token length.
+    "memorization_risk" ->
+      s"""WITH RECURSIVE
+        |${TextSim.dMinhashCte},
+        |edges AS (SELECT ia AS src, ib AS dst FROM pairs
+        |  UNION SELECT ib, ia FROM pairs),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT w.doc_id, e.dst AS r FROM reach w
+        |  JOIN edges e ON w.r = e.src),
+        |lab AS (SELECT doc_id, min(r) AS comp FROM reach GROUP BY 1),
+        |c AS (SELECT doc_id, comp,
+        |    count(*) OVER (PARTITION BY comp) AS dup_count FROM lab)
+        |SELECT c.doc_id, comp, dup_count,
+        |  CAST(len($dToks) AS BIGINT) AS n_tok,
+        |  dup_count * CAST(len($dToks) AS BIGINT) AS exposure,
+        |  CASE WHEN dup_count >= 3 THEN 'high' ELSE 'low' END AS tier
+        |FROM c JOIN documents d ON c.doc_id = d.doc_id
+        |WHERE dup_count > 1 ORDER BY c.doc_id""".stripMargin,
     // Same reachability CTE as dedup_cc; the keeper is row 1 of the
     // per-cluster (quality DESC, doc_id) order — identical to max_by on
     // the (q, −id) struct.

@@ -61,6 +61,15 @@ object TextSim {
   private val NumHashes = 16
   private val Bands = 4 // 4 bands x 4 rows
 
+  /** (bands, rows-per-band) configs dedup_band_sweep grades — every legal
+    * factorization of the 16-perm signature except (16,1), whose
+    * single-value bucket key has stop-shingle-like unbounded collision
+    * classes (the sweep refuses configs whose worst bucket grows without
+    * bound), and (1,16), which only ever fires on exact signature equality
+    * (strictly dominated by the exact-hash dedup operator). */
+  private[ops] val BandSweepCfgs: Seq[(Int, Int)] =
+    Seq((2, 8), (4, 4), (8, 2))
+
   /** Stop-shingle document-frequency cap for dedup_ngram_jaccard: shingles
     * appearing in more than this many documents are dropped from the
     * Jaccard universe before the inverted-index self-join (each such
@@ -86,7 +95,7 @@ object TextSim {
     * Scale: fan-out is linear in corpus token count; distinct() on
     * (doc_id, g) is the one shuffle, same as before.
     */
-  private[ops] def shingleRows(docs: org.apache.spark.sql.DataFrame, n: Int,
+  private[graft] def shingleRows(docs: org.apache.spark.sql.DataFrame, n: Int,
       carry: Seq[String] = Nil) =
     // `carry` names doc-level columns functionally dependent on doc_id
     // (e.g. lang) that ride the shingle rows so downstream aggregations can
@@ -124,7 +133,7 @@ object TextSim {
     * variant was also benchmarked and LOST: the join shuffle costs more
     * than recomputing the base hash.)
     */
-  private[ops] def sigTable(sh: org.apache.spark.sql.DataFrame,
+  private[graft] def sigTable(sh: org.apache.spark.sql.DataFrame,
       carry: Seq[String] = Nil) = {
     val base = sh.select(col("doc_id") +: carry.map(col) :+
       (h60(col("g")) % MinHashP).as("hm"): _*)
@@ -135,6 +144,40 @@ object TextSim {
       .select(col("doc_id") +: carry.map(col) :+
         array((0 until NumHashes).map(j => col(s"s$j")): _*).as("sig"): _*)
   }
+
+  /** Per-ROW MinHash machinery — the SAME shingle universe, (a_j, b_j)
+    * permutations and band layout as [[sigTable]]/[[bandRowsFromSigs]],
+    * but computed map-side from one row's token array instead of via
+    * explode + groupBy. This is the STREAMING form: a stream of arriving
+    * docs signs each row with zero shuffle and zero pre-state (the
+    * explode+groupBy batch form is an aggregation, which streaming cannot
+    * place before a stateful operator), and the per-row values are
+    * bit-identical to the batch signatures by construction (spec-pinned:
+    * TextSimSpec compares them doc-for-doc). Batch plans should keep
+    * using sigTable — one sha per DISTINCT shingle beats per-row
+    * recompute when shingles repeat across the corpus. */
+  private[graft] def perRowShingles(n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  private[graft] def perRowSig(sh: Column): Column =
+    array(hashAB.map { case (a, b) =>
+      array_min(transform(sh,
+        g => ((h60(g) % MinHashP) * a + b) % MinHashP))
+    }: _*)
+
+  private[graft] def perRowBandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)),
+      bd => concat_ws(",", slice(sig,
+        bd * (NumHashes / Bands) + 1, lit(NumHashes / Bands))))
+
+  /** Signature-overlap similarity estimate — matches/NumHashes, exact in
+    * binary (NumHashes is a power of two), shared by the streaming
+    * near-dup handler and its oracle mirror. */
+  private[graft] def sigEst(a: Seq[Long], b: Seq[Long]): Double =
+    a.zip(b).count { case (x, y) => x == y }.toDouble / NumHashes
 
   /** MinHash near-dup candidate pairs (ia < ib, est_sim >= 0.5) via LSH
     * banding over the 16-slot signatures — shared by dedup_minhash and the
@@ -677,6 +720,91 @@ object TextSim {
           (col("n_truth") - col("tp")).as("fn"),
           (col("tp").cast("double") / col("n_cand")).as("precision"),
           (col("tp").cast("double") / col("n_truth")).as("recall"))
+    }),
+
+    // LSH banding-config sweep (the MinHash analog of ivf_nprobe_sweep):
+    // the SAME 16-perm signature table banded three ways — (bands, rows)
+    // ∈ {(2,8), (4,4), (8,2)} — and each config graded against the one
+    // exact n-gram-Jaccard ≥ 0.5 truth: raw collision pairs (the scan
+    // cost a config buys), gated candidates (est_sim ≥ 0.5, what the
+    // pipeline would emit), tp/fp/fn, precision, recall. This is the
+    // table a dedup config review reads before choosing b — the S-curve
+    // trade (more bands → higher recall, more collisions) measured on
+    // the actual corpus instead of assumed from 1−(1−s^r)^b. One
+    // signature pass feeds all configs (sigTable ends in an aggregation,
+    // so it materializes once behind its exchange); the per-config band
+    // explosion adds 2+4+8 rows per doc; each candidate join is the
+    // declared operator's own LSH equi join on (cfg, band, key). A
+    // (16,1) config is deliberately excluded: its bucket key is a single
+    // hash value whose collision classes are stop-shingle-like unbounded
+    // (df² pairs on one reducer key, the exact failure StopShingleDf
+    // caps) — a sweep should not run a config whose worst bucket grows
+    // without bound. Truth side costs what exact truth costs (the
+    // dedup_minhash_eval trade); at 100 TB run the sweep over the
+    // _sampled sub-corpus recipe. n_truth is a 1-row aggregate crossed
+    // into the 3 config rows (mix_resample shape).
+    "dedup_band_sweep" -> ((s, d) => {
+      val docs = documents(s, d)
+      val sig = sigTable(shingleRows(docs, 3))
+      val bandRows = BandSweepCfgs.map { case (b, r) =>
+        sig.select(lit(b).as("bands"), col("doc_id"), col("sig"),
+          posexplode(transform(sequence(lit(0), lit(b - 1)),
+            bd => concat_ws(",", slice(col("sig"), bd * r + 1, lit(r)))))
+            .as(Seq("band", "key")))
+      }.reduce(_ union _)
+      val l = bandRows.select(col("bands"), col("band"), col("key"),
+        col("doc_id").as("ia"), col("sig").as("sa"))
+      val r = bandRows.select(col("bands"), col("band"), col("key"),
+        col("doc_id").as("ib"), col("sig").as("sb"))
+      val coll = l.join(r, Seq("bands", "band", "key"))
+        .filter(col("ia") < col("ib"))
+        .select("bands", "ia", "ib", "sa", "sb").distinct()
+        .withColumn("est_sim",
+          size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+            v => v)).cast("double") / NumHashes)
+      val truth = ngramJaccard(s, d, StopShingleDfDefault)
+        .select(col("ia"), col("ib"), lit(1L).as("tin"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      coll.join(truth, Seq("ia", "ib"), "left")
+        .groupBy("bands")
+        .agg(count(lit(1)).as("n_coll"),
+          sum(when(col("est_sim") >= 0.5, 1L).otherwise(0L)).as("n_cand"),
+          sum(when(col("est_sim") >= 0.5 && col("tin").isNotNull, 1L)
+            .otherwise(0L)).as("tp"))
+        .crossJoin(broadcast(nTruth))
+        .select(col("bands"),
+          (lit(NumHashes) / col("bands")).cast("int").as("rows_per_band"),
+          col("n_coll"), col("n_cand"), col("tp"),
+          (col("n_cand") - col("tp")).as("fp"),
+          (col("n_truth") - col("tp")).as("fn"),
+          (col("tp").cast("double") / col("n_cand")).as("precision"),
+          (col("tp").cast("double") / col("n_truth")).as("recall"))
+        .orderBy("bands")
+    }),
+
+    // Corpus boilerplate inventory: the top-20 3-gram shingles by
+    // document frequency with their corpus share — the table that
+    // surfaces nav bars, cookie banners and license headers BEFORE any
+    // pair-generating dedup runs (a shingle in 30% of docs is template
+    // text, and it is exactly what StopShingleDf must cap — this query
+    // is the empirical view behind that constant). Reuses the DECLARED
+    // shingle builder, one groupBy(g) + TakeOrderedAndProject top-20
+    // (two-phase, per-partition heads only — never a global sort), then
+    // the 1-row doc-count cross into 20 rows. The (df DESC, g) order key
+    // is fully deterministic (g unique per group). Flag threshold 5%
+    // mirrors as the same literal in both engines.
+    "text_boilerplate" -> ((s, d) => {
+      val docs = documents(s, d)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      shingleRows(docs, 3)
+        .groupBy("g").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("g"))
+        .limit(20)
+        .crossJoin(broadcast(nDocs))
+        .select(col("g").as("shingle"), col("df"),
+          (col("df").cast("double") / col("n_docs")).as("doc_share"),
+          (col("df").cast("double") / col("n_docs") > 0.05).as("flagged"))
+        .orderBy(col("df").desc, col("shingle"))
     }),
 
     // Language ID: marker-lexicon frequency heuristic with a deterministic
@@ -1401,6 +1529,30 @@ object TextSim {
 
   private[ops] lazy val dMinhashCte: String = dMinhashCteFrom("documents")
 
+  /** Oracle mirror of StreamOps.nearDupCollisions' BATCH form (kept here
+    * so the signature/banding contract has one home): per (band, key)
+    * bucket the reference is the min doc_id, and every other member
+    * emits one row per colliding band with the signature-overlap
+    * estimate. The /$NumHashes division is exact in binary. */
+  private[ops] lazy val dStreamNearDup: String =
+    s"""WITH s0 AS (SELECT doc_id, ${dShingles(3)} AS sh FROM documents),
+       |s AS (SELECT * FROM s0 WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id, $dSig AS sig FROM s),
+       |bands AS (
+       |  SELECT doc_id, sig, unnest(generate_series(0,${Bands - 1})) AS band,
+       |  unnest(list_transform(generate_series(0,${Bands - 1}), b ->
+       |    array_to_string(sig[b*${NumHashes / Bands}+1 : b*${NumHashes / Bands}+${NumHashes / Bands}], ','))) AS key
+       |  FROM sig),
+       |m AS (SELECT band, key, min(doc_id) AS ref_id FROM bands
+       |  GROUP BY 1, 2)
+       |SELECT b.doc_id, CAST(b.band AS INTEGER) AS band, m.ref_id,
+       |  CAST(len(list_filter(list_zip(b.sig, r.sig), x -> x[1] = x[2]))
+       |    AS DOUBLE)/$NumHashes AS est_sim
+       |FROM bands b JOIN m ON b.band = m.band AND b.key = m.key
+       |JOIN sig r ON r.doc_id = m.ref_id
+       |WHERE b.doc_id > m.ref_id
+       |ORDER BY b.doc_id, b.band""".stripMargin
+
   private def dCos(a: String, b: String): String =
     s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
 
@@ -1596,6 +1748,71 @@ object TextSim {
         |  CAST(tp AS DOUBLE) / n_cand AS precision,
         |  CAST(tp AS DOUBLE) / n_truth AS recall
         |FROM m""".stripMargin,
+    "text_boilerplate" ->
+      s"""WITH sh AS (SELECT doc_id, unnest(${dShingles(3)}) AS g
+        |  FROM documents),
+        |df AS (SELECT g, count(*) AS df FROM sh GROUP BY 1),
+        |t AS (SELECT count(*) AS n_docs FROM documents),
+        |top AS (SELECT g, df FROM df ORDER BY df DESC, g LIMIT 20)
+        |SELECT g AS shingle, df,
+        |  CAST(df AS DOUBLE) / n_docs AS doc_share,
+        |  CAST(df AS DOUBLE) / n_docs > 0.05 AS flagged
+        |FROM top, t ORDER BY df DESC, shingle""".stripMargin,
+    // Per-config banding replayed from the ONE sig CTE (same (a_j, b_j)
+    // constants); truth chain is dedup_minhash_eval's mirror verbatim.
+    "dedup_band_sweep" -> {
+      val cfgCtes = BandSweepCfgs.map { case (b, r) =>
+        s"""bands_$b AS (
+           |  SELECT doc_id, sig, unnest(generate_series(0,${b - 1})) AS band,
+           |  unnest(list_transform(generate_series(0,${b - 1}), bd ->
+           |    array_to_string(sig[bd*$r+1 : bd*$r+$r], ','))) AS key
+           |  FROM sig),
+           |coll_$b AS (
+           |  SELECT DISTINCT $b AS bands, a.doc_id AS ia, b.doc_id AS ib,
+           |         a.sig AS sa, b.sig AS sb
+           |  FROM bands_$b a JOIN bands_$b b
+           |    ON a.band = b.band AND a.key = b.key
+           |    AND a.doc_id < b.doc_id)""".stripMargin
+      }.mkString(",\n")
+      val unionColl = BandSweepCfgs
+        .map { case (b, _) => s"SELECT * FROM coll_$b" }
+        .mkString(" UNION ALL ")
+      s"""WITH s AS (SELECT doc_id, ${dShingles(3)} AS sh FROM documents),
+        |sig AS (SELECT doc_id, $dSig AS sig FROM s),
+        |$cfgCtes,
+        |coll AS (SELECT bands, ia, ib,
+        |    CAST(len(list_filter(list_zip(sa, sb), x -> x[1] = x[2]))
+        |      AS DOUBLE)/$NumHashes AS est_sim
+        |  FROM ($unionColl)),
+        |e0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |e AS (SELECT doc_id, g FROM (
+        |  SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM e0)
+        |  WHERE df <= $StopShingleDfDefault),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT ia, ib FROM inter
+        |  JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+        |  WHERE round(CAST(inter AS DOUBLE) /
+        |    (sa.n_sh + sb.n_sh - inter), 6) >= 0.5),
+        |nt AS (SELECT count(*) AS n_truth FROM truth),
+        |per AS (
+        |  SELECT bands, count(*) AS n_coll,
+        |    CAST(sum(CASE WHEN est_sim >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cand,
+        |    CAST(sum(CASE WHEN est_sim >= 0.5 AND t.ia IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        |  FROM coll c LEFT JOIN truth t ON c.ia = t.ia AND c.ib = t.ib
+        |  GROUP BY 1)
+        |SELECT bands, CAST($NumHashes / bands AS INTEGER) AS rows_per_band,
+        |  n_coll, n_cand, tp, n_cand - tp AS fp, n_truth - tp AS fn,
+        |  CAST(tp AS DOUBLE) / n_cand AS precision,
+        |  CAST(tp AS DOUBLE) / n_truth AS recall
+        |FROM per, nt ORDER BY bands""".stripMargin
+    },
     "curate_classifier" -> {
       val stop = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
       s"""WITH f AS (SELECT doc_id,

@@ -337,4 +337,61 @@ class CurationSpec extends SparkSpec {
     assert(buckets === buckets.sorted)
     assert(buckets.distinct.length === buckets.length)
   }
+
+  test("curate_funnel: stages chain (n_out feeds n_in), rates " +
+    "recompute, and the holdout + near-dup stages actually drop") {
+    val rows = ops.Curation.queries("curate_funnel")(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getAs[Int]("stage_id")).toSeq === (1 to 5))
+    assert(rows.head.getAs[Long]("n_in") === 500L)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_out") === b.getAs[Long]("n_in"))
+    }
+    rows.foreach { r =>
+      val in = r.getAs[Long]("n_in"); val out = r.getAs[Long]("n_out")
+      assert(out <= in)
+      assert(r.getAs[Long]("n_drop") === in - out)
+      assert(r.getAs[Double]("drop_rate") === (in - out).toDouble / in)
+      assert(r.getAs[Double]("cum_keep_rate") === out.toDouble / 500L)
+    }
+    assert(rows(0).getAs[Long]("n_drop") === 10L, "the 10 eval docs")
+    assert(rows(3).getAs[Long]("n_drop") > 0L,
+      "dup families straddle the upstream gates, so the collapse fires")
+  }
+
+  test("mix_temperature_sweep: T=1 is the natural mix; higher T " +
+    "flattens toward uniform and repeats small languages") {
+    val rows = ops.Curation.queries("mix_temperature_sweep")(spark, sf0001)
+      .collect()
+    val langs = rows.map(_.getAs[String]("lang")).distinct.length
+    assert(rows.length === 3 * langs)
+    val byT = rows.groupBy(_.getAs[Int]("temperature"))
+    byT(1).foreach { r =>
+      assert(math.abs(r.getAs[Double]("w_t") - r.getAs[Double]("p")) < 1e-5)
+      assert(math.abs(r.getAs[Double]("epochs") - 1.0) < 1e-5)
+    }
+    // flattening: the dominant language's weight strictly falls with T
+    def maxW(t: Int) = byT(t).map(_.getAs[Double]("w_t")).max
+    assert(maxW(1) > maxW(2) && maxW(2) > maxW(4))
+    // and some small language repeats (epochs > 1) once T > 1
+    assert(byT(4).exists(_.getAs[Double]("epochs") > 1.0))
+  }
+
+  test("split_leakage: holdout splits covered, rates recompute, and " +
+    "gram leakage is non-vacuous on a duplication-saturated corpus") {
+    val rows = ops.Curation.queries("split_leakage")(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getAs[String]("split")).toSeq === Seq("test", "val"))
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(n > 0)
+      assert(r.getAs[Double]("exact_leak_rate") ===
+        r.getAs[Long]("n_exact_leak").toDouble / n)
+      assert(r.getAs[Double]("gram_leak_rate") ===
+        r.getAs[Long]("n_gram_leak").toDouble / n)
+      assert(r.getAs[Long]("n_gram_leak") >= r.getAs[Long]("n_exact_leak"))
+    }
+    assert(rows.map(_.getAs[Long]("n_gram_leak")).sum > 0)
+  }
+
 }

@@ -161,4 +161,19 @@ class EmbeddingsSpec extends SparkSpec {
     val scores = rows.map(_.getAs[Double]("rrf_score"))
     assert(scores.sameElements(scores.sortBy(-_)), "sorted by fused score")
   }
+
+  test("embed_outliers: seeds excluded, every flagged row clears the " +
+    "3-MAD gate, and the screen is non-vacuous") {
+    val rows = ops.Embeddings.queries("embed_outliers")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty, "the screen must flag something on this corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_id") >= 8,
+        "centroid seeds define the geometry and are not screened")
+      assert(math.abs(r.getAs[Double]("dist") - r.getAs[Double]("med")) >
+        3 * r.getAs[Double]("mad"))
+      assert(r.getAs[Double]("mad") > 0)
+    }
+  }
+
 }

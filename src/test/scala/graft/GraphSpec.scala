@@ -354,4 +354,27 @@ class GraphSpec extends SparkSpec {
     assert(cust.count(_ > 0.05) === 3, "exactly the 3 seeds in the band")
     assert(cust.count(_ < 0.05) === cust.length - 3)
   }
+
+  test("memorization_risk agrees with dedup_cc's clusters; exposure " +
+    "and tiers recompute") {
+    val risk = ops.Graph.queries("memorization_risk")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("comp"), r.getAs[Long]("dup_count"),
+          r.getAs[Long]("n_tok"), r.getAs[Long]("exposure"),
+          r.getAs[String]("tier"))).toMap
+    val cc = ops.Graph.queries("dedup_cc")(spark, sf0001)
+      .filter(col("comp_size") > 1).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("comp"), r.getAs[Long]("comp_size"))).toMap
+    assert(risk.keySet === cc.keySet,
+      "the risk table lists exactly the clustered docs")
+    risk.foreach { case (id, (comp, dc, nt, exp, tier)) =>
+      assert((comp, dc) === cc(id))
+      assert(exp === dc * nt)
+      assert(tier === (if (dc >= 3) "high" else "low"))
+    }
+    assert(risk.values.exists(_._5 === "high") &&
+      risk.values.exists(_._5 === "low"), "both tiers fire on this corpus")
+  }
+
 }

@@ -54,6 +54,18 @@ class PlanAuditSpec extends SparkSpec {
     "retrieval_rrf" -> Set("BroadcastNestedLoopJoin", "GlobalWindow"),
     // 1-row corpus total crossed into per-source rates (|sources| rows)
     "mix_resample" -> Set("BroadcastNestedLoopJoin"),
+    // 1-row corpus total crossed into the |T|×|sources| sweep rows
+    // (mix_temperature's shape, once per temperature)
+    "mix_temperature_sweep" -> Set("BroadcastNestedLoopJoin"),
+    // 1-row exact-truth-count denominator crossed into the 3 config rows
+    // (the embed_matryoshka_eval metric-denominator shape)
+    "dedup_band_sweep" -> Set("BroadcastNestedLoopJoin"),
+    // 1-row doc-count cross into the top-20 shingle rows, AFTER the
+    // TakeOrderedAndProject prune
+    "text_boilerplate" -> Set("BroadcastNestedLoopJoin"),
+    // same k=8 broadcast-centroid E-step as embed_centroid (shared
+    // `assign`), plus the k-row med/mad stats broadcast probed map-side
+    "embed_outliers" -> Set("BroadcastNestedLoopJoin"),
     // 1-row broadcast (min, max) bounds crossed into the scan
     "agg_histogram" -> Set("BroadcastNestedLoopJoin"),
     // broadcast k×dim centroid tables (k = 8): the k-means E-step probes
@@ -266,7 +278,9 @@ class PlanAuditSpec extends SparkSpec {
     // same eval-gram broadcast inside the capstone's decontamination stage
     "pipeline_curate" -> Set("documents"),
     // same eval-gram broadcast inside the curation card's contamination row
-    "curation_card" -> Set("documents"))
+    "curation_card" -> Set("documents"),
+    // same eval-gram broadcast inside the funnel's decontamination stage
+    "curate_funnel" -> Set("documents"))
 
   private def tableOf(
       lr: org.apache.spark.sql.execution.datasources.LogicalRelation)

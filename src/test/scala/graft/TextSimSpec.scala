@@ -463,4 +463,58 @@ class TextSimSpec extends SparkSpec {
     assert((out(5L)._3, out(5L)._4) === ((0L, 0L)) &&
       out(5L)._6 === "123456789012 and 123456789 stay as they are")
   }
+
+  test("dedup_band_sweep: candidate sets nest as bands double — " +
+    "collisions, gated candidates, tp and recall all monotone") {
+    val rows = ops.TextSim.queries("dedup_band_sweep")(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getAs[Int]("bands")).toSeq === Seq(2, 4, 8))
+    rows.foreach { r =>
+      assert(r.getAs[Int]("bands") * r.getAs[Int]("rows_per_band") === 16)
+      assert(r.getAs[Long]("n_cand") <= r.getAs[Long]("n_coll"))
+      assert(r.getAs[Long]("tp") <= r.getAs[Long]("n_cand"))
+      assert(r.getAs[Long]("fp") === r.getAs[Long]("n_cand") -
+        r.getAs[Long]("tp"))
+    }
+    // an r-slot band collision implies both of its (r/2)-slot halves
+    // collide, so doubling the band count can only ADD candidate pairs
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_coll") <= b.getAs[Long]("n_coll"))
+      assert(a.getAs[Long]("n_cand") <= b.getAs[Long]("n_cand"))
+      assert(a.getAs[Long]("tp") <= b.getAs[Long]("tp"))
+      assert(a.getAs[Double]("recall") <= b.getAs[Double]("recall"))
+    }
+  }
+
+  test("text_boilerplate: exactly top-20, df non-increasing, share " +
+    "recomputes against the corpus size") {
+    val rows = ops.TextSim.queries("text_boilerplate")(spark, sf0001)
+      .collect()
+    assert(rows.length === 20)
+    val n = Tables.documents(spark, sf0001).count()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("doc_share") ===
+        r.getAs[Long]("df").toDouble / n)
+      assert(r.getAs[Boolean]("flagged") ===
+        (r.getAs[Long]("df").toDouble / n > 0.05))
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("df") >= b.getAs[Long]("df"))
+    }
+  }
+
+  test("per-row MinHash signatures are bit-identical to sigTable's " +
+    "(the streaming form signs exactly what the batch form signs)") {
+    val docs = Tables.documents(spark, sf0001)
+    val perRow = docs
+      .select(col("doc_id"),
+        ops.TextSim.perRowSig(ops.TextSim.perRowShingles(3)).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .as[(Long, Seq[Long])].collect().toMap
+    val batch = ops.TextSim.sigTable(ops.TextSim.shingleRows(docs, 3))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(perRow.keySet === batch.keySet)
+    perRow.foreach { case (id, sig) => assert(sig === batch(id), s"doc $id") }
+  }
+
 }
