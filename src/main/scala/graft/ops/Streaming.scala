@@ -113,6 +113,16 @@ object Streaming {
       StreamOps.rankTopK(StreamOps.hourlyCounts(events(s, d)), 3)
         .orderBy("win_us", "rk")),
 
+    // Streaming near-dup at ingest, batch-checked: the SAME
+    // nearDupCollisions transform StreamingSpec drives through
+    // MemoryStream across triggers. In batch every band bucket is seen
+    // once with empty state, so each non-min member emits against the
+    // bucket minimum — the exact policy the oracle mirrors from the
+    // shared signature/banding contract (TextSim.dStreamNearDup).
+    "stream_dedup_minhash" -> ((s, d) =>
+      StreamOps.nearDupCollisions(documents(s, d).select("doc_id", "text"))
+        .toDF().orderBy("doc_id", "band")),
+
     "stream_enrich" -> ((s, d) => {
       val dim = customer(s, d).select(col("c_custkey").as("user_id"),
         col("c_mktsegment").as("segment"))
@@ -178,6 +188,9 @@ object Streaming {
         |SELECT epoch_us(h) AS win_us, CAST(rk AS BIGINT) AS rk,
         |  event_type, n
         |FROM r WHERE rk <= 3 ORDER BY win_us, rk""".stripMargin,
+    // Bucket minimum as reference, one row per colliding band — the
+    // signature/banding mirror lives with the contract in TextSim.
+    "stream_dedup_minhash" -> TextSim.dStreamNearDup,
     // Hour windows start epoch-aligned == date_trunc('hour'); baseline =
     // total / distinct active hours per type.
     "stream_rate_alert" ->

@@ -361,4 +361,78 @@ object StreamOps {
           }
       }
   }
+  final case class BandRef(minId: Long, sig: Seq[Long])
+  final case class NearDupHit(doc_id: Long, band: Int, ref_id: Long,
+    est_sim: Double)
+
+  /** Streaming near-dup detection at ingest — the MinHash/LSH dedup the
+    * batch family runs nightly, expressed as a continuous flag feed: each
+    * arriving document is signed MAP-SIDE (TextSim.perRowSig — the
+    * bit-identical per-row form of the batch signature; an aggregation
+    * cannot precede a stateful operator in a stream, which is exactly why
+    * the per-row form exists), exploded to its LSH band keys, and run
+    * through flatMapGroupsWithState keyed on (band, key). State per
+    * bucket is ONE (min doc_id, signature) reference record; an arriving
+    * doc colliding with its bucket's reference emits a
+    * (doc_id, band, ref_id, est_sim) hit — the candidate feed a
+    * downstream exact-verify or quarantine stage consumes (the
+    * stream_topk seam convention: the per-doc collapse happens after the
+    * stateful op, in foreachBatch or the consumer). A doc with a SMALLER
+    * id than the stored reference takes over as reference and reports
+    * the old reference as its dup — the min-id-keeps policy of the batch
+    * dedup family, maintained incrementally.
+    *
+    * In BATCH execution the same code sees each bucket's rows once with
+    * empty state (ascending doc_id order imposed in the handler), so
+    * every non-min member emits against the bucket minimum — which is
+    * what the DuckDB oracle mirrors (TextSim.dStreamNearDup), making the
+    * streaming operator's core policy exact-oracle-checkable.
+    *
+    * Scale posture: state is one small record per DISTINCT band key —
+    * linear in corpus size like dropDuplicates state; a production
+    * deployment bounds it with an event-time timeout (expiring buckets
+    * not hit within the dedup horizon — the dedupWithinWatermark
+    * contract) and the RocksDB state store (StreamingSpec's provider
+    * matrix). est_sim = matches/16 is exact in binary, so the flag feed
+    * carries no float-drift surface.
+    */
+  def nearDupCollisions(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[NearDupHit] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.ops.TextSim
+    val sh = TextSim.perRowShingles(3)
+    val signed = docs
+      .withColumn("sh", sh).filter(size(col("sh")) > 0)
+      .withColumn("sig", TextSim.perRowSig(col("sh")))
+      .select(col("doc_id"), col("sig"),
+        posexplode(TextSim.perRowBandKeys(col("sig")))
+          .as(Seq("band", "key")))
+    signed.as[(Long, Seq[Long], Int, String)]
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (bk: (Int, String),
+         rows: Iterator[(Long, Seq[Long], Int, String)],
+         state: org.apache.spark.sql.streaming.GroupState[BandRef]) =>
+          val out = List.newBuilder[NearDupHit]
+          var ref = state.getOption
+          rows.toSeq.sortBy(_._1).foreach { case (id, sig, band, _) =>
+            ref match {
+              case None => ref = Some(BandRef(id, sig))
+              case Some(r0) if id > r0.minId =>
+                out += NearDupHit(id, band, r0.minId,
+                  TextSim.sigEst(sig, r0.sig))
+              case Some(r0) => // new bucket minimum: the old ref is the dup
+                out += NearDupHit(r0.minId, band, id,
+                  TextSim.sigEst(sig, r0.sig))
+                ref = Some(BandRef(id, sig))
+            }
+          }
+          ref.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
 }

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.StreamOps
 
@@ -493,4 +493,54 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+  case class Doc(doc_id: Long, text: String)
+
+  test("nearDupCollisions flags cross-trigger near-dups and hands the " +
+    "reference to a smaller late id (min-id-keeps, maintained in state)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Doc]
+    val q = StreamOps.nearDupCollisions(ms.toDF())
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    try {
+      // trigger 1: first arrival of each bucket — nothing may emit
+      ms.addData(Doc(100, textA), Doc(300, "totally different words here"))
+      q.processAllAvailable()
+      assert(spark.table("neardup_out").count() === 0,
+        "first arrivals are references, not dups")
+      // trigger 2: an exact near-dup of doc 100 — flagged against the
+      // state carried from trigger 1, est 1.0 on every band
+      ms.addData(Doc(200, textA))
+      q.processAllAvailable()
+      val hits2 = spark.table("neardup_out")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      assert(hits2.map(_._1).distinct === Seq(200L))
+      assert(hits2.forall(h => h._3 === 100L && h._4 === 1.0))
+      assert(hits2.map(_._2).sorted === Seq(0, 1, 2, 3),
+        "an identical doc collides on all 4 bands")
+      // trigger 3: a SMALLER id arrives late — it takes over as the
+      // bucket reference and the old reference is reported as its dup
+      ms.addData(Doc(50, textA))
+      q.processAllAvailable()
+      val hits3 = spark.table("neardup_out")
+        .filter(col("ref_id") === 50L)
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      assert(hits3.map(_._1).distinct === Seq(100L),
+        "the displaced reference is reported against the new minimum")
+    } finally q.stop()
+  }
+
+  test("nearDupCollisions batch form matches the per-row/batch signature " +
+    "contract: per-row sigs equal sigTable's") {
+    val batch = ops.Streaming.queries("stream_dedup_minhash")(spark, sf0001)
+      .collect()
+    assert(batch.nonEmpty, "the corpus's dup families must collide")
+    batch.foreach { r =>
+      assert(r.getAs[Long]("doc_id") > r.getAs[Long]("ref_id"))
+      val e = r.getAs[Double]("est_sim")
+      assert(e >= 0.0 && e <= 1.0 && (e * 16) == math.round(e * 16))
+    }
+  }
+
 }
