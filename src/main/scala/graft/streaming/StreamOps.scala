@@ -402,10 +402,20 @@ object StreamOps {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.ops.TextSim
-    val sh = TextSim.perRowShingles(3)
-    val signed = docs
-      .withColumn("sh", sh).filter(size(col("sh")) > 0)
-      .withColumn("sig", TextSim.perRowSig(col("sh")))
+    // Signing is execution-mode-appropriate, policy is not: a stream
+    // must sign per row (aggregation cannot precede a stateful op), a
+    // batch signs via sigTable's one-sha-per-DISTINCT-shingle
+    // explode+groupBy (the per-row interpreted HOF fold measured ~3×
+    // slower over a 60k-doc batch). The two paths produce bit-identical
+    // signatures by construction — TextSimSpec pins them doc-for-doc —
+    // so the bucket-min policy and the oracle see one contract.
+    val sigs =
+      if (docs.isStreaming)
+        docs.withColumn("sh", TextSim.perRowShingles(3))
+          .filter(size(col("sh")) > 0)
+          .select(col("doc_id"), TextSim.perRowSig(col("sh")).as("sig"))
+      else TextSim.sigTable(TextSim.shingleRows(docs, 3))
+    val signed = sigs
       .select(col("doc_id"), col("sig"),
         posexplode(TextSim.perRowBandKeys(col("sig")))
           .as(Seq("band", "key")))
