@@ -154,6 +154,66 @@ object Embeddings {
         (dot(col("v"), col("p")) / (col("nrm") * col("pnrm"))).as("cos"))
   }
 
+  /** Power-iteration rounds for the top principal direction. Three rounds
+    * of v ← normalize(Σᵢ eᵢ'(eᵢ'·v)) from the uniform seed dominate-align
+    * far faster than the eigengap bound suggests on clustered embedding
+    * clouds; the count is pinned into the oracle's unrolled CTE chain. */
+  private val PowerIters = 3
+
+  /** Ascending-index double-array dot — the array<double> twin of
+    * DotProductExpr (which is float-only): same sequential fold, same
+    * dDot mirror. Interpreted HOF, acceptable on the model-fit and
+    * per-vector scoring paths where inputs are centered DOUBLE arrays. */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Fit (μ, v̂₁) of the embedding cloud: exact-decimal per-dimension
+    * means, then PowerIters power-iteration rounds for the dominant
+    * principal direction — the model behind embed_pca_power (the
+    * published directions) and embed_abtt (the per-vector debias). The
+    * collected μ/v are dim-sized model parameters (the Ivf.fitCentroids
+    * exception), re-entering the plan as array literals.
+    *
+    * Cross-engine contract, step by step (every step mirrored in the
+    * oracle's unrolled CTEs): means are decimal-exact sums over exact
+    * counts (the kmeans M-step contract); per-vector coefficients are
+    * ascending double folds (dotD ↔ dDot); the per-dimension
+    * accumulation Σᵢ eᵢⱼ'·cᵢ casts each double product to DECIMAL(30,8)
+    * (partition-order-independent); the normalizer is engine-computed
+    * sqrt of the decimal sum of wⱼ² — only the final wⱼ/‖w‖ divisions
+    * run driver-side, on doubles the oracle derives identically. The
+    * norm's decimal quantization is replayed driver-side with
+    * BigDecimal.setScale(8, HALF_UP), the same rounding both engines'
+    * double→decimal cast applies. */
+  private[graft] def pcaFit(s: SparkSession, d: String): (Seq[Double], Seq[Double]) = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val dec = org.apache.spark.sql.types.DecimalType(30, 8)
+    val mu: Seq[Double] = emb
+      .select(posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy("j")
+      .agg((sum(col("x").cast("double").cast(dec)).cast("double") /
+        count(lit(1))).as("m"))
+      .orderBy("j").select(col("m")).as[Double].collect().toSeq
+    val dim = mu.length
+    def centered: Column = zip_with(col("embedding"), typedlit(mu),
+      (x, m) => x.cast("double") - m)
+    var v: Seq[Double] = Seq.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 1 to PowerIters) {
+      val w: Seq[Double] = emb
+        .select(dotD(centered, typedlit(v)).as("c"),
+          posexplode(centered).as(Seq("j", "ej")))
+        .groupBy("j")
+        .agg(sum((col("ej") * col("c")).cast(dec)).cast("double").as("wd"))
+        .orderBy("j").select(col("wd")).as[Double].collect().toSeq
+      val nrm = math.sqrt(w.map(x => BigDecimal(x * x)
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble)
+      v = w.map(_ / nrm)
+    }
+    (mu, v)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // L2 norm + first normalized component per vector. Map-only.
@@ -194,6 +254,52 @@ object Embeddings {
       assign(Tables.embeddings(s, d))
         .select(col("vec_id"), col("cid").as("centroid_id"),
           round(sqrt(col("d2")), 6).as("dist"))
+        .orderBy("vec_id")
+    }),
+
+    // Top principal direction of the embedding cloud by power iteration
+    // (the model half of all-but-the-top; also the first step of PCA
+    // whitening): per-dimension mean + dominant eigenvector of the
+    // centered covariance, WITHOUT forming the covariance matrix —
+    // v ← normalize(Σᵢ eᵢ'(eᵢ'·v)) touches only dim-sized state per
+    // round, which is what makes the fit feasible at 100 TB (three
+    // corpus scans, each one map-side dot + one (j)-keyed decimal agg;
+    // a covariance matrix is dim² state and a full shuffle). The
+    // published model IS the result — 64 (dim_idx, mu, v1) rows; the
+    // oracle replays the entire fit as unrolled CTEs (the pageRank/
+    // dIvfLloyd convention) and matches bit-for-bit under the contract
+    // documented at [[pcaFit]].
+    "embed_pca_power" -> ((s, d) => {
+      val (mu, v) = pcaFit(s, d)
+      import s.implicits._
+      mu.indices.map(j => (j, mu(j), v(j))).toDF("dim_idx", "mu", "v1")
+    }),
+
+    // All-but-the-top embedding debias (Mu & Viswanath, ICLR 2018):
+    // embedding clouds share a large common component that swamps cosine
+    // contrast; removing the mean and the top principal projection
+    // measurably improves retrieval. Per vector: the pc1 coefficient
+    // c = e'·v̂₁ and the residual norm ‖e' − c·v̂₁‖ — the two numbers the
+    // debiased index stores. Reuses the SAME pcaFit model as
+    // embed_pca_power (one definition, the report-reuses-operator
+    // convention). Determinism: c and ‖e'‖² are ascending double folds
+    // rounded at 6dp BEFORE the residual combine, so the closing
+    // a − c·c sits behind round barriers no vectorized engine can
+    // FMA-fuse across; the residual sqrt is correctly-rounded IEEE on
+    // identical operands. Scale: model fit as above, then ONE map-side
+    // scoring pass — no join, no shuffle.
+    "embed_abtt" -> ((s, d) => {
+      val (mu, v) = pcaFit(s, d)
+      val ce = zip_with(col("embedding"), typedlit(mu),
+        (x, m) => x.cast("double") - m)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          round(dotD(ce, typedlit(v)), 6).as("pc1_coef"),
+          round(dotD(ce, ce), 6).as("sq_norm"))
+        .select(col("vec_id"), col("label"), col("pc1_coef"),
+          round(sqrt(greatest(
+            col("sq_norm") - col("pc1_coef") * col("pc1_coef"),
+            lit(0.0))), 6).as("resid_norm"))
         .orderBy("vec_id")
     }),
 
@@ -723,7 +829,58 @@ object Embeddings {
       .select("vec_id", "cid", "d2")
   }
 
+  /** One power-iteration round as oracle CTEs: coefficient fold, decimal
+    * per-dimension accumulation, decimal norm, driver-mirrored division. */
+  private def dPowerIter(k: Int, vPrev: String): String =
+    s"""c$k AS (SELECT vec_id, ce, ${dDot("ce", "vv")} AS c
+       |  FROM ce, (SELECT v AS vv FROM $vPrev)),
+       |w${k}e AS (SELECT unnest(generate_series(0, len(ce) - 1)) AS j,
+       |    unnest(ce) AS ej, c FROM c$k),
+       |w$k AS (SELECT j, CAST(SUM(CAST(ej * c AS DECIMAL(30,8)))
+       |    AS DOUBLE) AS wd FROM w${k}e GROUP BY 1),
+       |n$k AS (SELECT sqrt(CAST(SUM(CAST(wd * wd AS DECIMAL(30,8)))
+       |    AS DOUBLE)) AS nrm FROM w$k),
+       |v$k AS (SELECT list(wd / nrm ORDER BY j) AS v FROM w$k, n$k)"""
+      .stripMargin
+
+  /** The full pcaFit replay: exact-decimal means, centered cloud, uniform
+    * seed, PowerIters unrolled rounds — shared by embed_pca_power and
+    * embed_abtt so the published model and the per-vector debias can
+    * never disagree. */
+  private lazy val dPcaChain: String =
+    s"""el AS (SELECT vec_id,
+       |    unnest(generate_series(0, len(embedding) - 1)) AS j,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       |mu AS (SELECT j, CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)
+       |    / count(*) AS m FROM el GROUP BY 1),
+       |muv AS (SELECT list(m ORDER BY j) AS mu FROM mu),
+       |ce AS (SELECT vec_id,
+       |    list_transform(list_zip(embedding, mu), p ->
+       |      CAST(p[1] AS DOUBLE) - p[2]) AS ce
+       |  FROM embeddings, muv),
+       |d0 AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+       |v0 AS (SELECT list_transform(generate_series(1, dim), i ->
+       |    1.0 / sqrt(CAST(dim AS DOUBLE))) AS v FROM d0),
+       |${dPowerIter(1, "v0")},
+       |${dPowerIter(2, "v1")},
+       |${dPowerIter(3, "v2")}""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "embed_pca_power" ->
+      s"""WITH $dPcaChain
+        |SELECT CAST(j AS INTEGER) AS dim_idx, m AS mu, wd / nrm AS v1
+        |FROM mu JOIN w3 USING (j), n3 ORDER BY dim_idx""".stripMargin,
+    "embed_abtt" ->
+      s"""WITH $dPcaChain,
+        |sc AS (SELECT ce.vec_id, e.label,
+        |    round(${dDot("ce", "vv")}, 6) AS pc1_coef,
+        |    round(${dDot("ce", "ce")}, 6) AS sq_norm
+        |  FROM ce JOIN embeddings e ON ce.vec_id = e.vec_id,
+        |    (SELECT v AS vv FROM v3))
+        |SELECT vec_id, label, pc1_coef,
+        |  round(sqrt(greatest(sq_norm - pc1_coef * pc1_coef, 0.0)), 6)
+        |    AS resid_norm
+        |FROM sc ORDER BY vec_id""".stripMargin,
     "embed_norm" ->
       s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |round(sqrt(${dDot("embedding", "embedding")}), 6) AS l2_norm,

