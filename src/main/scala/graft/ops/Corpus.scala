@@ -250,6 +250,68 @@ object Corpus {
         .orderBy("doc_id")
     }),
 
+    // Exact-substring duplication report (L125; the scalable form of Lee
+    // et al. 2022's ExactSubstr dedup): per document, the token mass
+    // covered by >=6-token runs shared verbatim with ANY other document —
+    // what ExactSubstr would cut. Suffix arrays don't distribute; the
+    // winnowing fingerprints above do the same detection as one shuffle:
+    // a fingerprint selected in >=2 distinct docs IS a shared >=6-token
+    // run (winnowing guarantee: every shared run of w+k-1 = 6 tokens
+    // shares at least one selected min-hash, CorpusSpec pins it against
+    // brute-force 6-gram truth), so flagged spans [pos, pos+5] merge per
+    // doc into duplicated intervals — never a doc x doc pair, never a
+    // global structure: detection is groupBy(fp) HAVING >=2 distinct
+    // docs, span recovery a left-semi join back on fp, interval merge a
+    // per-doc window over (pos-sorted) selected rows. Integer-exact end
+    // to end; the one division (dup_ratio) is a single IEEE divide of
+    // identical exact longs in both engines. Unlike dedup_span (exact
+    // whole-paragraph first-occurrence), this catches duplication at
+    // sub-span granularity and ATTRIBUTES it per doc: kept_tok is the
+    // residual corpus a trim pass would retain.
+    "dedup_substring" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val h3 = Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.NGramGenerator.ngrams(toks, 3))
+        .select(col("doc_id"), col("pos"), h60(col("ngram")).as("h"))
+      // winnow selection WITH position (text_winnow's value-set form
+      // drops it): same 4-hash window min, same full-window gate
+      val fps = h3
+        .select(col("doc_id"), col("pos"),
+          min("h").over(w.rowsBetween(0, 3)).as("fp"),
+          lead("h", 3).over(w).isNotNull.as("fullw"))
+        .filter(col("fullw"))
+        .select(col("doc_id"), col("pos"), col("fp"))
+      val shared = fps.groupBy("fp")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("fp")
+      val sp = fps.join(shared, Seq("fp"), "left_semi")
+        .select(col("doc_id"), col("pos"), (col("pos") + lit(5)).as("e"))
+      // classic interval merge: new interval where pos clears the running
+      // max end of everything before it; both windows are per-doc
+      val prevMax = max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val per = sp
+        .withColumn("nw",
+          when(prevMax.isNull || col("pos") > prevMax, 1).otherwise(0))
+        .withColumn("ivid", sum("nw").over(w))
+        .groupBy("doc_id", "ivid")
+        .agg(min("pos").as("s0"), max("e").as("e0"),
+          count(lit(1)).as("nwin"))
+        .groupBy("doc_id")
+        .agg(sum(col("e0") - col("s0") + 1).as("dup_tok"),
+          sum("nwin").as("n_dup_win"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).cast("long").as("n_tok"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_dup_win"), lit(0L)).as("n_dup_win"),
+          coalesce(col("dup_tok"), lit(0L)).as("dup_tok"),
+          (col("n_tok") - coalesce(col("dup_tok"), lit(0L))).as("kept_tok"),
+          round(coalesce(col("dup_tok"), lit(0L)).cast("double") /
+            col("n_tok"), 6).as("dup_ratio"))
+        .withColumn("mostly_dup", col("dup_ratio") >= 0.5)
+        .orderBy("doc_id")
+    }),
+
     // BM25 ranked retrieval (L43; Robertson's Okapi BM25 with the
     // Lucene-style +1 inside the idf ln, which keeps every term
     // contribution non-negative): score the corpus against the probe
@@ -940,6 +1002,51 @@ object Corpus {
         |SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp,
         |  max(fp) AS max_fp
         |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the text_winnow chain with positions kept; pos is 1-based here vs
+    // the Generator's 0-based — interval LENGTHS are shift-invariant, so
+    // every emitted number is identical
+    "dedup_substring" ->
+      s"""WITH t AS ($dTokRows),
+        |g3 AS (SELECT doc_id, pos,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+        |      lead(tok, 2) OVER w AS g,
+        |    lead(tok, 2) OVER w IS NOT NULL AS is_full
+        |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |h3 AS (SELECT doc_id, pos, ${dH60("g")} AS h
+        |  FROM g3 WHERE is_full),
+        |sel AS (SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos)
+        |      IS NOT NULL AS is_fullw
+        |  FROM h3),
+        |fps AS (SELECT doc_id, pos, fp FROM sel WHERE is_fullw),
+        |shared AS (SELECT fp FROM fps GROUP BY fp
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |sp AS (SELECT f.doc_id, f.pos, f.pos + 5 AS e
+        |  FROM fps f JOIN shared USING (fp)),
+        |iv AS (SELECT doc_id, pos, e,
+        |    CASE WHEN max(e) OVER wp IS NULL OR pos > max(e) OVER wp
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM sp WINDOW wp AS (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |mg AS (SELECT doc_id,
+        |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS ivid,
+        |    pos, e FROM iv),
+        |pm AS (SELECT doc_id, ivid, min(pos) AS s0, max(e) AS e0,
+        |    count(*) AS nwin FROM mg GROUP BY 1, 2),
+        |per AS (SELECT doc_id, CAST(SUM(e0 - s0 + 1) AS BIGINT) AS dup_tok,
+        |    CAST(SUM(nwin) AS BIGINT) AS n_dup_win FROM pm GROUP BY 1)
+        |SELECT d.doc_id, CAST(len($dToks) AS BIGINT) AS n_tok,
+        |  coalesce(p.n_dup_win, 0) AS n_dup_win,
+        |  coalesce(p.dup_tok, 0) AS dup_tok,
+        |  CAST(len($dToks) AS BIGINT) - coalesce(p.dup_tok, 0) AS kept_tok,
+        |  round(CAST(coalesce(p.dup_tok, 0) AS DOUBLE) /
+        |    len($dToks), 6) AS dup_ratio,
+        |  round(CAST(coalesce(p.dup_tok, 0) AS DOUBLE) /
+        |    len($dToks), 6) >= 0.5 AS mostly_dup
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "text_bm25" ->
       s"""WITH t AS ($dTokRows),
         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),

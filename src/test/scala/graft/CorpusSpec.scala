@@ -533,4 +533,39 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(jsRef - jsOf(cur, ref)) < 1e-12, "symmetric")
     assert(js >= 0.0 && js <= math.log(2) + 1e-9)
   }
+
+  test("dedup_substring: accounting identities hold, both flag classes " +
+    "populated, and the winnowing guarantee catches every brute-force " +
+    "shared 6-token run") {
+    val rows = ops.Corpus.queries("dedup_substring")(spark, sf0001).collect()
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tok"); val dup = r.getAs[Long]("dup_tok")
+      assert(dup >= 0 && dup <= n, s"dup_tok $dup outside [0, $n]")
+      assert(r.getAs[Long]("kept_tok") == n - dup, "kept + dup != n_tok")
+      val ratio = r.getAs[Double]("dup_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getAs[Boolean]("mostly_dup") == (ratio >= 0.5))
+    }
+    assert(rows.exists(_.getAs[Boolean]("mostly_dup")), "no heavy dups")
+    assert(rows.exists(!_.getAs[Boolean]("mostly_dup")), "all heavy dups")
+    // brute-force truth: every doc containing a 6-token run that appears
+    // verbatim in ANOTHER doc must be attributed dup mass (the w+k-1 = 6
+    // winnowing guarantee, checked without winnowing)
+    val runs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.ops.toks.as("t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 6), i -> " +
+          "array_join(slice(t, i + 1, 6), ' '))")).as("run"))
+    val mustFlag = runs.groupBy("run")
+      .agg(countDistinct("doc_id").as("nd"), collect_set("doc_id").as("ds"))
+      .filter(col("nd") >= 2)
+      .select(explode(col("ds")).as("doc_id")).distinct()
+      .collect().map(_.getLong(0))
+    assert(mustFlag.nonEmpty, "vacuous truth: no cross-doc 6-token runs")
+    mustFlag.foreach { id =>
+      assert(byDoc(id).getAs[Long]("dup_tok") >= 6,
+        s"doc $id shares a 6-token run but dup_tok < 6")
+    }
+  }
 }
