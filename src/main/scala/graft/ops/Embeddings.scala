@@ -198,11 +198,22 @@ object Embeddings {
     val dim = mu.length
     def centered: Column = zip_with(col("embedding"), typedlit(mu),
       (x, m) => x.cast("double") - m)
+    (mu, powerIterate(s, emb.select(centered.as("ce")), dim))
+  }
+
+  /** PowerIters rounds of v ← normalize(Σ rows ce·(ce·v)) over a
+    * one-column DataFrame of (already centered/deflated) double arrays —
+    * the shared engine of [[pcaFit]] and [[pcaFit2]]'s second pass. Same
+    * uniform seed, same decimal accumulation and norm contract. */
+  private def powerIterate(s: SparkSession, rows: DataFrame,
+      dim: Int): Seq[Double] = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(30, 8)
     var v: Seq[Double] = Seq.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     for (_ <- 1 to PowerIters) {
-      val w: Seq[Double] = emb
-        .select(dotD(centered, typedlit(v)).as("c"),
-          posexplode(centered).as(Seq("j", "ej")))
+      val w: Seq[Double] = rows
+        .select(dotD(col("ce"), typedlit(v)).as("c"),
+          posexplode(col("ce")).as(Seq("j", "ej")))
         .groupBy("j")
         .agg(sum((col("ej") * col("c")).cast(dec)).cast("double").as("wd"))
         .orderBy("j").select(col("wd")).as[Double].collect().toSeq
@@ -211,7 +222,28 @@ object Embeddings {
         .sum.toDouble)
       v = w.map(_ / nrm)
     }
-    (mu, v)
+    v
+  }
+
+  /** (μ, v̂₁, v̂₂) — [[pcaFit]] plus one Hotelling deflation round: the
+    * second direction is the power-iteration fixpoint of the cloud with
+    * each vector's v̂₁ projection removed (e₂ = e′ − (e′·v̂₁)·v̂₁), which is
+    * exactly PCA's orthogonal-complement recursion without ever forming a
+    * covariance matrix. Determinism: e₂'s per-element x − c·v is two
+    * single IEEE ops on operands both engines derive identically (c is an
+    * ascending fold, v a derived literal) — no sum reordering surface, so
+    * no quantization needed before the decimal-accumulated iteration. */
+  private[graft] def pcaFit2(s: SparkSession, d: String)
+      : (Seq[Double], Seq[Double], Seq[Double]) = {
+    val (mu, v1) = pcaFit(s, d)
+    val ce = zip_with(col("embedding"), typedlit(mu),
+      (x, m) => x.cast("double") - m)
+    val deflated = Tables.embeddings(s, d)
+      .select(ce.as("ce0"))
+      .select(col("ce0"), dotD(col("ce0"), typedlit(v1)).as("c1"))
+      .select(zip_with(col("ce0"), typedlit(v1),
+        (x, vv) => x - col("c1") * vv).as("ce"))
+    (mu, v1, powerIterate(s, deflated, mu.length))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -300,6 +332,41 @@ object Embeddings {
           round(sqrt(greatest(
             col("sq_norm") - col("pc1_coef") * col("pc1_coef"),
             lit(0.0))), 6).as("resid_norm"))
+        .orderBy("vec_id")
+    }),
+
+    // PCA-2 whitening (the classical decorrelate-and-rescale preprocessor;
+    // Hotelling deflation gives the second direction from the SAME
+    // power-iteration engine as embed_pca_power): per vector the first two
+    // principal coefficients rescaled to unit variance, w_i = cᵢ/√λᵢ —
+    // the 2-D whitened view downstream calibration/visualization consumes.
+    // λᵢ is the in-engine corpus variance of cᵢ (decimal-accumulated sum
+    // of squares over an exact count — both engines derive the identical
+    // double, so the √λ division needs no driver round-trip). Scale: two
+    // model fits (dim-sized state), then ONE scoring pass; λ is a 1-row
+    // reducing aggregate crossed back in (broadcast of a global agg — the
+    // allowed scalar-cross shape).
+    "embed_whiten" -> ((s, d) => {
+      val (mu, v1, v2) = pcaFit2(s, d)
+      val dec = org.apache.spark.sql.types.DecimalType(30, 8)
+      val ce = zip_with(col("embedding"), typedlit(mu),
+        (x, m) => x.cast("double") - m)
+      val scored = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), ce.as("ce0"))
+        .withColumn("c1r", dotD(col("ce0"), typedlit(v1)))
+        .withColumn("ce2", zip_with(col("ce0"), typedlit(v1),
+          (x, vv) => x - col("c1r") * vv))
+        .withColumn("c2r", dotD(col("ce2"), typedlit(v2)))
+        .select("vec_id", "label", "c1r", "c2r")
+      val lam = scored.agg(
+        (sum((col("c1r") * col("c1r")).cast(dec)).cast("double") /
+          count(lit(1))).as("lam1"),
+        (sum((col("c2r") * col("c2r")).cast(dec)).cast("double") /
+          count(lit(1))).as("lam2"))
+      scored.crossJoin(broadcast(lam))
+        .select(col("vec_id"), col("label"),
+          round(col("c1r") / sqrt(col("lam1")), 6).as("w1"),
+          round(col("c2r") / sqrt(col("lam2")), 6).as("w2"))
         .orderBy("vec_id")
     }),
 
@@ -830,17 +897,21 @@ object Embeddings {
   }
 
   /** One power-iteration round as oracle CTEs: coefficient fold, decimal
-    * per-dimension accumulation, decimal norm, driver-mirrored division. */
-  private def dPowerIter(k: Int, vPrev: String): String =
-    s"""c$k AS (SELECT vec_id, ce, ${dDot("ce", "vv")} AS c
-       |  FROM ce, (SELECT v AS vv FROM $vPrev)),
-       |w${k}e AS (SELECT unnest(generate_series(0, len(ce) - 1)) AS j,
-       |    unnest(ce) AS ej, c FROM c$k),
-       |w$k AS (SELECT j, CAST(SUM(CAST(ej * c AS DECIMAL(30,8)))
-       |    AS DOUBLE) AS wd FROM w${k}e GROUP BY 1),
-       |n$k AS (SELECT sqrt(CAST(SUM(CAST(wd * wd AS DECIMAL(30,8)))
-       |    AS DOUBLE)) AS nrm FROM w$k),
-       |v$k AS (SELECT list(wd / nrm ORDER BY j) AS v FROM w$k, n$k)"""
+    * per-dimension accumulation, decimal norm, driver-mirrored division.
+    * `src` is any CTE with (vec_id, ce); `tag` prefixes the CTE names so a
+    * second chain (the whiten deflation pass) can coexist in one WITH. */
+  private def dPowerIter(k: Int, vPrev: String, src: String = "ce",
+      tag: String = ""): String =
+    s"""${tag}c$k AS (SELECT vec_id, ce, ${dDot("ce", "vv")} AS c
+       |  FROM $src, (SELECT v AS vv FROM $vPrev)),
+       |${tag}w${k}e AS (SELECT unnest(generate_series(0, len(ce) - 1)) AS j,
+       |    unnest(ce) AS ej, c FROM ${tag}c$k),
+       |${tag}w$k AS (SELECT j, CAST(SUM(CAST(ej * c AS DECIMAL(30,8)))
+       |    AS DOUBLE) AS wd FROM ${tag}w${k}e GROUP BY 1),
+       |${tag}n$k AS (SELECT sqrt(CAST(SUM(CAST(wd * wd AS DECIMAL(30,8)))
+       |    AS DOUBLE)) AS nrm FROM ${tag}w$k),
+       |${tag}v$k AS (SELECT list(wd / nrm ORDER BY j) AS v
+       |  FROM ${tag}w$k, ${tag}n$k)"""
       .stripMargin
 
   /** The full pcaFit replay: exact-decimal means, centered cloud, uniform
@@ -865,6 +936,20 @@ object Embeddings {
        |${dPowerIter(2, "v1")},
        |${dPowerIter(3, "v2")}""".stripMargin
 
+  /** [[pcaFit2]]'s replay: the pcaFit chain, per-vector deflation
+    * e₂ = e′ − (e′·v̂₁)·v̂₁, then the second power chain (tag `d`) from the
+    * same uniform seed — shared structure, one definition per step. */
+  private lazy val dWhitenChain: String =
+    s"""$dPcaChain,
+       |c1s AS (SELECT vec_id, ce, ${dDot("ce", "vv")} AS c1
+       |  FROM ce, (SELECT v AS vv FROM v3)),
+       |ce2 AS (SELECT vec_id, c1,
+       |    list_transform(list_zip(ce, vv), p -> p[1] - c1 * p[2]) AS ce
+       |  FROM c1s, (SELECT v AS vv FROM v3)),
+       |${dPowerIter(1, "v0", "ce2", "d")},
+       |${dPowerIter(2, "dv1", "ce2", "d")},
+       |${dPowerIter(3, "dv2", "ce2", "d")}""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "embed_pca_power" ->
       s"""WITH $dPcaChain
@@ -881,6 +966,19 @@ object Embeddings {
         |  round(sqrt(greatest(sq_norm - pc1_coef * pc1_coef, 0.0)), 6)
         |    AS resid_norm
         |FROM sc ORDER BY vec_id""".stripMargin,
+    "embed_whiten" ->
+      s"""WITH $dWhitenChain,
+        |wsc AS (SELECT t.vec_id, e.label, t.c1 AS c1r,
+        |    ${dDot("ce", "vv2")} AS c2r
+        |  FROM ce2 t JOIN embeddings e ON t.vec_id = e.vec_id,
+        |    (SELECT v AS vv2 FROM dv3)),
+        |wst AS (SELECT CAST(SUM(CAST(c1r * c1r AS DECIMAL(30,8)))
+        |      AS DOUBLE) / count(*) AS lam1,
+        |    CAST(SUM(CAST(c2r * c2r AS DECIMAL(30,8)))
+        |      AS DOUBLE) / count(*) AS lam2 FROM wsc)
+        |SELECT vec_id, label, round(c1r / sqrt(lam1), 6) AS w1,
+        |  round(c2r / sqrt(lam2), 6) AS w2
+        |FROM wsc, wst ORDER BY vec_id""".stripMargin,
     "embed_norm" ->
       s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |round(sqrt(${dDot("embedding", "embedding")}), 6) AS l2_norm,

@@ -211,4 +211,24 @@ class EmbeddingsSpec extends SparkSpec {
         s"uniform 1/${v.length}")
   }
 
+  test("embed_whiten: exactly unit variance per component, centered, and " +
+    "bounded residual cross-correlation") {
+    val rows = ops.Embeddings.queries("embed_whiten")(spark, sf0001)
+      .collect()
+    val w1 = rows.map(_.getAs[Double]("w1"))
+    val w2 = rows.map(_.getAs[Double]("w2"))
+    val n = rows.length.toDouble
+    // w_i = c_i / sqrt(mean(c_i^2)) makes the second moment 1 BY
+    // CONSTRUCTION -- any drift beyond 6dp rounding is an engine bug
+    assert(math.abs(w1.map(x => x * x).sum / n - 1.0) < 1e-5, "var(w1)")
+    assert(math.abs(w2.map(x => x * x).sum / n - 1.0) < 1e-5, "var(w2)")
+    assert(math.abs(w1.sum / n) < 1e-4, "w1 centered")
+    assert(math.abs(w2.sum / n) < 1e-4, "w2 centered")
+    // decorrelation is exact only at the eigenvector fixpoint; on this
+    // near-isotropic cloud (tiny eigengap) PowerIters=3 leaves a residual
+    // cross term (measured -0.16) -- pinned bounded, not zero
+    assert(math.abs(w1.zip(w2).map { case (a, b) => a * b }.sum / n) < 0.25,
+      "residual cross-correlation out of bound")
+  }
+
 }
