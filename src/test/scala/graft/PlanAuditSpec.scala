@@ -108,6 +108,10 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row broadcast (n_docs, avgdl) corpus stats crossed into the
     // |q|-bounded tf/df join
     "text_bm25" -> Set("BroadcastNestedLoopJoin"),
+    // 1-row broadcast (lam1, lam2) variance normalizers — a global
+    // reducing aggregate crossed into the scoring pass (the text_bm25
+    // scalar-stats shape)
+    "embed_whiten" -> Set("BroadcastNestedLoopJoin"),
     // 1-row broadcast n_docs scalar for the idf term
     "text_tfidf" -> Set("BroadcastNestedLoopJoin"),
     // 1-row n_docs scalar, and the rank window runs AFTER the
