@@ -23,7 +23,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 python3 - "$1" "${2:-}" <<'PYEOF'
-import json, sys, glob, re, os
+import json, sys, glob, re, os, subprocess
 
 cur_path, prev_path = sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else ""
 cur = json.load(open(cur_path))
@@ -73,12 +73,35 @@ if suspects:
 elif ratio is not None and ratio > 1.15:
     verdict = "drift"            # broad host drift, no per-query culprit
 
+# Coverage vs the DECLARED board (graft.Board): r11's clean bench covered
+# 256 of 285 queries and this gate said "pass" — nothing compared the
+# benched set against SparkEntry.queries. A bench of a stale board now
+# stamps the artifact partial and the verdict says so. Requires compiled
+# classes; when they're absent (CI checkout without a build) coverage is
+# reported as unknown rather than silently skipped.
+coverage = {"declared": None, "benched": len(cq), "missing_n": None}
+if os.path.isdir('target/scala-2.13/classes'):
+    try:
+        bo = subprocess.run(
+            ['java', '-cp', 'target/scala-2.13/classes:/opt/spark/jars/*',
+             'graft.Board'], capture_output=True, text=True, timeout=120)
+        declared = sorted(q for q in bo.stdout.split() if q)
+        if bo.returncode == 0 and declared:
+            missing = sorted(set(declared) - set(cq))
+            coverage = {"declared": len(declared), "benched": len(cq),
+                        "missing_n": len(missing), "missing": missing[:40]}
+            if missing:
+                verdict = "partial"
+    except Exception:
+        pass
+
 print(json.dumps({
     "gate": "bench", "verdict": verdict,
     "cur": os.path.basename(cur_path), "prev": os.path.basename(prev_path),
     "n_common": len(common),
     "common_total_cur": round(tot_c, 2), "common_total_prev": round(tot_p, 2),
     "ratio": ratio,
+    "coverage": coverage,
     "new_queries": sorted(set(cq) - set(pq)),
     "lost_queries": sorted(set(pq) - set(cq)),
     "suspects": suspects,

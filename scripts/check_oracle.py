@@ -13,6 +13,14 @@ sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# DuckDB spills big oracle queries (graph_hits' unrolled HITS CTEs at the
+# decade) to ./.tmp/duckdb_temp_storage by default; that path filled in
+# r11 ("IO Error: No space left on device") and recorded an infra FAIL
+# for a query whose Spark rows/schema matched. Point the spill at a roomy
+# volume (override with DUCKDB_TMP).
+_tmp = os.environ.get("DUCKDB_TMP", "/tmp/graft_duckdb_tmp")
+os.makedirs(_tmp, exist_ok=True)
+con.execute(f"SET temp_directory='{_tmp}'")
 for p in glob.glob(os.path.join(sfdir, "*.parquet")):
     name = os.path.basename(p).replace(".parquet", "")
     # driver testdata ships single files; Spark-written stacks (e.g. the
@@ -125,10 +133,16 @@ if "--json" in sys.argv:
             out[q] = {"rows_match": True, "schema_match": True,
                       "hash_match": True, "spark_rows": srows,
                       "oracle_rows": srows, "err": None}
-        else:
+        elif v.startswith(("ROWS", "SCHEMA", "VALUES")):
             out[q] = {"rows_match": not v.startswith("ROWS"),
                       "schema_match": not v.startswith("SCHEMA"),
                       "hash_match": False, "spark_rows": srows,
+                      "oracle_rows": None, "err": str(v)[:300]}
+        else:
+            # infra/IO exception (e.g. DuckDB temp-disk full): no
+            # comparison happened, so no match field may read true
+            out[q] = {"rows_match": None, "schema_match": None,
+                      "hash_match": None, "spark_rows": srows,
                       "oracle_rows": None, "err": str(v)[:300]}
     with open(jpath, "w") as f:
         json.dump({"sfdir": sfdir, "n_ok": n_ok, "n_checked": len(results),

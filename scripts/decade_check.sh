@@ -39,3 +39,25 @@ java "${ADD_OPENS[@]}" -Dspark.ui.enabled=false \
   -cp "$CLASSES:/opt/spark/jars/*" \
   graft.Verify "$SF1" "$OUT" 2>&1 | grep '\[verify\]' || true
 python3 scripts/check_oracle.py "$SF1" "$OUT" --json "${DECADE_JSON:-DECADE.json}"
+# Coverage gate (r11 gap: DECADE_r11.json covered 273 of 285 queries
+# because the sweep ran before the round's last additions — nothing
+# compared the swept set to the declared board). Fail loudly when the
+# artifact's query set ≠ graft.Board's, so a stale sweep can't ship.
+python3 - "${DECADE_JSON:-DECADE.json}" <<'PYEOF'
+import json, subprocess, sys
+art = json.load(open(sys.argv[1]))
+swept = set(art.get("queries", {}))
+bo = subprocess.run(
+    ['java', '-cp', 'target/scala-2.13/classes:/opt/spark/jars/*',
+     'graft.Board'], capture_output=True, text=True, timeout=120)
+declared = set(q for q in bo.stdout.split() if q)
+missing = sorted(declared - swept)
+if bo.returncode != 0 or not declared:
+    print("decade coverage: graft.Board failed — cannot verify coverage")
+    sys.exit(1)
+if missing:
+    print(f"decade coverage: PARTIAL — {len(missing)} declared queries "
+          f"missing from the sweep: {missing}")
+    sys.exit(1)
+print(f"decade coverage: full board ({len(declared)} queries)")
+PYEOF

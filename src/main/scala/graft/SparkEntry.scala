@@ -26,7 +26,8 @@ object SparkEntry {
       ops.Corpus.queries ++
       ops.Curation.queries ++
       ops.Embeddings.queries ++
-      ops.Streaming.queries
+      ops.Streaming.queries ++
+      ops.Media.queries
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++
@@ -38,5 +39,6 @@ object SparkEntry {
       ops.Corpus.oracles ++
       ops.Curation.oracles ++
       ops.Embeddings.oracles ++
-      ops.Streaming.oracles
+      ops.Streaming.oracles ++
+      ops.Media.oracles
 }

@@ -128,8 +128,10 @@ object Ingest {
     * function is the one to distribute over millions of URLs via
     * mapPartitions — an uncapped readAllBytes there is an executor OOM
     * vector (one hostile/misconfigured endpoint streaming gigabytes
-    * takes the task JVM down; a loud oversize error is retriable and
-    * attributable). */
+    * takes the task JVM down; a loud oversize error fails fast — the
+    * IllegalStateException is deliberately NOT retried, since a server
+    * that streams past the cap once will do it again — and names the
+    * URL so the bad endpoint is attributable). */
   private def readBounded(in: java.io.InputStream, maxBytes: Long,
       url: String): String = {
     val buf = new java.io.ByteArrayOutputStream()

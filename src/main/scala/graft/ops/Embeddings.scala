@@ -204,14 +204,20 @@ object Embeddings {
   /** PowerIters rounds of v ← normalize(Σ rows ce·(ce·v)) over a
     * one-column DataFrame of (already centered/deflated) double arrays —
     * the shared engine of [[pcaFit]] and [[pcaFit2]]'s second pass. Same
-    * uniform seed, same decimal accumulation and norm contract. */
+    * uniform seed, same decimal accumulation and norm contract.
+    * The input is localCheckpoint'ed once at entry: each of the
+    * PowerIters rounds otherwise re-derives the centered (for pcaFit2,
+    * centered-then-deflated) cloud from the parquet scan, tripling the
+    * fit's scan cost. A lineage cut changes no values — the per-element
+    * x − m (and x − c·v) arithmetic runs identically either way. */
   private def powerIterate(s: SparkSession, rows: DataFrame,
       dim: Int): Seq[Double] = {
     import s.implicits._
     val dec = org.apache.spark.sql.types.DecimalType(30, 8)
+    val cloud = rows.localCheckpoint(true)
     var v: Seq[Double] = Seq.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     for (_ <- 1 to PowerIters) {
-      val w: Seq[Double] = rows
+      val w: Seq[Double] = cloud
         .select(dotD(col("ce"), typedlit(v)).as("c"),
           posexplode(col("ce")).as(Seq("j", "ej")))
         .groupBy("j")
@@ -677,9 +683,16 @@ object Embeddings {
         val ndcg = rel.groupBy("probe_id")
           .agg(round(exactSum(wCase * col("rel")).cast("double") /
             lit(NdcgIdcg), 6).as("ndcg"))
-        val rr = tr1.join(list, Seq("probe_id", "cand_id"), "left")
+        // IR-standard reciprocal rank: 1/rank of the FIRST candidate
+        // present in the truth top-5 (0 when none of the 5 hit) — not
+        // merely where truth's own #1 landed. 1/min(rk) is a single IEEE
+        // division of exact small integers, safe raw per the contract.
+        val rr = tr1.select(col("probe_id"))
+          .join(rel.filter(col("rel") === 1)
+            .groupBy("probe_id").agg(min(col("rk")).as("frk")),
+            Seq("probe_id"), "left")
           .select(col("probe_id"),
-            coalesce(lit(1.0) / col("rk"), lit(0.0)).as("rr"))
+            coalesce(lit(1.0) / col("frk"), lit(0.0)).as("rr"))
         val hits = rel.agg(sum(col("rel")).as("hits"))
         hits
           .crossJoin(broadcast(rr.agg(dsum(col("rr"), 6).as("smrr"))))
@@ -1181,9 +1194,10 @@ object Embeddings {
           |      AS DOUBLE) / $NdcgIdcg, 6) AS ndcg
           |  FROM ${m}_rel GROUP BY 1),
           |${m}_rr AS (SELECT t1.probe_id,
-          |    coalesce(CAST(1 AS DOUBLE) / c.rk, CAST(0 AS DOUBLE)) AS rr
-          |  FROM tr1 t1 LEFT JOIN $c c
-          |    ON c.probe_id = t1.probe_id AND c.cand_id = t1.cand_id),
+          |    coalesce(CAST(1 AS DOUBLE) / f.frk, CAST(0 AS DOUBLE)) AS rr
+          |  FROM tr1 t1 LEFT JOIN (SELECT probe_id, min(rk) AS frk
+          |      FROM ${m}_rel WHERE rel = 1 GROUP BY 1) f
+          |    ON f.probe_id = t1.probe_id),
           |${m}_met AS (SELECT '$m' AS method,
           |    round(CAST(h.hits AS DOUBLE) / tn.n_truth, 6) AS recall_at5,
           |    round(r.smrr / tn.n_probes, 6) AS mrr,

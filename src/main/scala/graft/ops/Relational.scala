@@ -1721,6 +1721,61 @@ object Relational {
           col("last.price").as("price"))
         .orderBy("o_orderkey")),
 
+    // Time-travel point read (L127, the read-side complement of
+    // merge_upsert/cdc_apply — what Delta/Iceberg spell `VERSION AS OF v`):
+    // reconstruct the table as it stood at version 2 by compacting ONLY
+    // ops with seq ≤ 2, latest-wins, tombstones dropped. Same map-side-
+    // combinable max_by aggregate as cdc_apply — the version horizon is a
+    // FILTER pushed below the aggregate (at 100 TB the predicate prunes
+    // whole later-commit files before any shuffle; in a real log store
+    // seq rides the partition path). asof_seq names which commit each
+    // surviving row was written by — the provenance column an audited
+    // snapshot read carries. At v=2 the seq-3 deletes are invisible: keys
+    // ≡0 (mod 21) still read back, which is exactly the isolation
+    // property this query exists to pin (cdc_apply at HEAD drops them).
+    "snapshot_asof" -> ((s, d) =>
+      cdcLog(s, d).filter(col("seq") <= 2)
+        .groupBy("o_orderkey")
+        .agg(max_by(struct(col("op"), col("price"), col("seq")),
+          col("seq")).as("last"))
+        .filter(col("last.op") =!= "D")
+        .select(col("o_orderkey"), col("last.op").as("last_op"),
+          col("last.price").as("price"),
+          col("last.seq").cast("int").as("asof_seq"))
+        .orderBy("o_orderkey")),
+
+    // Version history (L128, the `DESCRIBE HISTORY` read): per commit the
+    // op mix it wrote plus the table's CUMULATIVE live state after it —
+    // rows visible and their price mass. The cumulative side is NOT one
+    // compaction pass per version (V shuffles): each op's visibility is
+    // an INTERVAL [seq, next_op_seq−1] (lead over the key's own tiny
+    // history), exploded to one row per version it is live in — versions
+    // are bounded by commits, so the explode factor is ≤V and the whole
+    // history costs ONE shuffle by key plus ONE V-row aggregate by
+    // version, independent of how many versions each key survives.
+    // Price sums accumulate through DECIMAL(30,8) (cross-key double sum).
+    "snapshot_history" -> ((s, d) => {
+      val log = cdcLog(s, d)
+      val w = Window.partitionBy("o_orderkey").orderBy("seq")
+      val live = log
+        .withColumn("v_to", coalesce(lead(col("seq"), 1).over(w) - 1, lit(3)))
+        .filter(col("op") =!= "D") // a tombstone is live in no version
+        .select(explode(sequence(col("seq"), col("v_to"))).as("version"),
+          col("price"))
+        .groupBy("version")
+        .agg(count(lit(1)).as("live_rows"),
+          dsum(col("price"), 2).as("live_price"))
+      val commits = log.groupBy(col("seq").as("version"))
+        .agg(sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_insert"),
+          sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_update"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_delete"))
+      commits.join(live, Seq("version"))
+        .select(col("version").cast("int").as("version"), col("n_insert"),
+          col("n_update"), col("n_delete"), col("live_rows"),
+          col("live_price"))
+        .orderBy("version")
+    }),
+
     // Z-order layout (S extension): interleave the low 16 bits of two
     // join/filter keys into one curve value and cluster on it — the
     // data-layout op that makes BOTH per-key min/max file pruning work on
@@ -2727,6 +2782,54 @@ object Relational {
         |SELECT o_orderkey, op AS last_op, price
         |FROM latest WHERE rn = 1 AND op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
+    // Same synthetic log with the version horizon applied BEFORE
+    // compaction — the AS OF read contract.
+    "snapshot_asof" ->
+      """WITH log AS (
+        |  SELECT o_orderkey, 1 AS seq, 'I' AS op, o_totalprice AS price
+        |    FROM orders
+        |  UNION ALL SELECT o_orderkey, 2, 'U', o_totalprice * 2
+        |    FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL SELECT o_orderkey, 3, 'D', NULL
+        |    FROM orders WHERE o_orderkey % 7 = 0),
+        |latest AS (SELECT *, row_number() OVER
+        |    (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM log WHERE seq <= 2)
+        |SELECT o_orderkey, op AS last_op, price, CAST(seq AS INT) AS asof_seq
+        |FROM latest WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+    // Same log; visibility intervals via lead(), exploded per version —
+    // the same single-shuffle shape the Spark plan runs.
+    "snapshot_history" ->
+      """WITH log AS (
+        |  SELECT o_orderkey, 1 AS seq, 'I' AS op, o_totalprice AS price
+        |    FROM orders
+        |  UNION ALL SELECT o_orderkey, 2, 'U', o_totalprice * 2
+        |    FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL SELECT o_orderkey, 3, 'D', NULL
+        |    FROM orders WHERE o_orderkey % 7 = 0),
+        |iv AS (SELECT o_orderkey, seq, op, price,
+        |    coalesce(lead(seq) OVER
+        |      (PARTITION BY o_orderkey ORDER BY seq) - 1, 3) AS v_to
+        |  FROM log),
+        |vis AS (SELECT unnest(generate_series(seq, v_to)) AS version, price
+        |  FROM iv WHERE op <> 'D'),
+        |live AS (SELECT version, count(*) AS live_rows,
+        |    CAST(round(sum(CAST(price AS DECIMAL(30,8))), 2) AS DOUBLE)
+        |      AS live_price
+        |  FROM vis GROUP BY 1),
+        |commits AS (SELECT seq AS version,
+        |    CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_insert,
+        |    CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_update,
+        |    CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_delete
+        |  FROM log GROUP BY 1)
+        |SELECT CAST(c.version AS INT) AS version, n_insert, n_update,
+        |  n_delete, live_rows, live_price
+        |FROM commits c JOIN live l ON c.version = l.version
+        |ORDER BY version""".stripMargin,
     "layout_zorder" -> {
       val terms = (0 until 16).map(i =>
         s"(((p >> $i) & 1) << ${2 * i}) | (((s >> $i) & 1) << ${2 * i + 1})")

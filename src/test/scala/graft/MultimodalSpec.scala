@@ -298,6 +298,46 @@ class MultimodalSpec extends SparkSpec {
     assert(off.isEmpty)
   }
 
+  test("declared media queries (L129-L131) agree with direct plumbing " +
+    "calls and the decode aggregate matches a driver-side stub replay") {
+    // media_decode_agg: f0_mass per kind must equal the stub decode run
+    // directly over the synth payloads (the query adds repartition +
+    // batching, which must not change the fold under the decimal contract)
+    val agg = ops.Media.queries("media_decode_agg")(spark, "")
+      .collect().map(r => r.getAs[String]("kind") ->
+        (r.getAs[Long]("n_media"), r.getAs[Long]("total_bytes"),
+          r.getAs[Double]("f0_mass"))).toMap
+    assert(agg.keySet === Set("image", "audio", "video"))
+    val direct = Multimodal.synth(spark, 4096)
+      .select($"media_id", $"kind", $"content").collect()
+      .map(r => (r.getAs[String]("kind"),
+        r.getAs[Array[Byte]]("content")))
+      .groupBy(_._1).map { case (k, rows) =>
+        val f0s = rows.map(r => BigDecimal(
+          Multimodal.decodeStub(r._2)(0).toDouble).setScale(8,
+          BigDecimal.RoundingMode.HALF_UP))
+        k -> (rows.length.toLong,
+          rows.map(_._2.length.toLong).sum,
+          f0s.sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    direct.foreach { case (k, (n, bytes, f0)) =>
+      assert(agg(k) === ((n, bytes, f0)), s"kind $k")
+    }
+    // media_frame_plan: every sampled count is ceil(n_frames/4), frames
+    // only from videos
+    val fp = ops.Media.queries("media_frame_plan")(spark, "").collect()
+    fp.foreach { r =>
+      val nf = r.getAs[Int]("n_frames")
+      assert(r.getAs[Long]("n_sampled") === (nf + 3) / 4)
+      assert(r.getAs[Int]("last_frame") % 4 === 0)
+    }
+    // media_resize_plan: never upscales, fits in 24
+    val rp = ops.Media.queries("media_resize_plan")(spark, "")
+    assert(rp.filter($"dst_w" > 24 || $"dst_h" > 24 ||
+      $"dst_w" > $"src_w" || $"dst_h" > $"src_h").isEmpty)
+    assert(rp.count() > 0)
+  }
+
   test("real pixel resize executes the plan: dims, content, PNG payload") {
     def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(

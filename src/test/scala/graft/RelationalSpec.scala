@@ -299,6 +299,48 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("snapshot_asof at v2 shows updates but NOT the v3 deletes " +
+    "(time-travel isolation, L127)") {
+    val base = orders.select(col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Double)].collect().toMap
+    val got = ops.Relational.queries("snapshot_asof")(spark, sf0001)
+      .select("o_orderkey", "last_op", "price", "asof_seq")
+      .as[(Long, String, Double, Int)].collect()
+    // every key is visible at v2 — the seq-3 tombstones must not leak
+    // backwards through the version horizon
+    assert(got.length === base.size)
+    assert(got.exists { case (k, _, _, _) => k % 7 == 0 },
+      "deleted-at-HEAD keys must still read back AS OF v2")
+    got.foreach { case (k, op, p, sq) =>
+      if (k % 3 == 0) assert(op == "U" && sq == 2 && p == base(k) * 2)
+      else assert(op == "I" && sq == 1 && p == base(k))
+    }
+  }
+
+  test("snapshot_history's HEAD row agrees with the cdc_apply read " +
+    "and commit deltas reconcile (L128)") {
+    val h = ops.Relational.queries("snapshot_history")(spark, sf0001)
+      .collect().map(r => r.getAs[Int]("version") ->
+        (r.getAs[Long]("n_insert"), r.getAs[Long]("n_update"),
+          r.getAs[Long]("n_delete"), r.getAs[Long]("live_rows"),
+          r.getAs[Double]("live_price"))).toMap
+    assert(h.keySet === Set(1, 2, 3))
+    val nKeys = orders.count()
+    // v1: everything inserted, everything live
+    assert(h(1)._1 === nKeys && h(1)._4 === nKeys)
+    // v2: updates change no row count
+    assert(h(2)._4 === nKeys && h(2)._2 === orders
+      .filter(col("o_orderkey") % 3 === 0).count())
+    // HEAD: history's live state == what the cdc_apply compaction reads
+    val head = ops.Relational.queries("cdc_apply")(spark, sf0001)
+    assert(h(3)._4 === head.count())
+    assert(h(3)._4 === nKeys - h(3)._3)
+    val headPrice = head.agg(
+      round(sum(col("price").cast("decimal(30,8)")), 2).cast("double"))
+      .head().getDouble(0)
+    assert(h(3)._5 === headPrice)
+  }
+
   test("agg_incremental merge is indistinguishable from full recompute (D2)") {
     val inc = ops.Relational.queries("agg_incremental")(spark, sf0001)
     val full = orders.groupBy("o_orderpriority")
