@@ -38,7 +38,13 @@ object SpillProbe {
   private val Heavy = Seq("pipeline_curate", "pipeline_curate2",
     "graph_label_prop", "graph_pagerank", "graph_bfs", "graph_jaccard",
     "dedup_containment", "dedup_ngram_jaccard", "dedup_keep_best",
-    "graph_modularity", "dedup_minhash_eval", "dedup_minhash_eval_sampled")
+    "graph_modularity", "dedup_minhash_eval", "dedup_minhash_eval_sampled",
+    // r11's expensive additions (VERDICT r11 item 6): the banding sweep
+    // (runs exact-Jaccard truth), the nprobe tuning curve (k replays of
+    // the shared Lloyd fit), the two-fit whitening, the winnowing
+    // substring report, and the composed curation funnel.
+    "dedup_band_sweep", "ivf_nprobe_sweep", "embed_whiten",
+    "dedup_substring", "curate_funnel")
 
   private final class SpillListener extends SparkListener {
     val memSpilled = new java.util.concurrent.atomic.LongAdder

@@ -1776,6 +1776,26 @@ object Relational {
         .orderBy("version")
     }),
 
+    // Vacuum / retention planning (L132, the maintenance side of the
+    // snapshot family): once every reader has advanced past horizon H=2,
+    // which log entries can be physically deleted? A superseded entry is
+    // droppable iff its SUCCESSOR is already ≤ H (no snapshot ≥ H can
+    // resolve to it); tombstones and live-at-H entries are retained —
+    // the conservative Delta-style rule that never breaks an as-of read
+    // ≥ H. Per commit: entries written vs entries vacuum reclaims. Same
+    // one-shuffle lead()-over-key shape as snapshot_history; the report
+    // is the number a storage-reclamation job quotes before it rewrites.
+    "snapshot_vacuum" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderkey").orderBy("seq")
+      cdcLog(s, d)
+        .withColumn("next_seq", lead(col("seq"), 1).over(w))
+        .groupBy(col("seq").cast("int").as("version"))
+        .agg(count(lit(1)).as("n_entries"),
+          sum(when(col("next_seq").isNotNull && col("next_seq") <= 2,
+            1L).otherwise(0L)).as("n_droppable"))
+        .orderBy("version")
+    }),
+
     // Z-order layout (S extension): interleave the low 16 bits of two
     // join/filter keys into one curve value and cluster on it — the
     // data-layout op that makes BOTH per-key min/max file pruning work on
@@ -2830,6 +2850,22 @@ object Relational {
         |  n_delete, live_rows, live_price
         |FROM commits c JOIN live l ON c.version = l.version
         |ORDER BY version""".stripMargin,
+    // Same log; an entry is reclaimable at horizon 2 iff its successor
+    // is ≤ 2 (the conservative retention rule).
+    "snapshot_vacuum" ->
+      """WITH log AS (
+        |  SELECT o_orderkey, 1 AS seq, 'I' AS op, o_totalprice AS price
+        |    FROM orders
+        |  UNION ALL SELECT o_orderkey, 2, 'U', o_totalprice * 2
+        |    FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL SELECT o_orderkey, 3, 'D', NULL
+        |    FROM orders WHERE o_orderkey % 7 = 0),
+        |nx AS (SELECT seq, lead(seq) OVER
+        |    (PARTITION BY o_orderkey ORDER BY seq) AS next_seq FROM log)
+        |SELECT CAST(seq AS INT) AS version, count(*) AS n_entries,
+        |  CAST(sum(CASE WHEN next_seq IS NOT NULL AND next_seq <= 2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_droppable
+        |FROM nx GROUP BY 1 ORDER BY 1""".stripMargin,
     "layout_zorder" -> {
       val terms = (0 until 16).map(i =>
         s"(((p >> $i) & 1) << ${2 * i}) | (((s >> $i) & 1) << ${2 * i + 1})")

@@ -20,7 +20,8 @@ class EntryContractSpec extends SparkSpec {
     "Corpus" -> ops.Corpus.queries,
     "Curation" -> ops.Curation.queries,
     "Embeddings" -> ops.Embeddings.queries,
-    "Streaming" -> ops.Streaming.queries)
+    "Streaming" -> ops.Streaming.queries,
+    "Media" -> ops.Media.queries)
 
   test("no query name is declared by two ops modules (map-merge shadowing)") {
     val owners = parts.flatMap { case (mod, m) => m.keys.map(_ -> mod) }

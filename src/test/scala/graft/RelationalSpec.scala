@@ -341,6 +341,22 @@ class RelationalSpec extends SparkSpec {
     assert(h(3)._5 === headPrice)
   }
 
+  test("snapshot_vacuum reclaims exactly the superseded-below-horizon " +
+    "entries and never a tombstone (L132)") {
+    val v = ops.Relational.queries("snapshot_vacuum")(spark, sf0001)
+      .collect().map(r => r.getAs[Int]("version") ->
+        (r.getAs[Long]("n_entries"), r.getAs[Long]("n_droppable"))).toMap
+    val nKeys = orders.count()
+    val nUpd = orders.filter(col("o_orderkey") % 3 === 0).count()
+    val nDel = orders.filter(col("o_orderkey") % 7 === 0).count()
+    // commit 1 wrote every key; only the ones the v2 updates superseded
+    // are reclaimable at horizon 2 (keys superseded first at v3 must
+    // survive — an as-of-2 read still resolves to them)
+    assert(v(1) === ((nKeys, nUpd)))
+    // v2 entries are live at the horizon; v3 entries are beyond it
+    assert(v(2) === ((nUpd, 0L)) && v(3) === ((nDel, 0L)))
+  }
+
   test("agg_incremental merge is indistinguishable from full recompute (D2)") {
     val inc = ops.Relational.queries("agg_incremental")(spark, sf0001)
     val full = orders.groupBy("o_orderpriority")
