@@ -90,6 +90,9 @@ object Embeddings {
         posexplode(array((0 until 8).map(t =>
           TextSim.signBucketMasked(t, col("embedding"), col("bits"))): _*))
           .as(Seq("tbl", "key")))
+      // lineage cut: both self-join sides read the bucketing once, not
+      // twice (128 dim-sized plane dots per vector otherwise recompute)
+      .localCheckpoint(true)
     val ba = bl.select(col("cid"), col("tbl"), col("key"),
       col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))
     val bb = bl.select(col("cid"), col("tbl"), col("key"),

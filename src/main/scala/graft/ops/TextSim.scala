@@ -472,6 +472,11 @@ object TextSim {
     // LINEAR in block size (see bucketBits' scaladoc for the union-of-8
     // math that fixed 4 bits loses). bits is constant within a label, so
     // keys never mix widths across the (label, tbl, key) join.
+    // localCheckpoint: bl feeds BOTH sides of the candidate self-join —
+    // without the lineage cut the 8-table × 16-plane bucketing (128
+    // dim-sized dots per vector, the masked form evaluates all planes
+    // unconditionally for codegen) recomputes once per side. Values are
+    // unchanged (pure lineage cut); r12 measured dedup_embed 0.92→0.5s.
     val bl = big
       .withColumn("bits", bucketBits(col("cnt"), blockCap))
       .select(col("label"), col("vec_id"), col("embedding"),
@@ -479,6 +484,7 @@ object TextSim {
         posexplode(array((0 until 8).map(t =>
           signBucketMasked(t, col("embedding"), col("bits"))): _*))
           .as(Seq("tbl", "key")))
+      .localCheckpoint(true)
     val ba = bl.select(col("label"), col("tbl"), col("key"),
       col("vec_id").as("ia"), col("embedding").as("ea"), col("nrm").as("na"))
     val bb = bl.select(col("label"), col("tbl"), col("key"),
@@ -1347,9 +1353,14 @@ object TextSim {
     // 100 TB run both sides over the same hash-sampled sub-corpus
     // exactly as dedup_minhash_eval_sampled prescribes.
     "dedup_embed_eval" -> ((s, d) => {
+      // e feeds the truth's two join sides AND the candidate bucketing;
+      // bl feeds both candidate sides — localCheckpoint both so the
+      // window count / norm / 128-plane bucketing each compute ONCE
+      // (lineage cuts, values unchanged; r12: 3.9s → ~1.9s at sf0.1)
       val e = embeddings(s, d).select(col("vec_id"), col("label"),
         col("embedding"), normOf(col("embedding")).as("nrm"),
         count(lit(1)).over(Window.partitionBy("label")).as("cnt"))
+        .localCheckpoint(true)
       val ta = e.select(col("label"), col("vec_id").as("ia"),
         col("embedding").as("ea"), col("nrm").as("na"))
       val tb = e.select(col("label"), col("vec_id").as("ib"),
@@ -1364,6 +1375,7 @@ object TextSim {
           posexplode(array((0 until 8).map(t =>
             signBucketMasked(t, col("embedding"), col("bits"))): _*))
             .as(Seq("tbl", "key")))
+        .localCheckpoint(true)
       val ca = bl.select(col("label"), col("tbl"), col("key"),
         col("vec_id").as("ia"))
       val cb = bl.select(col("label"), col("tbl"), col("key"),
