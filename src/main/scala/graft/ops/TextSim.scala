@@ -373,22 +373,28 @@ object TextSim {
     greatest(lit(4), least(lit(16), length(bin(q - 1)).cast("int")))
   }
 
-  /** Width-masked 16-bit sign bucket: the full 16-bit key of table `t`
-    * masked down to the block's adaptive width. All 16 planes are
-    * evaluated unconditionally (codegen-friendly, no per-row branching on
-    * plane count); the mask keeps the LOW `bits` — so a 4-bit masked key
-    * equals [[signBucket]] exactly (same planes b = 0..3). The mask is a
-    * 13-arm CASE over the clamped width domain rather than a variable
-    * shift (shiftleft(Column, Column) has no DSL form; the CASE stays
-    * inside whole-stage codegen). */
+  /** Width-masked 16-bit sign bucket: the key of table `t` at the
+    * block's adaptive width. The first 4 planes (the [[signBucket]] set)
+    * are evaluated unconditionally — bits ≥ 4 always — so a 4-bit key
+    * equals signBucket exactly; planes 4..15 sit under a `bits > b`
+    * guard, evaluated LAZILY (CASE branches don't run when the predicate
+    * fails in codegen), because a bit b ≥ bits is masked to 0 anyway.
+    * At the overwhelmingly common clamp floor (blocks ≤ 16·cap) this
+    * computes 4 dim-sized dots per table, not 16 — the r12 fix for the
+    * 4× plane-dot cost the unconditional r11 form paid everywhere
+    * (dedup_semantic measured 1.28s → back near its pre-adaptive 0.62s).
+    * VALUE-identical to mask-after-the-fact by construction: bit b
+    * contributes iff b < bits in both spellings, so the DuckDB mirror
+    * (full 16-bit key AND'd to the width) needs no change. */
   private[ops] def signBucketMasked(t: Int, e: Column, bits: Column): Column = {
-    val key16 = (0 until 16).map { b =>
+    val low4 = (0 until 4).map { b =>
       (when(dot(e, typedlit(plane(t, b))) > 0, 1).otherwise(0)) * (1 << b)
     }.reduce(_ + _)
-    val mask = (5 to 16).foldLeft(when(bits === 4, (1 << 4) - 1)) {
-      (acc, b) => acc.when(bits === b, (1 << b) - 1)
-    }.otherwise((1 << 4) - 1)
-    key16.bitwiseAND(mask)
+    (4 until 16).map { b =>
+      when(bits > b,
+        (when(dot(e, typedlit(plane(t, b))) > 0, 1).otherwise(0)) * (1 << b))
+        .otherwise(0)
+    }.foldLeft(low4)(_ + _)
   }
 
   /** DuckDB mirror of [[plane]] (t, b): the identical hyperplane, each
