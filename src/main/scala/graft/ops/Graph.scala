@@ -947,20 +947,30 @@ object Graph {
     // DECIMAL(30,15)-quantized contributions, one decimal L1 total per
     // half-step, every division CAST-to-DOUBLE on identical operands.
     "graph_hits" -> {
+      // Every CTE is MATERIALIZED: DuckDB 1.0 INLINES multi-referenced
+      // CTEs, and the 4 chained half-steps each reference e plus the
+      // previous round — inlined, the plan tree duplicates the 6M-row
+      // e join once per PATH through the chain (exponential in rounds).
+      // At the decade that ground >10 min and spilled ~70 GB of temp
+      // ("No space left on device", the r11/r12 sweep's one infra FAIL);
+      // materialized, the same query answers in ~18 s. A pure planner
+      // hint — values are untouched.
       def half(inRel: String, inScore: String, outScore: String,
           fromCol: String, toCol: String, alias: String) =
-        s"""${alias}r AS (SELECT e.$toCol AS id,
+        s"""${alias}r AS MATERIALIZED (SELECT e.$toCol AS id,
           |    sum(CAST(r.$inScore AS DECIMAL(30,15))) AS raw
           |  FROM e JOIN $inRel r ON e.$fromCol = r.id GROUP BY 1),
-          |${alias}t AS (SELECT sum(raw) AS tot FROM ${alias}r),
-          |$alias AS (SELECT id,
+          |${alias}t AS MATERIALIZED (SELECT sum(raw) AS tot
+          |  FROM ${alias}r),
+          |$alias AS MATERIALIZED (SELECT id,
           |    CAST(raw AS DOUBLE)/CAST(tot AS DOUBLE) AS $outScore
           |  FROM ${alias}r, ${alias}t)""".stripMargin
-      s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
         |    1000000000 + l_suppkey AS dst
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |nc AS (SELECT count(DISTINCT src) AS n FROM e),
-        |h0 AS (SELECT DISTINCT src AS id, CAST(1 AS DOUBLE)/nc.n AS h
+        |nc AS MATERIALIZED (SELECT count(DISTINCT src) AS n FROM e),
+        |h0 AS MATERIALIZED (SELECT DISTINCT src AS id,
+        |    CAST(1 AS DOUBLE)/nc.n AS h
         |  FROM e, nc),
         |${half("h0", "h", "a", "src", "dst", "a1")},
         |${half("a1", "a", "h", "dst", "src", "h1")},
