@@ -85,7 +85,21 @@ if os.path.isdir('target/scala-2.13/classes'):
         bo = subprocess.run(
             ['java', '-cp', 'target/scala-2.13/classes:/opt/spark/jars/*',
              'graft.Board'], capture_output=True, text=True, timeout=120)
-        declared = sorted(q for q in bo.stdout.split() if q)
+        # Parse ONLY between the BOARD_BEGIN/BOARD_END sentinels and
+        # validate the query-name shape: raw JVM stdout can carry log4j
+        # warnings whose tokens would otherwise become phantom declared
+        # queries and flip the verdict to a spurious 'partial'.
+        lines = bo.stdout.splitlines()
+        inside, declared = False, []
+        for ln in lines:
+            t = ln.strip()
+            if t == 'BOARD_BEGIN':
+                inside = True
+            elif t == 'BOARD_END':
+                inside = False
+            elif inside and re.fullmatch(r'[a-z0-9_]+', t):
+                declared.append(t)
+        declared = sorted(declared)
         if bo.returncode == 0 and declared:
             missing = sorted(set(declared) - set(cq))
             coverage = {"declared": len(declared), "benched": len(cq),

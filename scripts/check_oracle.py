@@ -19,7 +19,14 @@ con = duckdb.connect()
 # for a query whose Spark rows/schema matched. Point the spill at a roomy
 # volume (override with DUCKDB_TMP).
 _tmp = os.environ.get("DUCKDB_TMP", "/tmp/graft_duckdb_tmp")
+if "'" in _tmp:
+    # the path is interpolated into a SET statement; a quote would break
+    # (or worse, alter) the SQL — refuse rather than escape-and-hope
+    sys.exit(f"DUCKDB_TMP must not contain a single quote: {_tmp!r}")
 os.makedirs(_tmp, exist_ok=True)
+# The decade sweep's heaviest oracles (graph_hits before its CTEs were
+# MATERIALIZED-hinted) spilled ~70GB here — the override volume needs
+# tens of GB free at ~sf1; /tmp works in this container (rootfs-backed).
 con.execute(f"SET temp_directory='{_tmp}'")
 for p in glob.glob(os.path.join(sfdir, "*.parquet")):
     name = os.path.basename(p).replace(".parquet", "")

@@ -44,13 +44,24 @@ python3 scripts/check_oracle.py "$SF1" "$OUT" --json "${DECADE_JSON:-DECADE.json
 # compared the swept set to the declared board). Fail loudly when the
 # artifact's query set ≠ graft.Board's, so a stale sweep can't ship.
 python3 - "${DECADE_JSON:-DECADE.json}" <<'PYEOF'
-import json, subprocess, sys
+import json, re, subprocess, sys
 art = json.load(open(sys.argv[1]))
 swept = set(art.get("queries", {}))
 bo = subprocess.run(
     ['java', '-cp', 'target/scala-2.13/classes:/opt/spark/jars/*',
      'graft.Board'], capture_output=True, text=True, timeout=120)
-declared = set(q for q in bo.stdout.split() if q)
+# Parse ONLY between the BOARD_BEGIN/BOARD_END sentinels and validate the
+# query-name shape — stray log4j/JDK stdout tokens must not become
+# phantom declared queries that hard-fail the decade gate.
+declared, inside = set(), False
+for ln in bo.stdout.splitlines():
+    t = ln.strip()
+    if t == 'BOARD_BEGIN':
+        inside = True
+    elif t == 'BOARD_END':
+        inside = False
+    elif inside and re.fullmatch(r'[a-z0-9_]+', t):
+        declared.add(t)
 missing = sorted(declared - swept)
 if bo.returncode != 0 or not declared:
     print("decade coverage: graft.Board failed — cannot verify coverage")

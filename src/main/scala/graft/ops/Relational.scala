@@ -1778,21 +1778,26 @@ object Relational {
 
     // Vacuum / retention planning (L132, the maintenance side of the
     // snapshot family): once every reader has advanced past horizon H=2,
-    // which log entries can be physically deleted? A superseded entry is
-    // droppable iff its SUCCESSOR is already ≤ H (no snapshot ≥ H can
-    // resolve to it); tombstones and live-at-H entries are retained —
-    // the conservative Delta-style rule that never breaks an as-of read
-    // ≥ H. Per commit: entries written vs entries vacuum reclaims. Same
-    // one-shuffle lead()-over-key shape as snapshot_history; the report
-    // is the number a storage-reclamation job quotes before it rewrites.
+    // which log entries can be physically deleted? A superseded NON-
+    // tombstone entry is droppable iff its SUCCESSOR is already ≤ H (no
+    // snapshot ≥ H can resolve to it); tombstones and live-at-H entries
+    // are retained — the conservative Delta-style rule that never breaks
+    // an as-of read ≥ H. The op <> 'D' guard is explicit even though this
+    // synthetic's deletes are always log-terminal (seq 3, never a
+    // successor ≤ H): on a real log a delete CAN be superseded by a
+    // re-insert, and a tombstone must survive vacuum until checkpointing
+    // rewrites it. Per commit: entries written vs entries vacuum
+    // reclaims. Same one-shuffle lead()-over-key shape as
+    // snapshot_history; the report is the number a storage-reclamation
+    // job quotes before it rewrites.
     "snapshot_vacuum" -> ((s, d) => {
       val w = Window.partitionBy("o_orderkey").orderBy("seq")
       cdcLog(s, d)
         .withColumn("next_seq", lead(col("seq"), 1).over(w))
         .groupBy(col("seq").cast("int").as("version"))
         .agg(count(lit(1)).as("n_entries"),
-          sum(when(col("next_seq").isNotNull && col("next_seq") <= 2,
-            1L).otherwise(0L)).as("n_droppable"))
+          sum(when(col("next_seq").isNotNull && col("next_seq") <= 2 &&
+            col("op") =!= "D", 1L).otherwise(0L)).as("n_droppable"))
         .orderBy("version")
     }),
 
@@ -2850,8 +2855,9 @@ object Relational {
         |  n_delete, live_rows, live_price
         |FROM commits c JOIN live l ON c.version = l.version
         |ORDER BY version""".stripMargin,
-    // Same log; an entry is reclaimable at horizon 2 iff its successor
-    // is ≤ 2 (the conservative retention rule).
+    // Same log; a non-tombstone entry is reclaimable at horizon 2 iff
+    // its successor is ≤ 2 (the conservative retention rule — mirrors
+    // the Spark side's explicit op <> 'D' guard).
     "snapshot_vacuum" ->
       """WITH log AS (
         |  SELECT o_orderkey, 1 AS seq, 'I' AS op, o_totalprice AS price
@@ -2860,11 +2866,11 @@ object Relational {
         |    FROM orders WHERE o_orderkey % 3 = 0
         |  UNION ALL SELECT o_orderkey, 3, 'D', NULL
         |    FROM orders WHERE o_orderkey % 7 = 0),
-        |nx AS (SELECT seq, lead(seq) OVER
+        |nx AS (SELECT seq, op, lead(seq) OVER
         |    (PARTITION BY o_orderkey ORDER BY seq) AS next_seq FROM log)
         |SELECT CAST(seq AS INT) AS version, count(*) AS n_entries,
         |  CAST(sum(CASE WHEN next_seq IS NOT NULL AND next_seq <= 2
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_droppable
+        |    AND op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_droppable
         |FROM nx GROUP BY 1 ORDER BY 1""".stripMargin,
     "layout_zorder" -> {
       val terms = (0 until 16).map(i =>

@@ -479,10 +479,11 @@ object TextSim {
     // math that fixed 4 bits loses). bits is constant within a label, so
     // keys never mix widths across the (label, tbl, key) join.
     // localCheckpoint: bl feeds BOTH sides of the candidate self-join —
-    // without the lineage cut the 8-table × 16-plane bucketing (128
-    // dim-sized dots per vector, the masked form evaluates all planes
-    // unconditionally for codegen) recomputes once per side. Values are
-    // unchanged (pure lineage cut); r12 measured dedup_embed 0.92→0.5s.
+    // without the lineage cut the 8-table bucketing (≥4 dim-sized dots
+    // per table at the clamp floor; planes 4..15 evaluate lazily under a
+    // bits>b guard since r12, so 32–128 dots per vector depending on
+    // width) recomputes once per side. Values are unchanged (pure
+    // lineage cut); r12 measured dedup_embed 0.92→0.5s.
     val bl = big
       .withColumn("bits", bucketBits(col("cnt"), blockCap))
       .select(col("label"), col("vec_id"), col("embedding"),
