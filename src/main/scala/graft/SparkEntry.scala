@@ -27,7 +27,8 @@ object SparkEntry {
       ops.Curation.queries ++
       ops.Embeddings.queries ++
       ops.Streaming.queries ++
-      ops.Media.queries
+      ops.Media.queries ++
+      ops.SqlSurface.queries
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++
@@ -40,5 +41,6 @@ object SparkEntry {
       ops.Curation.oracles ++
       ops.Embeddings.oracles ++
       ops.Streaming.oracles ++
-      ops.Media.oracles
+      ops.Media.oracles ++
+      ops.SqlSurface.oracles
 }

@@ -44,7 +44,12 @@ object SpillProbe {
     // the shared Lloyd fit), the two-fit whitening, the winnowing
     // substring report, and the composed curation funnel.
     "dedup_band_sweep", "ivf_nprobe_sweep", "embed_whiten",
-    "dedup_substring", "curate_funnel")
+    "dedup_substring", "curate_funnel",
+    // r12's snapshot/media families (VERDICT r12 item 3): the one-shuffle
+    // visibility-interval history over the persisted changelog store and
+    // the batched-decode pipeline (the repartition + mapPartitions shape
+    // whose spill posture nothing else in the battery covers).
+    "snapshot_history", "media_decode_agg")
 
   private final class SpillListener extends SparkListener {
     val memSpilled = new java.util.concurrent.atomic.LongAdder

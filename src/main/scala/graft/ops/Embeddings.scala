@@ -91,7 +91,9 @@ object Embeddings {
           TextSim.signBucketMasked(t, col("embedding"), col("bits"))): _*))
           .as(Seq("tbl", "key")))
       // lineage cut: both self-join sides read the bucketing once, not
-      // twice (128 dim-sized plane dots per vector otherwise recompute)
+      // twice (128 dim-sized plane dots per vector otherwise recompute).
+      // Eager, deliberately — lazy measured equal-or-worse at both
+      // scales (see embedNearDupPairs' adjudication note, TextSim)
       .localCheckpoint(true)
     val ba = bl.select(col("cid"), col("tbl"), col("key"),
       col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na"))

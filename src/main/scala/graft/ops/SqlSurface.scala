@@ -1,0 +1,186 @@
+package graft.ops
+
+import graft.Q
+import graft.Tables.{customer, documents, embeddings, orders}
+import graft.plans.GraftExtensions
+
+/** SQL-TEXT entry path (SURVEY §2 growth axis, r13): the board is built
+  * with the DataFrame API, but the reference's transform layer is dbt —
+  * its users arrive with SQL TEXT, so the parser/analyzer surface is a
+  * real product surface and deserves declared, oracle-checked coverage
+  * of its own. A handful of queries already route through `spark.sql`
+  * for engine reasons (agg_rollup, agg_grouping_sets, filter_exists);
+  * this module adds the parser features none of them touch: the PIVOT
+  * and UNPIVOT clauses, the named-WINDOW clause with explicit ROWS and
+  * RANGE frames, LATERAL VIEW explode (the UDTF surface), inline VALUES
+  * relations, and the session-extension function registry (`graft_dot`
+  * called from SQL text, not a Column).
+  *
+  * Each query creates temp views (`sqv_*` prefix — session-scoped
+  * metadata only, no materialization) and runs one SQL string. Results
+  * are deliberately re-expressions of already-proven semantics
+  * (pivot ≡ agg_pivot's family, wordcount ≡ text_wordcount) so a
+  * mismatch here isolates a PARSER/ANALYZER divergence, not operator
+  * logic. Scale posture inherits from the underlying plans: SQL text
+  * and DataFrame calls build the same logical plan, so pushdown,
+  * partial aggregation, and broadcast selection are identical — which
+  * is exactly the claim these queries pin.
+  */
+object SqlSurface {
+
+  val queries: Map[String, Q] = Map(
+
+    // The PIVOT clause (parser rule unique to SQL text — the DataFrame
+    // twin is RelationalGroupedDataset.pivot, exercised by agg_pivot).
+    // Cells sum disjoint row subsets through DECIMAL(30,8), so the
+    // pivoted totals are partition-order independent; absent cells are
+    // NULL in both engines.
+    "sql_pivot" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("sqv_orders")
+      s.sql("""SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderstatus, o_totalprice
+        |  FROM sqv_orders)
+        |PIVOT (
+        |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE)
+        |  FOR o_orderstatus IN ('O' AS st_o, 'F' AS st_f, 'P' AS st_p))
+        |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // The UNPIVOT clause (Spark 3.4+ parser rule): wide metrics to long
+    // (metric, val) rows — the melt a feature store runs before a
+    // per-metric aggregate. Values are projected to DOUBLE first so the
+    // unpivoted column has one type in both engines.
+    "sql_unpivot" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("sqv_customer")
+      s.sql("""SELECT c_custkey, metric, val FROM (
+        |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+        |         CAST(c_nationkey AS DOUBLE) AS nationkey
+        |  FROM sqv_customer)
+        |UNPIVOT (val FOR metric IN (acctbal, nationkey))
+        |ORDER BY c_custkey, metric""".stripMargin)
+    }),
+
+    // Named WINDOW clause with an explicit ROWS frame and an explicit
+    // RANGE frame side by side — the frame-boundary grammar the
+    // DataFrame API spells as rowsBetween/rangeBetween. The ROWS frame
+    // orders by the UNIQUE o_orderkey tiebreak (frame membership over
+    // date ties is otherwise scan-order dependent — the lineitem LIMIT
+    // lesson); the RANGE frame is keyed on the integer o_orderkey, so
+    // membership is value-determined in both engines.
+    "sql_window_frames" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("sqv_orders")
+      s.sql("""SELECT o_custkey, o_orderkey,
+        |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER w_rows, 2)
+        |    AS DOUBLE) AS roll3_price,
+        |  COUNT(*) OVER w_range AS n_keyrange
+        |FROM sqv_orders
+        |WINDOW
+        |  w_rows AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |  w_range AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    }),
+
+    // LATERAL VIEW explode — the HiveQL UDTF surface (text_wordcount's
+    // parser-path twin; same tokenization contract as [[toks]]/dToks).
+    "sql_lateral_view" -> ((s, d) => {
+      documents(s, d).createOrReplaceTempView("sqv_documents")
+      s.sql("""SELECT tok, COUNT(*) AS n
+        |FROM sqv_documents
+        |LATERAL VIEW explode(split(lower(text), ' ')) t AS tok
+        |GROUP BY tok ORDER BY tok""".stripMargin)
+    }),
+
+    // Inline VALUES relation joined to a fact scan — the literal lookup
+    // table a SQL user writes instead of a dimension load. The 12-row
+    // LocalRelation has exact stats, so the join broadcasts it.
+    "sql_values_inline" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("sqv_orders")
+      s.sql("""WITH season AS (
+        |  SELECT * FROM VALUES
+        |    (1,'winter'),(2,'winter'),(3,'spring'),(4,'spring'),
+        |    (5,'spring'),(6,'summer'),(7,'summer'),(8,'summer'),
+        |    (9,'fall'),(10,'fall'),(11,'fall'),(12,'winter')
+        |    AS t(m, season))
+        |SELECT season,
+        |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE)
+        |    AS sum_price,
+        |  COUNT(*) AS n
+        |FROM sqv_orders JOIN season ON month(o_orderdate) = m
+        |GROUP BY season ORDER BY season""".stripMargin)
+    }),
+
+    // The session-extension function surface: graft_dot (the native
+    // codegen'd DotProductExpr) invoked FROM SQL TEXT through the
+    // function registry — what a spark.sql.extensions deployment gives
+    // a SQL user. Same ascending-index double fold as the Column path
+    // and the oracle's dDot, so the result is bit-identical; LIMIT 1
+    // makes the 1-row probe cross-join bound structural.
+    "sql_graft_dot" -> ((s, d) => {
+      GraftExtensions.register(s)
+      embeddings(s, d).createOrReplaceTempView("sqv_embeddings")
+      s.sql("""SELECT e.vec_id,
+        |  round(graft_dot(e.embedding, p.p), 6) AS dotp
+        |FROM sqv_embeddings e,
+        |  (SELECT embedding AS p FROM sqv_embeddings
+        |   WHERE vec_id = 0 LIMIT 1) p
+        |ORDER BY e.vec_id""".stripMargin)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // CASE-WHEN aggregation — the engine-neutral spelling of PIVOT.
+    "sql_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(round(SUM(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(30,8)) END), 2) AS DOUBLE)
+        |    AS st_o,
+        |  CAST(round(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(30,8)) END), 2) AS DOUBLE)
+        |    AS st_f,
+        |  CAST(round(SUM(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(30,8)) END), 2) AS DOUBLE)
+        |    AS st_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "sql_unpivot" ->
+      """SELECT c_custkey, 'acctbal' AS metric,
+        |  CAST(c_acctbal AS DOUBLE) AS val FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
+        |FROM customer
+        |ORDER BY c_custkey, metric""".stripMargin,
+    "sql_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER w_rows, 2)
+        |    AS DOUBLE) AS roll3_price,
+        |  COUNT(*) OVER w_range AS n_keyrange
+        |FROM orders
+        |WINDOW
+        |  w_rows AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |  w_range AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "sql_lateral_view" ->
+      s"""SELECT tok, COUNT(*) AS n FROM
+        |(SELECT unnest($dToks) AS tok FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sql_values_inline" ->
+      """WITH season(m, season) AS (VALUES
+        |    (1,'winter'),(2,'winter'),(3,'spring'),(4,'spring'),
+        |    (5,'spring'),(6,'summer'),(7,'summer'),(8,'summer'),
+        |    (9,'fall'),(10,'fall'),(11,'fall'),(12,'winter'))
+        |SELECT season,
+        |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE)
+        |    AS sum_price,
+        |  COUNT(*) AS n
+        |FROM orders JOIN season ON month(o_orderdate) = m
+        |GROUP BY season ORDER BY season""".stripMargin,
+    "sql_graft_dot" ->
+      s"""WITH p AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(${dDot("embedding", "p")}, 6) AS dotp
+        |FROM embeddings, p ORDER BY vec_id""".stripMargin
+  )
+}

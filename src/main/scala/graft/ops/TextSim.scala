@@ -482,8 +482,17 @@ object TextSim {
     // without the lineage cut the 8-table bucketing (≥4 dim-sized dots
     // per table at the clamp floor; planes 4..15 evaluate lazily under a
     // bits>b guard since r12, so 32–128 dots per vector depending on
-    // width) recomputes once per side. Values are unchanged (pure
-    // lineage cut); r12 measured dedup_embed 0.92→0.5s.
+    // width) recomputes once per side. EAGER, deliberately (r13
+    // adjudication of the r12 verdict's size-gate suggestion): a lazy
+    // checkpoint measured EQUAL-OR-WORSE at both scales (decade
+    // dedup_embed 17.1s lazy vs 15.7s eager; concurrent self-join map
+    // stages contend on block locks instead of reading a completed
+    // materialization), and a count-based gate would spend an extra
+    // full pass at exactly the over-cap scale where the checkpoint
+    // engages anyway. The cost this accepts: ~0.3s/query at sf0.1 where
+    // no label exceeds the cap and the materialized bl is empty (r11
+    // 0.43s → r12 0.73s in-suite) — the documented small-scale trade
+    // for a 2.4–3.7× decade win (no-ckpt 40.6s vs 15.7s, same host).
     val bl = big
       .withColumn("bits", bucketBits(col("cnt"), blockCap))
       .select(col("label"), col("vec_id"), col("embedding"),
@@ -1362,8 +1371,11 @@ object TextSim {
     "dedup_embed_eval" -> ((s, d) => {
       // e feeds the truth's two join sides AND the candidate bucketing;
       // bl feeds both candidate sides — localCheckpoint both so the
-      // window count / norm / 128-plane bucketing each compute ONCE
-      // (lineage cuts, values unchanged; r12: 3.9s → ~1.9s at sf0.1)
+      // window count / norm / plane bucketing each compute ONCE
+      // (lineage cuts, values unchanged; r12: 3.9s → ~1.9s at sf0.1).
+      // Eager, deliberately — the r13 lazy-vs-eager A/B measured lazy
+      // equal-or-worse at both scales (decade 7.1s lazy vs 6.5s eager;
+      // see embedNearDupPairs' adjudication note).
       val e = embeddings(s, d).select(col("vec_id"), col("label"),
         col("embedding"), normOf(col("embedding")).as("nrm"),
         count(lit(1)).over(Window.partitionBy("label")).as("cnt"))

@@ -21,7 +21,8 @@ class EntryContractSpec extends SparkSpec {
     "Curation" -> ops.Curation.queries,
     "Embeddings" -> ops.Embeddings.queries,
     "Streaming" -> ops.Streaming.queries,
-    "Media" -> ops.Media.queries)
+    "Media" -> ops.Media.queries,
+    "SqlSurface" -> ops.SqlSurface.queries)
 
   test("no query name is declared by two ops modules (map-merge shadowing)") {
     val owners = parts.flatMap { case (mod, m) => m.keys.map(_ -> mod) }

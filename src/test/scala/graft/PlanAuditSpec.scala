@@ -29,6 +29,9 @@ class PlanAuditSpec extends SparkSpec {
   private val allow: Map[String, Set[String]] = Map(
     // one broadcast probe row (vec_id=0) × vector table
     "sim_cosine" -> Set("BroadcastNestedLoopJoin"),
+    // sim_cosine's SQL-text twin: the same one-probe-row cross, spelled
+    // as a comma join on a LIMIT 1 subquery (SqlSurface M6)
+    "sql_graft_dot" -> Set("BroadcastNestedLoopJoin"),
     // 10 broadcast probe rows × vectors, then two-phase top-k
     "sim_topk" -> Set("BroadcastNestedLoopJoin"),
     // 10 broadcast eval vectors × corpus scoring pass (the sim_topk
