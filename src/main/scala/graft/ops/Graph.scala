@@ -345,7 +345,9 @@ object Graph {
     // their own component of size 1.
     "dedup_cc" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val edges = TextSim.minhashPairs(docs)
+      // r13: candidate edges read from the persisted edge store (written
+      // once per corpus — see TextSim.ensureEdgeStore), not re-derived
+      val edges = TextSim.minhashEdges(s, d)
         .select(col("ia").as("src"), col("ib").as("dst"))
       val lab = connectedComponents(docs.select("doc_id"), edges)
       lab
@@ -368,7 +370,9 @@ object Graph {
     // cluster.
     "dedup_cluster_stats" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val edges = TextSim.minhashPairs(docs)
+      // r13: candidate edges read from the persisted edge store (written
+      // once per corpus — see TextSim.ensureEdgeStore), not re-derived
+      val edges = TextSim.minhashEdges(s, d)
         .select(col("ia").as("src"), col("ib").as("dst"))
       val sizes = connectedComponents(docs.select("doc_id"), edges)
         .groupBy("comp").agg(count(lit(1)).as("comp_size"))
@@ -401,7 +405,9 @@ object Graph {
     // doc_id equi join for n_tok; exposure is an exact long product.
     "memorization_risk" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val edges = TextSim.minhashPairs(docs)
+      // r13: candidate edges read from the persisted edge store (written
+      // once per corpus — see TextSim.ensureEdgeStore), not re-derived
+      val edges = TextSim.minhashEdges(s, d)
         .select(col("ia").as("src"), col("ib").as("dst"))
       connectedComponents(docs.select("doc_id"), edges)
         .withColumn("dup_count",
@@ -524,7 +530,7 @@ object Graph {
     // The customer–supplier graph is bipartite (no triangles by
     // construction), so this runs where triangles mean something.
     "graph_triangles" -> ((s, d) => {
-      val edges = TextSim.minhashPairs(Tables.documents(s, d))
+      val edges = TextSim.minhashEdges(s, d)
         .select(col("ia").as("a"), col("ib").as("b"))
       triangleCounts(edges).orderBy("doc_id")
     }),
@@ -541,7 +547,9 @@ object Graph {
     // the id.
     "dedup_keep_best" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val edges = TextSim.minhashPairs(docs)
+      // r13: candidate edges read from the persisted edge store (written
+      // once per corpus — see TextSim.ensureEdgeStore), not re-derived
+      val edges = TextSim.minhashEdges(s, d)
         .select(col("ia").as("src"), col("ib").as("dst"))
       val lab = connectedComponents(docs.select("doc_id"), edges)
       val tk = split(lower(col("text")), " ")
@@ -572,7 +580,7 @@ object Graph {
     // truncating lineage exactly like connectedComponents. Integer-only.
     "graph_core" -> ((s, d) => {
       val k = 2
-      val e0 = TextSim.minhashPairs(Tables.documents(s, d))
+      val e0 = TextSim.minhashEdges(s, d)
         .select(col("ia").as("a"), col("ib").as("b"))
       var sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
         .localCheckpoint()
@@ -602,7 +610,7 @@ object Graph {
     // edges survive via the left join. Jaccard is an IEEE division of
     // exact longs.
     "graph_jaccard" -> ((s, d) => {
-      val e0 = TextSim.minhashPairs(Tables.documents(s, d))
+      val e0 = TextSim.minhashEdges(s, d)
         .select(col("ia").as("a"), col("ib").as("b"))
       val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
         .localCheckpoint() // adjacency reused three times below

@@ -220,6 +220,51 @@ object TextSim {
       .filter(col("est_sim") >= 0.5)
   }
 
+  /** Where the near-dup candidate EDGE store lives for a dataset dir —
+    * the graph-diagnostic counterpart of the L40 signature store. The
+    * key folds in the banding contract constants (NumHashes/Bands and
+    * the 0.5 est_sim floor baked into [[minhashPairs]]) so a constant
+    * change can never read a stale store from a previous build. */
+  private[ops] def edgeStoreDir(d: String): String = {
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$d:minhash-edges:$NumHashes:$Bands:0.5".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_edge_store_$key"
+  }
+
+  /** Idempotently materialize the near-dup candidate edge list
+    * (minhashPairs' (ia, ib), ia < ib) as parquet — the write a curation
+    * pipeline performs ONCE when the corpus is indexed. The seven graph
+    * diagnostics (dedup_cc / dedup_cluster_stats / memorization_risk /
+    * dedup_keep_best / graph_triangles / graph_core / graph_jaccard)
+    * read this back instead of re-shingling + re-signing + re-banding
+    * the corpus per query: at 100 TB the candidate derivation is the
+    * dominant cost and is shared infrastructure, exactly like the L40
+    * snapshot signatures — no diagnostic should pay it again. Contents
+    * are deterministic (literal hash constants), so the DuckDB oracles'
+    * in-SQL re-derivation still matches bit-for-bit; EdgeStoreSpec pins
+    * store ≡ in-plan derivation and the graph queries' store reads. */
+  private[graft] def ensureEdgeStore(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    TextSim.synchronized { // parallel test suites may race the first build
+      val dir = edgeStoreDir(d)
+      val done = new java.io.File(dir, "_DONE")
+      if (!done.exists()) {
+        minhashPairs(documents(s, d)).select(col("ia"), col("ib"))
+          .write.mode("overwrite").parquet(s"$dir/edges.parquet")
+        done.createNewFile()
+      }
+      dir
+    }
+
+  /** The candidate edge list read back from the persisted store. */
+  private[graft] def minhashEdges(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val store = ensureEdgeStore(s, d)
+    s.read.parquet(s"$store/edges.parquet")
+  }
+
   /** Boundary between the "prior snapshot" index and the "new batch" for
     * the incremental-dedup shape: docs below are the already-curated
     * corpus, docs at/above are today's arrivals. Pinned into both the

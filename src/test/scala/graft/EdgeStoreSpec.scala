@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, SparkSpec, Tables}
+
+/** The persisted candidate-edge store contract (r13): the seven graph
+  * diagnostics read the near-dup edge list from the store TextSim wrote
+  * once per corpus, never re-shingling text — the same amortization
+  * claim as the L40 signature store, pinned at the plan level. The store
+  * must also be exactly the in-plan derivation (deterministic banding),
+  * or the DuckDB oracles' in-SQL re-derivation would diverge.
+  */
+class EdgeStoreSpec extends SparkSpec {
+
+  private val readers = Seq("dedup_cc", "dedup_cluster_stats",
+    "memorization_risk", "dedup_keep_best", "graph_triangles",
+    "graph_core", "graph_jaccard")
+
+  private def scans(name: String, needle: String) =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains(needle)) => f
+      }
+
+  test("store contents equal the in-plan minhashPairs derivation exactly") {
+    val fromStore = TextSim.minhashEdges(spark, sf0001)
+      .orderBy("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val inPlan = TextSim.minhashPairs(Tables.documents(spark, sf0001))
+      .select(col("ia"), col("ib"))
+      .orderBy("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fromStore.nonEmpty && (fromStore sameElements inPlan))
+  }
+
+  test("every graph diagnostic reads the edge store, and none of their " +
+      "documents scans re-reads text (edges never re-derived per query)") {
+    for (q <- readers) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.sparkPlan
+      // the CC family localCheckpoints the edge frame at construction,
+      // which truncates the store scan out of the FINAL plan (it ran
+      // during checkpoint materialization and survives as an RDD scan);
+      // the non-checkpointing readers keep the file scan visible. Either
+      // way the store is the source — test 1 pins its exact contents.
+      val viaStore = scans(q, "graft_edge_store_").nonEmpty
+      val viaCheckpoint = plan.collect {
+        case r: org.apache.spark.sql.execution.RDDScanExec => r
+      }.nonEmpty
+      assert(viaStore || viaCheckpoint,
+        s"$q reads neither the edge store nor its checkpointed form")
+      val textScans = scans(q, "documents.parquet")
+        .filter(_.requiredSchema.fieldNames.contains("text"))
+      // dedup_keep_best and memorization_risk legitimately read text for
+      // their quality/exposure features — but never for edge derivation;
+      // the others must not touch text at all
+      if (!Set("dedup_keep_best", "memorization_risk").contains(q))
+        assert(textScans.isEmpty,
+          s"$q re-reads document text despite the edge store")
+    }
+  }
+
+  test("ensureEdgeStore is idempotent: a second call rewrites nothing") {
+    val dir = TextSim.ensureEdgeStore(spark, sf0001)
+    def sig = new java.io.File(s"$dir/edges.parquet").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = sig
+    TextSim.ensureEdgeStore(spark, sf0001)
+    assert(sig === before)
+  }
+}
