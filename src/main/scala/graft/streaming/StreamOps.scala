@@ -195,6 +195,55 @@ object StreamOps {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day").parquet(path)
 
+  /** EXACTLY-ONCE micro-batch sink (T5's write-side complement, r13):
+    * epoch-ledger dedup — the transactional-sink pattern Delta's
+    * `txnAppId`/`txnVersion` and Kafka's idempotent producer spell, on
+    * plain parquet. Three moves make APPEND-shaped output exactly-once
+    * under Structured Streaming's at-least-once batch replay:
+    *
+    *  1. COMMITTED-EPOCH CHECK: a replayed batchId whose marker exists is
+    *     a no-op — the duplicate delivery is dropped at the sink, not
+    *     deduped downstream.
+    *  2. EPOCH-PARTITIONED OVERWRITE: data lands under `epoch=batchId`
+    *     with dynamic partition overwrite, so a TORN write (crash after
+    *     some files, before the marker) is healed by the retry rewriting
+    *     exactly its own partition — never touching other epochs.
+    *  3. MARKER-AFTER-DATA: the `_epochs/<id>` marker is created only
+    *     after the write completes; [[committedEpochs]] reads join the
+    *     ledger, so a torn uncommitted epoch is invisible to readers.
+    *
+    * At 100 TB the ledger is one zero-byte object per micro-batch (list
+    * cost ~epochs, prunable by retention), and the data layout is the
+    * append-friendly partition-per-epoch a compaction job later rewrites.
+    * Use with `writeStream.foreachBatch(exactlyOnceSink(path))`.
+    */
+  def exactlyOnceSink(path: String)(batch: DataFrame, batchId: Long): Unit = {
+    val ledger = new java.io.File(s"$path/_epochs")
+    val marker = new java.io.File(ledger, batchId.toString)
+    if (!marker.exists()) {
+      batch
+        .withColumn("epoch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch").parquet(s"$path/data")
+      ledger.mkdirs()
+      marker.createNewFile()
+    }
+  }
+
+  /** Reader for [[exactlyOnceSink]] output: only epochs whose ledger
+    * marker committed are visible (a torn write's partition exists on
+    * disk but is filtered here — the read side of the exactly-once
+    * contract). The IN-list is driver-built from the ledger listing:
+    * epoch count is micro-batch count, model-parameter sized. */
+  def committedEpochs(s: org.apache.spark.sql.SparkSession, path: String)
+      : DataFrame = {
+    val ids = Option(new java.io.File(s"$path/_epochs").listFiles())
+      .getOrElse(Array.empty).map(_.getName.toLong).toSeq
+    s.read.parquet(s"$path/data")
+      .filter(col("epoch").isin(ids: _*))
+  }
+
   final case class SessState(startMs: Long, lastMs: Long, n: Int)
   final case class SessionOut(user_id: Long, session_start_us: Long,
     last_us: Long, n_events: Int)

@@ -309,6 +309,35 @@ class StreamingSpec extends SparkSpec {
     assert(n1 === batch.count() && n2 === n1)
   }
 
+  test("exactlyOnceSink: epoch-ledger dedup survives replay, heals torn " +
+      "writes, and hides uncommitted epochs from readers (T5 write side)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_eo_").toString
+    val ev = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "value")
+    val b0 = ev.filter(col("event_id") % 2 === 0)
+    val b1 = ev.filter(col("event_id") % 2 === 1)
+    val sink = StreamOps.exactlyOnceSink(out) _
+    sink(b0, 0L)
+    sink(b1, 1L)
+    val full = StreamOps.committedEpochs(spark, out)
+    assert(full.count() === ev.count())
+    // at-least-once replay of BOTH epochs: ledger makes them no-ops
+    sink(b0, 0L); sink(b1, 1L)
+    assert(StreamOps.committedEpochs(spark, out).count() === ev.count())
+    // torn write: epoch 2's data lands but the crash precedes the marker —
+    // readers must not see it, and the retry must heal (single copy)
+    b0.withColumn("epoch", lit(2L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(s"$out/data")
+    assert(StreamOps.committedEpochs(spark, out).count() === ev.count(),
+      "uncommitted epoch leaked into reads")
+    sink(b0, 2L) // the replayed delivery commits epoch 2 exactly once
+    assert(StreamOps.committedEpochs(spark, out).count() ===
+      ev.count() + b0.count())
+    assert(StreamOps.committedEpochs(spark, out)
+      .filter(col("epoch") === 2).count() === b0.count())
+  }
+
   test("OHLC bars update across micro-batches with tie-broken endpoints") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
