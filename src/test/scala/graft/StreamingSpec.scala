@@ -115,6 +115,42 @@ class StreamingSpec extends SparkSpec {
     assert(n2 === n1, "replay must overwrite daily partitions, not append")
   }
 
+  test("exactlyOnceSink end-to-end: a real stream drained twice (fresh " +
+      "checkpoint replay) lands exactly one copy via the epoch ledger") {
+    // the lost-checkpoint reprocess again, but against the epoch-ledger
+    // sink: the second drain re-delivers batchId 0, the ledger marks it
+    // committed, and the delivery is dropped AT THE SINK — stronger than
+    // idempotentDailySink's overwrite (no rewrite I/O at all on replay)
+    val out = java.nio.file.Files.createTempDirectory("graft_eoe2e_").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$out/in"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      java.nio.file.Paths.get(s"$out/in/events.parquet"))
+    val nBatch = Tables.events(spark, sf0001).count()
+    def runOnce(ckpt: String): Unit = {
+      val q = Tables.eventsStream(spark, sf0001, s"$out/in")
+        .select("event_id", "ts", "user_id", "value")
+        .writeStream
+        .foreachBatch(StreamOps.exactlyOnceSink(s"$out/store") _)
+        .option("checkpointLocation", s"$out/$ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    runOnce("ckpt1")
+    val store = s"$out/store"
+    assert(StreamOps.committedEpochs(spark, store).count() === nBatch)
+    val dataMtimes = new java.io.File(s"$store/data").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    runOnce("ckpt2") // fresh checkpoint => batch 0 re-delivered
+    assert(StreamOps.committedEpochs(spark, store).count() === nBatch,
+      "replayed epoch duplicated rows")
+    val after = new java.io.File(s"$store/data").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after === dataMtimes, "replayed epoch rewrote data files — the " +
+      "ledger should have dropped the delivery before any I/O")
+  }
+
   test("flatMapGroupsWithState sessionizer emits closed sessions across batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
