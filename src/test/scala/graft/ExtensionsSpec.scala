@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.plans.{AnnRewriteRule, GraftExtensions}
+
+/** The `spark.sql.extensions` DEPLOYMENT path (SURVEY §4.3): everything
+  * else in the suite wires graft functions via runtime `register()` or
+  * `experimental.extraOptimizations`; this spec builds a session THROUGH
+  * `withExtensions(new GraftExtensions)` — what
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` does on a
+  * real cluster — and proves both injections take effect with no runtime
+  * registration calls.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("withExtensions session: graft_dot resolves from SQL text and " +
+      "AnnRewriteRule is injected (fires when conf-enabled)") {
+    val base = spark // realize the shared session/context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .withExtensions(new GraftExtensions).getOrCreate()
+    try {
+      assert(s2 ne base, "builder must yield a NEW session, else the " +
+        "extension injection silently tested nothing")
+      // 1. the function registry injection: no GraftExtensions.register()
+      //    has run on s2 — SQL-text resolution must come from the extension
+      val d = s2.sql(
+        """SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))
+          |       AS d""".stripMargin).head().getDouble(0)
+      assert(d === 11.0)
+      // 2. the optimizer-rule injection: the conf-gated ANN rewrite must
+      //    fire in THIS session without touching experimental optimizations
+      import org.apache.spark.sql.functions._
+      s2.conf.set(AnnRewriteRule.ConfKey, "true")
+      import s2.implicits._
+      val vecs = (0L until 20L)
+        .map(i => (i, Array.fill(8)((i % 5 + 1).toFloat)))
+        .toDF("vec_id", "embedding")
+        .withColumn("nrm", sqrt(graft.ops.dot($"embedding", $"embedding")))
+      val a = vecs.select($"vec_id".as("ia"), $"embedding".as("ea"),
+        $"nrm".as("na"))
+      val b = vecs.select($"vec_id".as("ib"), $"embedding".as("eb"),
+        $"nrm".as("nb"))
+      val q = a.crossJoin(b).filter($"ia" < $"ib" &&
+        graft.ops.dot($"ea", $"eb") / ($"na" * $"nb") >= 0.9)
+      val phys = q.queryExecution.executedPlan.toString
+      assert(!phys.contains("CartesianProduct") &&
+        !phys.contains("BroadcastNestedLoopJoin"),
+        s"injected AnnRewriteRule did not fire:\n${phys.take(600)}")
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+}
