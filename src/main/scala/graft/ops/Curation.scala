@@ -127,7 +127,21 @@ object Curation {
     val exact = pin(docs.filter(size(toks) >= 30)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn"))
-    val edges = TextSim.minhashPairs(exact)
+    // r13 — restriction identity: MinHash signatures are per-doc
+    // deterministic (sigTable has no corpus-dependent df filtering), so
+    // candidate pairs over any SUBSET of the corpus are exactly the
+    // corpus-wide edge store restricted to pairs with both endpoints
+    // surviving. Two semi joins against the kept-id set replace a full
+    // re-shingle + re-sign + re-band of the filtered corpus — at 100 TB
+    // the difference between REUSING the curation index and rebuilding
+    // it mid-pipeline. The oracle keeps deriving pairs from the filtered
+    // set in SQL; the identity makes the two spellings value-equal.
+    val exactIds = exact.select(col("doc_id"))
+    val edges = TextSim.minhashEdges(s, d)
+      .join(exactIds.withColumnRenamed("doc_id", "ia"), Seq("ia"),
+        "left_semi")
+      .join(exactIds.withColumnRenamed("doc_id", "ib"), Seq("ib"),
+        "left_semi")
       .select(col("ia").as("src"), col("ib").as("dst"))
     val kept = exact
       .join(Graph.connectedComponents(exact.select("doc_id"), edges),
