@@ -111,6 +111,24 @@ object SqlSurface {
         |GROUP BY season ORDER BY season""".stripMargin)
     }),
 
+    // INTERSECT / EXCEPT keywords — the set-operation grammar (the E2
+    // family is DataFrame-built via .intersect/.except, so no SQL-text
+    // query touched these parser rules). Summarized per operation so the
+    // result is one deterministic row each.
+    "sql_set_ops" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("sqv_customer")
+      orders(s, d).createOrReplaceTempView("sqv_orders")
+      s.sql("""WITH i AS (SELECT c_custkey AS k FROM sqv_customer
+        |       INTERSECT SELECT o_custkey FROM sqv_orders),
+        |     e AS (SELECT c_custkey AS k FROM sqv_customer
+        |       EXCEPT SELECT o_custkey FROM sqv_orders)
+        |SELECT 'intersect' AS op, COUNT(*) AS n,
+        |       MIN(k) AS min_k, MAX(k) AS max_k FROM i
+        |UNION ALL
+        |SELECT 'except', COUNT(*), MIN(k), MAX(k) FROM e
+        |ORDER BY op""".stripMargin)
+    }),
+
     // The session-extension function surface: graft_dot (the native
     // codegen'd DotProductExpr) invoked FROM SQL TEXT through the
     // function registry — what a spark.sql.extensions deployment gives
@@ -178,6 +196,16 @@ object SqlSurface {
         |  COUNT(*) AS n
         |FROM orders JOIN season ON month(o_orderdate) = m
         |GROUP BY season ORDER BY season""".stripMargin,
+    "sql_set_ops" ->
+      """WITH i AS (SELECT c_custkey AS k FROM customer
+        |       INTERSECT SELECT o_custkey FROM orders),
+        |     e AS (SELECT c_custkey AS k FROM customer
+        |       EXCEPT SELECT o_custkey FROM orders)
+        |SELECT 'intersect' AS op, COUNT(*) AS n,
+        |       MIN(k) AS min_k, MAX(k) AS max_k FROM i
+        |UNION ALL
+        |SELECT 'except', COUNT(*), MIN(k), MAX(k) FROM e
+        |ORDER BY op""".stripMargin,
     "sql_graft_dot" ->
       s"""WITH p AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(${dDot("embedding", "p")}, 6) AS dotp
