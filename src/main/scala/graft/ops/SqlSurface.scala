@@ -129,6 +129,50 @@ object SqlSurface {
         |ORDER BY op""".stripMargin)
     }),
 
+    // CTAS — the dbt MATERIALIZATION verb (M8, r14). dbt compiles every
+    // model under `+materialized: table` (dbt_project.yml:36) to
+    // `CREATE TABLE ... AS SELECT`; the SELECT materialized here mirrors
+    // the final pivot of box_office_data.sql:20-31 (MAX(CASE WHEN
+    // source THEN metric END) over a pre-aggregated base CTE, grouped by
+    // the entity key). The query drives the CTAS statement through the
+    // parser, then reads the result back FROM THE SESSION CATALOG
+    // (`spark.table`) — pinning the one parser surface §2.M hadn't:
+    // DDL + catalog round-trip, not just SELECT analysis. The oracle is
+    // the SELECT itself (materialization must not change results).
+    // Scale posture: CTAS is scan→agg→parquet write, the same physical
+    // plan as the DataFrame save the A-family pins; the managed-table
+    // path just adds a catalog entry. The table name folds in the
+    // dataset-dir key so scale factors never collide; DROP + location
+    // clear make the DDL idempotent across JVMs sharing the warehouse
+    // (an in-memory catalog forgets tables at exit but their managed
+    // directories persist, and CTAS refuses non-empty locations).
+    "sql_ctas" -> ((s, d) => SqlSurface.synchronized {
+      orders(s, d).createOrReplaceTempView("sqv_orders")
+      val key = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val tbl = s"graft_ctas_$key"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      s.sql(s"""CREATE TABLE $tbl USING PARQUET AS
+        |SELECT o_orderpriority,
+        |  MAX(CASE WHEN o_orderstatus = 'O' THEN n END) AS o_n,
+        |  MAX(CASE WHEN o_orderstatus = 'O' THEN sales END) AS o_sales,
+        |  MAX(CASE WHEN o_orderstatus = 'F' THEN n END) AS f_n,
+        |  MAX(CASE WHEN o_orderstatus = 'F' THEN sales END) AS f_sales,
+        |  MAX(CASE WHEN o_orderstatus = 'P' THEN n END) AS p_n,
+        |  MAX(CASE WHEN o_orderstatus = 'P' THEN sales END) AS p_sales
+        |FROM (
+        |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        |    CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2)
+        |      AS DOUBLE) AS sales
+        |  FROM sqv_orders GROUP BY o_orderpriority, o_orderstatus)
+        |GROUP BY o_orderpriority""".stripMargin)
+      s.table(tbl)
+    }),
+
     // The session-extension function surface: graft_dot (the native
     // codegen'd DotProductExpr) invoked FROM SQL TEXT through the
     // function registry — what a spark.sql.extensions deployment gives
@@ -209,6 +253,22 @@ object SqlSurface {
     "sql_graft_dot" ->
       s"""WITH p AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(${dDot("embedding", "p")}, 6) AS dotp
-        |FROM embeddings, p ORDER BY vec_id""".stripMargin
+        |FROM embeddings, p ORDER BY vec_id""".stripMargin,
+    // The SELECT that sql_ctas materializes — a table build must not
+    // change the result it stores (row order normalized by the checker).
+    "sql_ctas" ->
+      """SELECT o_orderpriority,
+        |  MAX(CASE WHEN o_orderstatus = 'O' THEN n END) AS o_n,
+        |  MAX(CASE WHEN o_orderstatus = 'O' THEN sales END) AS o_sales,
+        |  MAX(CASE WHEN o_orderstatus = 'F' THEN n END) AS f_n,
+        |  MAX(CASE WHEN o_orderstatus = 'F' THEN sales END) AS f_sales,
+        |  MAX(CASE WHEN o_orderstatus = 'P' THEN n END) AS p_n,
+        |  MAX(CASE WHEN o_orderstatus = 'P' THEN sales END) AS p_sales
+        |FROM (
+        |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        |    CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2)
+        |      AS DOUBLE) AS sales
+        |  FROM orders GROUP BY o_orderpriority, o_orderstatus)
+        |GROUP BY o_orderpriority""".stripMargin
   )
 }
