@@ -99,6 +99,16 @@ if os.path.isdir('target/scala-2.13/classes'):
                 inside = False
             elif inside and re.fullmatch(r'[a-z0-9_]+', t):
                 declared.append(t)
+            elif inside and t:
+                # A non-empty line INSIDE the sentinels that fails the
+                # query-name shape is a board bug (e.g. a query named
+                # with an uppercase letter or dash) — fail loudly
+                # instead of silently dropping it from the declared set,
+                # which would let its missing bench coverage pass.
+                raise SystemExit(
+                    f"bench_gate: malformed board entry {t!r} between "
+                    "BOARD_BEGIN/BOARD_END — query names must match "
+                    "[a-z0-9_]+")
         declared = sorted(declared)
         if bo.returncode == 0 and declared:
             missing = sorted(set(declared) - set(cq))

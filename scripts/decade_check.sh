@@ -62,6 +62,12 @@ for ln in bo.stdout.splitlines():
         inside = False
     elif inside and re.fullmatch(r'[a-z0-9_]+', t):
         declared.add(t)
+    elif inside and t:
+        # A non-empty line inside the sentinels that fails the shape check
+        # is a board bug — fail loudly, don't silently shrink the declared
+        # set (same contract as scripts/bench_gate.sh).
+        sys.exit(f"decade_check: malformed board entry {t!r} between "
+                 "BOARD_BEGIN/BOARD_END — query names must match [a-z0-9_]+")
 missing = sorted(declared - swept)
 if bo.returncode != 0 or not declared:
     print("decade coverage: graft.Board failed — cannot verify coverage")

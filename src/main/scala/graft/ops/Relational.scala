@@ -1940,15 +1940,17 @@ object Relational {
         (col("seq") === 3 && col("o_orderkey") % 7 === 0))
 
   /** Where the persisted changelog store lives for a given dataset dir —
-    * keyed by the dataset path so the scale factors never collide (the
-    * snapshotStoreDir convention, TextSim.scala). In production this is
-    * the table-format transaction log next to the table; the sandbox
-    * testdata dir is read-only, so the stand-in lives under tmpdir. */
-  private[ops] def changelogStoreDir(d: String): String = {
-    val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_changelog_store_$key"
-  }
+    * keyed by the dataset path so the scale factors never collide, PLUS
+    * the [[cdcLog]] derivation contract (insert-all at seq 1, ×2 update
+    * on key%3 at seq 2, delete on key%7 at seq 3) so a change to the log
+    * derivation lands in a fresh directory instead of silently reading a
+    * stale store from a previous build ([[PersistedStore.dir]], the
+    * edgeStoreDir convention). In production this is the table-format
+    * transaction log next to the table; the sandbox testdata dir is
+    * read-only, so the stand-in lives under tmpdir. */
+  private[ops] def changelogStoreDir(d: String): String =
+    PersistedStore.dir("changelog",
+      Seq(d, "cdc-log", "I:1:all", "U:2:mod3:price*2", "D:3:mod7", "v1"))
 
   /** Idempotently materialize the CDC changelog as a SEQ-PARTITIONED
     * parquet store — the write a table format performs once per commit,
@@ -1960,19 +1962,14 @@ object Relational {
     * and later-commit files are never opened — the claim that makes
     * time travel affordable on a 100 TB log, and exactly what Delta/
     * Iceberg get from checkpoint/manifest pruning.
-    * ChangelogStoreSpec plan-asserts the prune. A _DONE marker commits
-    * the write atomically enough for the single-JVM sandbox. */
+    * ChangelogStoreSpec plan-asserts the prune. Commit protocol
+    * (versioned key + atomic temp-dir publish, cross-process safe) is
+    * [[PersistedStore.ensure]]. */
   private[ops] def ensureChangelogStore(s: SparkSession, d: String): String =
-    Relational.synchronized { // parallel test suites may race the build
-      val dir = changelogStoreDir(d)
-      val done = new java.io.File(dir, "_DONE")
-      if (!done.exists()) {
-        cdcLog(s, d)
-          .write.mode("overwrite").partitionBy("seq")
-          .parquet(s"$dir/log.parquet")
-        done.createNewFile()
-      }
-      dir
+    PersistedStore.ensure(changelogStoreDir(d)) { tmp =>
+      cdcLog(s, d)
+        .write.mode("overwrite").partitionBy("seq")
+        .parquet(s"$tmp/log.parquet")
     }
 
   /** The changelog read back from the persisted store. Partition-column

@@ -224,13 +224,11 @@ object TextSim {
     * the graph-diagnostic counterpart of the L40 signature store. The
     * key folds in the banding contract constants (NumHashes/Bands and
     * the 0.5 est_sim floor baked into [[minhashPairs]]) so a constant
-    * change can never read a stale store from a previous build. */
-  private[ops] def edgeStoreDir(d: String): String = {
-    val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"$d:minhash-edges:$NumHashes:$Bands:0.5".getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_edge_store_$key"
-  }
+    * change can never read a stale store from a previous build
+    * ([[PersistedStore.dir]] owns the key scheme). */
+  private[ops] def edgeStoreDir(d: String): String =
+    PersistedStore.dir("edge",
+      Seq(d, "minhash-edges", NumHashes, Bands, "0.5", "v1"))
 
   /** Idempotently materialize the near-dup candidate edge list
     * (minhashPairs' (ia, ib), ia < ib) as parquet — the write a curation
@@ -243,18 +241,14 @@ object TextSim {
     * snapshot signatures — no diagnostic should pay it again. Contents
     * are deterministic (literal hash constants), so the DuckDB oracles'
     * in-SQL re-derivation still matches bit-for-bit; EdgeStoreSpec pins
-    * store ≡ in-plan derivation and the graph queries' store reads. */
+    * store ≡ in-plan derivation and the graph queries' store reads.
+    * Commit protocol (versioned key + atomic temp-dir publish) is
+    * [[PersistedStore.ensure]]. */
   private[graft] def ensureEdgeStore(
       s: org.apache.spark.sql.SparkSession, d: String): String =
-    TextSim.synchronized { // parallel test suites may race the first build
-      val dir = edgeStoreDir(d)
-      val done = new java.io.File(dir, "_DONE")
-      if (!done.exists()) {
-        minhashPairs(documents(s, d)).select(col("ia"), col("ib"))
-          .write.mode("overwrite").parquet(s"$dir/edges.parquet")
-        done.createNewFile()
-      }
-      dir
+    PersistedStore.ensure(edgeStoreDir(d)) { tmp =>
+      minhashPairs(documents(s, d)).select(col("ia"), col("ib"))
+        .write.mode("overwrite").parquet(s"$tmp/edges.parquet")
     }
 
   /** The candidate edge list read back from the persisted store. */
@@ -273,15 +267,18 @@ object TextSim {
   private[ops] val SnapshotBoundary = 250
 
   /** Where the snapshot signature store lives for a given dataset dir —
-    * keyed by the dataset path so sf0.001/sf0.01/sf0.1 never collide.
-    * In production this is the curated-corpus metadata location next to
-    * the snapshot itself; the sandbox testdata dir is read-only, so the
-    * local stand-in lives under java.io.tmpdir. */
-  private[ops] def snapshotStoreDir(d: String): String = {
-    val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_snapshot_store_$key"
-  }
+    * keyed by the dataset path so sf0.001/sf0.01/sf0.1 never collide,
+    * PLUS the index-build contract (snapshot boundary, shingle width,
+    * signature length, the h60 exact index) so a derivation change lands
+    * in a fresh directory instead of reading a stale store out of the
+    * persistent tmpdir ([[PersistedStore.dir]]). In production this is
+    * the curated-corpus metadata location next to the snapshot itself;
+    * the sandbox testdata dir is read-only, so the local stand-in lives
+    * under java.io.tmpdir. */
+  private[ops] def snapshotStoreDir(d: String): String =
+    PersistedStore.dir("snapshot",
+      Seq(d, "snapshot-index", SnapshotBoundary, "shingle3", NumHashes,
+        "h60-exact", "v1"))
 
   /** Idempotently materialize the snapshot's dedup index — the write the
     * CURATION job performs once when the snapshot is published, replayed
@@ -289,24 +286,18 @@ object TextSim {
     * (b) the exact-dup h60 hash index, both as parquet. The incremental
     * query then reads these back instead of re-shingling snapshot text,
     * so per-batch cost scales with the BATCH while the store write
-    * amortizes over every batch that follows. A _DONE marker commits the
-    * pair atomically enough for the single-JVM sandbox; a real deployment
-    * would stamp the store with the snapshot version instead. */
+    * amortizes over every batch that follows. Commit protocol (versioned
+    * key + atomic temp-dir publish, cross-process safe) is
+    * [[PersistedStore.ensure]]. */
   private[ops] def ensureSnapshotStore(
       s: org.apache.spark.sql.SparkSession, d: String): String =
-    TextSim.synchronized { // parallel test suites may race the first build
-    val dir = snapshotStoreDir(d)
-    val done = new java.io.File(dir, "_DONE")
-    if (!done.exists()) {
+    PersistedStore.ensure(snapshotStoreDir(d)) { tmp =>
       val index = documents(s, d).filter(col("doc_id") < SnapshotBoundary)
       sigTable(shingleRows(index, 3))
-        .write.mode("overwrite").parquet(s"$dir/sigs.parquet")
+        .write.mode("overwrite").parquet(s"$tmp/sigs.parquet")
       index.select(h60(col("text")).as("ht")).distinct()
-        .write.mode("overwrite").parquet(s"$dir/exact.parquet")
-      done.createNewFile()
+        .write.mode("overwrite").parquet(s"$tmp/exact.parquet")
     }
-    dir
-  }
 
   /** Cross-corpus MinHash candidate pairs (index side × batch side) via
     * the same LSH banding as [[minhashPairs]], but with the two corpora

@@ -216,6 +216,19 @@ object StreamOps {
     * cost ~epochs, prunable by retention), and the data layout is the
     * append-friendly partition-per-epoch a compaction job later rewrites.
     * Use with `writeStream.foreachBatch(exactlyOnceSink(path))`.
+    *
+    * CONCURRENCY CONTRACT: single writer per sink path. Structured
+    * Streaming enforces at most one active query per checkpoint location
+    * (a second start throws ConcurrentModificationException on the
+    * checkpoint lock), so two concurrent replays of the same batchId
+    * cannot happen under the engine — the marker check's check-then-write
+    * window is safe by that guarantee, not by filesystem atomicity. The
+    * marker CREATION is atomic anyway (File.createNewFile), so the ledger
+    * itself can never tear; what the single-writer rule protects is the
+    * epoch partition's data files. Pointing two different queries (or a
+    * manual backfill racing a live query) at one sink path is outside the
+    * contract — production deployments that need that use a per-writer
+    * txnAppId dimension in the ledger, as Delta does.
     */
   def exactlyOnceSink(path: String)(batch: DataFrame, batchId: Long): Unit = {
     val ledger = new java.io.File(s"$path/_epochs")
@@ -240,7 +253,15 @@ object StreamOps {
       : DataFrame = {
     val ids = Option(new java.io.File(s"$path/_epochs").listFiles())
       .getOrElse(Array.empty).map(_.getName.toLong).toSeq
-    s.read.parquet(s"$path/data")
+    // Before the FIRST write attempt `$path/data` does not exist; the
+    // exactly-once contract reads that the same as "nothing committed",
+    // so return an empty frame instead of throwing PATH_NOT_FOUND. The
+    // schema is unknowable before any data lands (it is the stream's own
+    // schema), hence emptyDataFrame — callers at that stage have zero
+    // committed epochs to project anyway. Once a torn write exists the
+    // parquet schema is readable and the ledger join filters it row-wise.
+    if (!new java.io.File(s"$path/data").exists()) s.emptyDataFrame
+    else s.read.parquet(s"$path/data")
       .filter(col("epoch").isin(ids: _*))
   }
 

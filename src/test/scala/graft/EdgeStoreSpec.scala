@@ -53,10 +53,20 @@ class EdgeStoreSpec extends SparkSpec {
         .filter(_.requiredSchema.fieldNames.contains("text"))
       // dedup_keep_best and memorization_risk legitimately read text for
       // their quality/exposure features — but never for edge derivation;
-      // the others must not touch text at all
-      if (!Set("dedup_keep_best", "memorization_risk").contains(q))
-        assert(textScans.isEmpty,
-          s"$q re-reads document text despite the edge store")
+      // the others must not touch text at all. For the two exempted
+      // queries the count is pinned EXACTLY at their known feature reads,
+      // so a regression back to in-plan minhashPairs derivation (which
+      // adds shingling text scans) fails here even though the store/
+      // checkpoint evidence above would still hold vacuously.
+      // dedup_keep_best's quality scan counts TWICE: its scored frame is
+      // self-joined (argmax side + detail side), and sparkPlan duplicates
+      // the subtree — exchange reuse only collapses it in the executed
+      // plan. Both are the same feature read, not edge derivation.
+      val expectedTextScans =
+        Map("dedup_keep_best" -> 2, "memorization_risk" -> 1)
+      assert(textScans.size === expectedTextScans.getOrElse(q, 0),
+        s"$q has ${textScans.size} text scans, expected " +
+          s"${expectedTextScans.getOrElse(q, 0)} — edges re-derived?")
     }
   }
 
