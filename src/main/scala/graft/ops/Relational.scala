@@ -1948,7 +1948,7 @@ object Relational {
     * edgeStoreDir convention). In production this is the table-format
     * transaction log next to the table; the sandbox testdata dir is
     * read-only, so the stand-in lives under tmpdir. */
-  private[ops] def changelogStoreDir(d: String): String =
+  private[graft] def changelogStoreDir(d: String): String =
     PersistedStore.dir("changelog",
       Seq(d, "cdc-log", "I:1:all", "U:2:mod3:price*2", "D:3:mod7", "v1"))
 
@@ -1965,7 +1965,7 @@ object Relational {
     * ChangelogStoreSpec plan-asserts the prune. Commit protocol
     * (versioned key + atomic temp-dir publish, cross-process safe) is
     * [[PersistedStore.ensure]]. */
-  private[ops] def ensureChangelogStore(s: SparkSession, d: String): String =
+  private[graft] def ensureChangelogStore(s: SparkSession, d: String): String =
     PersistedStore.ensure(changelogStoreDir(d)) { tmp =>
       cdcLog(s, d)
         .write.mode("overwrite").partitionBy("seq")

@@ -226,7 +226,7 @@ object TextSim {
     * the 0.5 est_sim floor baked into [[minhashPairs]]) so a constant
     * change can never read a stale store from a previous build
     * ([[PersistedStore.dir]] owns the key scheme). */
-  private[ops] def edgeStoreDir(d: String): String =
+  private[graft] def edgeStoreDir(d: String): String =
     PersistedStore.dir("edge",
       Seq(d, "minhash-edges", NumHashes, Bands, "0.5", "v1"))
 
@@ -275,7 +275,7 @@ object TextSim {
     * the curated-corpus metadata location next to the snapshot itself;
     * the sandbox testdata dir is read-only, so the local stand-in lives
     * under java.io.tmpdir. */
-  private[ops] def snapshotStoreDir(d: String): String =
+  private[graft] def snapshotStoreDir(d: String): String =
     PersistedStore.dir("snapshot",
       Seq(d, "snapshot-index", SnapshotBoundary, "shingle3", NumHashes,
         "h60-exact", "v1"))
@@ -289,7 +289,7 @@ object TextSim {
     * amortizes over every batch that follows. Commit protocol (versioned
     * key + atomic temp-dir publish, cross-process safe) is
     * [[PersistedStore.ensure]]. */
-  private[ops] def ensureSnapshotStore(
+  private[graft] def ensureSnapshotStore(
       s: org.apache.spark.sql.SparkSession, d: String): String =
     PersistedStore.ensure(snapshotStoreDir(d)) { tmp =>
       val index = documents(s, d).filter(col("doc_id") < SnapshotBoundary)
