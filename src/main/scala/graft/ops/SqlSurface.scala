@@ -173,6 +173,41 @@ object SqlSurface {
       s.table(tbl)
     }),
 
+    // WITH RECURSIVE through the parser (M9, r14) — Spark 4.x's
+    // recursive-CTE grammar + UnionLoop execution, the last SQL-text
+    // surface §2.M hadn't pinned. The recursion runs on MODEL-PARAMETER
+    // state, deliberately: the anchor is a full-table aggregate (exact
+    // decimal sum per order priority — one map-side-combinable shuffle
+    // over the fact table at any scale) and each recursive level is one
+    // IEEE multiply per group (5 rows/level, 12 levels — a geometric
+    // 12-period decay forecast, ts_forecast_naive's recursive cousin).
+    // Fact-ROW recursion is refused by design: Spark 4.1 rejects UNION
+    // (distinct) in recursive CTEs (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE,
+    // probed), so a graph walk here would be UNION ALL over all bounded
+    // WALKS — path-enumeration explosion on any cyclic/dense graph. The
+    // engine's scale path for reachability is the Pregel-shaped
+    // graph_bfs (per-round min-aggregation caps the frontier), exactly
+    // as the M1/agg_pivot split keeps parser pins separate from the
+    // operators that carry the 100 TB load.
+    // Determinism: the anchor is the decimal-sum contract; each step is
+    // a SINGLE IEEE multiply by the same literal (no FMA contraction
+    // possible), so the 12-step chain is bit-identical cross-engine;
+    // round(…,6) only at display.
+    "sql_recursive_cte" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("sqv_orders")
+      s.sql("""
+        |WITH RECURSIVE forecast(o_orderpriority, m, sales) AS (
+        |  SELECT o_orderpriority, 0,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+        |  FROM sqv_orders GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT o_orderpriority, m + 1, sales * 0.9
+        |  FROM forecast WHERE m < 12
+        |)
+        |SELECT o_orderpriority, m, round(sales, 6) AS sales
+        |FROM forecast ORDER BY o_orderpriority, m""".stripMargin)
+    }),
+
     // The session-extension function surface: graft_dot (the native
     // codegen'd DotProductExpr) invoked FROM SQL TEXT through the
     // function registry — what a spark.sql.extensions deployment gives
@@ -254,6 +289,20 @@ object SqlSurface {
       s"""WITH p AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(${dDot("embedding", "p")}, 6) AS dotp
         |FROM embeddings, p ORDER BY vec_id""".stripMargin,
+    // Same recursion, DuckDB's own WITH RECURSIVE — both engines follow
+    // the standard UNION ALL working-table semantics and every level is
+    // one IEEE multiply on identical doubles, so the match is exact.
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE forecast(o_orderpriority, m, sales) AS (
+        |  SELECT o_orderpriority, 0,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+        |  FROM orders GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT o_orderpriority, m + 1, sales * 0.9
+        |  FROM forecast WHERE m < 12
+        |)
+        |SELECT o_orderpriority, m, round(sales, 6) AS sales
+        |FROM forecast ORDER BY o_orderpriority, m""".stripMargin,
     // The SELECT that sql_ctas materializes — a table build must not
     // change the result it stores (row order normalized by the checker).
     "sql_ctas" ->

@@ -167,6 +167,34 @@ object StreamOps {
       .select(col("err_id"), col("user_id"), col("click_ts"), col("err_ts"))
   }
 
+  /** Stream-stream LEFT OUTER join (r14): every error row emits whether
+    * or not a prior click matched — the "errors with no preceding
+    * interaction" investigation [[clickErrorJoin]]'s inner form cannot
+    * express (an unmatched error silently vanishes there). Same
+    * watermarks + time-range condition, so state stays bounded; the
+    * OUTER-specific contract is emission latency: an unmatched error
+    * buffers in the join state until the watermark passes its match
+    * window's end (err_ts, since clicks must precede the error), and only
+    * then emits with NULL click_ts — Spark cannot know "no click will
+    * come" earlier. At 100 TB that is the same per-key bounded state as
+    * the inner join plus one watermark-delay's worth of unmatched
+    * probe rows; the NULL-side rows appear one watermark delay late by
+    * construction, which downstream consumers must expect.
+    */
+  def errorClickJoinOuter(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val e = errors.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("u2"), col("ts").as("err_ts"),
+        col("event_id").as("err_id"))
+    e.join(c, expr(
+      """user_id = u2 AND
+        |click_ts >= err_ts - interval 10 minutes AND
+        |click_ts < err_ts""".stripMargin), "left_outer")
+      .select(col("err_id"), col("u2").as("user_id"), col("err_ts"),
+        col("click_ts"))
+  }
+
   /** Stream–static enrichment: every micro-batch joins the bounded
     * dimension table — the streaming form of the batch broadcast join
     * (C1). No watermark and no join state: the static side is fully known,

@@ -313,6 +313,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched errors with NULL " +
+      "click once the watermark closes their window") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val errors = MemoryStream[Ev]
+    val q = StreamOps.errorClickJoinOuter(
+        clicks.toDF().withColumn("event_type", lit("click")),
+        errors.toDF().withColumn("event_type", lit("error")))
+      .writeStream.format("memory").queryName("ssoj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Ev(1, ts(10), 5, 1.0))    // 5 min before err: match
+      errors.addData(
+        Ev(9, ts(10, 5), 5, 1.0),              // matched error
+        Ev(8, ts(10, 5), 7, 1.0))              // user 7 never clicked
+      q.processAllAvailable()
+      // advance BOTH watermarks past 10:05 + 10min delay so the join
+      // state for the unmatched error is provably closed, then trigger
+      // the state-cleanup batch that emits the NULL row
+      clicks.addData(Ev(2, ts(11), 5, 1.0))
+      errors.addData(Ev(7, ts(11), 6, 1.0))
+      q.processAllAvailable()
+      clicks.addData(Ev(3, ts(11, 30), 5, 1.0))
+      errors.addData(Ev(6, ts(11, 30), 6, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("ssoj_out")
+        .filter(col("err_id").isin(9L, 8L))
+        .select(col("err_id"), col("user_id"),
+          col("click_ts").isNull.as("noclick"))
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(got.contains((9L, 5L, false)),
+        s"matched error must carry its click: $got")
+      assert(got.contains((8L, 7L, true)),
+        s"unmatched error must emit with NULL click after watermark: $got")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches micro-batches from a bounded dim") {
     implicit val ctx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
