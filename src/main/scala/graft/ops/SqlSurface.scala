@@ -189,22 +189,33 @@ object SqlSurface {
     // graph_bfs (per-round min-aggregation caps the frontier), exactly
     // as the M1/agg_pivot split keeps parser pins separate from the
     // operators that carry the 100 TB load.
-    // Determinism: the anchor is the decimal-sum contract; each step is
-    // a SINGLE IEEE multiply by the same literal (no FMA contraction
-    // possible), so the 12-step chain is bit-identical cross-engine;
-    // round(…,6) only at display.
+    // Determinism: the anchor is the decimal-sum contract DIVIDED by the
+    // group count — the AVERAGE order value, not the raw sum — because
+    // the forecast value's MAGNITUDE must stay scale-invariant: a raw
+    // sum grows with the corpus, and at the ~sf1 decade (sums ~5e10)
+    // round(x, 6) asks for 17 significant digits, past IEEE double
+    // precision, where the two engines legitimately disagree by one ULP
+    // (caught by the r14 decade sweep). An average sits at ~1.5e5 at
+    // EVERY scale factor, so the display round stays ~11 significant
+    // digits deep inside double precision at 100 TB as much as at
+    // sf0.001. The division is one IEEE op on an exact decimal-sum image
+    // and an exact count; each recursive step is then a SINGLE IEEE
+    // multiply by the same literal (no FMA contraction possible), so the
+    // 12-step chain is bit-identical cross-engine; round(…,6) only at
+    // display.
     "sql_recursive_cte" -> ((s, d) => {
       orders(s, d).createOrReplaceTempView("sqv_orders")
       s.sql("""
-        |WITH RECURSIVE forecast(o_orderpriority, m, sales) AS (
+        |WITH RECURSIVE forecast(o_orderpriority, m, avg_sales) AS (
         |  SELECT o_orderpriority, 0,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+        |      / COUNT(*)
         |  FROM sqv_orders GROUP BY o_orderpriority
         |  UNION ALL
-        |  SELECT o_orderpriority, m + 1, sales * 0.9
+        |  SELECT o_orderpriority, m + 1, avg_sales * 0.9
         |  FROM forecast WHERE m < 12
         |)
-        |SELECT o_orderpriority, m, round(sales, 6) AS sales
+        |SELECT o_orderpriority, m, round(avg_sales, 6) AS avg_sales
         |FROM forecast ORDER BY o_orderpriority, m""".stripMargin)
     }),
 
@@ -293,15 +304,16 @@ object SqlSurface {
     // the standard UNION ALL working-table semantics and every level is
     // one IEEE multiply on identical doubles, so the match is exact.
     "sql_recursive_cte" ->
-      """WITH RECURSIVE forecast(o_orderpriority, m, sales) AS (
+      """WITH RECURSIVE forecast(o_orderpriority, m, avg_sales) AS (
         |  SELECT o_orderpriority, 0,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+        |      / COUNT(*)
         |  FROM orders GROUP BY o_orderpriority
         |  UNION ALL
-        |  SELECT o_orderpriority, m + 1, sales * 0.9
+        |  SELECT o_orderpriority, m + 1, avg_sales * 0.9
         |  FROM forecast WHERE m < 12
         |)
-        |SELECT o_orderpriority, m, round(sales, 6) AS sales
+        |SELECT o_orderpriority, m, round(avg_sales, 6) AS avg_sales
         |FROM forecast ORDER BY o_orderpriority, m""".stripMargin,
     // The SELECT that sql_ctas materializes — a table build must not
     // change the result it stores (row order normalized by the checker).
