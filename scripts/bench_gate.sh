@@ -13,6 +13,11 @@
 #     raw rule and re-tested clean).
 #   - common-subset totals: the only fair round-over-round total is over
 #     queries present in BOTH artifacts (suites grow every round).
+#   - movers list (r15): queries at ratio >1.3x (but under the 2x suspect
+#     bar) AND above the same spread/0.3s absolute-delta floor — the
+#     round-open adjudication queue of BASELINE.md's mover protocol,
+#     machine-computed so sub-floor wobble never becomes adjudication
+#     debt. Movers do NOT flip the verdict.
 #
 # Exit code is ALWAYS 0: the verdict is advisory (flag-then-re-test), not
 # a build blocker — a busy host must not fail CI. Consumers read .verdict.
@@ -52,17 +57,28 @@ MIN_PREV = 0.05  # below this the timer is all noise
 
 common = sorted(q for q in cq if q in pq
                 and cq[q] is not None and pq[q] is not None)
-suspects = []
+# suspects flip the verdict (>2x); movers are the round-open adjudication
+# queue (>1.3x) per BASELINE.md's mover protocol. BOTH apply the same
+# absolute-delta floor: a ratio on a sub-0.3s query is timer noise (the
+# r14 round closed with six "movers" of <=0.15s delta, all noise-band),
+# so a query qualifies only when its delta ALSO exceeds the max of the
+# two rounds' observed spreads and the 0.3s fresh-JVM floor.
+suspects, movers = [], []
 for q in common:
     c, p = cq[q], pq[q]
     if p <= MIN_PREV:
         continue
     band = max(cs.get(q, 0.0), ps.get(q, 0.0), FLOOR)
-    if c > 2.0 * p and (c - p) > band:
-        suspects.append({"q": q, "prev": p, "cur": c,
-                         "ratio": round(c / p, 2),
-                         "band": round(band, 3)})
+    if (c - p) <= band:
+        continue
+    row = {"q": q, "prev": p, "cur": c,
+           "ratio": round(c / p, 2), "band": round(band, 3)}
+    if c > 2.0 * p:
+        suspects.append(row)
+    elif c > 1.3 * p:
+        movers.append(row)
 suspects.sort(key=lambda s: -s["ratio"])
+movers.sort(key=lambda s: -s["ratio"])
 
 tot_c = sum(cq[q] for q in common)
 tot_p = sum(pq[q] for q in common)
@@ -129,5 +145,6 @@ print(json.dumps({
     "new_queries": sorted(set(cq) - set(pq)),
     "lost_queries": sorted(set(pq) - set(cq)),
     "suspects": suspects,
+    "movers": movers,
 }, separators=(',', ':')))
 PYEOF

@@ -41,49 +41,78 @@ private[graft] object PersistedStore {
     * key is SHA-256 over every element of `contract` (dataset path,
     * constants, version token). Callers fold in ALL constants their
     * build reads — PersistedStoreSpec pins that a contract change moves
-    * the directory. */
+    * the directory.
+    *
+    * The digest is INJECTIVE over the element sequence: each element is
+    * fed length-prefixed (`<byte-len>:<bytes>`), so two distinct
+    * contracts can never collide into one key by an element that itself
+    * contains the would-be separator (r14 review: `Seq("a:b")` vs
+    * `Seq("a","b")` under a plain mkString(":") shared a directory —
+    * i.e. a stale store silently crossing semantics). */
   def dir(name: String, contract: Seq[Any]): String = {
-    val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(contract.mkString(":").getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    contract.foreach { e =>
+      val b = String.valueOf(e).getBytes("UTF-8")
+      md.update(s"${b.length}:".getBytes("UTF-8"))
+      md.update(b)
+    }
+    val key = md.digest().take(8).map("%02x".format(_)).mkString
     s"${System.getProperty("java.io.tmpdir")}/graft_${name}_store_$key"
   }
+
+  /** Per-storeDir lock objects: unrelated stores (edge, snapshot,
+    * changelog) must not serialize behind each other's Spark builds —
+    * an object-wide lock here would also let one store's lose-race wait
+    * (up to 120s) stall every other store's first access (r14 review).
+    * The map only ever holds one tiny Object per distinct store path
+    * the process touches — bounded by the store × scale-dir product. */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Idempotently materialize `storeDir`: if its `_DONE` marker exists
     * the store is complete and nothing runs; otherwise `build` writes
     * into a fresh temp directory which is atomically renamed into place
-    * (marker already inside). Returns `storeDir`. The JVM-local lock
-    * only prevents duplicate builds between threads of one process; the
-    * rename is what makes concurrent PROCESSES safe. */
-  def ensure(storeDir: String)(build: String => Unit): String =
-    synchronized {
-      val dirF = new java.io.File(storeDir)
-      val done = new java.io.File(dirF, "_DONE")
-      if (!done.exists()) {
+    * (marker already inside). Returns `storeDir`. The JVM-local lock is
+    * STRIPED PER STORE PATH and only prevents duplicate builds of the
+    * same store between threads of one process; the rename is what makes
+    * concurrent PROCESSES safe. The lose-race marker-wait runs OUTSIDE
+    * the lock, so a stalled foreign publisher never blocks other threads
+    * — at worst a same-store thread entering during the wait runs one
+    * redundant build and discards it on its own failed rename. */
+  def ensure(storeDir: String)(build: String => Unit): String = {
+    val dirF = new java.io.File(storeDir)
+    val done = new java.io.File(dirF, "_DONE")
+    if (done.exists()) return storeDir
+    val lock = locks.computeIfAbsent(storeDir, _ => new Object)
+    val published = lock.synchronized {
+      if (done.exists()) true // built by another thread while we queued
+      else {
         val tmp = new java.io.File(dirF.getParentFile,
           s"${dirF.getName}.build.${java.util.UUID.randomUUID()}")
         try build(tmp.getAbsolutePath)
         catch { case t: Throwable => deleteRecursively(tmp); throw t }
         new java.io.File(tmp, "_DONE").createNewFile()
-        if (!tmp.renameTo(dirF)) {
-          // another process published first: discard our build, then
-          // wait for its marker (it renamed before we did, so the
-          // marker is either visible already or about to be — the
-          // timeout guards against a foreign non-store directory
-          // squatting on the path, which is a config error, not a race)
-          deleteRecursively(tmp)
-          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-          while (!done.exists()) {
-            if (System.nanoTime() > deadline)
-              throw new IllegalStateException(
-                s"persisted store $storeDir: lost the publish race but " +
-                  "no _DONE marker ever appeared")
-            Thread.sleep(200)
-          }
-        }
+        if (tmp.renameTo(dirF)) true
+        else { deleteRecursively(tmp); false }
       }
-      storeDir
     }
+    if (!published) {
+      // another PROCESS published first: our build is discarded; wait
+      // for the winner's marker lock-free (it renamed before we did, so
+      // the marker is either visible already or about to be — the
+      // timeout guards against a foreign non-store directory squatting
+      // on the path, which is a config error, not a race)
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (!done.exists()) {
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"persisted store $storeDir: lost the publish race but " +
+              "no _DONE marker ever appeared")
+        Thread.sleep(200)
+      }
+    }
+    storeDir
+  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)

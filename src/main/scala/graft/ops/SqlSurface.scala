@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Q
-import graft.Tables.{customer, documents, embeddings, orders}
+import graft.Tables.{customer, documents, embeddings, nation, orders}
 import graft.plans.GraftExtensions
 
 /** SQL-TEXT entry path (SURVEY §2 growth axis, r13): the board is built
@@ -28,7 +28,50 @@ import graft.plans.GraftExtensions
   */
 object SqlSurface {
 
+  /** The M10 enrichment SELECT (orders → customer → nation, revenue per
+    * nation — the C1 join a dashboard SQL user writes; README.md:205-220
+    * is the reference's genre/season enrichment this mirrors), with a
+    * slot for an optional hint-comment list. One string, two plans:
+    * the declared query runs it WITH `/*+ BROADCAST(n), REPARTITION(8) */`
+    * and the oracle/PlanAuditSpec run it bare — hints must never change
+    * results, only the physical plan. The hints sit in the inner query
+    * block so the REPARTITION lands below the outer ORDER BY (output
+    * order is a display property; the repartition is the write-fan-out
+    * knob users pair with it).
+    */
+  private[graft] def joinHintSelect(hints: String): String =
+    s"""SELECT n_name, sum_price, n_orders FROM (
+      |  SELECT $hints n_name,
+      |    CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2)
+      |      AS DOUBLE) AS sum_price,
+      |    COUNT(*) AS n_orders
+      |  FROM sqv_orders o
+      |  JOIN sqv_customer c ON o.o_custkey = c.c_custkey
+      |  JOIN sqv_nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY n_name)
+      |ORDER BY n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+
+    // SQL-text join hints (M10, r15) — the parser knob a dbt/SQL user
+    // actually turns when the optimizer guesses wrong: `/*+ BROADCAST
+    // (dim) */` pins the map-side join when stats under-estimate a
+    // filtered dimension, and `/*+ REPARTITION(n) */` is its shuffle
+    // sibling (output fan-out control before a write). The oracle runs
+    // the UNHINTED text — a hint that changes results is a bug by
+    // definition — and the TEETH live in PlanAuditSpec: with the
+    // broadcast threshold forced to -1 (stats alone say sort-merge),
+    // the hinted plan must carry a BroadcastHashJoin on nation and a
+    // RoundRobin(8) exchange, the unhinted plan neither. Scale posture:
+    // identical to join_broadcast (C1) — nation is a fixed-size dim, the
+    // hint rides the scan stage; at 100 TB the same text is exactly what
+    // a user ships when AQE's estimate misses.
+    "sql_join_hints" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("sqv_orders")
+      customer(s, d).createOrReplaceTempView("sqv_customer")
+      nation(s, d).createOrReplaceTempView("sqv_nation")
+      s.sql(joinHintSelect("/*+ BROADCAST(n), REPARTITION(8) */"))
+    }),
 
     // The PIVOT clause (parser rule unique to SQL text — the DataFrame
     // twin is RelationalGroupedDataset.pivot, exercised by agg_pivot).
@@ -141,21 +184,23 @@ object SqlSurface {
     // the SELECT itself (materialization must not change results).
     // Scale posture: CTAS is scan→agg→parquet write, the same physical
     // plan as the DataFrame save the A-family pins; the managed-table
-    // path just adds a catalog entry. The table name folds in the
-    // dataset-dir key so scale factors never collide; DROP + location
-    // clear make the DDL idempotent across JVMs sharing the warehouse
-    // (an in-memory catalog forgets tables at exit but their managed
-    // directories persist, and CTAS refuses non-empty locations).
-    "sql_ctas" -> ((s, d) => SqlSurface.synchronized {
+    // path just adds a catalog entry.
+    // Concurrency (r15, closes the r14 review's cross-process race): the
+    // table NAME is unique per invocation (UUID), so concurrent harness
+    // JVMs sharing the warehouse dir can never delete/overwrite each
+    // other's location mid-read — there is no shared state to lock, and
+    // the r14 JVM-global `synchronized` is gone with it. The read-back
+    // is eagerly materialized (localCheckpoint) and the managed table
+    // then DROPPED, purging its warehouse directory, so repeated runs
+    // leave nothing behind (a crash between CTAS and DROP strands one
+    // uniquely-named directory — swept by the next tmp cleanup, never
+    // read by anyone). This is PersistedStore's publish discipline
+    // adapted to a throwaway table: uniqueness instead of rename,
+    // because the artifact is consumed once, not shared.
+    "sql_ctas" -> ((s, d) => {
       orders(s, d).createOrReplaceTempView("sqv_orders")
-      val key = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-      val tbl = s"graft_ctas_$key"
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), tbl)
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      val tbl = "graft_ctas_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(16)
       s.sql(s"""CREATE TABLE $tbl USING PARQUET AS
         |SELECT o_orderpriority,
         |  MAX(CASE WHEN o_orderstatus = 'O' THEN n END) AS o_n,
@@ -170,7 +215,10 @@ object SqlSurface {
         |      AS DOUBLE) AS sales
         |  FROM sqv_orders GROUP BY o_orderpriority, o_orderstatus)
         |GROUP BY o_orderpriority""".stripMargin)
-      s.table(tbl)
+      // catalog read-back (the M8 pin), pinned in memory before the drop
+      val out = s.table(tbl).localCheckpoint(true)
+      s.sql(s"DROP TABLE $tbl") // managed: drop purges the location
+      out
     }),
 
     // WITH RECURSIVE through the parser (M9, r14) — Spark 4.x's
@@ -238,6 +286,19 @@ object SqlSurface {
   )
 
   val oracles: Map[String, String] = Map(
+    // The hint-free text on the base tables: hints affect only the
+    // physical plan, so the hinted Spark run must match this exactly.
+    "sql_join_hints" ->
+      """SELECT n_name, sum_price, n_orders FROM (
+        |  SELECT n_name,
+        |    CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2)
+        |      AS DOUBLE) AS sum_price,
+        |    COUNT(*) AS n_orders
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n_name)
+        |ORDER BY n_name""".stripMargin,
     // CASE-WHEN aggregation — the engine-neutral spelling of PIVOT.
     "sql_pivot" ->
       """SELECT o_orderpriority,

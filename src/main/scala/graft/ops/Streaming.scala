@@ -45,6 +45,26 @@ object Streaming {
         .orderBy("err_id", "click_us")
     }),
 
+    // T-oj batch twin (r15): the SAME errorClickJoinOuter transform
+    // StreamingSpec drives through two MemoryStreams. In batch the
+    // watermark nodes are eliminated and the plan is a plain LEFT OUTER
+    // join with the range residual; in streaming the same watermark
+    // bounds both sides' state AND times the NULL-side emission (an
+    // unmatched error emits one watermark delay late, with NULL
+    // click_ts). The LEFT JOIN oracle hash-checks exactly those
+    // NULL-side rows — the semantics the MemoryStream spec could pin
+    // only on one hand-built case (r14 review).
+    "stream_interval_join_outer" -> ((s, d) => {
+      val ev = events(s, d)
+      StreamOps.errorClickJoinOuter(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "error"))
+        .select(col("err_id"), col("user_id"),
+          unix_micros(col("err_ts")).as("err_us"),
+          unix_micros(col("click_ts")).as("click_us"))
+        .orderBy("err_id", "click_us")
+    }),
+
     // T6 batch twin: the SAME dedupWithinWatermark transform StreamingSpec
     // drives through MemoryStream, here batch-checked against an oracle.
     // At-least-once delivery is simulated by re-appending every 'error'
@@ -175,6 +195,18 @@ object Streaming {
         |FROM events c JOIN events e ON c.user_id = e.user_id
         |WHERE c.event_type = 'click' AND e.event_type = 'error'
         |  AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts
+        |ORDER BY err_id, click_us""".stripMargin,
+    // LEFT OUTER interval join: every error keeps its row; clicks of the
+    // same user in the 10 minutes strictly before it attach where they
+    // exist, NULL click_us where none do (the click predicates live in
+    // the ON clause so unmatched errors survive the join).
+    "stream_interval_join_outer" ->
+      """SELECT e.event_id AS err_id, e.user_id,
+        |  epoch_us(e.ts) AS err_us, epoch_us(c.ts) AS click_us
+        |FROM events e LEFT JOIN events c
+        |  ON c.user_id = e.user_id AND c.event_type = 'click'
+        |  AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts
+        |WHERE e.event_type = 'error'
         |ORDER BY err_id, click_us""".stripMargin,
     // Hour windows start epoch-aligned == date_trunc('hour'); per-window
     // rank over the type domain.

@@ -53,20 +53,28 @@ class EdgeStoreSpec extends SparkSpec {
         .filter(_.requiredSchema.fieldNames.contains("text"))
       // dedup_keep_best and memorization_risk legitimately read text for
       // their quality/exposure features — but never for edge derivation;
-      // the others must not touch text at all. For the two exempted
-      // queries the count is pinned EXACTLY at their known feature reads,
-      // so a regression back to in-plan minhashPairs derivation (which
-      // adds shingling text scans) fails here even though the store/
-      // checkpoint evidence above would still hold vacuously.
-      // dedup_keep_best's quality scan counts TWICE: its scored frame is
-      // self-joined (argmax side + detail side), and sparkPlan duplicates
-      // the subtree — exchange reuse only collapses it in the executed
-      // plan. Both are the same feature read, not edge derivation.
-      val expectedTextScans =
+      // the others must not touch text at all (strict zero). For the two
+      // exempted queries the assertion is an UPPER BOUND at their known
+      // feature reads, not an exact pin: the exact count encodes plan-
+      // shape trivia (dedup_keep_best's quality scan appears TWICE in
+      // sparkPlan because its scored frame is self-joined and exchange
+      // reuse only collapses the duplicate in the executedPlan — a Spark
+      // upgrade or rule reordering can legitimately change that). A
+      // regression back to in-plan minhashPairs derivation adds the
+      // 16-perm shingling scans and still blows through the bound; at
+      // least one scan must remain, or the feature read itself vanished.
+      val maxTextScans =
         Map("dedup_keep_best" -> 2, "memorization_risk" -> 1)
-      assert(textScans.size === expectedTextScans.getOrElse(q, 0),
-        s"$q has ${textScans.size} text scans, expected " +
-          s"${expectedTextScans.getOrElse(q, 0)} — edges re-derived?")
+      maxTextScans.get(q) match {
+        case Some(bound) =>
+          assert(textScans.size >= 1 && textScans.size <= bound,
+            s"$q has ${textScans.size} text scans, expected 1..$bound — " +
+              "edges re-derived, or the feature read disappeared?")
+        case None =>
+          assert(textScans.isEmpty,
+            s"$q has ${textScans.size} text scans, expected 0 — " +
+              "edges re-derived?")
+      }
     }
   }
 

@@ -36,6 +36,51 @@ class PersistedStoreSpec extends AnyFunSuite {
     assert(PersistedStore.dir("other", base) !== d0) // name in the path
   }
 
+  test("contract key is injective over element boundaries: an element " +
+      "containing the separator cannot collide with split elements") {
+    // r14 review: plain mkString(\":\") keyed Seq(\"a:b\") and
+    // Seq(\"a\",\"b\") to one directory — a path or constant containing
+    // ':' could silently share a stale store across semantics.
+    assert(PersistedStore.dir("spec", Seq("a:b")) !==
+      PersistedStore.dir("spec", Seq("a", "b")))
+    assert(PersistedStore.dir("spec", Seq("ab", "c")) !==
+      PersistedStore.dir("spec", Seq("a", "bc")))
+    assert(PersistedStore.dir("spec", Seq("h60-exact")) !==
+      PersistedStore.dir("spec", Seq("h60", "exact")))
+  }
+
+  test("locks are striped per store: one store's in-flight build does " +
+      "not serialize an unrelated store's ensure") {
+    val slow = PersistedStore.dir(freshName(), Seq("slow"))
+    val fast = PersistedStore.dir(freshName(), Seq("fast"))
+    val slowEntered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      PersistedStore.ensure(slow) { tmp =>
+        slowEntered.countDown()
+        assert(release.await(30, java.util.concurrent.TimeUnit.SECONDS))
+        write(tmp, "payload", "s")
+      }: Unit
+    })
+    t.start()
+    try {
+      assert(slowEntered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      // with the slow build still holding ITS store's lock, an
+      // unrelated store must build immediately (the r14 object-wide
+      // lock serialized exactly this sequence)
+      val t0 = System.nanoTime()
+      PersistedStore.ensure(fast) { tmp => write(tmp, "payload", "f") }
+      val waitedMs = (System.nanoTime() - t0) / 1e6
+      assert(waitedMs < 5000,
+        s"unrelated ensure waited ${waitedMs}ms behind a foreign build")
+      assert(read(fast, "payload") === "f")
+    } finally {
+      release.countDown()
+      t.join(30000)
+    }
+    assert(read(slow, "payload") === "s")
+  }
+
   test("ensure publishes atomically: build runs in a temp dir, the final " +
       "dir appears with _DONE inside, and a second call never rebuilds") {
     val dir = PersistedStore.dir(freshName(), Seq("a", 1))

@@ -465,4 +465,45 @@ class PlanAuditSpec extends SparkSpec {
       s"stale allowlist entries (flag in neither static nor final plan):\n" +
         stale.mkString("\n"))
   }
+
+  // ---- r15 gate: M10 SQL-text join hints actually steer the planner ----
+  //
+  // The sql_join_hints oracle proves hints don't change RESULTS; this is
+  // the other half — that they change the PLAN. The broadcast threshold
+  // is forced to -1 so stats alone would sort-merge every join (the
+  // "AQE guessed wrong" situation the hint exists for), then the same
+  // SQL text with and without the hint comment must diverge exactly as
+  // documented: the hinted plan broadcasts nation and carries the
+  // round-robin repartition exchange, the bare plan does neither.
+
+  test("sql_join_hints: BROADCAST flips the join where stats alone " +
+    "would sort-merge, and REPARTITION lands its exchange") {
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    Tables.orders(spark, sf0001).createOrReplaceTempView("sqv_orders")
+    Tables.customer(spark, sf0001).createOrReplaceTempView("sqv_customer")
+    Tables.nation(spark, sf0001).createOrReplaceTempView("sqv_nation")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bare = spark.sql(ops.SqlSurface.joinHintSelect(""))
+      val hinted = spark.sql(ops.SqlSurface.joinHintSelect(
+        "/*+ BROADCAST(n), REPARTITION(8) */"))
+      val bp = bare.queryExecution.sparkPlan
+      val hp = hinted.queryExecution.sparkPlan
+      assert(bp.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        "control broken: threshold -1 must leave the bare plan unbroadcast")
+      assert(bp.collect { case j: SortMergeJoinExec => j }.size === 2,
+        "control broken: the bare plan should sort-merge both joins")
+      assert(hp.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "the BROADCAST(n) hint did not flip the nation join")
+      assert(hp.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning == RoundRobinPartitioning(8) => e
+      }.nonEmpty, "the REPARTITION(8) hint left no round-robin exchange")
+      // and the oracle's claim, pinned plan-to-plan: same rows either way
+      assert(hinted.collect().toSeq === bare.collect().toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
