@@ -1,0 +1,66 @@
+package graft
+
+/** Diffs every declared query's AQE-final plan features against the
+  * committed PLANSNAP.json (see PlanSnap's scaladoc for what's pinned
+  * and why). A failure here means the PLAN changed, not the results —
+  * if the change is intentional (new Spark, deliberate conf move, a
+  * query rewrite), regenerate the artifact and commit the one-line
+  * diff:
+  *
+  *   java <add-opens flags, cf. scripts/bench.sh> \
+  *     -cp target/scala-2.13/classes:/opt/spark/jars/'*' graft.PlanSnap
+  */
+class PlanSnapSpec extends SparkSpec {
+
+  private def committed: Map[String, String] = {
+    val p = java.nio.file.Paths.get("PLANSNAP.json")
+    assert(java.nio.file.Files.exists(p),
+      "PLANSNAP.json missing — generate it with graft.PlanSnap")
+    PlanSnap.parseLines(java.nio.file.Files.readString(p))
+  }
+
+  test("every declared query's AQE-final plan matches PLANSNAP.json " +
+      "(join strategies, exchange counts, scan pushdown)") {
+    val want = committed
+    val got: Map[String, String] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
+        val f = PlanSnap.features(fn(spark, sf0001))
+        spark.catalog.clearCache()
+        n -> s""""$n": ${f.json}"""
+      }.toMap
+    val missing = (got.keySet -- want.keySet).toSeq.sorted
+    val stale = (want.keySet -- got.keySet).toSeq.sorted
+    val drifted = got.keySet.intersect(want.keySet).toSeq.sorted
+      .filter(n => got(n) != want(n))
+      .map(n => s"$n\n  committed: ${want(n)}\n  current:   ${got(n)}")
+    assert(missing.isEmpty && stale.isEmpty && drifted.isEmpty,
+      s"""plan-shape drift vs PLANSNAP.json — intentional changes need a
+         |regenerated artifact (see PlanSnapSpec scaladoc).
+         |new queries not in artifact: ${missing.mkString(", ")}
+         |artifact queries no longer declared: ${stale.mkString(", ")}
+         |drifted plans:
+         |${drifted.mkString("\n")}""".stripMargin)
+  }
+
+  test("the diff fires on a deliberate regression: conf drift that " +
+      "flips a stats-chosen broadcast join to sort-merge") {
+    // sql_values_inline's 12-row VALUES side broadcasts from STATS (no
+    // hint in the SQL) — exactly the silent drift class PLANSNAP exists
+    // to catch. Forcing the threshold to -1 must change the feature
+    // line; if it doesn't, the snapshot has no teeth and this test
+    // stops the gate from rotting into a tautology.
+    val want = committed("sql_values_inline")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val f = PlanSnap.features(
+        SparkEntry.queries("sql_values_inline")(spark, sf0001))
+      val regressed = s""""sql_values_inline": ${f.json}"""
+      assert(regressed != want,
+        "threshold -1 left the feature line unchanged — the snapshot " +
+          "would not detect a broadcast-to-sort-merge drift")
+      assert(f.joins.getOrElse("BroadcastHashJoin", 0) === 0,
+        "control broken: threshold -1 should remove the stats broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
