@@ -22,6 +22,11 @@ class PlanSnapSpec extends SparkSpec {
   test("every declared query's AQE-final plan matches PLANSNAP.json " +
       "(join strategies, exchange counts, scan pushdown)") {
     val want = committed
+    // other suites sharing the session may leave cached tables behind;
+    // a cached input turns a FileSourceScan into an InMemoryTableScan
+    // and reads as phantom plan drift (scans 1 -> 0) — start clean, as
+    // the generator main does by construction (fresh session)
+    spark.catalog.clearCache()
     val got: Map[String, String] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
         val f = PlanSnap.features(fn(spark, sf0001))
@@ -51,6 +56,7 @@ class PlanSnapSpec extends SparkSpec {
     // stops the gate from rotting into a tautology.
     val want = committed("sql_values_inline")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.catalog.clearCache() // same phantom-drift guard as the sweep
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val f = PlanSnap.features(
