@@ -4,11 +4,8 @@ package graft
   * committed PLANSNAP.json (see PlanSnap's scaladoc for what's pinned
   * and why). A failure here means the PLAN changed, not the results —
   * if the change is intentional (new Spark, deliberate conf move, a
-  * query rewrite), regenerate the artifact and commit the one-line
-  * diff:
-  *
-  *   java <add-opens flags, cf. scripts/bench.sh> \
-  *     -cp target/scala-2.13/classes:/opt/spark/jars/'*' graft.PlanSnap
+  * query rewrite), regenerate the artifact with `scripts/plansnap.sh`
+  * and commit the one-line diff.
   */
 class PlanSnapSpec extends SparkSpec {
 
