@@ -95,8 +95,14 @@ elif ratio is not None and ratio > 1.15:
 # stamps the artifact partial and the verdict says so. Requires compiled
 # classes; when they're absent (CI checkout without a build) coverage is
 # reported as unknown rather than silently skipped.
+# GATE_NO_COVERAGE=1 skips the JVM coverage probe (a second Spark-free
+# java process with a 120s timeout) — set by BenchGateSpec so the unit
+# test of the classification rule stays hermetic and fast.
 coverage = {"declared": None, "benched": len(cq), "missing_n": None}
-if os.path.isdir('target/scala-2.13/classes'):
+if os.environ.get('GATE_NO_COVERAGE'):
+    coverage = {"declared": None, "benched": len(cq),
+                "missing_n": None, "skipped": True}
+elif os.path.isdir('target/scala-2.13/classes'):
     try:
         bo = subprocess.run(
             ['java', '-cp', 'target/scala-2.13/classes:/opt/spark/jars/*',

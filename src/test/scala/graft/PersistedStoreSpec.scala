@@ -49,6 +49,19 @@ class PersistedStoreSpec extends AnyFunSuite {
       PersistedStore.dir("spec", Seq("h60", "exact")))
   }
 
+  test("contract key is injective over element TYPES: same rendering, " +
+      "different type cannot collide (r15 review)") {
+    // a contract constant changing type (Int threshold -> Double, a
+    // null default -> the string "null") is a semantics change and must
+    // move the directory even though String.valueOf renders identically
+    assert(PersistedStore.dir("spec", Seq(1)) !==
+      PersistedStore.dir("spec", Seq("1")))
+    assert(PersistedStore.dir("spec", Seq(1)) !==
+      PersistedStore.dir("spec", Seq(1.0)))
+    assert(PersistedStore.dir("spec", Seq(null)) !==
+      PersistedStore.dir("spec", Seq("null")))
+  }
+
   test("locks are striped per store: one store's in-flight build does " +
       "not serialize an unrelated store's ensure") {
     val slow = PersistedStore.dir(freshName(), Seq("slow"))

@@ -411,6 +411,73 @@ class StreamingSpec extends SparkSpec {
       .filter(col("epoch") === 2).count() === b0.count())
   }
 
+  test("exactlyOnceSink ledger compaction: marker files roll into one " +
+      "manifest, reads stay correct across the boundary, replay of a " +
+      "compacted epoch is still a no-op") {
+    val out = java.nio.file.Files.createTempDirectory("graft_eoc_").toString
+    val ev = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "value")
+    val batches = (0L to 4L).map(i => i -> ev.filter(col("event_id") % 5 === i))
+    val sink = StreamOps.exactlyOnceSink(out, compactEvery = 2) _
+    // epochs 0..4 with compactEvery=2: the tail never accumulates more
+    // than compactEvery marker files, and a manifest appears
+    batches.foreach { case (i, b) =>
+      sink(b, i)
+      assert(StreamOps.committedEpochs(spark, out).count() ===
+        batches.take(i.toInt + 1).map(_._2.count()).sum,
+        s"read after epoch $i wrong — compaction boundary broke reads")
+    }
+    val ledger = new java.io.File(s"$out/_epochs")
+    def markers = ledger.listFiles().filter(_.getName.matches("[0-9]+"))
+    def manifests = ledger.listFiles().filter(_.getName.startsWith("manifest-"))
+    assert(markers.length < 5, "no compaction happened — 5 epochs left " +
+      "5 marker files")
+    assert(manifests.length === 1, "exactly one manifest must survive")
+    // the manifest + tail together cover all 5 epochs exactly once
+    assert(StreamOps.committedEpochs(spark, out)
+      .select("epoch").distinct().count() === 5)
+    // replay of a COMPACTED epoch (0 is in the manifest, its marker file
+    // is gone): the sink must still recognize it as committed — no
+    // rewrite I/O, no duplicate rows
+    val dataMtimes = new java.io.File(s"$out/data").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    sink(batches.head._2, 0L)
+    val after = new java.io.File(s"$out/data").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after === dataMtimes,
+      "replay of a manifest-committed epoch rewrote data files")
+    assert(StreamOps.committedEpochs(spark, out).count() === ev.count())
+    // crash window (2): an epoch present in BOTH manifest and a stale
+    // marker file must not double-count (semi-join dedups the ledger)
+    java.nio.file.Files.write(new java.io.File(ledger, "0").toPath,
+      "0".getBytes("UTF-8"))
+    assert(StreamOps.committedEpochs(spark, out).count() === ev.count(),
+      "epoch in manifest AND marker double-counted")
+  }
+
+  test("committedEpochs pre-r15 compat: zero-byte legacy markers (which " +
+      "the binaryFile source skips) are still read as committed") {
+    val out = java.nio.file.Files.createTempDirectory("graft_eoz_").toString
+    val ev = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "value")
+    val b0 = ev.filter(col("event_id") % 2 === 0)
+    // simulate a pre-r15 sink: data partition + zero-byte marker
+    b0.withColumn("epoch", lit(0L))
+      .write.partitionBy("epoch").parquet(s"$out/data")
+    val ledger = new java.io.File(s"$out/_epochs")
+    ledger.mkdirs()
+    assert(new java.io.File(ledger, "0").createNewFile())
+    assert(StreamOps.committedEpochs(spark, out).count() === b0.count(),
+      "legacy zero-byte ledger read as empty — every pre-r15 committed " +
+        "epoch would silently vanish")
+    // the next sink write compacts the legacy marker into the manifest
+    val b1 = ev.filter(col("event_id") % 2 === 1)
+    StreamOps.exactlyOnceSink(out, compactEvery = 1)(b1, 1L)
+    assert(StreamOps.committedEpochs(spark, out).count() === ev.count())
+    assert(!new java.io.File(ledger, "0").exists(),
+      "compaction should fold the legacy marker into the manifest")
+  }
+
   test("OHLC bars update across micro-batches with tie-broken endpoints") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
