@@ -1,9 +1,12 @@
 #!/usr/bin/env bash
-# Regenerate PLANSNAP.json (the committed plan-shape snapshot — see
-# src/main/scala/graft/PlanSnap.scala for what it pins and why).
-# Run after an INTENTIONAL plan change (new Spark, deliberate conf move,
-# a query rewrite) when PlanSnapSpec reports drift; commit the one-line
-# diff it produces. Usage: scripts/plansnap.sh [sfDir] [out.json]
+# Regenerate the committed plan-shape snapshots — PLANSNAP.json (every
+# query at sf0.001) and PLANSNAP_SF01.json (the top-30 heaviest at
+# sf0.1) — see src/main/scala/graft/PlanSnap.scala for what they pin
+# and why. Run after an INTENTIONAL plan change (new Spark, deliberate
+# conf move, a query rewrite) when PlanSnapSpec reports drift; commit
+# the one-line diff it produces.
+# Usage: scripts/plansnap.sh                      # both artifacts
+#        scripts/plansnap.sh sfDir out.json [ALL|BENCH30|q1,q2,...]
 set -euo pipefail
 cd "$(dirname "$0")/.."
 CLASSES=target/scala-2.13/classes
@@ -22,4 +25,4 @@ java "${ADD_OPENS[@]}" \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp "$CLASSES:/opt/spark/jars/*" \
-  graft.PlanSnap "${1:-/root/testdata/sf0.001}" "${2:-PLANSNAP.json}"
+  graft.PlanSnap "$@"

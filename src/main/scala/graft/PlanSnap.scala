@@ -157,12 +157,52 @@ object PlanSnap {
         name -> l
       }.toMap
 
-  /** Regenerate PLANSNAP.json. Session shape MUST mirror SparkSpec's
-    * (the spec re-derives under that session): local[4], 4 shuffle
-    * partitions, UTC. */
+  /** BENCH-SCALE snapshot subjects (r16): the top-30 heaviest queries
+    * by BENCH_r15_full median. PLANSNAP.json pins sf0.001 plans; an AQE
+    * strategy that flips only at sf0.1 sizes (broadcast↔sort-merge on a
+    * mid-size dimension) is invisible there and would surface as bench
+    * noise — exactly the drift class the artifact exists to catch (r15
+    * verdict residual). These queries' feature vectors are ALSO pinned
+    * at sf0.1 in `PLANSNAP_SF01.json`; the list is pinned statically
+    * (not recomputed from the latest bench) so the artifact's subject
+    * set can't drift with host noise — revisit it when the board's cost
+    * profile genuinely changes. */
+  val benchTop30: Seq[String] = Seq(
+    "embed_whiten", "pipeline_curate2", "pipeline_curate",
+    "ivf_nprobe_sweep", "graph_hits", "dedup_band_sweep", "graph_ppr",
+    "dedup_minhash_eval", "dedup_ngram_jaccard",
+    "dedup_minhash_eval_sampled", "dq_profile_approx", "dedup_containment",
+    "graph_label_prop", "graph_bfs", "graph_pagerank", "graph_modularity",
+    "dq_profile", "retrieval_rrf", "sim_rank_metrics", "embed_abtt",
+    "embed_pca_power", "agg_spearman", "text_bm25", "dedup_semantic",
+    "dedup_simhash", "curate_funnel", "dedup_pipeline", "sim_topk_ivf",
+    "dedup_embed_eval", "sim_topk_pq")
+
+  /** Snapshot one query set at one scale into `out`. */
+  private def generate(spark: SparkSession, sfDir: String, out: String,
+      names: Seq[String]): Unit = {
+    val qs = SparkEntry.queries
+    val missing = names.filterNot(qs.contains)
+    require(missing.isEmpty, s"unknown queries: ${missing.mkString(", ")}")
+    val rows = names.sorted.map { n =>
+      val f = features(qs(n)(spark, sfDir))
+      spark.catalog.clearCache()
+      n -> f
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out), render(rows))
+    println(s"PLANSNAP: ${rows.size} queries @ $sfDir -> $out")
+  }
+
+  /** Regenerate the committed artifacts. Session shape MUST mirror
+    * SparkSpec's (the spec re-derives under that session): local[4], 4
+    * shuffle partitions, UTC.
+    *
+    * No args: regenerate BOTH canonical artifacts — every query at
+    * sf0.001 into PLANSNAP.json, [[benchTop30]] at sf0.1 into
+    * PLANSNAP_SF01.json. With args: `sfDir out [ALL|BENCH30|q1,q2,…]`
+    * for ad-hoc runs. */
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val out = if (args.length > 1) args(1) else "PLANSNAP.json"
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
@@ -170,14 +210,21 @@ object PlanSnap {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
-      val f = features(fn(spark, sfDir))
-      spark.catalog.clearCache()
-      n -> f
+    val all = SparkEntry.queries.keys.toSeq
+    if (args.isEmpty) {
+      generate(spark, "/root/testdata/sf0.001", "PLANSNAP.json", all)
+      generate(spark, "/root/testdata/sf0.1", "PLANSNAP_SF01.json",
+        benchTop30)
+    } else {
+      val sfDir = args(0)
+      val out = if (args.length > 1) args(1) else "PLANSNAP.json"
+      val names = if (args.length > 2) args(2) match {
+        case "ALL" => all
+        case "BENCH30" => benchTop30
+        case csv => csv.split(",").toSeq
+      } else all
+      generate(spark, sfDir, out, names)
     }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(out), render(rows))
-    println(s"PLANSNAP: ${rows.size} queries -> $out")
     spark.stop()
   }
 }

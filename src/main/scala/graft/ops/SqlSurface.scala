@@ -267,6 +267,47 @@ object SqlSurface {
         |FROM forecast ORDER BY o_orderpriority, m""".stripMargin)
     }),
 
+    // SQL-text MERGE INTO (M11, r16) — the dbt incremental-
+    // materialization verb, last of the §2.M parser surfaces. Spark 4
+    // PARSES the statement for any relation but its analyzer accepts it
+    // only against v2 row-level-operation catalog tables (probed:
+    // UNSUPPORTED_FEATURE.TABLE_OPERATION on a temp view, pinned in
+    // SqlMergeSpec), so the verb runs through MergeIntoViews: Spark's
+    // own parser → ANSI-MERGE interpretation over the session catalog →
+    // temp-view re-point (sessions built with spark.sql.extensions run
+    // the same text straight through spark.sql — ExtensionsSpec).
+    // The statement exercises all three clause groups and clause
+    // ORDERING (conditional DELETE shadows the unconditional UPDATE):
+    // matched+price>300k deleted, remaining matched updated to the
+    // source price + 'U', unmatched source inserted only under 100k as
+    // 'N', target-only rows under 50k deleted. The oracle is the
+    // full-outer-join CASE emulation — MERGE is sugar over exactly that
+    // plan, which is also why it scales: one shuffle join on the key,
+    // every clause a codegen'd projection. new_price is ONE IEEE add on
+    // the parquet double, so both engines carry identical values.
+    "sql_merge" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("sqv_orders")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW sqv_merge_tgt AS
+        |SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM sqv_orders WHERE o_orderkey % 4 < 2""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW sqv_merge_src AS
+        |SELECT o_orderkey AS s_key, o_totalprice + 1000.0 AS new_price
+        |FROM sqv_orders WHERE o_orderkey % 4 IN (1, 2)""".stripMargin)
+      graft.plans.MergeIntoViews.mergeSql(s,
+        """MERGE INTO sqv_merge_tgt t
+          |USING sqv_merge_src s
+          |ON t.o_orderkey = s.s_key
+          |WHEN MATCHED AND s.new_price > 300000.0 THEN DELETE
+          |WHEN MATCHED THEN
+          |  UPDATE SET o_totalprice = s.new_price, o_orderstatus = 'U'
+          |WHEN NOT MATCHED AND s.new_price <= 100000.0 THEN
+          |  INSERT (o_orderkey, o_totalprice, o_orderstatus)
+          |  VALUES (s.s_key, s.new_price, 'N')
+          |WHEN NOT MATCHED BY SOURCE AND t.o_totalprice < 50000.0 THEN
+          |  DELETE""".stripMargin)
+        .orderBy("o_orderkey")
+    }),
+
     // The session-extension function surface: graft_dot (the native
     // codegen'd DotProductExpr) invoked FROM SQL TEXT through the
     // function registry — what a spark.sql.extensions deployment gives
@@ -357,6 +398,33 @@ object SqlSurface {
         |UNION ALL
         |SELECT 'except', COUNT(*), MIN(k), MAX(k) FROM e
         |ORDER BY op""".stripMargin,
+    // MERGE emulated as the full-outer-join CASE it desugars to: the
+    // WHERE clause removes DELETEd matched rows, un-INSERTed source
+    // rows, and NOT-MATCHED-BY-SOURCE DELETEs; the CASEs apply the
+    // UPDATE/INSERT images to whatever survives.
+    "sql_merge" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 4 < 2),
+        |s AS (
+        |  SELECT o_orderkey AS s_key, o_totalprice + 1000.0 AS new_price
+        |  FROM orders WHERE o_orderkey % 4 IN (1, 2)),
+        |j AS (SELECT * FROM t FULL OUTER JOIN s ON t.o_orderkey = s.s_key)
+        |SELECT COALESCE(o_orderkey, s_key) AS o_orderkey,
+        |  CASE WHEN o_orderkey IS NOT NULL AND s_key IS NOT NULL
+        |         THEN new_price
+        |       WHEN o_orderkey IS NULL THEN new_price
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey IS NOT NULL AND s_key IS NOT NULL
+        |         THEN 'U'
+        |       WHEN o_orderkey IS NULL THEN 'N'
+        |       ELSE o_orderstatus END AS o_orderstatus
+        |FROM j
+        |WHERE NOT (o_orderkey IS NOT NULL AND s_key IS NOT NULL
+        |           AND new_price > 300000.0)
+        |  AND NOT (o_orderkey IS NULL AND new_price > 100000.0)
+        |  AND NOT (s_key IS NULL AND o_totalprice < 50000.0)
+        |ORDER BY o_orderkey""".stripMargin,
     "sql_graft_dot" ->
       s"""WITH p AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(${dDot("embedding", "p")}, 6) AS dotp

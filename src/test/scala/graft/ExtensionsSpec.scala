@@ -49,6 +49,23 @@ class ExtensionsSpec extends SparkSpec {
       assert(!phys.contains("CartesianProduct") &&
         !phys.contains("BroadcastNestedLoopJoin"),
         s"injected AnnRewriteRule did not fire:\n${phys.take(600)}")
+      // 3. the resolution-rule injection (M11): raw MERGE INTO text over
+      //    a temp view executes through spark.sql — the statement that
+      //    FAILS analysis on a plain session (SqlMergeSpec pins the
+      //    refusal) runs end-to-end here
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+        .createOrReplaceTempView("ext_mrg_tgt")
+      Seq((2L, 99.0), (3L, 30.0)).toDF("k", "v")
+        .createOrReplaceTempView("ext_mrg_src")
+      s2.sql(
+        """MERGE INTO ext_mrg_tgt t USING ext_mrg_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+          |""".stripMargin)
+      val merged = s2.table("ext_mrg_tgt").orderBy("k")
+        .as[(Long, Double)].collect().toSeq
+      assert(merged === Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)),
+        "injected MergeIntoViewRule did not execute the MERGE text")
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

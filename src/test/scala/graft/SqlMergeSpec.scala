@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.MergeIntoViews
+
+/** MERGE INTO over temp views (M11) — MergeIntoViews' ANSI-MERGE
+  * semantics on golden micro-data, plus the pinned Spark refusal that
+  * motivates the interpreter existing at all.
+  */
+class SqlMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshViews(): Unit = {
+    Seq((1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "a"), (4L, 40.0, "a"))
+      .toDF("k", "v", "st").createOrReplaceTempView("mrg_tgt")
+    // k=2 matched (small delta), k=3 matched (big delta -> delete),
+    // k=5 new (insertable), k=6 new (filtered out by insert condition)
+    Seq((2L, 5.0), (3L, 1000.0), (5L, 7.0), (6L, 2000.0))
+      .toDF("k", "delta").createOrReplaceTempView("mrg_src")
+  }
+
+  test("Spark 4 itself refuses MERGE INTO a temp view — the analyzer " +
+      "demands a v2 row-level-operation table (pins WHY the " +
+      "interpreter exists; a release lifting this shows up here)") {
+    freshViews()
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO mrg_tgt t USING mrg_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.delta""".stripMargin)
+    }
+    assert(e.getMessage.contains("MERGE") ||
+      e.getMessage.contains("UNSUPPORTED"),
+      s"expected the v2-table refusal, got: ${e.getMessage.take(300)}")
+  }
+
+  test("mergeSql: all three clause groups, first-clause-wins ordering, " +
+      "insert NULL-fill, and the target view re-point") {
+    freshViews()
+    val out = MergeIntoViews.mergeSql(spark,
+      """MERGE INTO mrg_tgt t USING mrg_src s ON t.k = s.k
+        |WHEN MATCHED AND s.delta > 100.0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta, st = 'upd'
+        |WHEN NOT MATCHED AND s.delta < 100.0 THEN
+        |  INSERT (k, v) VALUES (s.k, s.delta)
+        |WHEN NOT MATCHED BY SOURCE AND t.v >= 40.0 THEN DELETE
+        |""".stripMargin)
+      .orderBy("k").as[(Long, Double, Option[String])].collect().toSeq
+    // k=1 target-only, v=10 < 40 -> survives unchanged
+    // k=2 matched, delta=5 -> second clause: v=25, st=upd
+    // k=3 matched, delta=1000 -> FIRST clause wins: deleted
+    // k=4 target-only, v=40 -> NMBS delete
+    // k=5 source-only, delta=7 -> inserted with st NULL
+    // k=6 source-only, delta=2000 -> insert condition false: skipped
+    assert(out === Seq((1L, 10.0, Some("a")), (2L, 25.0, Some("upd")),
+      (5L, 7.0, None)))
+    // the view was re-pointed: a second read sees the merged state
+    assert(spark.table("mrg_tgt").count() === 3)
+    // and the merge is re-runnable against the new state: nothing
+    // matches the (already applied) source deltas' delete bar, k=2
+    // updates again
+    val again = MergeIntoViews.mergeSql(spark,
+      """MERGE INTO mrg_tgt t USING mrg_src s ON t.k = s.k
+        |WHEN MATCHED AND s.delta > 100.0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta, st = 'upd'
+        |WHEN NOT MATCHED AND s.delta < 100.0 THEN
+        |  INSERT (k, v) VALUES (s.k, s.delta)
+        |""".stripMargin)
+      .orderBy("k").as[(Long, Double, Option[String])].collect().toSeq
+    assert(again === Seq((1L, 10.0, Some("a")), (2L, 30.0, Some("upd")),
+      (5L, 14.0, Some("upd"))))
+  }
+
+  test("UPDATE SET * and INSERT * copy source columns by name " +
+      "(type-aligned)") {
+    Seq((1L, 10.0, "a"), (2L, 20.0, "a"))
+      .toDF("k", "v", "st").createOrReplaceTempView("mrg_tgt2")
+    Seq((2L, 99.0, "z"), (7L, 70.0, "n"))
+      .toDF("k", "v", "st").createOrReplaceTempView("mrg_src2")
+    val out = MergeIntoViews.mergeSql(spark,
+      """MERGE INTO mrg_tgt2 t USING mrg_src2 s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .orderBy("k").as[(Long, Double, String)].collect().toSeq
+    assert(out === Seq((1L, 10.0, "a"), (2L, 99.0, "z"), (7L, 70.0, "n")))
+  }
+
+  test("the declared sql_merge query matches its own oracle emulation " +
+      "run through Spark SQL (engine-internal cross-check)") {
+    val q = SparkEntry.queries("sql_merge")(spark, sf0001)
+    val emu = spark.sql(SparkEntry.oracleSql("sql_merge")
+      .replace("FROM orders", "FROM sqv_orders"))
+    assert(q.exceptAll(emu).isEmpty && emu.exceptAll(q).isEmpty,
+      "sql_merge diverged from its full-outer-join emulation")
+    assert(q.count() > 0)
+  }
+}
