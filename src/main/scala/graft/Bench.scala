@@ -7,11 +7,24 @@ import org.apache.spark.sql.SparkSession
   * Noise control: each query runs `SPARK_GRAFT_BENCH_RUNS` times (default
   * 3) and reports the per-query MEDIAN — BASELINE.md documents ±25% host
   * noise on single runs, and medians keep round-over-round comparisons
-  * meaningful. `spread` (max−min over the runs) is emitted per query so a
-  * noisy host is visible in the artifact itself. A failed query reports
-  * `null` timing and is EXCLUDED from `total`, so a partially-failed run
-  * can never look comparable to a clean baseline; the names surface in
-  * `failed`.
+  * meaningful. `spread` is emitted per query so a noisy host is visible
+  * in the artifact itself. A failed query reports `null` timing and is
+  * EXCLUDED from `total`, so a partially-failed run can never look
+  * comparable to a clean baseline; the names surface in `failed`.
+  *
+  * ADAPTIVE RERUNS (r16, closes the r15 high-variance hole): a query
+  * whose observed range after the base runs exceeds max(0.3s, 50% of its
+  * median) can never clear the gate's spread-aware band — its noise
+  * floor swallows any regression signal, and 8 such queries regenerated
+  * adjudication work every round (dq_profile_approx's 5-round history).
+  * Those queries automatically get extra runs (up to
+  * `SPARK_GRAFT_BENCH_MAXRUNS`, default 7); the median is then over all
+  * runs, and the reported `spread` is the TRIMMED range (drop the single
+  * fastest and slowest run) once ≥5 runs exist — the gate's band wants
+  * "how far can this query's MEDIAN plausibly wobble", and a
+  * median-of-7 is insensitive to the one cold-JIT/GC outlier that
+  * full-range spread keeps alive. Queries that got extra runs are named
+  * in the artifact's `reruns` map with their run count.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,25 +54,29 @@ object Bench {
       spark.read.parquet(s"$sfDir/documents.parquet").count()
       spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     } catch { case _: Throwable => () }
+    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXRUNS", "7")
+      .toInt.max(runs)
     var failed = List.empty[String]
     // dev-only: comma-separated subset for timing iteration (driver unsets)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
-    // (name, median | None if failed, max-min spread)
-    val results: Seq[(String, Option[Double], Double)] =
+    def medianOf(s: Seq[Double]): Double =
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    // (name, median | None if failed, spread, n_runs)
+    val results: Seq[(String, Option[Double], Double, Int)] =
       SparkEntry.queries.toSeq
         .filter { case (name, _) => only.forall(_(name)) }
         .map { case (name, fn) =>
         val times = scala.collection.mutable.ArrayBuffer.empty[Double]
         var ok = true
-        var i = 0
-        while (i < runs && ok) {
+        def timedRun(): Unit = {
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
             times += (System.nanoTime() - t0) / 1e9
             // drop any persist()ed intermediates (e.g. dedup_ngram_jaccard's
-            // shingle table) OUTSIDE the timed window, so run 2/3 measure
+            // shingle table) OUTSIDE the timed window, so later runs measure
             // the cold path rather than reading run 1's cache
             spark.catalog.clearCache()
           } catch {
@@ -69,30 +86,44 @@ object Bench {
               failed ::= name
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           }
-          i += 1
         }
-        if (!ok) (name, None, 0.0)
+        var i = 0
+        while (i < runs && ok) { timedRun(); i += 1 }
+        // adaptive reruns: while the full observed range still exceeds
+        // max(0.3s, 50% of the running median), keep measuring (cap
+        // maxRuns) — see the scaladoc for why these queries would
+        // otherwise be permanently ungateable
+        while (ok && runs > 1 && i < maxRuns && {
+          val s = times.toSeq.sorted
+          (s.last - s.head) > math.max(0.3, 0.5 * medianOf(s))
+        }) { timedRun(); i += 1 }
+        if (!ok) (name, None, 0.0, i)
         else {
-          val s = times.sorted
-          val med =
-            if (s.size % 2 == 1) s(s.size / 2)
-            else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-          (name, Some(med), s.last - s.head)
+          val s = times.toSeq.sorted
+          // trimmed spread once >=5 runs exist: range of the runs with
+          // the single min and max dropped — the band the GATE needs
+          // (median wobble), not the band one outlier run paints
+          val spread =
+            if (s.size >= 5) s(s.size - 2) - s(1) else s.last - s.head
+          (name, Some(medianOf(s)), spread, s.size)
         }
       }
     def f(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.map { case (k, v, _) =>
+    val qs = results.map { case (k, v, _, _) =>
       s"\"" + k + "\":" + v.map(f(_).toString).getOrElse("null")
     }.mkString("{", ",", "}")
-    val spreads = results.collect { case (k, Some(_), sp) =>
+    val spreads = results.collect { case (k, Some(_), sp, _) =>
       s"\"" + k + "\":" + f(sp)
+    }.mkString("{", ",", "}")
+    val reruns = results.collect { case (k, Some(_), _, n) if n > runs =>
+      s"\"" + k + "\":" + n
     }.mkString("{", ",", "}")
     val total = f(results.flatMap(_._2).sum)
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val hygiene =
       s""""loadavg_before":$load1,"contaminated":$contaminated"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spreads,"failed":$failedJson,$hygiene,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"spread":$spreads,"reruns":$reruns,"failed":$failedJson,$hygiene,"sf":"$sfDir"}"""
     // stdout gets wrapped in sbt [info] noise — ALSO write the JSON to a
     // file so the bench gate can always machine-parse it (BENCH_r01 had
     // "parsed": null from scraping the sbt tail). scripts/bench.sh emits
@@ -111,7 +142,7 @@ object Bench {
     // per-query medians unrecoverable from the artifact — these ten are
     // the ones any round-over-round regression hunt needs.
     val top10 = results
-      .collect { case (k, Some(m), _) => (k, m) }
+      .collect { case (k, Some(m), _, _) => (k, m) }
       .sortBy(-_._2).take(10)
       .map { case (k, m) => s"\"" + k + "\":" + f(m) }
       .mkString("{", ",", "}")
