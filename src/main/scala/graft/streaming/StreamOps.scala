@@ -362,6 +362,73 @@ object StreamOps {
     }
   }
 
+  /** RETENTION for [[exactlyOnceSink]] output (r16): drop every epoch
+    * BELOW `keepFrom` — ledger entries AND data partitions together,
+    * because the exactly-once invariant is "epoch in ledger ⇔ its data
+    * is complete and visible"; pruning one side alone either leaks
+    * storage forever (data without ledger) or makes reads claim rows
+    * that no longer exist (ledger without data). Delta's VACUUM +
+    * checkpoint-retention, on plain files.
+    *
+    * Crash-window order — LEDGER FIRST, data second:
+    *  1. publish a new manifest holding only the kept epochs (atomic
+    *     move) and delete the dropped epochs' tail markers — from this
+    *     instant readers no longer see the dropped epochs, so their
+    *     data files are unobserved garbage;
+    *  2. delete the `epoch=N` data directories. A crash between 1 and
+    *     2 leaves orphaned invisible partitions that the next vacuum
+    *     (or any cleanup of unreferenced paths) removes — never the
+    *     reverse window where a reader holds a ledger entry whose data
+    *     is mid-delete.
+    *
+    * CONTRACT: `keepFrom` must trail the streaming checkpoint's replay
+    * horizon. A vacuumed epoch is forgotten by the ledger, so a replay
+    * of that batchId (only possible by restarting from a checkpoint
+    * OLDER than the vacuum) would re-commit it as new data — the same
+    * rule as Delta's VACUUM vs time travel: retention must outlive
+    * every reader/replayer that can still name the dropped versions. */
+  def vacuumEpochs(path: String, keepFrom: Long): Unit = {
+    val ledger = new java.io.File(s"$path/_epochs")
+    if (!ledger.exists()) return
+    val all = (manifestEpochs(ledger) ++
+      tailMarkers(ledger).map(_.getName.toLong)).toSeq.sorted
+    val drop = all.filter(_ < keepFrom)
+    val keep = all.filterNot(_ < keepFrom)
+    if (drop.nonEmpty) {
+      // step 1: ledger forgets first (manifest name stays monotonic —
+      // max over ALL epochs including dropped — so newest-name-wins
+      // reader selection is preserved; REPLACE_EXISTING covers the
+      // same-name case)
+      val prev = manifestFiles(ledger)
+      val out = new java.io.File(ledger, s"manifest-${all.max}")
+      val tmp = new java.io.File(ledger, ".manifest.tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        keep.mkString("", "\n", "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath, out.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      tailMarkers(ledger).filter(f => drop.contains(f.getName.toLong))
+        .foreach(_.delete())
+      prev.filter(_.getName != out.getName).foreach(_.delete())
+    }
+    // step 2: the now-unobservable data — swept BY HORIZON over the
+    // partition directories, not by the drop list, so orphans from a
+    // previous vacuum's step-1/step-2 crash window (data present,
+    // ledger already forgot them) are collected too
+    Option(new java.io.File(s"$path/data").listFiles())
+      .getOrElse(Array.empty)
+      .filter { f =>
+        f.isDirectory && f.getName.matches("epoch=[0-9]+") &&
+          f.getName.stripPrefix("epoch=").toLong < keepFrom
+      }
+      .foreach(deleteTree)
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+    f.delete(): Unit
+  }
+
   /** Reader for [[exactlyOnceSink]] output: only epochs whose ledger
     * marker committed are visible (a torn write's partition exists on
     * disk but is filtered here — the read side of the exactly-once

@@ -455,6 +455,52 @@ class StreamingSpec extends SparkSpec {
       "epoch in manifest AND marker double-counted")
   }
 
+  test("vacuumEpochs: drops ledger entries and data partitions together " +
+      "(ledger first), keeps the rest readable, and is idempotent") {
+    val out = java.nio.file.Files.createTempDirectory("graft_eov_").toString
+    val ev = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "value")
+    val batches = (0L to 3L).map(i => i -> ev.filter(col("event_id") % 4 === i))
+    val sink = StreamOps.exactlyOnceSink(out, compactEvery = 2) _
+    batches.foreach { case (i, b) => sink(b, i) }
+    val keptRows = batches.drop(2).map(_._2.count()).sum
+    StreamOps.vacuumEpochs(out, keepFrom = 2L)
+    // reads: only epochs 2..3 survive, row-exact
+    val read = StreamOps.committedEpochs(spark, out)
+    assert(read.count() === keptRows)
+    // partition-column type is directory-inferred (int here) — compare
+    // through an explicit cast
+    assert(read.select(col("epoch").cast("long")).distinct()
+      .orderBy("epoch").collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    // disk: the dropped partitions are gone, the kept ones intact
+    assert(!new java.io.File(s"$out/data/epoch=0").exists() &&
+      !new java.io.File(s"$out/data/epoch=1").exists(),
+      "vacuum left dropped epoch partitions on disk")
+    assert(new java.io.File(s"$out/data/epoch=2").exists() &&
+      new java.io.File(s"$out/data/epoch=3").exists())
+    // idempotent: a second vacuum at the same horizon is a no-op
+    StreamOps.vacuumEpochs(out, keepFrom = 2L)
+    assert(StreamOps.committedEpochs(spark, out).count() === keptRows)
+    // the sink keeps working past a vacuum: a new epoch lands and reads
+    sink(batches.head._2, 4L)
+    assert(StreamOps.committedEpochs(spark, out).count() ===
+      keptRows + batches.head._2.count())
+    // crash window between step 1 and 2: an orphaned invisible
+    // partition (data present, ledger forgot it) stays unread and the
+    // NEXT vacuum removes it
+    batches(1)._2.withColumn("epoch", lit(1L))
+      .write.mode("append").partitionBy("epoch").parquet(s"$out/data")
+    assert(StreamOps.committedEpochs(spark, out)
+      .filter(col("epoch") === 1).count() === 0,
+      "orphaned partition leaked into reads")
+    StreamOps.vacuumEpochs(out, keepFrom = 2L)
+    assert(!new java.io.File(s"$out/data/epoch=1").exists(),
+      "the horizon sweep should collect the orphaned partition even " +
+        "though the ledger no longer names it")
+    assert(StreamOps.committedEpochs(spark, out).count() ===
+      keptRows + batches.head._2.count())
+  }
+
   test("committedEpochs pre-r15 compat: zero-byte legacy markers (which " +
       "the binaryFile source skips) are still read as committed") {
     val out = java.nio.file.Files.createTempDirectory("graft_eoz_").toString
