@@ -191,6 +191,26 @@ object Embeddings {
     * BigDecimal.setScale(8, HALF_UP), the same rounding both engines'
     * double→decimal cast applies. */
   private[graft] def pcaFit(s: SparkSession, d: String): (Seq[Double], Seq[Double]) = {
+    val (mu, cloud) = centeredCheckpoint(s, d)
+    (mu, powerIterate(cloud, mu.length))
+  }
+
+  /** Exact-decimal per-dimension means + the centered cloud,
+    * localCheckpoint'ed once (each power round otherwise re-derives it
+    * from the parquet scan, tripling the fit's scan cost; a lineage cut
+    * changes no values — the per-element x − m arithmetic runs
+    * identically either way). The mean and the power rounds keep the
+    * posexplode + (j)-keyed aggregate shape DELIBERATELY: an r16 probe
+    * rewrote both as one shuffle-free global aggregate with dim sum
+    * columns (the dedup_simhash bit-sum trick) and measured the family
+    * 40% SLOWER (5.66s → 8.14s standalone median-of-3) — 65 decimal
+    * aggregate expressions in one HashAggregate blow the generated
+    * method past codegen limits, and the interpreted fallback costs far
+    * more than the 64-group exchange it saved. The exchange here is 64
+    * dim-keyed rows per partition — partial aggregation does the real
+    * work map-side either way. */
+  private def centeredCheckpoint(s: SparkSession, d: String)
+      : (Seq[Double], DataFrame) = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val dec = org.apache.spark.sql.types.DecimalType(30, 8)
@@ -200,26 +220,21 @@ object Embeddings {
       .agg((sum(col("x").cast("double").cast(dec)).cast("double") /
         count(lit(1))).as("m"))
       .orderBy("j").select(col("m")).as[Double].collect().toSeq
-    val dim = mu.length
-    def centered: Column = zip_with(col("embedding"), typedlit(mu),
+    val centered = zip_with(col("embedding"), typedlit(mu),
       (x, m) => x.cast("double") - m)
-    (mu, powerIterate(s, emb.select(centered.as("ce")), dim))
+    (mu, emb.select(centered.as("ce")).localCheckpoint(true))
   }
 
   /** PowerIters rounds of v ← normalize(Σ rows ce·(ce·v)) over a
-    * one-column DataFrame of (already centered/deflated) double arrays —
-    * the shared engine of [[pcaFit]] and [[pcaFit2]]'s second pass. Same
-    * uniform seed, same decimal accumulation and norm contract.
-    * The input is localCheckpoint'ed once at entry: each of the
-    * PowerIters rounds otherwise re-derives the centered (for pcaFit2,
-    * centered-then-deflated) cloud from the parquet scan, tripling the
-    * fit's scan cost. A lineage cut changes no values — the per-element
-    * x − m (and x − c·v) arithmetic runs identically either way. */
-  private def powerIterate(s: SparkSession, rows: DataFrame,
-      dim: Int): Seq[Double] = {
+    * one-column, already-checkpointed DataFrame of (centered/deflated)
+    * double arrays — the shared engine of [[pcaFit]] and [[pcaFit2]]'s
+    * second pass. Same uniform seed, same decimal accumulation and norm
+    * contract as always (see [[centeredCheckpoint]] for why the
+    * explode/group shape stays). */
+  private def powerIterate(cloud: DataFrame, dim: Int): Seq[Double] = {
+    val s = cloud.sparkSession
     import s.implicits._
     val dec = org.apache.spark.sql.types.DecimalType(30, 8)
-    val cloud = rows.localCheckpoint(true)
     var v: Seq[Double] = Seq.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     for (_ <- 1 to PowerIters) {
       val w: Seq[Double] = cloud
@@ -246,15 +261,17 @@ object Embeddings {
     * no quantization needed before the decimal-accumulated iteration. */
   private[graft] def pcaFit2(s: SparkSession, d: String)
       : (Seq[Double], Seq[Double], Seq[Double]) = {
-    val (mu, v1) = pcaFit(s, d)
-    val ce = zip_with(col("embedding"), typedlit(mu),
-      (x, m) => x.cast("double") - m)
-    val deflated = Tables.embeddings(s, d)
-      .select(ce.as("ce0"))
-      .select(col("ce0"), dotD(col("ce0"), typedlit(v1)).as("c1"))
+    val (mu, cloud) = centeredCheckpoint(s, d)
+    val v1 = powerIterate(cloud, mu.length)
+    // deflate FROM the checkpointed centered cloud (r16; previously a
+    // fresh parquet scan re-derived x − m) — the per-element arithmetic
+    // (x − m) − c₁·v₁ is unchanged, only its input's lineage is shorter
+    val deflated = cloud
+      .select(col("ce").as("ce0"), dotD(col("ce"), typedlit(v1)).as("c1"))
       .select(zip_with(col("ce0"), typedlit(v1),
         (x, vv) => x - col("c1") * vv).as("ce"))
-    (mu, v1, powerIterate(s, deflated, mu.length))
+      .localCheckpoint(true)
+    (mu, v1, powerIterate(deflated, mu.length))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
