@@ -84,6 +84,26 @@ class SqlMergeSpec extends SparkSpec {
     assert(out === Seq((1L, 10.0, "a"), (2L, 99.0, "z"), (7L, 70.0, "n")))
   }
 
+  test("interpret's physical plan is ONE equi join — no cartesian, no " +
+      "BNLJ (the scale shape the M11 row claims)") {
+    freshViews()
+    val m = spark.sessionState.sqlParser.parsePlan(
+      """MERGE INTO mrg_tgt t USING mrg_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.delta
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.delta)
+        |""".stripMargin)
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable]
+    // the interpreter's raw plan (before the run()'s checkpoint hides
+    // it from PLANSNAP): every clause must ride ONE join on the merge
+    // keys — a cartesian or nested-loop here would be the 100 TB killer
+    val f = PlanSnap.features(plans.MergeIntoViews.interpret(spark, m))
+    assert(f.joins.values.sum === 1,
+      s"MERGE should plan exactly one join, got ${f.joins}")
+    assert(f.joins.getOrElse("CartesianProduct", 0) === 0 &&
+      f.joins.getOrElse("BroadcastNestedLoopJoin", 0) === 0,
+      s"MERGE planned a non-equi join: ${f.joins}")
+  }
+
   test("the declared sql_merge query matches its own oracle emulation " +
       "run through Spark SQL (engine-internal cross-check)") {
     val q = SparkEntry.queries("sql_merge")(spark, sf0001)
