@@ -84,6 +84,36 @@ class SqlMergeSpec extends SparkSpec {
     assert(out === Seq((1L, 10.0, "a"), (2L, 99.0, "z"), (7L, 70.0, "n")))
   }
 
+  test("NULL join keys: a null-key target row is not-matched-by-source, " +
+      "a null-key source row is not-matched — never spuriously matched") {
+    Seq((Some(1L), 10.0), (None, 20.0))
+      .toDF("k", "v").createOrReplaceTempView("mrg_tgt3")
+    Seq((Some(1L), 100.0), (None, 200.0))
+      .toDF("k", "delta").createOrReplaceTempView("mrg_src3")
+    val out = MergeIntoViews.mergeSql(spark,
+      """MERGE INTO mrg_tgt3 t USING mrg_src3 s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.delta
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.delta)
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0.0
+        |""".stripMargin)
+      .orderBy(asc_nulls_first("k"), asc("v"))
+      .as[(Option[Long], Double)].collect().toSeq
+    // k=1 matches (v=100); the null-key TARGET row joined nothing -> its
+    // NMBS clause zeroes it; the null-key SOURCE row joined nothing ->
+    // inserted with its own null key
+    assert(out === Seq((None, 0.0), (None, 200.0), (Some(1L), 100.0)))
+  }
+
+  test("assignment keys resolve case-insensitively, like the analyzer") {
+    Seq((1L, 10.0)).toDF("k", "V_col").createOrReplaceTempView("mrg_tgt4")
+    Seq((1L, 5.0)).toDF("k", "delta").createOrReplaceTempView("mrg_src4")
+    val out = MergeIntoViews.mergeSql(spark,
+      """MERGE INTO mrg_tgt4 t USING mrg_src4 s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v_COL = s.delta""".stripMargin)
+      .as[(Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 5.0)))
+  }
+
   test("interpret's physical plan is ONE equi join — no cartesian, no " +
       "BNLJ (the scale shape the M11 row claims)") {
     freshViews()
