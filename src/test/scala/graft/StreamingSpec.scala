@@ -131,7 +131,13 @@ class StreamingSpec extends SparkSpec {
       val q = Tables.eventsStream(spark, sf0001, s"$out/in")
         .select("event_id", "ts", "user_id", "value")
         .writeStream
-        .foreachBatch(StreamOps.exactlyOnceSink(s"$out/store") _)
+        // compactEvery=1: the ledger compacts after EVERY micro-batch,
+        // so this end-to-end path (a real writeStream, not manual sink
+        // calls) exercises the manifest read/replay-check under the
+        // engine's own delivery — the default 64 would never compact in
+        // a one-batch test
+        .foreachBatch(StreamOps.exactlyOnceSink(s"$out/store",
+          compactEvery = 1) _)
         .option("checkpointLocation", s"$out/$ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
@@ -140,6 +146,9 @@ class StreamingSpec extends SparkSpec {
     runOnce("ckpt1")
     val store = s"$out/store"
     assert(StreamOps.committedEpochs(spark, store).count() === nBatch)
+    assert(new java.io.File(s"$store/_epochs").listFiles()
+      .exists(_.getName.startsWith("manifest-")),
+      "compactEvery=1 should have rolled the marker into a manifest")
     val dataMtimes = new java.io.File(s"$store/data").listFiles()
       .map(f => f.getName -> f.lastModified()).toMap
     runOnce("ckpt2") // fresh checkpoint => batch 0 re-delivered
