@@ -58,7 +58,10 @@ object ScaleProbe {
     // to the LSH path above the cap at the decade (cost shape changes by
     // DESIGN there), and the eval harness carries the exact-truth side's
     // super-linearity (the dedup_minhash_eval trade, embedding form)
-    "dedup_embed", "dedup_embed_eval")
+    "dedup_embed", "dedup_embed_eval",
+    // r16: the SQL-text MERGE (one full-outer shuffle join on the key +
+    // clause projections — should track join_sortmerge's decade ratio)
+    "sql_merge")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
