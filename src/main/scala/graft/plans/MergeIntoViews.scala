@@ -22,7 +22,8 @@ import org.apache.spark.sql.graftshim
   * carried the extension-library way: Spark's OWN parser produces the
   * `MergeIntoTable` logical plan, and this module interprets it over the
   * session catalog — [[MergeIntoViews.mergeSql]] as the direct API, and
-  * [[MergeIntoViewRule]] (injected by [[GraftExtensions]]) so a session
+  * [[GraftSqlParser]] (injected by [[GraftExtensions]]) rewriting a
+  * temp-view-target MERGE to [[GraftMergeIntoViewCommand]] so a session
   * built with `spark.sql.extensions=graft.plans.GraftExtensions` runs
   * the raw `spark.sql("MERGE INTO view …")` text end-to-end.
   *
@@ -37,29 +38,55 @@ import org.apache.spark.sql.graftshim
   * survives unchanged; a source-only row no INSERT claims is skipped.
   * First-clause-wins falls out of a chained `when().otherwise()` —
   * exactly the expression Spark's own RewriteMergeIntoTable builds.
-  * Cardinality caveat: like Delta, a target row matching MULTIPLE
-  * source rows is a data error; this interpreter emits one output row
-  * per JOIN row (it does not detect the ambiguity), so source keys
-  * must be unique under the merge condition.
+  * Cardinality ENFORCED (r17): a target row matching MULTIPLE source
+  * rows is the data error Delta raises as
+  * DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW — this interpreter
+  * detects it the same single-pass way (a per-target-row count of
+  * matched join rows, folded into the keep predicate as a
+  * `raise_error`) and fails the action with
+  * GRAFT_MERGE_CARDINALITY_VIOLATION instead of silently emitting one
+  * output row per join row. Assignments are validated up front: a SET /
+  * INSERT column that resolves (case-insensitively) to no target column,
+  * or is assigned twice in one clause, throws IllegalArgumentException
+  * naming the offender — the same analysis error Spark's native MERGE
+  * raises, where silence would mean a typo'd UPDATE becoming a no-op.
   *
   * The "table mutation" is a temp-view re-point: the merged result is
   * eagerly materialized (`localCheckpoint`, same discipline as
   * sql_ctas's read-back) and `createOrReplaceTempView`d over the target
   * name — the lazy-view equivalent of an atomic table swap.
   *
-  * SCOPE: target and source must be NAMED relations (temp views or
-  * catalog tables readable via `spark.table`); a subquery source is one
-  * `CREATE TEMP VIEW` away. Schema evolution (`WHEN NOT MATCHED …` with
-  * new columns) is not supported — assignments must name existing
-  * target columns.
+  * SCOPE: the TARGET must be a session-local temp view — enforced in
+  * [[run]], because the re-point "mutation" is `createOrReplaceTempView`:
+  * against a real catalog table that would silently SHADOW the table
+  * (underlying data unchanged) — catalog tables belong to Spark's native
+  * v2 row-level-operation path, which [[GraftSqlParser]] passes through
+  * untouched — and a global temp view is not a valid
+  * `createOrReplaceTempView` name. The source may be any named relation
+  * readable via `spark.table`; a subquery source is one
+  * `CREATE TEMP VIEW` away. Schema evolution (`WHEN NOT MATCHED INSERT`
+  * naming a column the target lacks) is REFUSED by the assignment
+  * validation above, deliberately: a temp-view target could trivially
+  * grow a NULL column, but Delta requires an explicit
+  * `spark.databricks.delta.schema.autoMerge` opt-in for the same reason
+  * we refuse — a typo'd column name and an intended evolution are
+  * indistinguishable in the statement, and the silent default (insert
+  * NULLs, drop the new values) is the worst of the three. Widen the
+  * target first (`SELECT *, CAST(NULL AS t) AS newcol`), then merge —
+  * probed and pinned in SqlMergeSpec.
   *
   * Scale posture: the physical plan is ONE shuffle join on the merge
   * keys (broadcast if one side is small — Spark's stats decide), the
   * same shape as the DataFrame `merge_upsert` (Relational.scala) and
   * `cdc_apply`; every clause is a codegen'd projection over the joined
-  * row, no per-clause passes. At 100 TB the view re-point becomes the
-  * table format's commit (Delta/Iceberg swap a manifest pointer the
-  * same way).
+  * row, no per-clause passes. The cardinality guard adds ONE window
+  * shuffle of the joined rows keyed by a per-row target id (full-outer
+  * join output partitioning is Unknown in Spark, so the exchange is
+  * unavoidable at this plan shape; Delta pays the equivalent detection
+  * cost in its touched-row scan). Source-only rows get singleton window
+  * partitions via their own id — inserts never pile into one null-key
+  * partition. At 100 TB the view re-point becomes the table format's
+  * commit (Delta/Iceberg swap a manifest pointer the same way).
   */
 object MergeIntoViews {
 
@@ -69,24 +96,33 @@ object MergeIntoViews {
     s.sessionState.sqlParser.parsePlan(sqlText) match {
       case m: MergeIntoTable =>
         run(s, m)
-        s.table(relOf(m.targetTable)._1)
+        s.table(relOf(m.targetTable)._1.mkString("."))
       case other => throw new IllegalArgumentException(
         s"not a MERGE INTO statement: ${other.nodeName}")
     }
   }
 
   /** Execute a parsed MERGE: materialize the merged rows, then re-point
-    * the target temp view at them. */
+    * the target temp view at them. Guarded on target kind — see the
+    * SCOPE paragraph above. */
   def run(s: SparkSession, m: MergeIntoTable): Unit = {
+    val (parts, _) = relOf(m.targetTable)
+    if (parts.size != 1 || !s.sessionState.catalog.isTempView(parts))
+      throw new IllegalArgumentException(
+        s"MERGE target ${parts.mkString(".")} must be a session-local " +
+          "temp view: a catalog table would be silently SHADOWED by the " +
+          "temp-view re-point (catalog tables take Spark's native v2 " +
+          "MERGE path), and a global temp view cannot be re-pointed by " +
+          "createOrReplaceTempView")
     val merged = interpret(s, m).localCheckpoint(true)
-    merged.createOrReplaceTempView(relOf(m.targetTable)._1)
+    merged.createOrReplaceTempView(parts.head)
   }
 
-  /** (relation name, alias) of a parsed MERGE side. */
-  private def relOf(p: LogicalPlan): (String, String) = p match {
+  /** (relation name parts, alias) of a parsed MERGE side. */
+  private def relOf(p: LogicalPlan): (Seq[String], String) = p match {
     case sa: SubqueryAlias => (relOf(sa.child)._1, sa.alias)
     case u: UnresolvedRelation =>
-      (u.multipartIdentifier.mkString("."), u.multipartIdentifier.last)
+      (u.multipartIdentifier, u.multipartIdentifier.last)
     case other => throw new IllegalArgumentException(
       "MERGE target/source must be a named relation (temp view or " +
         s"table), got: ${other.nodeName}")
@@ -102,17 +138,22 @@ object MergeIntoViews {
       : DataFrame = {
     val (tName, tAlias) = relOf(m.targetTable)
     val (sName, sAlias) = relOf(m.sourceTable)
-    val target = s.table(tName)
-    val source = s.table(sName)
+    val target = s.table(tName.mkString("."))
+    val source = s.table(sName.mkString("."))
     val schema = target.schema
-    require(!target.columns.contains("__graft_t") &&
-      !source.columns.contains("__graft_s"),
+    require(Seq("__graft_t", "__graft_tid")
+        .forall(c => !target.columns.contains(c)) &&
+      Seq("__graft_s", "__graft_sid")
+        .forall(c => !source.columns.contains(c)),
       "MERGE presence-flag column name collision")
     // presence flags ride each side INTO the full-outer join: after it,
     // flag-null ⇔ that side contributed no row (null-safe even when
-    // every data column of a side is legitimately null)
-    val t = target.withColumn("__graft_t", lit(true)).as(tAlias)
-    val src = source.withColumn("__graft_s", lit(true)).as(sAlias)
+    // every data column of a side is legitimately null). The per-row ids
+    // feed the cardinality guard below.
+    val t = target.withColumn("__graft_t", lit(true))
+      .withColumn("__graft_tid", monotonically_increasing_id()).as(tAlias)
+    val src = source.withColumn("__graft_s", lit(true))
+      .withColumn("__graft_sid", monotonically_increasing_id()).as(sAlias)
     val joined = t.join(src, graftshim.column(m.mergeCondition),
       "full_outer")
     val tP = col(s"$tAlias.__graft_t").isNotNull
@@ -131,6 +172,26 @@ object MergeIntoViews {
       case n: NamedExpression => n.name
       case other => other.sql
     }
+    // every assignment key must resolve (case-insensitively, like the
+    // analyzer) to exactly one target column, exactly once — an unknown
+    // name is either a typo (a silent no-op update / NULL insert
+    // otherwise) or attempted schema evolution (refused; see SCOPE)
+    def validated(clause: String, as: Seq[Assignment]): Seq[Assignment] = {
+      val names = as.map(a => keyName(a.key))
+      val unknown = names
+        .filterNot(n => schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+      if (unknown.nonEmpty) throw new IllegalArgumentException(
+        s"MERGE $clause references unknown target column(s) " +
+          s"${unknown.mkString(", ")}; target columns are " +
+          s"${schema.fieldNames.mkString(", ")}. Schema evolution is " +
+          "not supported — widen the target view first, then merge")
+      val lower = names.map(_.toLowerCase)
+      val dups = lower.diff(lower.distinct).distinct
+      if (dups.nonEmpty) throw new IllegalArgumentException(
+        s"MERGE $clause assigns target column(s) ${dups.mkString(", ")} " +
+          "more than once")
+      as
+    }
     // assigned columns take the (type-aligned) assignment value;
     // unassigned columns take `miss` — target value for UPDATE, NULL
     // for INSERT. Name match is case-insensitive, like the analyzer's.
@@ -147,7 +208,8 @@ object MergeIntoViews {
         case u: UpdateAction if u.fromStar && u.assignments.isEmpty =>
           Clause(matched && condOf(u.condition), keep = true, scolCast)
         case u: UpdateAction => Clause(matched && condOf(u.condition),
-          keep = true, fromAssignments(u.assignments, tcol))
+          keep = true, fromAssignments(
+            validated("WHEN MATCHED UPDATE", u.assignments), tcol))
         case DeleteAction(c) => Clause(matched && condOf(c),
           keep = false, tcol)
         case other => throw new IllegalArgumentException(
@@ -157,25 +219,50 @@ object MergeIntoViews {
         case InsertStarAction(c) => Clause(srcOnly && condOf(c),
           keep = true, scolCast)
         case i: InsertAction => Clause(srcOnly && condOf(i.condition),
-          keep = true, fromAssignments(i.assignments,
+          keep = true, fromAssignments(
+            validated("WHEN NOT MATCHED INSERT", i.assignments),
             c => lit(null).cast(schema(c).dataType)))
         case other => throw new IllegalArgumentException(
           s"unsupported WHEN NOT MATCHED action: ${other.nodeName}")
       } ++
       m.notMatchedBySourceActions.map {
         case u: UpdateAction => Clause(tgtOnly && condOf(u.condition),
-          keep = true, fromAssignments(u.assignments, tcol))
+          keep = true, fromAssignments(
+            validated("WHEN NOT MATCHED BY SOURCE UPDATE", u.assignments),
+            tcol))
         case DeleteAction(c) => Clause(tgtOnly && condOf(c),
           keep = false, tcol)
         case other => throw new IllegalArgumentException(
           s"unsupported WHEN NOT MATCHED BY SOURCE action: ${other.nodeName}")
       }
 
+    // cardinality guard (r17, the Delta MULTIPLE_SOURCE_ROW_MATCHING
+    // contract): count matched join rows per TARGET row — >1 means one
+    // target row would be rewritten/duplicated once per source match,
+    // which is a data error, not a merge. The window partitions by the
+    // target row id where a target row exists and by the (negated,
+    // disjoint-range) source row id otherwise, so source-only rows sit
+    // in singleton partitions instead of one giant null-key partition.
+    // The raise_error is folded into the keep predicate below — the
+    // filter evaluates keep for EVERY joined row, so column pruning can
+    // never elide the check.
+    val pkey = coalesce(col(s"$tAlias.__graft_tid"),
+      -col(s"$sAlias.__graft_sid") - 1)
+    val matchCnt = sum(when(matched, 1L).otherwise(0L))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(pkey))
+    val cardinalityError = raise_error(concat(
+      lit("GRAFT_MERGE_CARDINALITY_VIOLATION: a target row matched "),
+      matchCnt.cast("string"),
+      lit(" source rows under the merge condition; like Delta/Iceberg, " +
+        "MERGE requires each target row to match at most one source " +
+        "row — deduplicate the source on the merge keys")))
+      .cast("boolean")
     // first-clause-wins: fold clauses in statement order into a chained
     // when(); the default (no clause claims the row) keeps target rows
     // unchanged and skips source-only rows
-    val keep = clauses.foldRight(tP: Column)((cl, acc) =>
-      when(cl.guard, lit(cl.keep)).otherwise(acc))
+    val keep = when(matchCnt > 1, cardinalityError)
+      .otherwise(clauses.foldRight(tP: Column)((cl, acc) =>
+        when(cl.guard, lit(cl.keep)).otherwise(acc)))
     val outCols = schema.fields.toSeq.map { f =>
       clauses.foldRight(tcol(f.name))((cl, acc) =>
         when(cl.guard, cl.value(f.name)).otherwise(acc)).as(f.name)
@@ -186,7 +273,8 @@ object MergeIntoViews {
 }
 
 /** Executes a parsed MERGE over temp views at command-execution time —
-  * the analyzer leaf [[MergeIntoViewRule]] rewrites to. A leaf so the
+  * the leaf [[GraftSqlParser]] rewrites a temp-view-target MERGE to at
+  * parse time. A leaf so the
   * embedded (still-unresolved) MergeIntoTable is invisible to
   * checkAnalysis; [[MergeIntoViews.run]] re-resolves both sides through
   * the session catalog when the command runs — the same move Spark's

@@ -262,6 +262,18 @@ object StreamOps {
     * contract — production deployments that need that use a per-writer
     * txnAppId dimension in the ledger, as Delta does.
     *
+    * READER-vs-COMPACTION window (r17 note): the single-writer rule
+    * covers writers only — a [[committedEpochs]] reader overlapping a
+    * [[compactLedger]] or [[vacuumEpochs]] run can list a marker file or
+    * an `epoch=N` data directory that is deleted before the scan reads
+    * it, failing TRANSIENTLY with FileNotFoundException mid-scan (never
+    * corruption: the manifest supersets the markers it replaces, and
+    * vacuum deletes ledger-first, so a retry always sees a consistent,
+    * equal-or-newer committed set). Readers that must overlap
+    * maintenance should retry on FNFE or set
+    * `spark.sql.files.ignoreMissingFiles=true` for the read — the same
+    * posture Spark documents for any table compacted while scanned.
+    *
     * Marker format (r15): markers carry their batchId as content and are
     * published by write-to-hidden-temp + atomic move (same directory,
     * same filesystem — `Files.move(…, ATOMIC_MOVE)`, which THROWS on

@@ -49,7 +49,8 @@ class ExtensionsSpec extends SparkSpec {
       assert(!phys.contains("CartesianProduct") &&
         !phys.contains("BroadcastNestedLoopJoin"),
         s"injected AnnRewriteRule did not fire:\n${phys.take(600)}")
-      // 3. the resolution-rule injection (M11): raw MERGE INTO text over
+      // 3. the parser injection (M11, GraftSqlParser →
+      //    GraftMergeIntoViewCommand): raw MERGE INTO text over
       //    a temp view executes through spark.sql — the statement that
       //    FAILS analysis on a plain session (SqlMergeSpec pins the
       //    refusal) runs end-to-end here
@@ -65,7 +66,7 @@ class ExtensionsSpec extends SparkSpec {
       val merged = s2.table("ext_mrg_tgt").orderBy("k")
         .as[(Long, Double)].collect().toSeq
       assert(merged === Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)),
-        "injected MergeIntoViewRule did not execute the MERGE text")
+        "injected GraftSqlParser did not execute the MERGE text")
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

@@ -125,13 +125,132 @@ class SqlMergeSpec extends SparkSpec {
       .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable]
     // the interpreter's raw plan (before the run()'s checkpoint hides
     // it from PLANSNAP): every clause must ride ONE join on the merge
-    // keys — a cartesian or nested-loop here would be the 100 TB killer
+    // keys — a cartesian or nested-loop here would be the 100 TB killer.
+    // The r17 cardinality guard adds a window (one exchange), never a
+    // second join: the join histogram is the pinned shape.
     val f = PlanSnap.features(plans.MergeIntoViews.interpret(spark, m))
     assert(f.joins.values.sum === 1,
       s"MERGE should plan exactly one join, got ${f.joins}")
     assert(f.joins.getOrElse("CartesianProduct", 0) === 0 &&
       f.joins.getOrElse("BroadcastNestedLoopJoin", 0) === 0,
       s"MERGE planned a non-equi join: ${f.joins}")
+  }
+
+  /** raise_error surfaces wrapped in Spark's job-failure chain — walk it. */
+  private def messages(e: Throwable): String = {
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+  }
+
+  test("cardinality guard: a target row matching MULTIPLE source rows " +
+      "raises GRAFT_MERGE_CARDINALITY_VIOLATION (the Delta contract) " +
+      "instead of silently duplicating the target row") {
+    Seq((1L, 10.0), (2L, 20.0))
+      .toDF("k", "v").createOrReplaceTempView("mrg_card_tgt")
+    Seq((1L, 100.0), (1L, 200.0), (3L, 300.0))
+      .toDF("k", "delta").createOrReplaceTempView("mrg_card_src")
+    val e = intercept[Exception] {
+      plans.MergeIntoViews.mergeSql(spark,
+        """MERGE INTO mrg_card_tgt t USING mrg_card_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.delta""".stripMargin)
+    }
+    assert(messages(e).contains("GRAFT_MERGE_CARDINALITY_VIOLATION"),
+      s"expected the cardinality error, got: ${messages(e).take(400)}")
+    // the ambiguity is a data error even when NO clause claims the
+    // matched row — an unclaimed target row must not silently duplicate
+    val e2 = intercept[Exception] {
+      plans.MergeIntoViews.mergeSql(spark,
+        """MERGE INTO mrg_card_tgt t USING mrg_card_src s ON t.k = s.k
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.delta)
+          |""".stripMargin)
+    }
+    assert(messages(e2).contains("GRAFT_MERGE_CARDINALITY_VIOLATION"))
+  }
+
+  test("cardinality guard does NOT fire on duplicate source keys that " +
+      "match no target row — ANSI inserts both (only MATCHED " +
+      "multiplicity is a violation)") {
+    Seq((1L, 10.0)).toDF("k", "v").createOrReplaceTempView("mrg_card2_tgt")
+    Seq((9L, 90.0), (9L, 91.0), (1L, 11.0))
+      .toDF("k", "delta").createOrReplaceTempView("mrg_card2_src")
+    val out = plans.MergeIntoViews.mergeSql(spark,
+      """MERGE INTO mrg_card2_tgt t USING mrg_card2_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.delta
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.delta)
+        |""".stripMargin)
+      .orderBy("k", "v").as[(Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 11.0), (9L, 90.0), (9L, 91.0)))
+  }
+
+  test("assignment validation: an UPDATE SET naming no target column " +
+      "(a typo) throws naming the offender, never a silent no-op") {
+    freshViews()
+    val e = intercept[IllegalArgumentException] {
+      plans.MergeIntoViews.mergeSql(spark,
+        """MERGE INTO mrg_tgt t USING mrg_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET vv = s.delta""".stripMargin)
+    }
+    assert(e.getMessage.contains("vv") &&
+      e.getMessage.contains("unknown target column"))
+    // duplicate assignment to one column in one clause is also an error
+    val e2 = intercept[IllegalArgumentException] {
+      plans.MergeIntoViews.mergeSql(spark,
+        """MERGE INTO mrg_tgt t USING mrg_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.delta, V = 0.0""".stripMargin)
+    }
+    assert(e2.getMessage.contains("more than once"))
+  }
+
+  test("schema evolution is a REFUSED, pinned error — INSERT naming a " +
+      "new column throws; the documented widen-then-merge works") {
+    Seq((1L, 10.0)).toDF("k", "v").createOrReplaceTempView("mrg_ev_tgt")
+    Seq((2L, 20.0, "x"))
+      .toDF("k", "v", "extra").createOrReplaceTempView("mrg_ev_src")
+    val e = intercept[IllegalArgumentException] {
+      plans.MergeIntoViews.mergeSql(spark,
+        """MERGE INTO mrg_ev_tgt t USING mrg_ev_src s ON t.k = s.k
+          |WHEN NOT MATCHED THEN
+          |  INSERT (k, v, extra) VALUES (s.k, s.v, s.extra)""".stripMargin)
+    }
+    assert(e.getMessage.contains("extra") &&
+      e.getMessage.contains("Schema evolution"))
+    // the workaround the scaladoc names: widen the target, then merge
+    spark.sql("""CREATE OR REPLACE TEMP VIEW mrg_ev_tgt2 AS
+      |SELECT *, CAST(NULL AS STRING) AS extra FROM mrg_ev_tgt""".stripMargin)
+    val out = plans.MergeIntoViews.mergeSql(spark,
+      """MERGE INTO mrg_ev_tgt2 t USING mrg_ev_src s ON t.k = s.k
+        |WHEN NOT MATCHED THEN
+        |  INSERT (k, v, extra) VALUES (s.k, s.v, s.extra)""".stripMargin)
+      .orderBy("k").as[(Long, Double, Option[String])].collect().toSeq
+    assert(out === Seq((1L, 10.0, None), (2L, 20.0, Some("x"))))
+  }
+
+  test("target-kind guard: a catalog table is refused (the re-point " +
+      "would silently shadow it), and so is a global temp view") {
+    val tbl = "mrg_guard_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    spark.sql(s"CREATE TABLE $tbl USING PARQUET AS " +
+      "SELECT 1L AS k, CAST(2.0 AS DOUBLE) AS v")
+    try {
+      Seq((1L, 9.0)).toDF("k", "v").createOrReplaceTempView("mrg_guard_src")
+      val e = intercept[IllegalArgumentException] {
+        plans.MergeIntoViews.mergeSql(spark,
+          s"""MERGE INTO $tbl t USING mrg_guard_src s ON t.k = s.k
+             |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+      }
+      assert(e.getMessage.contains("session-local temp view"))
+      // the table itself is untouched — nothing shadowed, nothing merged
+      assert(spark.table(tbl).as[(Long, Double)].collect().toSeq ===
+        Seq((1L, 2.0)))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Seq((1L, 2.0)).toDF("k", "v").createOrReplaceGlobalTempView("mrg_gt")
+    val eg = intercept[IllegalArgumentException] {
+      plans.MergeIntoViews.mergeSql(spark,
+        """MERGE INTO global_temp.mrg_gt t USING mrg_guard_src s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    assert(eg.getMessage.contains("session-local temp view"))
   }
 
   test("the declared sql_merge query matches its own oracle emulation " +
