@@ -323,6 +323,38 @@ object SqlSurface {
         |  (SELECT embedding AS p FROM sqv_embeddings
         |   WHERE vec_id = 0 LIMIT 1) p
         |ORDER BY e.vec_id""".stripMargin)
+    }),
+
+    // The dbt model-graph runner (K5/K7, r17) — the reference's `dbt
+    // run` in-process: THREE SQL-text models wired by {{ ref() }},
+    // DECLARED OUT OF DEPENDENCY ORDER so the result is wrong unless
+    // ModelGraph's topological sort runs them daily → monthly → top.
+    // View materialization inlines the whole chain into one plan
+    // (Catalyst prunes/pushes across model boundaries — the dbt
+    // `ephemeral`-like payoff of lazy views), so the physical shape is
+    // the same two-level reaggregation a hand-written query gets: one
+    // map-side-combined shuffle per level, decimal sums exact, the
+    // IEEE cast only at display. The oracle is the same chain as plain
+    // CTEs — materialization must not change results. ModelGraphSpec
+    // pins ordering/cycle/unknown-ref mechanics; PipelineSpec replays
+    // the reference's own two models through the runner.
+    "model_graph" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("sqv_orders")
+      import graft.pipeline.ModelGraph
+      import graft.pipeline.ModelGraph.Model
+      ModelGraph.run(s, Seq(
+        Model("mg_top",
+          "SELECT mon, days, rev FROM {{ ref('mg_monthly') }} ORDER BY mon"),
+        Model("mg_monthly",
+          """SELECT substr(d8, 1, 7) AS mon, COUNT(*) AS days,
+            |  CAST(round(SUM(drev), 2) AS DOUBLE) AS rev
+            |FROM {{ ref('mg_daily') }} GROUP BY substr(d8, 1, 7)"""
+            .stripMargin),
+        Model("mg_daily",
+          """SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS d8,
+            |  SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS drev
+            |FROM sqv_orders GROUP BY date_format(o_orderdate, 'yyyy-MM-dd')"""
+            .stripMargin)))("mg_top")
     })
   )
 
@@ -459,6 +491,19 @@ object SqlSurface {
         |    CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2)
         |      AS DOUBLE) AS sales
         |  FROM orders GROUP BY o_orderpriority, o_orderstatus)
-        |GROUP BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // The model chain as plain CTEs — the runner's view materialization
+    // must be result-transparent.
+    "model_graph" ->
+      """WITH mg_daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS d8,
+        |    SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS drev
+        |  FROM orders GROUP BY 1),
+        |mg_monthly AS (
+        |  SELECT substr(d8, 1, 7) AS mon, COUNT(*) AS days,
+        |    CAST(round(SUM(drev), 2) AS DOUBLE) AS rev
+        |  FROM mg_daily GROUP BY 1)
+        |SELECT mon, days, rev FROM mg_monthly ORDER BY mon""".stripMargin
   )
 }

@@ -73,6 +73,34 @@ object Consolidate {
       .orderBy("title", "code") // box_office_data.sql:32
   }
 
+  /** `box_office_data.sql` rendered to runnable Spark SQL TEXT — the
+    * Jinja loop in Scala, for the ModelGraph runner (the DataFrame form
+    * above stays the engine path; ModelGraphSpec proves text ≡ frame).
+    * `rel` maps a dbt table name to its catalog relation (the
+    * reference's `FROM raw_data."{t}"`, box_office_data.sql:15);
+    * identifiers are backtick-quoted because the date-prefixed columns
+    * start with digits (Postgres double quotes → Spark backticks). */
+  def boxOfficeDataSql(tableNames: Seq[String],
+      rel: String => String = identity): String = {
+    require(tableNames.nonEmpty, "consolidation over zero tables")
+    val branches = tableNames.map { t =>
+      val d = datePart(t)
+      val ms = DataMeasures.map(m => s"`${d}_$m` AS $m").mkString(", ")
+      s"SELECT title, code, $ms, '$t' AS source_table FROM ${rel(t)}"
+    }.mkString("\nUNION ALL\n")
+    val pivots = (for { t <- tableNames; m <- DataMeasures } yield
+      s"MAX(CASE WHEN source_table = '$t' THEN $m END)" +
+        s" AS `${datePart(t)}_$m`").mkString(",\n  ")
+    s"""WITH base_data AS (
+       |$branches
+       |)
+       |SELECT title, code,
+       |  $pivots
+       |FROM base_data
+       |GROUP BY title, code
+       |ORDER BY title, code""".stripMargin
+  }
+
   private val RangeMeasures = Seq(
     "sales" -> "total_sales",
     "total_sales" -> "total_total_sales",
@@ -80,6 +108,29 @@ object Consolidate {
     "total_audience_num" -> "total_total_audience_num",
     "screen_num" -> "total_screen_num",
     "screen_show" -> "total_screen_show")
+
+  /** `box_office_showrange.sql` rendered to runnable Spark SQL TEXT —
+    * the partial-per-table + final-over-union two-phase aggregation
+    * (box_office_showrange.sql:1-29), for the ModelGraph runner. */
+  def boxOfficeShowRangeSql(tableNames: Seq[String],
+      rel: String => String = identity): String = {
+    require(tableNames.nonEmpty, "consolidation over zero tables")
+    val branches = tableNames.map { t =>
+      val d = datePart(t)
+      val partials = RangeMeasures.map { case (m, alias) =>
+        s"SUM(`${d}_$m`) AS $alias"
+      }.mkString(", ")
+      s"SELECT showRange, $partials FROM ${rel(t)} GROUP BY showRange"
+    }.mkString("\nUNION ALL\n")
+    val finals = RangeMeasures.map(_._2)
+      .map(a => s"SUM($a) AS $a").mkString(", ")
+    s"""WITH base_data AS (
+       |$branches
+       |)
+       |SELECT showRange, $finals
+       |FROM base_data
+       |GROUP BY showRange""".stripMargin
+  }
 
   /** `box_office_showrange.sql` — explicit partial (per table) + final
     * (over the union) two-phase aggregation. */

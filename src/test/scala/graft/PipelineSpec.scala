@@ -223,6 +223,47 @@ class PipelineSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS raw_${d}_box_office"))
   }
 
+  test("K7: the dbt model-graph runner reproduces BOTH reference models " +
+      "from SQL TEXT — dbt run, in-process: raw tables -> topo-ordered " +
+      "CTAS -> same rows as the DataFrame implementations") {
+    import graft.pipeline.ModelGraph
+    import graft.pipeline.ModelGraph.Model
+    // the reference flow: daily wide tables land under raw_* names
+    // (dbt's source()), then `dbt run` materializes both transform
+    // models as TABLES in dependency order (dbt_dags.py:48-78,
+    // dbt_project.yml:36 `+materialized: table`)
+    dailyTables.foreach { case (n, df) => df.createOrReplaceTempView(s"raw_$n") }
+    val names = dates.map(d => s"${d}_box_office")
+    try {
+      val out = ModelGraph.run(spark, Seq(
+        Model("box_office_data",
+          Consolidate.boxOfficeDataSql(names, n => s"raw_$n"),
+          materialized = "table"),
+        Model("box_office_showrange",
+          Consolidate.boxOfficeShowRangeSql(names, n => s"raw_$n"),
+          materialized = "table")))
+      // SQL-text path ≡ DataFrame path, per model, column names included
+      val frameData = Consolidate.boxOfficeData(dailyTables)
+      val frameRange = Consolidate.boxOfficeShowRange(dailyTables)
+      assert(out("box_office_data").columns.toSeq === frameData.columns.toSeq)
+      assert(out("box_office_data").exceptAll(frameData).isEmpty &&
+        frameData.exceptAll(out("box_office_data")).isEmpty,
+        "box_office_data: SQL-text model diverged from the DataFrame form")
+      assert(out("box_office_showrange").columns.toSeq ===
+        frameRange.columns.toSeq)
+      assert(out("box_office_showrange").exceptAll(frameRange).isEmpty &&
+        frameRange.exceptAll(out("box_office_showrange")).isEmpty,
+        "box_office_showrange: SQL-text model diverged from the DataFrame form")
+      // and they are real catalog tables, like dbt's materialization
+      assert(spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier("box_office_data")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS box_office_data")
+      spark.sql("DROP TABLE IF EXISTS box_office_showrange")
+      names.foreach(n => spark.catalog.dropTempView(s"raw_$n"))
+    }
+  }
+
   test("A8/A9: idempotent saveAsTable + bulk load append") {
     val (_, df) = dailyTables.head
     val table = Ingest.saveDaily(df, "20250113")
