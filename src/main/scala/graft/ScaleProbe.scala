@@ -61,7 +61,10 @@ object ScaleProbe {
     "dedup_embed", "dedup_embed_eval",
     // r16: the SQL-text MERGE (one full-outer shuffle join on the key +
     // clause projections — should track join_sortmerge's decade ratio)
-    "sql_merge")
+    "sql_merge",
+    // r17: the whitening fit (changed by r16's pcaFit2 deflation — the
+    // decade row pins that the saved corpus re-scan is scale-neutral)
+    "embed_whiten")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
