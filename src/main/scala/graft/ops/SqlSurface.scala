@@ -355,6 +355,42 @@ object SqlSurface {
             |  SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS drev
             |FROM sqv_orders GROUP BY date_format(o_orderdate, 'yyyy-MM-dd')"""
             .stripMargin)))("mg_top")
+    }),
+
+    // dbt's INCREMENTAL materialization through the runner (r17) — the
+    // verb M11 was built for, end-to-end: batch 1 materializes a
+    // partial year-revenue state (even orderkeys, years ≤ 1996 — the
+    // "history as first loaded"), batch 2 recomputes years ≥ 1996 over
+    // ALL rows and MERGEs it in on uniqueKey=yr. The final state
+    // exercises every upsert path deterministically: 1996 is UPDATED
+    // (matched), years > 1996 INSERT (not matched), years < 1996
+    // SURVIVE untouched (not matched by source). The MERGE source is
+    // the model SELECT as a SUBQUERY (`USING (…) s`), so this also pins
+    // the r17 subquery-source path at board scale. The oracle replays
+    // both batches as CTEs — the merge is sugar over exactly that
+    // partition-by-recency union. State is dropped up front so every
+    // invocation (Verify, repeated Bench runs) replays the same
+    // two-batch history. Scale: each batch is one map-side-combined
+    // aggregate; the merge is the M11 join+window shape on a
+    // |years|-sized state.
+    "model_graph_incremental" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("sqv_orders")
+      import graft.pipeline.ModelGraph
+      import graft.pipeline.ModelGraph.Model
+      s.catalog.dropTempView("mgi_rev")
+      val agg =
+        """SELECT date_format(o_orderdate, 'yyyy') AS yr, COUNT(*) AS n,
+          |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2)
+          |    AS DOUBLE) AS rev
+          |FROM sqv_orders WHERE %s
+          |GROUP BY date_format(o_orderdate, 'yyyy')""".stripMargin
+      val model = Model("mgi_rev", agg.format(
+        "o_orderkey % 2 = 0 AND date_format(o_orderdate, 'yyyy') <= '1996'"),
+        materialized = "incremental", uniqueKey = Seq("yr"))
+      ModelGraph.run(s, Seq(model))
+      ModelGraph.run(s, Seq(model.copy(sql =
+        agg.format("date_format(o_orderdate, 'yyyy') >= '1996'"))))
+      s.table("mgi_rev").orderBy("yr")
     })
   )
 
@@ -504,6 +540,28 @@ object SqlSurface {
         |  SELECT substr(d8, 1, 7) AS mon, COUNT(*) AS days,
         |    CAST(round(SUM(drev), 2) AS DOUBLE) AS rev
         |  FROM mg_daily GROUP BY 1)
-        |SELECT mon, days, rev FROM mg_monthly ORDER BY mon""".stripMargin
+        |SELECT mon, days, rev FROM mg_monthly ORDER BY mon""".stripMargin,
+
+    // Both incremental batches as CTEs, unioned by recency: batch 2
+    // (years >= 1996, all rows) wins where it matched, batch 1's
+    // partial history survives below it.
+    "model_graph_incremental" ->
+      """WITH f AS (
+        |  SELECT strftime(o_orderdate, '%Y') AS yr, COUNT(*) AS n,
+        |    CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2)
+        |      AS DOUBLE) AS rev
+        |  FROM orders WHERE strftime(o_orderdate, '%Y') >= '1996'
+        |  GROUP BY 1),
+        |h AS (
+        |  SELECT strftime(o_orderdate, '%Y') AS yr, COUNT(*) AS n,
+        |    CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2)
+        |      AS DOUBLE) AS rev
+        |  FROM orders
+        |  WHERE o_orderkey % 2 = 0 AND strftime(o_orderdate, '%Y') <= '1996'
+        |  GROUP BY 1)
+        |SELECT yr, n, rev FROM f
+        |UNION ALL
+        |SELECT yr, n, rev FROM h WHERE yr < '1996'
+        |ORDER BY yr""".stripMargin
   )
 }

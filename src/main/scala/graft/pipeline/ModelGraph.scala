@@ -43,9 +43,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ModelGraph {
 
   /** One dbt-style model: SQL text with `{{ ref('name') }}` edges,
-    * materialized as a temp `view` (default) or a catalog `table`. */
+    * materialized as a temp `view` (default), a catalog `table`, or
+    * `incremental` (upsert-on-uniqueKey; see [[run]]). */
   final case class Model(name: String, sql: String,
-      materialized: String = "view")
+      materialized: String = "view", uniqueKey: Seq[String] = Nil)
 
   private val Ref =
     """\{\{\s*ref\(\s*['"]([A-Za-z0-9_]+)['"]\s*\)\s*\}\}""".r
@@ -105,7 +106,21 @@ object ModelGraph {
 
   /** Materialize every model in dependency order; returns each model's
     * relation read back from the session catalog. Single-writer per
-    * session, like dbt's one-process run. */
+    * session, like dbt's one-process run.
+    *
+    * `incremental` (r17) is dbt's fourth materialization, carried by the
+    * M11 MERGE interpreter it was built for: the FIRST run materializes
+    * the model's current rows eagerly (the state later runs merge into);
+    * every later run upserts the model SELECT's current rows into that
+    * state on `uniqueKey` — matched keys take the new row (`UPDATE SET
+    * *`), new keys insert (`INSERT *`), keys absent from the batch
+    * SURVIVE (the whole point: dbt users filter the model SQL to the new
+    * partition with `is_incremental()`, here the SQL is whatever the
+    * caller scoped it to). A batch with duplicate uniqueKey rows fails
+    * with MergeIntoViews' GRAFT_MERGE_CARDINALITY_VIOLATION — the same
+    * data error dbt surfaces as a dup-key model. State lives as a
+    * session temp view (the engine's table substrate, same as the M11
+    * re-point); at 100 TB this is the table format's MERGE commit. */
   def run(spark: SparkSession, models: Seq[Model])
       : Map[String, DataFrame] = {
     topoOrder(models).map { m =>
@@ -116,9 +131,25 @@ object ModelGraph {
         case "table" => // dbt's table materialization: drop + CTAS
           spark.sql(s"DROP TABLE IF EXISTS ${m.name}")
           spark.sql(s"CREATE TABLE ${m.name} USING PARQUET AS $body")
+        case "incremental" =>
+          require(m.uniqueKey.nonEmpty, s"model ${m.name}: incremental " +
+            "materialization requires a non-empty uniqueKey")
+          if (!spark.sessionState.catalog.isTempView(Seq(m.name))) {
+            // first run = full refresh, eagerly materialized: later runs
+            // read AND replace this state, so it cannot stay a lazy view
+            spark.sql(body).localCheckpoint(true)
+              .createOrReplaceTempView(m.name)
+          } else {
+            val on = m.uniqueKey
+              .map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
+            graft.plans.MergeIntoViews.mergeSql(spark,
+              s"""MERGE INTO ${m.name} t USING ($body) s ON $on
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          }
         case other => throw new IllegalArgumentException(
           s"model ${m.name}: unsupported materialization '$other' " +
-            "(view | table)")
+            "(view | table | incremental)")
       }
       m.name -> spark.table(m.name)
     }.toMap

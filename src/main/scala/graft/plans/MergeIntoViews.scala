@@ -63,8 +63,10 @@ import org.apache.spark.sql.graftshim
   * v2 row-level-operation path, which [[GraftSqlParser]] passes through
   * untouched — and a global temp view is not a valid
   * `createOrReplaceTempView` name. The source may be any named relation
-  * readable via `spark.table`; a subquery source is one
-  * `CREATE TEMP VIEW` away. Schema evolution (`WHEN NOT MATCHED INSERT`
+  * readable via `spark.table` OR an aliased subquery
+  * (`USING (SELECT …) s`, r17) — the form dbt's incremental
+  * materialization compiles to, analyzed through the session like any
+  * `spark.sql` text. Schema evolution (`WHEN NOT MATCHED INSERT`
   * naming a column the target lacks) is REFUSED by the assignment
   * validation above, deliberately: a temp-view target could trivially
   * grow a NULL column, but Delta requires an explicit
@@ -128,6 +130,26 @@ object MergeIntoViews {
         s"table), got: ${other.nodeName}")
   }
 
+  /** The SOURCE side additionally accepts an aliased subquery
+    * (`USING (SELECT …) s`, r17) — the form dbt's incremental
+    * materialization compiles to. The parsed child plan is analyzed
+    * through the session like any `spark.sql` text; the target stays
+    * named-relation-only (it must be re-pointable). */
+  private def sourceOf(s: SparkSession, p: LogicalPlan)
+      : (org.apache.spark.sql.DataFrame, String) = p match {
+    case sa: SubqueryAlias => sa.child match {
+      case _: UnresolvedRelation | _: SubqueryAlias =>
+        val (n, _) = relOf(p); (s.table(n.mkString(".")), sa.alias)
+      case subquery => (graftshim.ofRows(s, subquery), sa.alias)
+    }
+    case u: UnresolvedRelation =>
+      (s.table(u.multipartIdentifier.mkString(".")),
+        u.multipartIdentifier.last)
+    case other => throw new IllegalArgumentException(
+      "MERGE subquery source must be aliased (USING (SELECT …) s), " +
+        s"got: ${other.nodeName}")
+  }
+
   /** One clause of the merge, lowered to: a row-level guard, whether a
     * claimed row survives, and the value of each target column. */
   private final case class Clause(guard: Column, keep: Boolean,
@@ -137,9 +159,8 @@ object MergeIntoViews {
   private[graft] def interpret(s: SparkSession, m: MergeIntoTable)
       : DataFrame = {
     val (tName, tAlias) = relOf(m.targetTable)
-    val (sName, sAlias) = relOf(m.sourceTable)
+    val (source, sAlias) = sourceOf(s, m.sourceTable)
     val target = s.table(tName.mkString("."))
-    val source = s.table(sName.mkString("."))
     val schema = target.schema
     require(Seq("__graft_t", "__graft_tid")
         .forall(c => !target.columns.contains(c)) &&

@@ -59,6 +59,38 @@ class ModelGraphSpec extends SparkSpec {
     assert(e2.getMessage.contains("duplicate"))
   }
 
+  test("incremental materialization: first run full-refreshes, later " +
+      "runs upsert on uniqueKey — matched keys update, new keys insert, " +
+      "absent keys survive (dbt's incremental, carried by M11 MERGE)") {
+    spark.catalog.dropTempView("mgi_state"): Unit
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("k", "v").createOrReplaceTempView("mgi_src")
+    val inc = Model("mgi_state", "SELECT k, v FROM mgi_src",
+      materialized = "incremental", uniqueKey = Seq("k"))
+    ModelGraph.run(spark, Seq(inc))
+    assert(spark.table("mgi_state").count() === 3)
+    // the source moves on: k=2 revised, k=1/k=3 gone, k=4 new
+    Seq((2L, 99.0), (4L, 40.0))
+      .toDF("k", "v").createOrReplaceTempView("mgi_src")
+    val out = ModelGraph.run(spark, Seq(inc))("mgi_state")
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0)))
+    // a batch with duplicate uniqueKey rows is the MERGE data error
+    Seq((2L, 1.0), (2L, 2.0)).toDF("k", "v")
+      .createOrReplaceTempView("mgi_src")
+    val e = intercept[Exception] { ModelGraph.run(spark, Seq(inc)) }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("GRAFT_MERGE_CARDINALITY_VIOLATION"))
+    // and incremental without a uniqueKey is refused up front
+    val e2 = intercept[IllegalArgumentException] {
+      ModelGraph.run(spark, Seq(
+        Model("m", "SELECT 1 AS k", materialized = "incremental")))
+    }
+    assert(e2.getMessage.contains("uniqueKey"))
+  }
+
   test("run: a ref chain materializes in order — views inline, tables " +
       "persist through the catalog — and non-model relations resolve " +
       "by bare name (source())") {

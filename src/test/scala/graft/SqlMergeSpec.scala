@@ -225,6 +225,25 @@ class SqlMergeSpec extends SparkSpec {
     assert(out === Seq((1L, 10.0, None), (2L, 20.0, Some("x"))))
   }
 
+  test("subquery source: USING (SELECT …) s runs without a temp view " +
+      "(the form dbt incremental compiles to); unaliased non-relation " +
+      "sources are refused") {
+    freshViews()
+    val out = plans.MergeIntoViews.mergeSql(spark,
+      """MERGE INTO mrg_tgt t
+        |USING (SELECT k, delta * 2 AS d2 FROM mrg_src
+        |       WHERE delta < 100.0) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.d2
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.d2)
+        |""".stripMargin)
+      .orderBy("k").select("k", "v").as[(Long, Double)].collect().toSeq
+    // source = {k=2 d2=10, k=5 d2=14}: k=2 updated, k=5 inserted,
+    // k=1/3/4 survive untouched
+    assert(out === Seq((1L, 10.0), (2L, 10.0), (3L, 30.0), (4L, 40.0),
+      (5L, 14.0)))
+  }
+
   test("target-kind guard: a catalog table is refused (the re-point " +
       "would silently shadow it), and so is a global temp view") {
     val tbl = "mrg_guard_" +
