@@ -67,6 +67,17 @@ class ExtensionsSpec extends SparkSpec {
         .as[(Long, Double)].collect().toSeq
       assert(merged === Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)),
         "injected GraftSqlParser did not execute the MERGE text")
+      // 3b. subquery SOURCE (r17) through the same raw-text path — the
+      //     form dbt incremental compiles to, end-to-end via spark.sql
+      s2.sql(
+        """MERGE INTO ext_mrg_tgt t
+          |USING (SELECT k, v * 10 AS v10 FROM ext_mrg_src) s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v10""".stripMargin)
+      val merged2 = s2.table("ext_mrg_tgt").orderBy("k")
+        .as[(Long, Double)].collect().toSeq
+      assert(merged2 === Seq((1L, 10.0), (2L, 990.0), (3L, 300.0)),
+        "subquery-source MERGE text did not execute through the parser")
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
