@@ -28,7 +28,8 @@ object SparkEntry {
       ops.Embeddings.queries ++
       ops.Streaming.queries ++
       ops.Media.queries ++
-      ops.SqlSurface.queries
+      ops.SqlSurface.queries ++
+      ops.Scd2.queries
 
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++
@@ -42,5 +43,6 @@ object SparkEntry {
       ops.Embeddings.oracles ++
       ops.Streaming.oracles ++
       ops.Media.oracles ++
-      ops.SqlSurface.oracles
+      ops.SqlSurface.oracles ++
+      ops.Scd2.oracles
 }

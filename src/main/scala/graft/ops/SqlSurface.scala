@@ -368,16 +368,17 @@ object SqlSurface {
     // the model SELECT as a SUBQUERY (`USING (…) s`), so this also pins
     // the r17 subquery-source path at board scale. The oracle replays
     // both batches as CTEs — the merge is sugar over exactly that
-    // partition-by-recency union. State is dropped up front so every
+    // partition-by-recency union. State is RESET up front (r18: the
+    // durable parquet commit store, dbt's --full-refresh) so every
     // invocation (Verify, repeated Bench runs) replays the same
     // two-batch history. Scale: each batch is one map-side-combined
-    // aggregate; the merge is the M11 join+window shape on a
-    // |years|-sized state.
+    // aggregate; the merge is the M11 join shape (equi fast-path
+    // guard) on a |years|-sized state.
     "model_graph_incremental" -> ((s, d) => {
       orders(s, d).createOrReplaceTempView("sqv_orders")
       import graft.pipeline.ModelGraph
       import graft.pipeline.ModelGraph.Model
-      s.catalog.dropTempView("mgi_rev")
+      ModelGraph.reset(s, "mgi_rev")
       val agg =
         """SELECT date_format(o_orderdate, 'yyyy') AS yr, COUNT(*) AS n,
           |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2)
@@ -391,6 +392,76 @@ object SqlSurface {
       ModelGraph.run(s, Seq(model.copy(sql =
         agg.format("date_format(o_orderdate, 'yyyy') >= '1996'"))))
       s.table("mgi_rev").orderBy("yr")
+    }),
+
+    // dbt's SNAPSHOT verb through the runner (r18, the last dbt
+    // materialization): a status→label dimension snapshotted twice
+    // with explicit batch stamps (dbt stamps the run's wall clock; the
+    // board passes lit(1)/lit(2) so the history is exact). Between the
+    // batches label 'F' is RESTATED (close + reopen), 'O' arrives
+    // unchanged (check strategy skips it), 'P' is absent from batch 2
+    // (survives current — dbt's default), and 'X' is new (opens its
+    // first version) — every SCD2 transition on a keys-sized
+    // dimension. The oracle is the window-over-history reconstruction
+    // (dedupe on IS DISTINCT FROM lag, lead for valid_to) — the
+    // incremental operator must agree with the whole-history replay
+    // batch by batch. State resets up front (--full-refresh) so every
+    // invocation replays the same two batches. Scale: the snapshot
+    // joins only the CURRENT slice to the batch (see Scd2's scaladoc);
+    // scd2_apply carries the row-count version of this claim.
+    "model_graph_snapshot" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("sqv_orders")
+      import graft.pipeline.ModelGraph
+      import graft.pipeline.ModelGraph.Model
+      import org.apache.spark.sql.functions.lit
+      ModelGraph.reset(s, "mgs_dim")
+      val b1 =
+        """SELECT DISTINCT o_orderstatus AS st,
+          |  CASE WHEN o_orderstatus = 'O' THEN 'open' ELSE 'closed' END
+          |    AS label
+          |FROM sqv_orders""".stripMargin
+      val b2 =
+        """SELECT DISTINCT o_orderstatus AS st,
+          |  CASE WHEN o_orderstatus = 'O' THEN 'open'
+          |       WHEN o_orderstatus = 'F' THEN 'final'
+          |       ELSE 'closed' END AS label
+          |FROM sqv_orders WHERE o_orderstatus <> 'P'
+          |UNION ALL SELECT 'X', 'new'""".stripMargin
+      val model = Model("mgs_dim", b1, materialized = "snapshot",
+        uniqueKey = Seq("st"))
+      ModelGraph.run(s, Seq(model), snapshotAt = lit(1))
+      ModelGraph.run(s, Seq(model.copy(sql = b2)), snapshotAt = lit(2))
+      s.table("mgs_dim").orderBy("st", "valid_from")
+    }),
+
+    // dbt's schema-test battery over the model graph (r18): unique /
+    // not_null / accepted_values / relationships run AFTER
+    // materialization, one aggregate each, reported with dbt's
+    // failure-count semantics. The battery deliberately includes
+    // guaranteed-failing rows (o_custkey repeats across orders;
+    // status 'P' sits outside the accepted list wherever the scale
+    // ships it) so the report proves violations are COUNTED, not just
+    // asserted zero — and the oracle recomputes every count from the
+    // same model SQL as scalar subqueries. Scale: each test is one
+    // map-side-combinable aggregate / one anti join over the
+    // materialized relation — the dq_rule_check / dq_referential
+    // machinery a 100 TB table already pays for.
+    "model_tests" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("sqv_orders")
+      customer(s, d).createOrReplaceTempView("sqv_customer")
+      import graft.pipeline.ModelGraph
+      import graft.pipeline.ModelGraph._
+      val models = Seq(
+        Model("mt_cust", "SELECT c_custkey FROM sqv_customer"),
+        Model("mt_orders",
+          "SELECT o_orderkey, o_custkey, o_orderstatus FROM sqv_orders",
+          tests = Seq(
+            Unique("o_orderkey"), Unique("o_custkey"),
+            NotNull("o_custkey"),
+            AcceptedValues("o_orderstatus", Seq("O", "F")),
+            Relationships("o_custkey", "mt_cust", "c_custkey"))))
+      ModelGraph.run(s, models)
+      ModelGraph.test(s, models).orderBy("model", "test", "col_name")
     })
   )
 
@@ -562,6 +633,74 @@ object SqlSurface {
         |SELECT yr, n, rev FROM f
         |UNION ALL
         |SELECT yr, n, rev FROM h WHERE yr < '1996'
-        |ORDER BY yr""".stripMargin
+        |ORDER BY yr""".stripMargin,
+
+    // the window-over-history SCD2 reconstruction: union the batches
+    // with their stamps, keep rows whose tracked value IS DISTINCT
+    // FROM the key's previous appearance (first load or change), then
+    // lead() for valid_to — must equal the incremental batch-by-batch
+    // engine state exactly.
+    "model_graph_snapshot" ->
+      """WITH u AS (
+        |  SELECT DISTINCT o_orderstatus AS st,
+        |    CASE WHEN o_orderstatus = 'O' THEN 'open' ELSE 'closed' END
+        |      AS label, 1 AS ts
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT DISTINCT o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'O' THEN 'open'
+        |         WHEN o_orderstatus = 'F' THEN 'final'
+        |         ELSE 'closed' END, 2
+        |  FROM orders WHERE o_orderstatus <> 'P'
+        |  UNION ALL SELECT 'X', 'new', 2),
+        |v AS (
+        |  SELECT st, label, ts,
+        |    lag(label) OVER (PARTITION BY st ORDER BY ts) AS prev
+        |  FROM u),
+        |chg AS (
+        |  SELECT st, label, ts FROM v
+        |  WHERE prev IS NULL OR label IS DISTINCT FROM prev)
+        |SELECT st, label, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY st ORDER BY ts) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY st ORDER BY ts) IS NULL
+        |    AS is_current
+        |FROM chg
+        |ORDER BY st, valid_from""".stripMargin,
+
+    // each dbt test's failure count recomputed as a scalar subquery
+    // over the same model SQL
+    "model_tests" ->
+      """WITH mt_orders AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+        |mt_cust AS (SELECT c_custkey FROM customer),
+        |r AS (
+        |  SELECT 'mt_orders' AS model, 'accepted_values' AS test,
+        |    'o_orderstatus' AS col_name,
+        |    (SELECT count(*) FROM (
+        |       SELECT o_orderstatus FROM mt_orders
+        |       WHERE o_orderstatus IS NOT NULL
+        |         AND o_orderstatus NOT IN ('O', 'F')
+        |       GROUP BY 1)) AS violations
+        |  UNION ALL
+        |  SELECT 'mt_orders', 'not_null', 'o_custkey',
+        |    (SELECT count(*) FROM mt_orders WHERE o_custkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'mt_orders', 'relationships', 'o_custkey',
+        |    (SELECT count(*) FROM mt_orders o
+        |     WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+        |       SELECT 1 FROM mt_cust c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL
+        |  SELECT 'mt_orders', 'unique', 'o_custkey',
+        |    (SELECT count(*) FROM (
+        |       SELECT o_custkey FROM mt_orders WHERE o_custkey IS NOT NULL
+        |       GROUP BY 1 HAVING count(*) > 1))
+        |  UNION ALL
+        |  SELECT 'mt_orders', 'unique', 'o_orderkey',
+        |    (SELECT count(*) FROM (
+        |       SELECT o_orderkey FROM mt_orders WHERE o_orderkey IS NOT NULL
+        |       GROUP BY 1 HAVING count(*) > 1)))
+        |SELECT model, test, col_name, violations,
+        |  violations = 0 AS passed
+        |FROM r ORDER BY model, test, col_name""".stripMargin
   )
 }

@@ -38,18 +38,27 @@ import org.apache.spark.sql.graftshim
   * survives unchanged; a source-only row no INSERT claims is skipped.
   * First-clause-wins falls out of a chained `when().otherwise()` —
   * exactly the expression Spark's own RewriteMergeIntoTable builds.
-  * Cardinality ENFORCED (r17): a target row matching MULTIPLE source
-  * rows is the data error Delta raises as
+  * Cardinality ENFORCED (r17, cheapened r18): a target row matching
+  * MULTIPLE source rows is the data error Delta raises as
   * DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW — this interpreter
-  * detects it the same single-pass way (a per-target-row count of
-  * matched join rows, folded into the keep predicate as a
-  * `raise_error`) and fails the action with
+  * detects it and fails the action with
   * GRAFT_MERGE_CARDINALITY_VIOLATION instead of silently emitting one
-  * output row per join row. Assignments are validated up front: a SET /
-  * INSERT column that resolves (case-insensitively) to no target column,
-  * or is assigned twice in one clause, throws IllegalArgumentException
-  * naming the offender — the same analysis error Spark's native MERGE
-  * raises, where silence would mean a typo'd UPDATE becoming a no-op.
+  * output row per join row. Matching Delta, an INSERT-ONLY merge (no
+  * WHEN MATCHED and no WHEN NOT MATCHED BY SOURCE clauses) is exempt —
+  * it takes a dedicated anti-join plan (below) under which a
+  * multi-matched target row cannot duplicate, so duplicate-matching
+  * sources succeed exactly as Delta's insert-only merges do. One
+  * deliberate divergence remains: a merge with ONLY not-matched-by-
+  * source clauses still enforces the guard (Delta would not), because
+  * the full-outer plan would otherwise emit a matched target row once
+  * per source match — stricter than Delta, never wrong. Assignments
+  * are validated up front: a SET / INSERT column that resolves
+  * (case-insensitively) to no target column, is assigned twice in one
+  * clause, or is qualified by anything other than the target alias
+  * (Spark's native MERGE rejects source-qualified assignment keys the
+  * same way) throws IllegalArgumentException naming the offender — the
+  * same analysis error Spark's native MERGE raises, where silence
+  * would mean a typo'd UPDATE becoming a no-op.
   *
   * The "table mutation" is a temp-view re-point: the merged result is
   * eagerly materialized (`localCheckpoint`, same discipline as
@@ -81,14 +90,28 @@ import org.apache.spark.sql.graftshim
   * keys (broadcast if one side is small — Spark's stats decide), the
   * same shape as the DataFrame `merge_upsert` (Relational.scala) and
   * `cdc_apply`; every clause is a codegen'd projection over the joined
-  * row, no per-clause passes. The cardinality guard adds ONE window
-  * shuffle of the joined rows keyed by a per-row target id (full-outer
-  * join output partitioning is Unknown in Spark, so the exchange is
-  * unavoidable at this plan shape; Delta pays the equivalent detection
-  * cost in its touched-row scan). Source-only rows get singleton window
-  * partitions via their own id — inserts never pile into one null-key
-  * partition. At 100 TB the view re-point becomes the table format's
-  * commit (Delta/Iceberg swap a manifest pointer the same way).
+  * row, no per-clause passes. The cardinality guard costs (r18):
+  * when the ON condition is a pure conjunction of `t.x = s.y` equality
+  * predicates (the dbt-incremental case and every board MERGE), the
+  * detection is a SOURCE-side duplicate-key pre-count — a map-side-
+  * combinable `GROUP BY merge-keys` whose count>1 survivors (normally
+  * zero rows) join back onto the source before the merge join, so the
+  * full-outer JOINED set is never re-shuffled and AQE broadcasts the
+  * (runtime-tiny) dup set. Equivalence: under an equi ON, a target row
+  * matches >1 source rows iff those source rows share the full key
+  * tuple, i.e. iff the matched source row's key count exceeds 1. For
+  * residual/non-equi ON conditions the r17 window form remains: a
+  * per-target-row count of matched join rows over ONE window shuffle
+  * keyed by a per-row target id (source-only rows get singleton
+  * partitions via their own negated id — inserts never pile into one
+  * null-key partition). Either way the raise_error is folded into the
+  * keep predicate, so column pruning can never elide the check.
+  * Insert-only merges skip the full-outer join entirely: target rows
+  * pass through untouched and the inserts come from a LEFT ANTI join
+  * of source against target — strictly cheaper, and the reason the
+  * guard is unnecessary there. At 100 TB the view re-point becomes the
+  * table format's commit (Delta/Iceberg swap a manifest pointer the
+  * same way).
   */
 object MergeIntoViews {
 
@@ -155,6 +178,47 @@ object MergeIntoViews {
   private final case class Clause(guard: Column, keep: Boolean,
       value: String => Column)
 
+  /** True iff `cond` is a pure conjunction of `t.x = s.y` equality
+    * predicates with every side explicitly qualified by the given
+    * aliases; returns the SOURCE-side key column names (normalized to
+    * the source schema's case) that the cheap duplicate-key guard can
+    * pre-count on. Anything else — unqualified attributes, `<=>`,
+    * residual predicates, a key that is not a plain source column —
+    * returns None and the caller falls back to the window guard. */
+  private def equiSourceKeys(cond: Expression, tAlias: String,
+      sAlias: String, sourceCols: Array[String]): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+    if (tAlias.equalsIgnoreCase(sAlias)) return None
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    def qual(u: UnresolvedAttribute): Option[(String, String)] =
+      u.nameParts match {
+        case Seq(q, c) => Some((q, c))
+        case _ => None
+      }
+    val keys = split(cond).map {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        (qual(a), qual(b)) match {
+          case (Some((qa, _)), Some((qb, cb)))
+              if qa.equalsIgnoreCase(tAlias) &&
+                qb.equalsIgnoreCase(sAlias) => Some(cb)
+          case (Some((qa, ca)), Some((qb, _)))
+              if qa.equalsIgnoreCase(sAlias) &&
+                qb.equalsIgnoreCase(tAlias) => Some(ca)
+          case _ => None
+        }
+      case _ => None
+    }
+    if (keys.isEmpty || keys.exists(_.isEmpty)) return None
+    val normalized = keys.flatten
+      .map(k => sourceCols.find(_.equalsIgnoreCase(k)))
+    if (normalized.exists(_.isEmpty)) return None
+    val ks = normalized.flatten
+    if (ks.distinct.size == ks.size) Some(ks) else None
+  }
+
   /** Build the merged-rows DataFrame (no side effects). */
   private[graft] def interpret(s: SparkSession, m: MergeIntoTable)
       : DataFrame = {
@@ -162,26 +226,6 @@ object MergeIntoViews {
     val (source, sAlias) = sourceOf(s, m.sourceTable)
     val target = s.table(tName.mkString("."))
     val schema = target.schema
-    require(Seq("__graft_t", "__graft_tid")
-        .forall(c => !target.columns.contains(c)) &&
-      Seq("__graft_s", "__graft_sid")
-        .forall(c => !source.columns.contains(c)),
-      "MERGE presence-flag column name collision")
-    // presence flags ride each side INTO the full-outer join: after it,
-    // flag-null ⇔ that side contributed no row (null-safe even when
-    // every data column of a side is legitimately null). The per-row ids
-    // feed the cardinality guard below.
-    val t = target.withColumn("__graft_t", lit(true))
-      .withColumn("__graft_tid", monotonically_increasing_id()).as(tAlias)
-    val src = source.withColumn("__graft_s", lit(true))
-      .withColumn("__graft_sid", monotonically_increasing_id()).as(sAlias)
-    val joined = t.join(src, graftshim.column(m.mergeCondition),
-      "full_outer")
-    val tP = col(s"$tAlias.__graft_t").isNotNull
-    val sP = col(s"$sAlias.__graft_s").isNotNull
-    val matched = tP && sP
-    val srcOnly = !tP && sP
-    val tgtOnly = tP && !sP
 
     def tcol(c: String): Column = col(s"$tAlias.$c")
     def scolCast(c: String): Column =
@@ -189,7 +233,17 @@ object MergeIntoViews {
     def condOf(c: Option[Expression]): Column =
       c.map(graftshim.column).getOrElse(lit(true))
     def keyName(e: Expression): String = e match {
-      case u: UnresolvedAttribute => u.nameParts.last
+      case u: UnresolvedAttribute =>
+        // an assignment key may be bare or target-qualified; a source
+        // (or wrong-alias) qualifier silently rebinding to a target
+        // column is the analyzer error Spark's native MERGE raises
+        if (u.nameParts.size > 1 && !(u.nameParts.size == 2 &&
+            u.nameParts.head.equalsIgnoreCase(tAlias)))
+          throw new IllegalArgumentException(
+            s"MERGE assignment key ${u.nameParts.mkString(".")} must be " +
+              "a bare target column or qualified by the target " +
+              s"alias '$tAlias'")
+        u.nameParts.last
       case n: NamedExpression => n.name
       case other => other.sql
     }
@@ -222,6 +276,83 @@ object MergeIntoViews {
         .map(a => graftshim.column(a.value).cast(schema(c).dataType))
         .getOrElse(miss(c))
 
+    def insertClauses(srcOnly: Column): Seq[Clause] =
+      m.notMatchedActions.map {
+        case InsertStarAction(c) => Clause(srcOnly && condOf(c),
+          keep = true, scolCast)
+        case i: InsertAction => Clause(srcOnly && condOf(i.condition),
+          keep = true, fromAssignments(
+            validated("WHEN NOT MATCHED INSERT", i.assignments),
+            c => lit(null).cast(schema(c).dataType)))
+        case other => throw new IllegalArgumentException(
+          s"unsupported WHEN NOT MATCHED action: ${other.nodeName}")
+      }
+
+    // INSERT-ONLY fast path (r18, the Delta contract): with no WHEN
+    // MATCHED and no WHEN NOT MATCHED BY SOURCE clause, every target
+    // row survives unchanged and only never-matched source rows can
+    // act — so the plan is target UNION ALL (source LEFT ANTI target),
+    // no full-outer join, no cardinality guard (a multi-matched target
+    // row cannot duplicate here; Delta likewise exempts insert-only
+    // merges from MULTIPLE_SOURCE_ROW_MATCHING).
+    if (m.matchedActions.isEmpty && m.notMatchedBySourceActions.isEmpty) {
+      val anti = source.as(sAlias)
+        .join(target.as(tAlias), graftshim.column(m.mergeCondition),
+          "left_anti")
+      val clauses = insertClauses(lit(true))
+      val keep = clauses.foldRight(lit(false): Column)((cl, acc) =>
+        when(cl.guard, lit(cl.keep)).otherwise(acc))
+      val outCols = schema.fields.toSeq.map { f =>
+        clauses.foldRight(lit(null).cast(f.dataType): Column)((cl, acc) =>
+          when(cl.guard, cl.value(f.name)).otherwise(acc)).as(f.name)
+      }
+      val inserts = anti
+        .select(outCols :+ keep.as("__graft_keep"): _*)
+        .filter(col("__graft_keep")).drop("__graft_keep")
+      return target.select(schema.fieldNames.map(col).toSeq: _*)
+        .unionAll(inserts)
+    }
+
+    require(Seq("__graft_t", "__graft_tid")
+        .forall(c => !target.columns.contains(c)) &&
+      Seq("__graft_s", "__graft_sid", "__graft_scnt")
+        .forall(c => !source.columns.contains(c)),
+      "MERGE presence-flag column name collision")
+
+    // cardinality guard inputs (see the scale-posture paragraph): on a
+    // pure-equi ON, pre-count duplicate source keys (map-side
+    // combinable; the count>1 survivor set is normally EMPTY, so AQE
+    // broadcasts the join-back) instead of windowing the joined set.
+    val equiKeys = equiSourceKeys(m.mergeCondition, tAlias, sAlias,
+      source.columns)
+    // presence flags ride each side INTO the full-outer join: after it,
+    // flag-null ⇔ that side contributed no row (null-safe even when
+    // every data column of a side is legitimately null). On the window
+    // fallback, per-row ids additionally feed the guard's partitioning.
+    val t0 = target.withColumn("__graft_t", lit(true))
+    val t = (if (equiKeys.isDefined) t0
+      else t0.withColumn("__graft_tid", monotonically_increasing_id()))
+      .as(tAlias)
+    val src0 = equiKeys match {
+      case Some(keys) =>
+        val dups = source.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__graft_scnt"))
+          .filter(col("__graft_scnt") > 1)
+        source.join(dups, keys, "left")
+          .withColumn("__graft_s", lit(true))
+      case None =>
+        source.withColumn("__graft_s", lit(true))
+          .withColumn("__graft_sid", monotonically_increasing_id())
+    }
+    val src = src0.as(sAlias)
+    val joined = t.join(src, graftshim.column(m.mergeCondition),
+      "full_outer")
+    val tP = col(s"$tAlias.__graft_t").isNotNull
+    val sP = col(s"$sAlias.__graft_s").isNotNull
+    val matched = tP && sP
+    val srcOnly = !tP && sP
+    val tgtOnly = tP && !sP
+
     val clauses: Seq[Clause] =
       m.matchedActions.map {
         case UpdateStarAction(c) => Clause(matched && condOf(c),
@@ -236,16 +367,7 @@ object MergeIntoViews {
         case other => throw new IllegalArgumentException(
           s"unsupported WHEN MATCHED action: ${other.nodeName}")
       } ++
-      m.notMatchedActions.map {
-        case InsertStarAction(c) => Clause(srcOnly && condOf(c),
-          keep = true, scolCast)
-        case i: InsertAction => Clause(srcOnly && condOf(i.condition),
-          keep = true, fromAssignments(
-            validated("WHEN NOT MATCHED INSERT", i.assignments),
-            c => lit(null).cast(schema(c).dataType)))
-        case other => throw new IllegalArgumentException(
-          s"unsupported WHEN NOT MATCHED action: ${other.nodeName}")
-      } ++
+      insertClauses(srcOnly) ++
       m.notMatchedBySourceActions.map {
         case u: UpdateAction => Clause(tgtOnly && condOf(u.condition),
           keep = true, fromAssignments(
@@ -258,19 +380,26 @@ object MergeIntoViews {
       }
 
     // cardinality guard (r17, the Delta MULTIPLE_SOURCE_ROW_MATCHING
-    // contract): count matched join rows per TARGET row — >1 means one
+    // contract; r18 equi fast path): a matched count >1 means one
     // target row would be rewritten/duplicated once per source match,
-    // which is a data error, not a merge. The window partitions by the
-    // target row id where a target row exists and by the (negated,
-    // disjoint-range) source row id otherwise, so source-only rows sit
-    // in singleton partitions instead of one giant null-key partition.
-    // The raise_error is folded into the keep predicate below — the
-    // filter evaluates keep for EVERY joined row, so column pruning can
-    // never elide the check.
-    val pkey = coalesce(col(s"$tAlias.__graft_tid"),
-      -col(s"$sAlias.__graft_sid") - 1)
-    val matchCnt = sum(when(matched, 1L).otherwise(0L))
-      .over(org.apache.spark.sql.expressions.Window.partitionBy(pkey))
+    // which is a data error, not a merge. Equi ON: the count is the
+    // pre-joined source-side key count riding the join (coalesce→1 for
+    // keys the dup pre-count dropped; null only on target-only rows,
+    // which are never `matched`). Fallback: count matched join rows per
+    // target row over a window partitioned by the target row id where a
+    // target row exists and by the (negated, disjoint-range) source row
+    // id otherwise, so source-only rows sit in singleton partitions
+    // instead of one giant null-key partition. The raise_error is
+    // folded into the keep predicate below — the filter evaluates keep
+    // for EVERY joined row, so column pruning can never elide the check.
+    val matchCnt = equiKeys match {
+      case Some(_) => coalesce(col(s"$sAlias.__graft_scnt"), lit(1L))
+      case None =>
+        val pkey = coalesce(col(s"$tAlias.__graft_tid"),
+          -col(s"$sAlias.__graft_sid") - 1)
+        sum(when(matched, 1L).otherwise(0L))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(pkey))
+    }
     val cardinalityError = raise_error(concat(
       lit("GRAFT_MERGE_CARDINALITY_VIOLATION: a target row matched "),
       matchCnt.cast("string"),
@@ -281,7 +410,7 @@ object MergeIntoViews {
     // first-clause-wins: fold clauses in statement order into a chained
     // when(); the default (no clause claims the row) keeps target rows
     // unchanged and skips source-only rows
-    val keep = when(matchCnt > 1, cardinalityError)
+    val keep = when(matched && matchCnt > 1, cardinalityError)
       .otherwise(clauses.foldRight(tP: Column)((cl, acc) =>
         when(cl.guard, lit(cl.keep)).otherwise(acc)))
     val outCols = schema.fields.toSeq.map { f =>

@@ -1,7 +1,9 @@
 package graft
 
 import graft.pipeline.ModelGraph
-import graft.pipeline.ModelGraph.Model
+import graft.pipeline.ModelGraph.{AcceptedValues, Model, NotNull,
+  Relationships, Unique}
+import org.apache.spark.sql.functions.lit
 
 /** The dbt-shaped model-graph runner (K7): ref() edge extraction, stable
   * topological ordering, cycle/unknown-ref rejection, and both
@@ -62,7 +64,7 @@ class ModelGraphSpec extends SparkSpec {
   test("incremental materialization: first run full-refreshes, later " +
       "runs upsert on uniqueKey — matched keys update, new keys insert, " +
       "absent keys survive (dbt's incremental, carried by M11 MERGE)") {
-    spark.catalog.dropTempView("mgi_state"): Unit
+    ModelGraph.reset(spark, "mgi_state")
     Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
       .toDF("k", "v").createOrReplaceTempView("mgi_src")
     val inc = Model("mgi_state", "SELECT k, v FROM mgi_src",
@@ -89,6 +91,142 @@ class ModelGraphSpec extends SparkSpec {
         Model("m", "SELECT 1 AS k", materialized = "incremental")))
     }
     assert(e2.getMessage.contains("uniqueKey"))
+    ModelGraph.reset(spark, "mgi_state")
+  }
+
+  test("incremental state is DURABLE (r18): a fresh session — no temp " +
+      "views at all — resumes the upsert history from the parquet " +
+      "commit store, like dbt's warehouse table") {
+    val name = "mgi_dur_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    ModelGraph.reset(spark, name)
+    try {
+      Seq((1L, 1.0), (2L, 2.0))
+        .toDF("k", "v").createOrReplaceTempView("mgi_dur_src")
+      val inc = Model(name, "SELECT k, v FROM mgi_dur_src",
+        materialized = "incremental", uniqueKey = Seq("k"))
+      ModelGraph.run(spark, Seq(inc))
+      // a FRESH session: no temp views survive, only the durable store
+      val s2 = spark.newSession()
+      assert(!s2.sessionState.catalog.isTempView(Seq(name)))
+      s2.createDataFrame(Seq((2L, 20.0), (3L, 3.0)))
+        .toDF("k", "v").createOrReplaceTempView("mgi_dur_src")
+      // the fresh session RESUMES (upsert, not full refresh): k=1
+      // survives from session 1's commit, k=2 updates, k=3 inserts —
+      // and first-run detection keyed on the STORE, not temp views
+      // (r17 ADVICE: an unrelated same-name view can't be adopted)
+      val out = ModelGraph.run(s2, Seq(inc))(name)
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .toSeq
+      assert(out === Seq((1L, 1.0), (2L, 20.0), (3L, 3.0)))
+    } finally ModelGraph.reset(spark, name)
+  }
+
+  test("resume schema validation: a drifted model SELECT is refused " +
+      "with both schemas named (reset() is the full-refresh way out)") {
+    val name = "mgi_drift_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    ModelGraph.reset(spark, name)
+    try {
+      Seq((1L, 1.0)).toDF("k", "v").createOrReplaceTempView("mgi_dr_src")
+      val inc = Model(name, "SELECT k, v FROM mgi_dr_src",
+        materialized = "incremental", uniqueKey = Seq("k"))
+      ModelGraph.run(spark, Seq(inc))
+      val drifted = inc.copy(
+        sql = "SELECT k, CAST(v AS STRING) AS v FROM mgi_dr_src")
+      val e = intercept[IllegalArgumentException] {
+        ModelGraph.run(spark, Seq(drifted))
+      }
+      assert(e.getMessage.contains("does not match the model SELECT"))
+      ModelGraph.reset(spark, name)
+      ModelGraph.run(spark, Seq(drifted)) // full refresh accepts it
+      assert(spark.table(name).schema("v").dataType ===
+        org.apache.spark.sql.types.StringType)
+    } finally ModelGraph.reset(spark, name)
+  }
+
+  test("snapshot materialization: two-batch SCD2 replay — change " +
+      "closes + reopens, unchanged skips, absent survives, new key " +
+      "opens (dbt's snapshot verb, check strategy)") {
+    val name = "mgs_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    ModelGraph.reset(spark, name)
+    try {
+      Seq((1L, "a"), (2L, "b"), (3L, "c"))
+        .toDF("k", "attr").createOrReplaceTempView("mgs_src")
+      val snap = Model(name, "SELECT k, attr FROM mgs_src",
+        materialized = "snapshot", uniqueKey = Seq("k"))
+      ModelGraph.run(spark, Seq(snap), snapshotAt = lit(10))
+      // batch 2: k=1 changed, k=2 unchanged, k=3 absent, k=4 new
+      Seq((1L, "a2"), (2L, "b"), (4L, "d"))
+        .toDF("k", "attr").createOrReplaceTempView("mgs_src")
+      val out = ModelGraph.run(spark, Seq(snap), snapshotAt = lit(20))(name)
+        .orderBy("k", "valid_from")
+        .as[(Long, String, Int, Option[Int], Boolean)].collect().toSeq
+      assert(out === Seq(
+        (1L, "a", 10, Some(20), false), (1L, "a2", 20, None, true),
+        (2L, "b", 10, None, true),
+        (3L, "c", 10, None, true),
+        (4L, "d", 20, None, true)))
+      // and the state is durable: a fresh session reads the history
+      assert(spark.newSession().read.parquet(
+        spark.table(name).inputFiles.head.replaceAll("/[^/]*$", ""))
+        .count() === 5)
+    } finally ModelGraph.reset(spark, name)
+  }
+
+  test("schema tests: dbt's unique / not_null / accepted_values / " +
+      "relationships with failure-count semantics; an unknown " +
+      "relationships target is refused") {
+    Seq((1L, Some("x")), (2L, Some("x")), (3L, None), (4L, Some("zz")))
+      .toDF("id", "ref").createOrReplaceTempView("mtst_src")
+    val models = Seq(
+      Model("mtst_dim", "SELECT 'x' AS code UNION ALL SELECT 'y'"),
+      Model("mtst_fact", "SELECT id, ref FROM mtst_src",
+        tests = Seq(
+          Unique("id"), Unique("ref"), NotNull("ref"),
+          AcceptedValues("ref", Seq("x", "zz")),
+          Relationships("ref", "mtst_dim", "code"))))
+    ModelGraph.run(spark, models)
+    val rep = ModelGraph.test(spark, models)
+      .orderBy("test", "col_name")
+      .as[(String, String, String, Long, Boolean)].collect().toSeq
+    assert(rep === Seq(
+      // 'zz' outside nothing — accepted list covers x and zz -> pass
+      ("mtst_fact", "accepted_values", "ref", 0L, true),
+      ("mtst_fact", "not_null", "ref", 1L, false), // one NULL
+      // 'zz' not in mtst_dim -> 1 violating ROW (nulls exempt)
+      ("mtst_fact", "relationships", "ref", 1L, false),
+      ("mtst_fact", "unique", "id", 0L, true),
+      // 'x' appears twice -> 1 duplicated VALUE (not 2 rows)
+      ("mtst_fact", "unique", "ref", 1L, false)))
+    val e = intercept[IllegalArgumentException] {
+      ModelGraph.test(spark, Seq(Model("m", "SELECT 1 AS k",
+        tests = Seq(Relationships("k", "nope", "k")))))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("never-read-stale guards (r18): a table model shadowed by a " +
+      "temp view throws; a stateful model shadowing a catalog table " +
+      "throws") {
+    val tbl = "mg_guard_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    Seq(1).toDF("k").createOrReplaceTempView(tbl)
+    val e = intercept[IllegalArgumentException] {
+      ModelGraph.run(spark, Seq(
+        Model(tbl, "SELECT 1 AS k", materialized = "table")))
+    }
+    assert(e.getMessage.contains("SHADOW"))
+    spark.catalog.dropTempView(tbl)
+    spark.sql(s"CREATE TABLE $tbl USING PARQUET AS SELECT 1 AS k")
+    try {
+      val e2 = intercept[IllegalArgumentException] {
+        ModelGraph.run(spark, Seq(Model(tbl, "SELECT 1 AS k",
+          materialized = "incremental", uniqueKey = Seq("k"))))
+      }
+      assert(e2.getMessage.contains("SHADOW"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   test("run: a ref chain materializes in order — views inline, tables " +

@@ -124,16 +124,50 @@ class SqlMergeSpec extends SparkSpec {
         |""".stripMargin)
       .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable]
     // the interpreter's raw plan (before the run()'s checkpoint hides
-    // it from PLANSNAP): every clause must ride ONE join on the merge
-    // keys — a cartesian or nested-loop here would be the 100 TB killer.
-    // The r17 cardinality guard adds a window (one exchange), never a
-    // second join: the join histogram is the pinned shape.
-    val f = PlanSnap.features(plans.MergeIntoViews.interpret(spark, m))
-    assert(f.joins.values.sum === 1,
-      s"MERGE should plan exactly one join, got ${f.joins}")
+    // it from PLANSNAP): every clause must ride ONE full-outer join on
+    // the merge keys — a cartesian or nested-loop here would be the
+    // 100 TB killer. The r18 equi cardinality guard adds a dup-key
+    // pre-count JOIN-BACK onto the source (replacing the r17 window
+    // over the joined set) — and because this source has NO duplicate
+    // keys, AQE propagates the empty dup relation away at runtime, so
+    // the executed histogram is 1 join (guard erased) or 2 (guard
+    // join-back materialized), never a window, never a non-equi join.
+    val df = plans.MergeIntoViews.interpret(spark, m)
+    val f = PlanSnap.features(df)
+    assert(f.joins.values.sum >= 1 && f.joins.values.sum <= 2,
+      s"MERGE should plan the merge join (+ at most the guard " +
+        s"join-back), got ${f.joins}")
     assert(f.joins.getOrElse("CartesianProduct", 0) === 0 &&
       f.joins.getOrElse("BroadcastNestedLoopJoin", 0) === 0,
       s"MERGE planned a non-equi join: ${f.joins}")
+    // the window guard is GONE on the equi path (SCALE.md r18 re-probe)
+    val hasWindow = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.nonEmpty
+    assert(!hasWindow, "equi-ON MERGE must not window the joined set")
+  }
+
+  test("a NON-equi residual ON keeps the window-guard fallback and " +
+      "still raises on a multi-matched target row") {
+    Seq((1L, 10.0)).toDF("k", "v").createOrReplaceTempView("mrg_ne_tgt")
+    Seq((1L, 1.0), (1L, 2.0))
+      .toDF("k", "delta").createOrReplaceTempView("mrg_ne_src")
+    val e = intercept[Exception] {
+      plans.MergeIntoViews.mergeSql(spark,
+        """MERGE INTO mrg_ne_tgt t USING mrg_ne_src s
+          |ON t.k = s.k AND s.delta > 0.0
+          |WHEN MATCHED THEN UPDATE SET v = s.delta""".stripMargin)
+    }
+    assert(messages(e).contains("GRAFT_MERGE_CARDINALITY_VIOLATION"),
+      s"expected the cardinality error, got: ${messages(e).take(400)}")
+    // and a residual condition that keeps matches unique succeeds
+    Seq((1L, 10.0)).toDF("k", "v").createOrReplaceTempView("mrg_ne_tgt")
+    val out = plans.MergeIntoViews.mergeSql(spark,
+      """MERGE INTO mrg_ne_tgt t USING mrg_ne_src s
+        |ON t.k = s.k AND s.delta > 1.5
+        |WHEN MATCHED THEN UPDATE SET v = s.delta""".stripMargin)
+      .as[(Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 2.0)))
   }
 
   /** raise_error surfaces wrapped in Spark's job-failure chain — walk it. */
@@ -156,15 +190,38 @@ class SqlMergeSpec extends SparkSpec {
     }
     assert(messages(e).contains("GRAFT_MERGE_CARDINALITY_VIOLATION"),
       s"expected the cardinality error, got: ${messages(e).take(400)}")
-    // the ambiguity is a data error even when NO clause claims the
-    // matched row — an unclaimed target row must not silently duplicate
-    val e2 = intercept[Exception] {
-      plans.MergeIntoViews.mergeSql(spark,
-        """MERGE INTO mrg_card_tgt t USING mrg_card_src s ON t.k = s.k
-          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.delta)
-          |""".stripMargin)
+  }
+
+  test("INSERT-ONLY merge is exempt from the cardinality guard (the " +
+      "Delta contract, r18): a multi-matched target row survives ONCE " +
+      "and its matching source rows are simply not inserted") {
+    Seq((1L, 10.0), (2L, 20.0))
+      .toDF("k", "v").createOrReplaceTempView("mrg_io_tgt")
+    Seq((1L, 100.0), (1L, 200.0), (3L, 300.0))
+      .toDF("k", "delta").createOrReplaceTempView("mrg_io_src")
+    val out = plans.MergeIntoViews.mergeSql(spark,
+      """MERGE INTO mrg_io_tgt t USING mrg_io_src s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.delta)
+        |""".stripMargin)
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    // k=1 duplicated in the source but MATCHED -> target row unchanged,
+    // nothing duplicated, no error; k=3 never matched -> inserted
+    assert(out === Seq((1L, 10.0), (2L, 20.0), (3L, 300.0)))
+    // the plan is the documented anti-join shape: one LEFT ANTI, no
+    // full-outer join, no window guard
+    val m = spark.sessionState.sqlParser.parsePlan(
+      """MERGE INTO mrg_io_tgt t USING mrg_io_src s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.delta)
+        |""".stripMargin)
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable]
+    val plan = plans.MergeIntoViews.interpret(spark, m)
+      .queryExecution.optimizedPlan
+    val joinTypes = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.joinType.sql
     }
-    assert(messages(e2).contains("GRAFT_MERGE_CARDINALITY_VIOLATION"))
+    assert(joinTypes === Seq("LEFT ANTI"),
+      s"insert-only merge should plan one anti join, got $joinTypes")
   }
 
   test("cardinality guard does NOT fire on duplicate source keys that " +
