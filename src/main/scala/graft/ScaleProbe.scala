@@ -64,7 +64,14 @@ object ScaleProbe {
     "sql_merge",
     // r17: the whitening fit (changed by r16's pcaFit2 deflation — the
     // decade row pins that the saved corpus re-scan is scale-neutral)
-    "embed_whiten")
+    "embed_whiten",
+    // r18: the SCD2 three-batch history (current-slice joins + explode
+    // fan-out, dup pre-counts included), the dbt schema-test battery
+    // (five aggregates/anti-joins over two models), and the durable
+    // incremental runner (state commits included in the measured time —
+    // the table-format commit cost); sql_merge re-probed above under
+    // the r18 equi fast-path guard
+    "scd2_apply", "model_tests", "model_graph_incremental")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

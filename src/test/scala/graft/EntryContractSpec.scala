@@ -22,7 +22,8 @@ class EntryContractSpec extends SparkSpec {
     "Embeddings" -> ops.Embeddings.queries,
     "Streaming" -> ops.Streaming.queries,
     "Media" -> ops.Media.queries,
-    "SqlSurface" -> ops.SqlSurface.queries)
+    "SqlSurface" -> ops.SqlSurface.queries,
+    "Scd2" -> ops.Scd2.queries)
 
   test("no query name is declared by two ops modules (map-merge shadowing)") {
     val owners = parts.flatMap { case (mod, m) => m.keys.map(_ -> mod) }

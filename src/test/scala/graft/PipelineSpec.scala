@@ -264,6 +264,45 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("K7/snapshot: dbt's snapshot verb over the reference's movie " +
+      "dimension — two daily batches through the ModelGraph snapshot " +
+      "materialization build the SCD2 history the empty " +
+      "dbt_project/snapshots/ scaffold implies") {
+    import graft.pipeline.ModelGraph
+    import graft.pipeline.ModelGraph.Model
+    import org.apache.spark.sql.functions.lit
+    dailyTables.foreach { case (n, df) =>
+      df.createOrReplaceTempView(s"raw_$n") }
+    val name = "movie_dim_snap_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    ModelGraph.reset(spark, name)
+    try {
+      def model(d8: String) = Model(name,
+        s"SELECT title, `${d8}_sales` AS sales FROM raw_${d8}_box_office",
+        materialized = "snapshot", uniqueKey = Seq("title"))
+      // dbt runs the same snapshot daily; the source rolls to the new day
+      ModelGraph.run(spark, Seq(model("20250113")), snapshotAt = lit(113))
+      ModelGraph.run(spark, Seq(model("20250114")), snapshotAt = lit(114))
+      val hist = spark.table(name)
+        .orderBy("title", "valid_from")
+        .as[(String, Long, Int, Option[Int], Boolean)].collect().toSeq
+      // every movie's sales moved day-over-day (the fixture salts sales
+      // with d8 % 97): per title one CLOSED day-113 version and one
+      // CURRENT day-114 version
+      assert(hist.size === movies.size * 2)
+      movies.foreach { m =>
+        val vs = hist.filter(_._1 === m)
+        assert(vs.map(v => (v._3, v._4, v._5)) ===
+          Seq((113, Some(114), false), (114, None, true)),
+          s"movie $m history: $vs")
+        assert(vs.head._2 !== vs.last._2, s"movie $m sales should differ")
+      }
+    } finally {
+      ModelGraph.reset(spark, name)
+      dates.foreach(d => spark.catalog.dropTempView(s"raw_${d}_box_office"))
+    }
+  }
+
   test("A8/A9: idempotent saveAsTable + bulk load append") {
     val (_, df) = dailyTables.head
     val table = Ingest.saveDaily(df, "20250113")
