@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   * CTAS, exactly dbt's table materialization), `incremental`
   * (upsert-on-uniqueKey through the M11 MERGE interpreter), or
   * `snapshot` (SCD2 type-2 history through [[graft.ops.Scd2]] — dbt's
-  * snapshot verb, check strategy).
+  * snapshot verb, check strategy), or `ephemeral` (never materialized —
+  * the body compiles into each consumer as a CTE prelude, dbt's fifth
+  * materialization; see [[inlineEphemerals]]; tests against an
+  * ephemeral model recompile the same inlined text).
   *
   * Relations that are NOT models — the reference's
   * `FROM raw_data."{date}_box_office"` daily tables — stay bare names
@@ -109,9 +112,10 @@ object ModelGraph {
 
   /** One dbt-style model: SQL text with `{{ ref('name') }}` edges,
     * materialized as a temp `view` (default), a catalog `table`,
-    * `incremental` (upsert-on-uniqueKey), or `snapshot` (SCD2 on
+    * `incremental` (upsert-on-uniqueKey), `snapshot` (SCD2 on
     * uniqueKey; `checkCols` is dbt's `check_cols` — empty means `all`
-    * non-key columns). `tests` run via [[test]] after materialization. */
+    * non-key columns), or `ephemeral` (CTE-inlined into consumers).
+    * `tests` run via [[test]] after materialization. */
   final case class Model(name: String, sql: String,
       materialized: String = "view", uniqueKey: Seq[String] = Nil,
       checkCols: Seq[String] = Nil, tests: Seq[ModelTest] = Nil)
@@ -128,6 +132,36 @@ object ModelGraph {
     * captured name — kept separate so a prefixing scheme has one seam). */
   def render(m: Model): String =
     Ref.replaceAllIn(m.sql, mm => mm.group(1))
+
+  private val LeadingWith = """(?is)^\s*WITH\s+(.*)""".r
+
+  /** Inline a model's directly-referenced EPHEMERAL models as a CTE
+    * prelude — dbt's ephemeral materialization: the model is never
+    * materialized anywhere, its body compiles into each consumer as
+    * `WITH <name> AS (<body>)`. Each recorded ephemeral body is
+    * already SELF-CONTAINED (its own ephemeral refs were inlined when
+    * it was processed, nesting as subquery-level WITHs), so consumers
+    * only splice their direct refs. A consumer that already opens with
+    * WITH gets the prelude SPLICED into its clause list, exactly as
+    * dbt's compiler does; WITH RECURSIVE consumers are refused (the
+    * prelude cannot precede the RECURSIVE keyword). */
+  private def inlineEphemerals(m: Model,
+      ephemerals: Seq[(String, String)]): String = {
+    val need = refs(m.sql).toSet
+    val ctes = ephemerals.filter(e => need(e._1))
+    val body = render(m)
+    if (ctes.isEmpty) return body
+    val prelude = ctes.map { case (n, b) => s"$n AS ($b)" }.mkString(", ")
+    body match {
+      case LeadingWith(rest) =>
+        require(!rest.trim.toUpperCase.startsWith("RECURSIVE"),
+          s"model ${m.name}: a WITH RECURSIVE consumer cannot inline " +
+            "ephemeral refs — materialize the referenced model as a " +
+            "view instead")
+        s"WITH $prelude, $rest"
+      case _ => s"WITH $prelude $body"
+    }
+  }
 
   /** Dependency-order the set: Kahn's algorithm, stable w.r.t.
     * declaration order among ready models. Unknown refs and cycles
@@ -292,11 +326,19 @@ object ModelGraph {
     * pass an explicit literal. */
   def run(spark: SparkSession, models: Seq[Model],
       snapshotAt: Column = current_timestamp()): Map[String, DataFrame] = {
+    val ephemerals = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     topoOrder(models).map { m =>
-      val body = render(m)
-      m.materialized match {
+      val body = inlineEphemerals(m, ephemerals.toSeq)
+      val rel: DataFrame = m.materialized match {
+        case "ephemeral" =>
+          // dbt's ephemeral: never materialized anywhere — the body
+          // compiles into each consumer as a CTE; the returned frame
+          // is the lazy standalone form (no view, no catalog entry)
+          ephemerals += m.name -> body
+          spark.sql(body)
         case "view" =>
           spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${m.name} AS $body")
+          spark.table(m.name)
         case "table" => // dbt's table materialization: drop + CTAS
           if (spark.sessionState.catalog.isTempView(Seq(m.name)))
             throw new IllegalArgumentException(
@@ -306,6 +348,7 @@ object ModelGraph {
                 "stale relations)")
           spark.sql(s"DROP TABLE IF EXISTS ${m.name}")
           spark.sql(s"CREATE TABLE ${m.name} USING PARQUET AS $body")
+          spark.table(m.name)
         case "incremental" =>
           require(m.uniqueKey.nonEmpty, s"model ${m.name}: incremental " +
             "materialization requires a non-empty uniqueKey")
@@ -327,6 +370,7 @@ object ModelGraph {
               commitState(spark, m.name, spark.table(m.name))
                 .createOrReplaceTempView(m.name)
           }
+          spark.table(m.name)
         case "snapshot" =>
           require(m.uniqueKey.nonEmpty, s"model ${m.name}: snapshot " +
             "materialization requires a non-empty uniqueKey")
@@ -348,11 +392,12 @@ object ModelGraph {
           }
           commitState(spark, m.name, next)
             .createOrReplaceTempView(m.name)
+          spark.table(m.name)
         case other => throw new IllegalArgumentException(
           s"model ${m.name}: unsupported materialization '$other' " +
-            "(view | table | incremental | snapshot)")
+            "(view | table | incremental | snapshot | ephemeral)")
       }
-      m.name -> spark.table(m.name)
+      m.name -> rel
     }.toMap
   }
 
@@ -382,8 +427,21 @@ object ModelGraph {
             s"'$toModel', which is not a model in the set")
       case _ => ()
     }
+    // ephemeral models have no relation to read back — recompile their
+    // inlined bodies (the same text run() built), exactly as dbt tests
+    // an ephemeral model against its compiled CTE form
+    val ephem = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      topoOrder(models).foreach { m =>
+        if (m.materialized == "ephemeral")
+          buf += m.name -> inlineEphemerals(m, buf.toSeq)
+      }
+      buf.toMap
+    }
+    def relOf(name: String): DataFrame =
+      ephem.get(name).map(spark.sql).getOrElse(spark.table(name))
     val reports = for (m <- models; t <- m.tests) yield {
-      val rel = spark.table(m.name)
+      val rel = relOf(m.name)
       val c = col(t.column)
       val violations: DataFrame = t match {
         case Unique(_) =>
@@ -397,7 +455,7 @@ object ModelGraph {
             .agg(count_distinct(c).as("violations"))
         case Relationships(_, toModel, toColumn) =>
           rel.filter(c.isNotNull)
-            .join(spark.table(toModel)
+            .join(relOf(toModel)
               .select(col(toColumn).as("__graft_ref")).distinct(),
               c === col("__graft_ref"), "left_anti")
             .agg(count(lit(1)).as("violations"))

@@ -207,6 +207,49 @@ class ModelGraphSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("ephemeral materialization (dbt's fifth): the model is NEVER " +
+      "materialized — its body compiles into each consumer as a CTE, " +
+      "chains nest, a consumer's own WITH clause is spliced, and " +
+      "WITH RECURSIVE consumers are refused") {
+    Seq((1L, 2.0), (2L, 4.0), (3L, 6.0))
+      .toDF("k", "v").createOrReplaceTempView("mge_raw")
+    val out = ModelGraph.run(spark, Seq(
+      Model("mge_base", "SELECT k, v FROM mge_raw WHERE k < 3",
+        materialized = "ephemeral"),
+      // ephemeral-on-ephemeral: the recorded body is self-contained
+      Model("mge_mid", "SELECT k, v * 10 AS w FROM {{ ref('mge_base') }}",
+        materialized = "ephemeral"),
+      // consumer with its OWN WITH clause — the prelude is spliced in
+      Model("mge_final",
+        """WITH big AS (SELECT * FROM {{ ref('mge_mid') }} WHERE w > 25)
+          |SELECT SUM(w) AS total FROM big""".stripMargin)))
+    assert(out("mge_final").as[Double].collect().toSeq === Seq(40.0))
+    // nothing materialized for the ephemerals: no temp view, no table —
+    // but the returned frames ARE their standalone compiled forms
+    assert(!spark.sessionState.catalog.isTempView(Seq("mge_base")) &&
+      !spark.sessionState.catalog.isTempView(Seq("mge_mid")))
+    assert(out("mge_mid").orderBy("k").as[(Long, Double)].collect().toSeq
+      === Seq((1L, 20.0), (2L, 40.0)))
+    // schema tests run against the compiled inline form, like dbt
+    val tested = Seq(
+      Model("mge_base2", "SELECT k FROM mge_raw", materialized = "ephemeral",
+        tests = Seq(ModelGraph.Unique("k"))))
+    ModelGraph.run(spark, tested)
+    val rep = ModelGraph.test(spark, tested)
+      .as[(String, String, String, Long, Boolean)].collect().toSeq
+    assert(rep === Seq(("mge_base2", "unique", "k", 0L, true)))
+    // a WITH RECURSIVE consumer cannot take the prelude
+    val e = intercept[IllegalArgumentException] {
+      ModelGraph.run(spark, Seq(
+        Model("mge_e", "SELECT 1 AS n", materialized = "ephemeral"),
+        Model("mge_rec",
+          """WITH RECURSIVE r AS (SELECT n FROM {{ ref('mge_e') }}
+            |UNION ALL SELECT n + 1 FROM r WHERE n < 3)
+            |SELECT * FROM r""".stripMargin)))
+    }
+    assert(e.getMessage.contains("RECURSIVE"))
+  }
+
   test("never-read-stale guards (r18): a table model shadowed by a " +
       "temp view throws; a stateful model shadowing a catalog table " +
       "throws") {
@@ -251,9 +294,9 @@ class ModelGraphSpec extends SparkSpec {
         .tableExists(org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
       // unsupported materialization is rejected
       val e = intercept[IllegalArgumentException] {
-        ModelGraph.run(spark, Seq(Model("m", "SELECT 1", "ephemeral")))
+        ModelGraph.run(spark, Seq(Model("m", "SELECT 1", "materialized_view")))
       }
-      assert(e.getMessage.contains("ephemeral"))
+      assert(e.getMessage.contains("materialized_view"))
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 }
