@@ -1808,6 +1808,45 @@ object Relational {
         .orderBy("version")
     }),
 
+    // Change-data-feed read (L133, r18): Delta's `table_changes(from,
+    // to)` — every change committed in the version range (v_from=0,
+    // v_to=3], as typed change rows: 'insert' carries the new image,
+    // 'update_preimage'/'update_postimage' the old and new images of a
+    // rewritten row, 'delete' the removed row's last image — the feed a
+    // downstream incremental consumer (a dbt incremental model, a
+    // streaming CDC apply) reads INSTEAD of diffing two full snapshots.
+    // Pre-images come from lag() over each key's OWN tiny history (the
+    // snapshot_history discipline — ONE shuffle by key, never a
+    // state-vs-state self-join of two compacted snapshots, which would
+    // be two full compactions plus a |table|-sized join); the U row
+    // then fans out to (pre, post) via one codegen'd explode. Horizons:
+    // v_to is a partition filter on the seq-partitioned store (files of
+    // later commits pruned at metadata time, the snapshot_asof claim);
+    // v_from applies AFTER the lag — a pre-image may live before the
+    // range, pruning it early would corrupt the first in-range image.
+    // At the board horizons (0, 3] the feed carries every op class.
+    "snapshot_changes" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderkey").orderBy("seq")
+      changelogStore(s, d).filter(col("seq") <= 3)
+        .withColumn("prev_price", lag(col("price"), 1).over(w))
+        .select(col("o_orderkey"), col("seq").cast("int").as("version"),
+          explode(
+            when(col("op") === "I", array(struct(
+              lit("insert").as("change_type"), col("price").as("price"))))
+            .when(col("op") === "U", array(
+              struct(lit("update_preimage").as("change_type"),
+                col("prev_price").as("price")),
+              struct(lit("update_postimage").as("change_type"),
+                col("price").as("price"))))
+            .otherwise(array(struct(lit("delete").as("change_type"),
+              col("prev_price").as("price"))))).as("chg"))
+        .filter(col("version") > 0)
+        .select(col("o_orderkey"), col("version"),
+          col("chg.change_type").as("change_type"),
+          col("chg.price").as("price"))
+        .orderBy("o_orderkey", "version", "change_type")
+    }),
+
     // Z-order layout (S extension): interleave the low 16 bits of two
     // join/filter keys into one curve value and cluster on it — the
     // data-layout op that makes BOTH per-key min/max file pruning work on
@@ -2922,6 +2961,29 @@ object Relational {
         |  CAST(sum(CASE WHEN next_seq IS NOT NULL AND next_seq <= 2
         |    AND op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_droppable
         |FROM nx GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same log; pre-images via lag over each key's history, one change
+    // row per image — the same single-shuffle shape the Spark plan runs.
+    "snapshot_changes" ->
+      """WITH log AS (
+        |  SELECT o_orderkey, 1 AS seq, 'I' AS op, o_totalprice AS price
+        |    FROM orders
+        |  UNION ALL SELECT o_orderkey, 2, 'U', o_totalprice * 2
+        |    FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL SELECT o_orderkey, 3, 'D', NULL
+        |    FROM orders WHERE o_orderkey % 7 = 0),
+        |p AS (SELECT o_orderkey, seq, op, price, lag(price) OVER
+        |    (PARTITION BY o_orderkey ORDER BY seq) AS prev FROM log),
+        |feed AS (
+        |  SELECT o_orderkey, seq, 'insert' AS change_type, price
+        |    FROM p WHERE op = 'I'
+        |  UNION ALL SELECT o_orderkey, seq, 'update_preimage', prev
+        |    FROM p WHERE op = 'U'
+        |  UNION ALL SELECT o_orderkey, seq, 'update_postimage', price
+        |    FROM p WHERE op = 'U'
+        |  UNION ALL SELECT o_orderkey, seq, 'delete', prev
+        |    FROM p WHERE op = 'D')
+        |SELECT o_orderkey, CAST(seq AS INT) AS version, change_type, price
+        |FROM feed ORDER BY o_orderkey, version, change_type""".stripMargin,
     "layout_zorder" -> {
       val terms = (0 until 16).map(i =>
         s"(((p >> $i) & 1) << ${2 * i}) | (((s >> $i) & 1) << ${2 * i + 1})")

@@ -174,11 +174,62 @@ object Scd2 {
       val s2 = apply(s1, b2, Seq("c_custkey"), Seq("seg"), lit(2))
       val s3 = apply(s2, b3, Seq("c_custkey"), Seq("seg"), lit(3))
       s3.orderBy("c_custkey", "valid_from")
+    }),
+
+    // The STREAMING spelling of the same verb (r18): the identical
+    // three-batch dimension log, stamped and unioned, replayed through
+    // StreamOps.scd2Versions — per-key stateful version maintenance
+    // via flatMapGroupsWithState (state = the open version; changed
+    // values close-and-reopen, unchanged skip — dbt's check strategy
+    // at ingest). In batch execution each key's whole log arrives in
+    // one invocation with empty state, so the emissions are exactly
+    // the full SCD2 history and the SAME window-over-history oracle as
+    // scd2_apply checks it; StreamingSpec drives the same transform
+    // through MemoryStream across triggers and pins that the last
+    // UPDATE-mode emission per (key, valid_from) agrees batch-for-
+    // batch. The batch operator and the stateful stream MUST
+    // materialize the same table — that agreement is the claim.
+    "stream_scd2" -> ((s, d) => {
+      val cust = customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      val log = cust.withColumn("ts", lit(1))
+        .unionAll(cust.filter(col("c_custkey") % 3 === 0)
+          .withColumn("seg", lit("SEG2")).withColumn("ts", lit(2)))
+        .unionAll(cust.filter(col("c_custkey") % 2 === 0)
+          .withColumn("seg", when(col("c_custkey") % 4 === 0, lit("SEG3"))
+            .otherwise(lit("SEG2")))
+          .withColumn("ts", lit(3)))
+      graft.streaming.StreamOps.scd2Versions(log)
+        .toDF().orderBy("c_custkey", "valid_from")
     })
   )
 
   val oracles: Map[String, String] = Map(
     "scd2_apply" ->
+      """WITH u AS (
+        |  SELECT c_custkey, c_mktsegment AS seg, 1 AS ts FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'SEG2', 2 FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'SEG3' ELSE 'SEG2' END, 3
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |v AS (
+        |  SELECT c_custkey, seg, ts,
+        |    lag(seg) OVER (PARTITION BY c_custkey ORDER BY ts) AS prev
+        |  FROM u),
+        |chg AS (
+        |  SELECT c_custkey, seg, ts FROM v
+        |  WHERE prev IS NULL OR seg IS DISTINCT FROM prev)
+        |SELECT c_custkey, seg, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts) IS NULL
+        |    AS is_current
+        |FROM chg
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+    // Identical contract to scd2_apply: the incremental batch operator
+    // and the stateful stream must materialize the same history.
+    "stream_scd2" ->
       """WITH u AS (
         |  SELECT c_custkey, c_mktsegment AS seg, 1 AS ts FROM customer
         |  UNION ALL

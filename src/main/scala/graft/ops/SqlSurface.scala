@@ -308,6 +308,67 @@ object SqlSurface {
         .orderBy("o_orderkey")
     }),
 
+    // SQL-text UPDATE over a temp view (M12, r18 — the DML quartet's
+    // second verb; DmlViews' scaladoc cites the reference's warehouse
+    // DML this carries). Assignment values read the PRE-update row
+    // (t.o_totalprice on the right-hand side is the old price), the
+    // SET key is bare and the value target-qualified — both forms the
+    // validator accepts — and the WHERE confines the rewrite to a
+    // deterministic key slice. One codegen'd projection over the scan:
+    // no join, no shuffle; the oracle is the CASE projection UPDATE
+    // desugars to. new price is ONE IEEE add on the parquet double.
+    "sql_update" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("sqv_orders")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW sqv_upd_t AS
+        |SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM sqv_orders""".stripMargin)
+      graft.plans.DmlViews.sql(s,
+        """UPDATE sqv_upd_t t
+          |SET o_totalprice = t.o_totalprice + 1000.0, o_orderstatus = 'U'
+          |WHERE o_orderkey % 3 = 0 AND o_totalprice < 200000.0"""
+          .stripMargin)
+        .orderBy("o_orderkey")
+    }),
+
+    // SQL-text DELETE over a temp view (M12): the predicate is
+    // deliberately NULLABLE (keys ≡0 mod 5 carry a NULL price) so the
+    // query pins three-valued DELETE semantics — only predicate-TRUE
+    // rows drop; NULL-predicate rows SURVIVE, which is where a naive
+    // `filter(not(cond))` translation goes wrong. One codegen'd
+    // filter, no shuffle; the oracle spells the survivor set with the
+    // NULL disjunct explicit.
+    "sql_delete" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("sqv_orders")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW sqv_del_t AS
+        |SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN CAST(NULL AS DOUBLE)
+        |       ELSE o_totalprice END AS price
+        |FROM sqv_orders""".stripMargin)
+      graft.plans.DmlViews.sql(s,
+        "DELETE FROM sqv_del_t WHERE price > 150000.0")
+        .orderBy("o_orderkey")
+    }),
+
+    // SQL-text INSERT INTO with an explicit REORDERED column list
+    // (M12): listed columns take the query output in list order, the
+    // unlisted `src` column NULL-fills — the v2 missing-column
+    // contract; the appended keys are disjoint from the base so the
+    // result is order-normalizable. INSERT OVERWRITE, BY NAME, bare
+    // positional arity, and the catalog-table pass-through are pinned
+    // in SqlDmlSpec. Append is a union below the view pointer — no
+    // shuffle beyond the query's own plan.
+    "sql_insert" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("sqv_orders")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW sqv_ins_t AS
+        |SELECT o_orderkey, o_totalprice, 'B' AS src
+        |FROM sqv_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+      graft.plans.DmlViews.sql(s,
+        """INSERT INTO sqv_ins_t (o_totalprice, o_orderkey)
+          |SELECT o_totalprice + 0.5, o_orderkey
+          |FROM sqv_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+        .orderBy("o_orderkey")
+    }),
+
     // The session-extension function surface: graft_dot (the native
     // codegen'd DotProductExpr) invoked FROM SQL TEXT through the
     // function registry — what a spark.sql.extensions deployment gives
@@ -563,6 +624,34 @@ object SqlSurface {
         |           AND new_price > 300000.0)
         |  AND NOT (o_orderkey IS NULL AND new_price > 100000.0)
         |  AND NOT (s_key IS NULL AND o_totalprice < 50000.0)
+        |ORDER BY o_orderkey""".stripMargin,
+    // UPDATE desugared to the CASE projection it is — hit rows take
+    // the assignment images, others pass through.
+    "sql_update" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 AND o_totalprice < 200000.0
+        |       THEN o_totalprice + 1000.0 ELSE o_totalprice END
+        |    AS o_totalprice,
+        |  CASE WHEN o_orderkey % 3 = 0 AND o_totalprice < 200000.0
+        |       THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // DELETE survivors: predicate FALSE **or NULL** (keys ≡0 mod 5
+    // have NULL price and must survive — the three-valued pin).
+    "sql_delete" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN CAST(NULL AS DOUBLE)
+        |       ELSE o_totalprice END AS price
+        |FROM orders
+        |WHERE o_orderkey % 5 = 0 OR o_totalprice <= 150000.0
+        |ORDER BY o_orderkey""".stripMargin,
+    // INSERT append = base UNION ALL the column-list-aligned query
+    // rows, unlisted src column NULL.
+    "sql_insert" ->
+      """SELECT o_orderkey, o_totalprice, 'B' AS src
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice + 0.5, NULL
+        |FROM orders WHERE o_orderkey % 2 = 1
         |ORDER BY o_orderkey""".stripMargin,
     "sql_graft_dot" ->
       s"""WITH p AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions._
@@ -143,8 +143,9 @@ object MergeIntoViews {
     merged.createOrReplaceTempView(parts.head)
   }
 
-  /** (relation name parts, alias) of a parsed MERGE side. */
-  private def relOf(p: LogicalPlan): (Seq[String], String) = p match {
+  /** (relation name parts, alias) of a parsed MERGE side. Shared with
+    * the UPDATE/DELETE/INSERT interpreters ([[DmlViews]], r18). */
+  private[plans] def relOf(p: LogicalPlan): (Seq[String], String) = p match {
     case sa: SubqueryAlias => (relOf(sa.child)._1, sa.alias)
     case u: UnresolvedRelation =>
       (u.multipartIdentifier, u.multipartIdentifier.last)
@@ -458,6 +459,14 @@ final class GraftSqlParser(session: SparkSession,
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
     case m: MergeIntoTable if isTempView(m.targetTable) =>
       GraftMergeIntoViewCommand(m)
+    // the rest of the DML quartet over temp views (r18) — same
+    // interception point, same catalog-table pass-through
+    case u: UpdateTable if isTempView(u.table) =>
+      GraftUpdateViewCommand(u)
+    case dl: DeleteFromTable if isTempView(dl.table) =>
+      GraftDeleteViewCommand(dl)
+    case i: InsertIntoStatement if isTempView(i.table) =>
+      GraftInsertViewCommand(i)
     case p => p
   }
   private def isTempView(p: LogicalPlan): Boolean = p match {

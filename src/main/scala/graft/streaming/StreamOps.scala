@@ -617,6 +617,73 @@ object StreamOps {
       }
   }
 
+  final case class Scd2VerState(seg: String, validFrom: Int)
+  final case class Scd2Out(c_custkey: Long, seg: String, valid_from: Int,
+    valid_to: Option[Int], is_current: Boolean)
+
+  /** Stateful SCD2 maintenance at ingest (r18 — the STREAMING spelling
+    * of the Scd2/K8 dbt-snapshot verb): a dimension-change log keyed by
+    * natural key flows in; per key the state is the OPEN version
+    * (tracked value + valid_from — constant-size, partitioned across
+    * executors by key); each micro-batch folds its rows in ts order:
+    * a changed tracked value CLOSES the open version (emitted with
+    * valid_to = the new ts, is_current = false) and opens a new one,
+    * an unchanged value is skipped (dbt's check strategy), and the
+    * currently-open version is (re-)emitted each batch — so in UPDATE
+    * output mode the last emission per (key, valid_from) IS the
+    * maintained SCD2 table, the cdcLatestWins consumption contract.
+    * In batch execution each key's whole log arrives in one invocation
+    * with empty state and the emissions are exactly the full version
+    * history — which is what lets the driver's DuckDB oracle (shared
+    * with `scd2_apply`'s window-over-history reconstruction) check this
+    * transform. Scale: state is one tiny record per dimension key (a
+    * dimension's cardinality, not the event volume); no windows, no
+    * sorts beyond each batch's per-key handful of rows.
+    */
+  def scd2Versions(dimLog: DataFrame)
+      : org.apache.spark.sql.Dataset[Scd2Out] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = dimLog.sparkSession
+    import spark.implicits._
+    dimLog.select(col("c_custkey"), col("seg"), col("ts"))
+      .as[(Long, String, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, String, Int)],
+         state: org.apache.spark.sql.streaming.GroupState[Scd2VerState]) =>
+          val (closed, open) =
+            foldScd2(key, rows.toSeq.sortBy(_._3), state.getOption)
+          open.foreach(state.update)
+          (closed ++ open.map(o =>
+            Scd2Out(key, o.seg, o.validFrom, None, is_current = true)))
+            .iterator
+      }
+  }
+
+  /** Advance one key's open version through ts-ordered rows; returns
+    * (closed version emissions, final open version). Null-safe on the
+    * tracked value (a NULL→value flip IS a change — the Scd2.apply
+    * contract). */
+  private def foldScd2(key: Long, ordered: Seq[(Long, String, Int)],
+      init: Option[Scd2VerState])
+      : (Seq[Scd2Out], Option[Scd2VerState]) = {
+    var cur = init
+    val closed = Seq.newBuilder[Scd2Out]
+    ordered.foreach { case (_, seg, ts) =>
+      cur match {
+        case None => cur = Some(Scd2VerState(seg, ts))
+        case Some(c) if c.seg != seg =>
+          closed += Scd2Out(key, c.seg, c.validFrom, Some(ts),
+            is_current = false)
+          cur = Some(Scd2VerState(seg, ts))
+        case _ => () // unchanged: check strategy skips
+      }
+    }
+    (closed.result(), cur)
+  }
+
   /** Idle-session flush — the PRODUCTION variant of [[sessionizeStateful]]
     * (whose NoTimeout trade is documented above): EventTimeTimeout closes
     * a session once the WATERMARK passes its last event + gap, so a user

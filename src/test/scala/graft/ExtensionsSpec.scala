@@ -78,6 +78,18 @@ class ExtensionsSpec extends SparkSpec {
         .as[(Long, Double)].collect().toSeq
       assert(merged2 === Seq((1L, 10.0), (2L, 990.0), (3L, 300.0)),
         "subquery-source MERGE text did not execute through the parser")
+      // 3c. the rest of the DML quartet (M12, r18) through the same
+      //     raw-text path: UPDATE / DELETE / INSERT over a temp view
+      //     execute via the injected parser (each FAILS analysis on a
+      //     plain session — SqlDmlSpec pins the refusals)
+      s2.sql("UPDATE ext_mrg_tgt SET v = v + 0.5 WHERE k = 1")
+      s2.sql("DELETE FROM ext_mrg_tgt WHERE k = 3")
+      s2.sql("INSERT INTO ext_mrg_tgt SELECT 9L, 90.0")
+      val dml = s2.table("ext_mrg_tgt").orderBy("k")
+        .as[(Long, Double)].collect().toSeq
+      assert(dml === Seq((1L, 10.5), (2L, 990.0), (9L, 90.0)),
+        "injected GraftSqlParser did not execute the UPDATE/DELETE/" +
+          "INSERT text")
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

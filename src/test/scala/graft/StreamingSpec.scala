@@ -717,6 +717,56 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+  case class Dim(c_custkey: Long, seg: String, ts: Int)
+
+  test("scd2Versions maintains SCD2 versions across micro-batches " +
+    "(state = the open version): the last UPDATE-mode emission per " +
+    "(key, valid_from) equals the batch Scd2.apply history") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Dim]
+    val q = StreamOps.scd2Versions(ms.toDF())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: first load — keys 1..3 open their first versions
+      ms.addData(Dim(1, "A", 1), Dim(2, "A", 1), Dim(3, "B", 1))
+      q.processAllAvailable()
+      // batch 2: key 1 changes (close + reopen), key 2 unchanged
+      // (skipped), key 3 absent (survives current)
+      ms.addData(Dim(1, "B", 2), Dim(2, "A", 2))
+      q.processAllAvailable()
+      // batch 3: key 1 changes AGAIN, key 3 changes after a gap
+      ms.addData(Dim(1, "C", 3), Dim(3, "C", 3))
+      q.processAllAvailable()
+      val rows = spark.table("scd2_out")
+        .as[(Long, String, Int, Option[Int], Boolean)].collect().toSeq
+      // last emission per (key, valid_from) is the maintained version
+      val versions = rows.zipWithIndex
+        .groupBy(r => (r._1._1, r._1._3))
+        .map { case (_, v) => v.maxBy(_._2)._1 }.toSet
+      val expected = Set(
+        (1L, "A", 1, Some(2), false), (1L, "B", 2, Some(3), false),
+        (1L, "C", 3, None, true),
+        (2L, "A", 1, None, true),
+        (3L, "B", 1, Some(3), false), (3L, "C", 3, None, true))
+      assert(versions === expected)
+      // batch-by-batch agreement with the incremental batch operator:
+      // replay the same three batches through Scd2.init/apply
+      val b1 = Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("c_custkey", "seg")
+      val b2 = Seq((1L, "B"), (2L, "A")).toDF("c_custkey", "seg")
+      val b3 = Seq((1L, "C"), (3L, "C")).toDF("c_custkey", "seg")
+      import org.apache.spark.sql.functions.lit
+      val s3 = graft.ops.Scd2.apply(
+        graft.ops.Scd2.apply(graft.ops.Scd2.init(b1, lit(1)),
+          b2, Seq("c_custkey"), Seq("seg"), lit(2)),
+        b3, Seq("c_custkey"), Seq("seg"), lit(3))
+      val batchHist = s3.as[(Long, String, Int, Option[Int], Boolean)]
+        .collect().toSet
+      assert(versions === batchHist,
+        "stateful stream and batch SCD2 operator disagree")
+    } finally q.stop()
+  }
+
   case class Doc(doc_id: Long, text: String)
 
   test("nearDupCollisions flags cross-trigger near-dups and hands the " +
