@@ -455,6 +455,40 @@ object SqlSurface {
       s.table("mgi_rev").orderBy("yr")
     }),
 
+    // dbt's DELETE+INSERT incremental strategy (r18 — its DEFAULT on
+    // Redshift, the reference's warehouse): the same two-batch history
+    // as model_graph_incremental, advanced by the two M12 DML
+    // statements dbt compiles — `DELETE FROM state WHERE key IN
+    // (SELECT key FROM batch)` then `INSERT INTO state BY NAME
+    // SELECT * FROM batch` — instead of one MERGE. On clean batches
+    // the strategies CONVERGE (same oracle as model_graph_incremental,
+    // and ModelGraphSpec pins frame-level agreement); on dup-key
+    // batches they faithfully diverge (delete+insert appends both
+    // rows like dbt, merge raises the cardinality violation —
+    // spec-pinned). The DELETE's IN-subquery runs through the M12
+    // interpreter's expression path at board scale. State resets up
+    // front so every invocation replays the same history.
+    "model_graph_delete_insert" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("sqv_orders")
+      import graft.pipeline.ModelGraph
+      import graft.pipeline.ModelGraph.Model
+      ModelGraph.reset(s, "mgd_rev")
+      val agg =
+        """SELECT date_format(o_orderdate, 'yyyy') AS yr, COUNT(*) AS n,
+          |  CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2)
+          |    AS DOUBLE) AS rev
+          |FROM sqv_orders WHERE %s
+          |GROUP BY date_format(o_orderdate, 'yyyy')""".stripMargin
+      val model = Model("mgd_rev", agg.format(
+        "o_orderkey % 2 = 0 AND date_format(o_orderdate, 'yyyy') <= '1996'"),
+        materialized = "incremental", uniqueKey = Seq("yr"),
+        incrementalStrategy = "delete+insert")
+      ModelGraph.run(s, Seq(model))
+      ModelGraph.run(s, Seq(model.copy(sql =
+        agg.format("date_format(o_orderdate, 'yyyy') >= '1996'"))))
+      s.table("mgd_rev").orderBy("yr")
+    }),
+
     // dbt's SNAPSHOT verb through the runner (r18, the last dbt
     // materialization): a status→label dimension snapshotted twice
     // with explicit batch stamps (dbt stamps the run's wall clock; the
@@ -706,6 +740,26 @@ object SqlSurface {
     // (years >= 1996, all rows) wins where it matched, batch 1's
     // partial history survives below it.
     "model_graph_incremental" ->
+      """WITH f AS (
+        |  SELECT strftime(o_orderdate, '%Y') AS yr, COUNT(*) AS n,
+        |    CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2)
+        |      AS DOUBLE) AS rev
+        |  FROM orders WHERE strftime(o_orderdate, '%Y') >= '1996'
+        |  GROUP BY 1),
+        |h AS (
+        |  SELECT strftime(o_orderdate, '%Y') AS yr, COUNT(*) AS n,
+        |    CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2)
+        |      AS DOUBLE) AS rev
+        |  FROM orders
+        |  WHERE o_orderkey % 2 = 0 AND strftime(o_orderdate, '%Y') <= '1996'
+        |  GROUP BY 1)
+        |SELECT yr, n, rev FROM f
+        |UNION ALL
+        |SELECT yr, n, rev FROM h WHERE yr < '1996'
+        |ORDER BY yr""".stripMargin,
+    // delete+insert over clean batches must land exactly where merge
+    // does — the same recency-union reconstruction.
+    "model_graph_delete_insert" ->
       """WITH f AS (
         |  SELECT strftime(o_orderdate, '%Y') AS yr, COUNT(*) AS n,
         |    CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 2)

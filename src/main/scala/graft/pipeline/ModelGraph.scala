@@ -112,13 +112,15 @@ object ModelGraph {
 
   /** One dbt-style model: SQL text with `{{ ref('name') }}` edges,
     * materialized as a temp `view` (default), a catalog `table`,
-    * `incremental` (upsert-on-uniqueKey), `snapshot` (SCD2 on
-    * uniqueKey; `checkCols` is dbt's `check_cols` — empty means `all`
-    * non-key columns), or `ephemeral` (CTE-inlined into consumers).
-    * `tests` run via [[test]] after materialization. */
+    * `incremental` (upsert-on-uniqueKey; `incrementalStrategy` picks
+    * dbt's `merge` (default) or `delete+insert` — see [[run]]),
+    * `snapshot` (SCD2 on uniqueKey; `checkCols` is dbt's `check_cols`
+    * — empty means `all` non-key columns), or `ephemeral` (CTE-inlined
+    * into consumers). `tests` run via [[test]] after materialization. */
   final case class Model(name: String, sql: String,
       materialized: String = "view", uniqueKey: Seq[String] = Nil,
-      checkCols: Seq[String] = Nil, tests: Seq[ModelTest] = Nil)
+      checkCols: Seq[String] = Nil, tests: Seq[ModelTest] = Nil,
+      incrementalStrategy: String = "merge")
 
   private val Ref =
     """\{\{\s*ref\(\s*['"]([A-Za-z0-9_]+)['"]\s*\)\s*\}\}""".r
@@ -352,6 +354,9 @@ object ModelGraph {
         case "incremental" =>
           require(m.uniqueKey.nonEmpty, s"model ${m.name}: incremental " +
             "materialization requires a non-empty uniqueKey")
+          require(Set("merge", "delete+insert")(m.incrementalStrategy),
+            s"model ${m.name}: unsupported incrementalStrategy " +
+              s"'${m.incrementalStrategy}' (merge | delete+insert)")
           statefulGuard(spark, m.name)
           latestCommit(spark, m.name) match {
             case None => // first run = full refresh into the store
@@ -361,12 +366,36 @@ object ModelGraph {
               val state = spark.read.parquet(commit.getAbsolutePath)
               validateResume(m.name, state, spark.sql(body), Set.empty)
               state.createOrReplaceTempView(m.name)
-              val on = m.uniqueKey
-                .map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
-              graft.plans.MergeIntoViews.mergeSql(spark,
-                s"""MERGE INTO ${m.name} t USING ($body) s ON $on
-                   |WHEN MATCHED THEN UPDATE SET *
-                   |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+              m.incrementalStrategy match {
+                case "merge" =>
+                  val on = m.uniqueKey
+                    .map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
+                  graft.plans.MergeIntoViews.mergeSql(spark,
+                    s"""MERGE INTO ${m.name} t USING ($body) s ON $on
+                       |WHEN MATCHED THEN UPDATE SET *
+                       |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+                case "delete+insert" =>
+                  // dbt's delete+insert strategy (its DEFAULT on
+                  // Redshift — the reference's warehouse): DELETE state
+                  // rows whose uniqueKey appears in the batch, then
+                  // APPEND the whole batch — two M12 DML statements,
+                  // exactly the SQL dbt compiles. Semantics differ from
+                  // merge on dirty batches, faithfully: duplicate-key
+                  // batch rows all insert (no cardinality error — the
+                  // dup-key model dbt ships with this strategy), where
+                  // merge raises. Clean batches converge (spec-pinned).
+                  val bv = s"__graft_mg_batch_${m.name}"
+                  spark.sql(body).localCheckpoint(true)
+                    .createOrReplaceTempView(bv)
+                  val keys = m.uniqueKey.map(k => s"`$k`").mkString(", ")
+                  graft.plans.DmlViews.sql(spark,
+                    s"""DELETE FROM ${m.name}
+                       |WHERE ($keys) IN (SELECT $keys FROM $bv)"""
+                      .stripMargin)
+                  graft.plans.DmlViews.sql(spark,
+                    s"INSERT INTO ${m.name} BY NAME SELECT * FROM $bv")
+                  spark.catalog.dropTempView(bv): Unit
+              }
               commitState(spark, m.name, spark.table(m.name))
                 .createOrReplaceTempView(m.name)
           }

@@ -94,6 +94,39 @@ class ModelGraphSpec extends SparkSpec {
     ModelGraph.reset(spark, "mgi_state")
   }
 
+  test("delete+insert incremental strategy (r18, dbt's Redshift " +
+      "default): clean batches converge with merge; dup-key batches " +
+      "faithfully diverge (both rows insert, no cardinality error); " +
+      "unknown strategies refused up front") {
+    ModelGraph.reset(spark, "mgd_state")
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("k", "v").createOrReplaceTempView("mgd_src")
+    val inc = Model("mgd_state", "SELECT k, v FROM mgd_src",
+      materialized = "incremental", uniqueKey = Seq("k"),
+      incrementalStrategy = "delete+insert")
+    ModelGraph.run(spark, Seq(inc))
+    // same second batch as the merge test: k=2 revised, k=4 new
+    Seq((2L, 99.0), (4L, 40.0))
+      .toDF("k", "v").createOrReplaceTempView("mgd_src")
+    val out = ModelGraph.run(spark, Seq(inc))("mgd_state")
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0)),
+      "delete+insert must land where merge lands on a clean batch")
+    // dup-key batch: dbt's delete+insert appends BOTH rows (the dup-key
+    // model this strategy ships) — no cardinality error
+    Seq((2L, 1.0), (2L, 2.0)).toDF("k", "v")
+      .createOrReplaceTempView("mgd_src")
+    val dup = ModelGraph.run(spark, Seq(inc))("mgd_state")
+      .orderBy("k", "v").as[(Long, Double)].collect().toSeq
+    assert(dup === Seq((1L, 10.0), (2L, 1.0), (2L, 2.0), (3L, 30.0),
+      (4L, 40.0)))
+    val e = intercept[IllegalArgumentException] {
+      ModelGraph.run(spark, Seq(inc.copy(incrementalStrategy = "nope")))
+    }
+    assert(e.getMessage.contains("incrementalStrategy"))
+    ModelGraph.reset(spark, "mgd_state")
+  }
+
   test("incremental state is DURABLE (r18): a fresh session — no temp " +
       "views at all — resumes the upsert history from the parquet " +
       "commit store, like dbt's warehouse table") {
