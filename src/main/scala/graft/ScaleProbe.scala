@@ -71,7 +71,15 @@ object ScaleProbe {
     // incremental runner (state commits included in the measured time —
     // the table-format commit cost); sql_merge re-probed above under
     // the r18 equi fast-path guard
-    "scd2_apply", "model_tests", "model_graph_incremental")
+    "scd2_apply", "model_tests", "model_graph_incremental",
+    // r18 (late): the DML quartet completion — UPDATE/DELETE/INSERT
+    // re-points (scan-linear projections/filters/unions + the commit
+    // checkpoint), the CDF read (one window shuffle by key + explode),
+    // the streaming SCD2 fold (flatMapGroupsWithState batch form), and
+    // the delete+insert incremental strategy (two DML statements per
+    // batch incl. the IN-subquery semi join)
+    "sql_update", "sql_delete", "sql_insert", "snapshot_changes",
+    "stream_scd2", "model_graph_delete_insert")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
