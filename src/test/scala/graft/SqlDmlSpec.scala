@@ -138,6 +138,21 @@ class SqlDmlSpec extends SparkSpec {
     }.getMessage.contains("PARTITION"))
   }
 
+  test("INSERT from an inline VALUES relation (multi-row, NULL cell) " +
+      "and UPDATE with an IN-subquery WHERE — both through the " +
+      "interpreters' analyzer path") {
+    freshTarget()
+    DmlViews.sql(spark,
+      "INSERT INTO dml_t VALUES (7L, 7.0, 'g'), (8L, CAST(NULL AS DOUBLE), 'h')")
+    Seq(1L, 8L).toDF("sel").createOrReplaceTempView("dml_sel")
+    DmlViews.sql(spark,
+      "UPDATE dml_t SET st = 'hit' WHERE k IN (SELECT sel FROM dml_sel)")
+    val out = spark.table("dml_t").orderBy("k")
+      .as[(Long, Option[Double], String)].collect().toSeq
+    assert(out === Seq((1L, Some(10.0), "hit"), (2L, Some(20.0), "b"),
+      (3L, None, "c"), (7L, Some(7.0), "g"), (8L, None, "hit")))
+  }
+
   test("chained DML over one view: UPDATE then DELETE then INSERT — the " +
       "re-point lineage stays constraint-consistent (regression: a " +
       "re-alias projection under DELETE's checkpoint captured a stale " +
