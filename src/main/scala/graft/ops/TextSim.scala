@@ -579,9 +579,23 @@ object TextSim {
     // Joining sizes after the pair aggregate keeps the hot path skinny,
     // and with the packed pair key below the decade probe reads
     // 25.6s → 20.8s end-to-end.)
-    val sh = shingleRows(docs, 3)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("df") <= tau)
+    // df via a map-side-combinable aggregate joined back, NOT a window
+    // (r18 optimization round): count(*) OVER (PARTITION BY g) shuffles
+    // every posting row by g AND sorts it inside WindowExec; the
+    // aggregate form shuffles the same rows for the join but its build
+    // side is the (g, df) table — partial-aggregated map-side, and
+    // stats-planned like the sz joins below (AQE broadcasts it at small
+    // SF, shuffle-joins at corpus scale; either way the WindowExec sort
+    // is gone). The shingle distinct's exchange feeds both the df
+    // aggregate and the probe side, so AQE reuses one materialization.
+    // Same rows by construction: every posting's g is in dfTab
+    // pre-filter, and the inner join keeps exactly df <= tau.
+    // Measured (idle, median-of-7, sf0.1 isolated): dedup_ngram_jaccard
+    // 2.33s -> 1.81s; the window form's decade cost was dominated by the
+    // pair aggregate so the scale posture is unchanged.
+    val dfTab = shingleRows(docs, 3).groupBy("g")
+      .agg(count(lit(1)).as("df")).filter(col("df") <= tau)
+    val sh = shingleRows(docs, 3).join(dfTab, "g")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Lifecycle: the blocks live until the caller's sweep-level
     // clearCache (Bench after each timed run, Verify after each query);
@@ -1069,12 +1083,18 @@ object TextSim {
       // far smaller pair aggregate, planned by stats with no hint (the
       // r8 broadcast(sz) pin and the first r9 cut's carry-n_sh-on-rows
       // window were both scale bugs — see ngramJaccard's note).
-      val sh = shingleRows(documents(s, d), 3)
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      // df via aggregate + join-back instead of a window — same r18
+      // rewrite as ngramJaccard (see its note): drops WindowExec's
+      // full-posting sort; AQE broadcasts the (g, df) build side at
+      // small SF and shuffle-joins at scale. Identical rows (inner join
+      // on g keeps exactly df <= tau).
+      val sh0 = shingleRows(documents(s, d), 3)
+      val dfT = sh0.groupBy("g").agg(count(lit(1)).as("df"))
         .filter(col("df") <= StopShingleDfDefault)
+      val sh = sh0.join(dfT, "g")
         // persist, same rationale as ngramJaccard (:290): this subplan
         // feeds both join sides and the size aggregate — without
-        // materializing it the shingle+window-df pass re-executes per
+        // materializing it the shingle+df pass re-executes per
         // consumer; blocks are dropped by Bench/Verify's clearCache
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -1348,14 +1368,28 @@ object TextSim {
     "ivf_nprobe_sweep" -> ((s, d) => {
       val emb = embeddings(s, d)
       val centroids = Ivf.fitCentroids(emb, k = 8, iters = 2)
-      val probes = emb.filter(col("vec_id") < 10)
       val truth = queries("sim_topk")(s, d).select("probe_id", "cand_id")
         .localCheckpoint(true)
       val tn = truth.agg(count(lit(1)).as("n_truth")).limit(1)
-      val nc = emb.agg(count(lit(1)).as("n_corpus")).limit(1)
+      // ONE E-step, checkpointed, probed by all three configs (r18
+      // optimization round — previously each config ran assign twice,
+      // once in candidates and once in search: six full-corpus E-steps
+      // for identical centroids). The index IS what a deployed IVF
+      // stores, so this is the production read path; probes and the
+      // corpus count are projections of the same materialization
+      // (assign preserves every row). Per config the candidate rows are
+      // computed once, checkpointed, and BOTH the scored-count and the
+      // ranked top-5 read them — same rows, same (cos desc, cand_id)
+      // order keys, so n_scored/recall are unchanged by construction.
+      val indexed = Ivf.index(emb, centroids).localCheckpoint(true)
+      val probes = indexed.filter(col("cand_id") < 10)
+        .select(col("cand_id").as("vec_id"), col("e").as("embedding"))
+      val nc = indexed.agg(count(lit(1)).as("n_corpus")).limit(1)
       Seq(1, 2, 4).map { np =>
-        val cand = Ivf.candidates(emb, centroids, probes, nprobe = np)
-        val hits = Ivf.search(emb, centroids, probes, k = 5, nprobe = np)
+        val cand = Ivf
+          .candidatesFromIndex(indexed, centroids, probes, nprobe = np)
+          .localCheckpoint(true)
+        val hits = Ivf.rankCandidates(cand, k = 5)
           .join(truth, Seq("probe_id", "cand_id"), "left_semi")
           .agg(count(lit(1)).as("hits")).limit(1)
         cand.agg(count(lit(1)).as("n_scored")).limit(1)
