@@ -67,6 +67,15 @@ object Embeddings {
     * EARLIER (smaller vec_id) in-cell neighbor at cosine ≥ `tau`. */
   private[ops] def semanticDupIds(
       v: DataFrame, cap: Int, tau: Double): DataFrame = {
+    // Cell population via count(*) OVER (PARTITION BY cid) is DELIBERATE:
+    // the window's one cid exchange is then REUSED by the small-cell
+    // self-join on cid (HashPartitioning(cid) already satisfies the join
+    // distribution — no further exchange of the payload). The r18 probe
+    // that rewrote this as a k-row aggregate + broadcast join back
+    // measured 1.52 → 1.69s (isolated median-of-7): the join-back saves
+    // the window sort but forfeits the co-partitioning, so BOTH pair-join
+    // sides re-exchange the corpus with its embedding payload — one
+    // payload shuffle became two.
     val vc = v.withColumn("cnt",
       count(lit(1)).over(Window.partitionBy("cid")))
     val cos = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
@@ -689,9 +698,16 @@ object Embeddings {
             .orderBy(desc("cos"), asc("cand_id"))))
           .filter(col("rk") <= 5)
           .select(col("probe_id"), col("cand_id"), col("rk"))
+      // Each method's top-5 list is consumed by THREE aggregates below
+      // (ndcg, rr, hits), each re-deriving the full corpus scan + ranking
+      // window — the static plan carried ~30 parquet scans for what is
+      // 5 corpus passes. The list is k·probes rows (50), so truncating it
+      // to a LogicalRDD leaf costs nothing and guarantees each method
+      // scans the corpus exactly once. Same rows by construction.
       val lists: Seq[(String, DataFrame)] =
-        MrlWidths.map(w => s"mrl$w" -> mrlTop5(w)) :+
-          ("int8" -> int8Top5(emb, 10))
+        (MrlWidths.map(w => s"mrl$w" -> mrlTop5(w)) :+
+          ("int8" -> int8Top5(emb, 10)))
+          .map { case (n, df) => n -> df.localCheckpoint(true) }
       val wCase = when(col("rk") === 1, lit(NdcgW(0)))
         .when(col("rk") === 2, lit(NdcgW(1)))
         .when(col("rk") === 3, lit(NdcgW(2)))

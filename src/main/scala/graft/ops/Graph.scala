@@ -496,10 +496,21 @@ object Graph {
         .select(col("id"), lit(1.0 / nC).as("h"))
       var auth: DataFrame = hub // placeholder, overwritten in round 1
       for (_ <- 1 to 2) {
+        // Each half-round's raw score frame feeds BOTH the L1 normalizer
+        // aggregate and the normalized scores (and the final union reads
+        // hub AND auth), so a lineage-keeping plan doubles per half-round —
+        // the static plan hit 135 Exchanges / 68 scans by round 2. Runtime
+        // exchange reuse dedupes the identical subtrees, but planning,
+        // codegen and AQE re-optimization still walk the full doubled tree;
+        // truncating each NODE-SIZED aggregate to a LogicalRDD leaf keeps
+        // the plan O(1) per half-round (isolated median-of-7: 3.26 → 3.02s
+        // and 2.53 → 2.42s across two idle A/B pairs). Same rows by
+        // construction.
         val aRaw = edges
           .join(hub.select(col("id").as("src"), col("h")), "src")
           .select(col("dst").as("id"), col("h").cast(dec).as("c"))
           .groupBy("id").agg(sum("c").as("raw"))
+          .localCheckpoint()
         val aTot = aRaw.agg(sum("raw").as("tot")).limit(1)
         auth = aRaw.crossJoin(broadcast(aTot))
           .select(col("id"),
@@ -509,6 +520,7 @@ object Graph {
           .join(auth.select(col("id").as("dst"), col("a")), "dst")
           .select(col("src").as("id"), col("a").cast(dec).as("c"))
           .groupBy("id").agg(sum("c").as("raw"))
+          .localCheckpoint()
         val hTot = hRaw.agg(sum("raw").as("tot")).limit(1)
         hub = hRaw.crossJoin(broadcast(hTot))
           .select(col("id"),
@@ -685,6 +697,13 @@ object Graph {
       val sym = edges0
         .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint()
+      // labels are consumed four times below (both endpoint joins, the
+      // degree-sum join, and the node count); the static plan replicates
+      // the 3-round LPA chain per consumer (41 Exchanges / 18 scans), but
+      // runtime exchange reuse dedupes the identical subtrees, so the
+      // chain executes ONCE as-is. A localCheckpoint here was A/B-measured
+      // SLOWER (2.16 → 2.55s isolated median-of-7: four eager job barriers
+      // against a reuse that already works) — deliberately not truncated.
       val lab = labelPropagate(sym, 3)
       val wl = sym
         .join(lab.select(col("id").as("src"), col("lbl").as("ls")), "src")

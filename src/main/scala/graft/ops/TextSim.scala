@@ -212,12 +212,19 @@ object TextSim {
       col("band"), col("key"))
     val r = bands.select(col("doc_id").as("ib"), col("sig").as("sb"),
       col("band"), col("key"))
+    // est_sim is computed per COLLISION ROW (cheap 16-slot zip) and the
+    // 0.5 floor applied BEFORE the distinct, so the dedup shuffle carries
+    // only surviving pairs and three scalar columns — not the two 16-long
+    // signature arrays, and not the sub-threshold collisions that used to
+    // ride the exchange just to be filtered after it (guide §2.3). Same
+    // rows: est_sim is a pure function of (ia, ib), so filter∘distinct
+    // and distinct∘filter agree, and per-pair rows collapse identically.
     l.join(r, Seq("band", "key")).filter(col("ia") < col("ib"))
-      .select("ia", "ib", "sa", "sb").distinct()
       .withColumn("est_sim",
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
           v => v)).cast("double") / NumHashes)
       .filter(col("est_sim") >= 0.5)
+      .select("ia", "ib", "est_sim").distinct()
   }
 
   /** Where the near-dup candidate EDGE store lives for a dataset dir —
@@ -333,12 +340,16 @@ object TextSim {
       col("sig").as("sa"), col("band"), col("key"))
     val r = bandRowsFromSigs(batchSigs).select(col("doc_id").as("ib"),
       col("sig").as("sb"), col("band"), col("key"))
+    // same estimate-filter-then-distinct reorder as [[minhashPairs]]:
+    // the distinct exchange carries scalars, not signature arrays, and
+    // never carries sub-threshold collisions. Same rows (est_sim is a
+    // pure function of the pair).
     l.join(r, Seq("band", "key"))
-      .select("ia", "ib", "sa", "sb").distinct()
       .withColumn("est_sim",
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
           v => v)).cast("double") / NumHashes)
       .filter(col("est_sim") >= 0.5)
+      .select("ia", "ib", "est_sim").distinct()
   }
 
   /** Full cosine — only for shapes where each vector appears once. In pair
@@ -844,12 +855,16 @@ object TextSim {
         col("doc_id").as("ia"), col("sig").as("sa"))
       val r = bandRows.select(col("bands"), col("band"), col("key"),
         col("doc_id").as("ib"), col("sig").as("sb"))
+      // est_sim computed per collision row BEFORE the distinct (the
+      // minhashPairs reorder) so the dedup exchange carries four scalars
+      // instead of two 16-long arrays; no threshold filter here — the
+      // sweep counts sub-0.5 collisions (n_coll) by design. Same rows.
       val coll = l.join(r, Seq("bands", "band", "key"))
         .filter(col("ia") < col("ib"))
-        .select("bands", "ia", "ib", "sa", "sb").distinct()
         .withColumn("est_sim",
           size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
             v => v)).cast("double") / NumHashes)
+        .select("bands", "ia", "ib", "est_sim").distinct()
       val truth = ngramJaccard(s, d, StopShingleDfDefault)
         .select(col("ia"), col("ib"), lit(1L).as("tin"))
       val nTruth = truth.agg(count(lit(1)).as("n_truth"))
@@ -1051,11 +1066,16 @@ object TextSim {
         col("c"), col("chunk"))
       val r = bands.select(col("doc_id").as("ib"), col("fp").as("fb"),
         col("c"), col("chunk"))
+      // hamming computed per collision row and the <=3 gate applied
+      // BEFORE the distinct (the minhashPairs reorder): far-apart
+      // fingerprint collisions never ride the dedup exchange, and the
+      // exchange carries (ia, ib, hamming) scalars, not both raw
+      // fingerprints. Same rows: hamming is a pure function of the pair.
       l.join(r, Seq("c", "chunk")).filter(col("ia") < col("ib"))
-        .select("ia", "ib", "fa", "fb").distinct()
         .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
         .filter(col("hamming") <= 3)
         .select(col("ia"), col("ib"), col("hamming").cast("long").as("hamming"))
+        .distinct()
         .orderBy("ia", "ib")
     }),
 
