@@ -517,4 +517,41 @@ class TextSimSpec extends SparkSpec {
     perRow.foreach { case (id, sig) => assert(sig === batch(id), s"doc $id") }
   }
 
+  test("minhashPairs: estimate-filter-before-distinct equals the naive " +
+    "distinct-then-filter pair set (r18 shuffle-diet reorder)") {
+    // The r18 optimization computes est_sim per collision row, filters,
+    // and THEN dedupes on (ia, ib, est_sim) scalars — the naive form
+    // deduped (ia, ib, sa, sb) first and filtered after. est_sim is a
+    // pure function of the pair, so the two must agree exactly; this
+    // pins that equivalence against the live implementation.
+    val docs = Tables.documents(spark, sf0001)
+    val sig = ops.TextSim.sigTable(ops.TextSim.shingleRows(docs, 3))
+    // the naive (pre-r18) pair set, rebuilt inline: 4 bands x 4 rows
+    val bands = sig.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        bd => concat_ws(",", slice(col("sig"), bd * 4 + 1, lit(4)))))
+        .as(Seq("band", "key")))
+    val l = bands.select(col("doc_id").as("ia"), col("sig").as("sa"),
+      col("band"), col("key"))
+    val r = bands.select(col("doc_id").as("ib"), col("sig").as("sb"),
+      col("band"), col("key"))
+    val naive = l.join(r, Seq("band", "key")).filter(col("ia") < col("ib"))
+      .select("ia", "ib", "sa", "sb").distinct()
+      .withColumn("est_sim",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          v => v)).cast("double") / 16)
+      .filter(col("est_sim") >= 0.5)
+      .select("ia", "ib", "est_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val got = ops.TextSim.minhashPairs(docs)
+      .select("ia", "ib", "est_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(naive.nonEmpty, "expected planted near-dup pairs in testdata")
+    assert(got === naive)
+    // structural invariants the reorder must preserve: distinct pairs,
+    // nothing below the banding threshold
+    assert(got.size === got.map(p => (p._1, p._2)).size)
+    got.foreach { case (_, _, est) => assert(est >= 0.5) }
+  }
+
 }
