@@ -79,7 +79,14 @@ object ScaleProbe {
     // the delete+insert incremental strategy (two DML statements per
     // batch incl. the IN-subquery semi join)
     "sql_update", "sql_delete", "sql_insert", "snapshot_changes",
-    "stream_scd2", "model_graph_delete_insert")
+    "stream_scd2", "model_graph_delete_insert",
+    // r18 optimization round: the queries whose plans the round rewrote
+    // and that had no decade row yet — the banding-config sweep and the
+    // SimHash pair path (both on the slimmer estimate-filter-then-distinct
+    // exchange), the checkpointed HITS fixpoint, the five-pass rank
+    // scorecard, and the single-E-step IVF sweep
+    "dedup_band_sweep", "dedup_simhash", "graph_hits", "sim_rank_metrics",
+    "ivf_nprobe_sweep")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
