@@ -60,12 +60,51 @@ object Bench {
     // dev-only: comma-separated subset for timing iteration (driver unsets)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
+    // Persisted derived stores (near-dup edge list, snapshot dedup index,
+    // CDC changelog) are derive-once / read-many production indexes, but a
+    // store surviving from a PREVIOUS bench run hides its build cost from
+    // this run's artifact — and on a fresh tmpdir the build lands inside
+    // whichever query touches the store first (the r18 driver bench read
+    // pipeline_curate at 10.4s vs 2.7s idle for exactly this reason: its
+    // first timed run paid the edge-store build). So: wipe every
+    // `graft_*_store_*` directory up front, then pay the cold build ONCE
+    // here as an explicitly-timed `store_build` entry in `queries` —
+    // additive per the bench contract (no existing entry removed or
+    // renamed), and the per-query medians keep their warm-read,
+    // production-index semantics. Skipped for dev subset runs
+    // (SPARK_GRAFT_BENCH_ONLY), which iterate against a warm store.
+    val storeBuild: Option[(String, Option[Double], Double, Int)] =
+      if (only.isDefined) None
+      else {
+        val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        Option(tmp.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("graft_") &&
+            f.getName.contains("_store_"))
+          .foreach(rm)
+        val t0 = System.nanoTime()
+        try {
+          ops.TextSim.ensureEdgeStore(spark, sfDir)
+          ops.TextSim.ensureSnapshotStore(spark, sfDir)
+          ops.Relational.ensureChangelogStore(spark, sfDir)
+          spark.catalog.clearCache()
+          Some(("store_build", Some((System.nanoTime() - t0) / 1e9), 0.0, 1))
+        } catch {
+          case e: Throwable =>
+            failed ::= "store_build"
+            System.err.println(s"[bench] store_build FAILED: ${e.getMessage}")
+            Some(("store_build", None, 0.0, 1))
+        }
+      }
     def medianOf(s: Seq[Double]): Double =
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     // (name, median | None if failed, spread, n_runs)
     val results: Seq[(String, Option[Double], Double, Int)] =
-      SparkEntry.queries.toSeq
+      storeBuild.toSeq ++ (SparkEntry.queries.toSeq
         .filter { case (name, _) => only.forall(_(name)) }
         .map { case (name, fn) =>
         val times = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -107,7 +146,7 @@ object Bench {
             if (s.size >= 5) s(s.size - 2) - s(1) else s.last - s.head
           (name, Some(medianOf(s)), spread, s.size)
         }
-      }
+      })
     def f(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
     val qs = results.map { case (k, v, _, _) =>
       s"\"" + k + "\":" + v.map(f(_).toString).getOrElse("null")

@@ -14,6 +14,11 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: graft.PlanDump <sfDir> <outDir> <q1,q2,...> [suffix]")
+      sys.exit(1)
+    }
     val Array(sfDir, outDir, csv) = args.take(3)
     val suffix = if (args.length > 3) args(3) else ""
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

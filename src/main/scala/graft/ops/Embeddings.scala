@@ -950,18 +950,27 @@ object Embeddings {
   /** One power-iteration round as oracle CTEs: coefficient fold, decimal
     * per-dimension accumulation, decimal norm, driver-mirrored division.
     * `src` is any CTE with (vec_id, ce); `tag` prefixes the CTE names so a
-    * second chain (the whiten deflation pass) can coexist in one WITH. */
+    * second chain (the whiten deflation pass) can coexist in one WITH.
+    * Every multi-referenced CTE is MATERIALIZED (r19, the graph_hits
+    * convention): DuckDB 1.0 INLINES plain CTEs at each reference, so
+    * w_k (read by n_k AND v_k) doubled its upstream per round and the
+    * 6-round whiten chain re-executed ~2^6 times — the driver's oracle
+    * spent 77 s on embed_whiten alone (60% of its budget). Same SQL
+    * semantics, one execution per CTE. */
   private def dPowerIter(k: Int, vPrev: String, src: String = "ce",
       tag: String = ""): String =
-    s"""${tag}c$k AS (SELECT vec_id, ce, ${dDot("ce", "vv")} AS c
+    s"""${tag}c$k AS MATERIALIZED (SELECT vec_id, ce, ${dDot("ce", "vv")} AS c
        |  FROM $src, (SELECT v AS vv FROM $vPrev)),
-       |${tag}w${k}e AS (SELECT unnest(generate_series(0, len(ce) - 1)) AS j,
+       |${tag}w${k}e AS MATERIALIZED (
+       |  SELECT unnest(generate_series(0, len(ce) - 1)) AS j,
        |    unnest(ce) AS ej, c FROM ${tag}c$k),
-       |${tag}w$k AS (SELECT j, CAST(SUM(CAST(ej * c AS DECIMAL(30,8)))
+       |${tag}w$k AS MATERIALIZED (
+       |  SELECT j, CAST(SUM(CAST(ej * c AS DECIMAL(30,8)))
        |    AS DOUBLE) AS wd FROM ${tag}w${k}e GROUP BY 1),
-       |${tag}n$k AS (SELECT sqrt(CAST(SUM(CAST(wd * wd AS DECIMAL(30,8)))
+       |${tag}n$k AS MATERIALIZED (
+       |  SELECT sqrt(CAST(SUM(CAST(wd * wd AS DECIMAL(30,8)))
        |    AS DOUBLE)) AS nrm FROM ${tag}w$k),
-       |${tag}v$k AS (SELECT list(wd / nrm ORDER BY j) AS v
+       |${tag}v$k AS MATERIALIZED (SELECT list(wd / nrm ORDER BY j) AS v
        |  FROM ${tag}w$k, ${tag}n$k)"""
       .stripMargin
 
@@ -970,18 +979,19 @@ object Embeddings {
     * embed_abtt so the published model and the per-vector debias can
     * never disagree. */
   private lazy val dPcaChain: String =
-    s"""el AS (SELECT vec_id,
+    s"""el AS MATERIALIZED (SELECT vec_id,
        |    unnest(generate_series(0, len(embedding) - 1)) AS j,
        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
-       |mu AS (SELECT j, CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)
+       |mu AS MATERIALIZED (
+       |  SELECT j, CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)
        |    / count(*) AS m FROM el GROUP BY 1),
-       |muv AS (SELECT list(m ORDER BY j) AS mu FROM mu),
-       |ce AS (SELECT vec_id,
+       |muv AS MATERIALIZED (SELECT list(m ORDER BY j) AS mu FROM mu),
+       |ce AS MATERIALIZED (SELECT vec_id,
        |    list_transform(list_zip(embedding, mu), p ->
        |      CAST(p[1] AS DOUBLE) - p[2]) AS ce
        |  FROM embeddings, muv),
        |d0 AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
-       |v0 AS (SELECT list_transform(generate_series(1, dim), i ->
+       |v0 AS MATERIALIZED (SELECT list_transform(generate_series(1, dim), i ->
        |    1.0 / sqrt(CAST(dim AS DOUBLE))) AS v FROM d0),
        |${dPowerIter(1, "v0")},
        |${dPowerIter(2, "v1")},
@@ -992,9 +1002,9 @@ object Embeddings {
     * same uniform seed — shared structure, one definition per step. */
   private lazy val dWhitenChain: String =
     s"""$dPcaChain,
-       |c1s AS (SELECT vec_id, ce, ${dDot("ce", "vv")} AS c1
+       |c1s AS MATERIALIZED (SELECT vec_id, ce, ${dDot("ce", "vv")} AS c1
        |  FROM ce, (SELECT v AS vv FROM v3)),
-       |ce2 AS (SELECT vec_id, c1,
+       |ce2 AS MATERIALIZED (SELECT vec_id, c1,
        |    list_transform(list_zip(ce, vv), p -> p[1] - c1 * p[2]) AS ce
        |  FROM c1s, (SELECT v AS vv FROM v3)),
        |${dPowerIter(1, "v0", "ce2", "d")},
@@ -1019,7 +1029,7 @@ object Embeddings {
         |FROM sc ORDER BY vec_id""".stripMargin,
     "embed_whiten" ->
       s"""WITH $dWhitenChain,
-        |wsc AS (SELECT t.vec_id, e.label, t.c1 AS c1r,
+        |wsc AS MATERIALIZED (SELECT t.vec_id, e.label, t.c1 AS c1r,
         |    ${dDot("ce", "vv2")} AS c2r
         |  FROM ce2 t JOIN embeddings e ON t.vec_id = e.vec_id,
         |    (SELECT v AS vv2 FROM dv3)),

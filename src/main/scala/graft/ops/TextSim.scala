@@ -865,6 +865,18 @@ object TextSim {
           size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
             v => v)).cast("double") / NumHashes)
         .select("bands", "ia", "ib", "est_sim").distinct()
+      // PROBED AND REVERTED (r19, the graph_modularity discipline): the
+      // r18 verdict suggested hoisting this config-independent truth
+      // table behind one bounded checkpoint shared by the grade join and
+      // the n_truth scalar. Measured isolated median-of-7 at sf0.1 on an
+      // idle host: no checkpoint 3.49s, lazy localCheckpoint 4.43s,
+      // eager 5.49s — the checkpoint LOSES ~1-2s. Why: (a) the truth
+      // subtree is already executed once — ngramJaccard's persisted
+      // shingle table plus runtime exchange reuse share the derivation
+      // between both consumers (the committed plan shows one subtree
+      // with repeated operator ids); (b) a LogicalRDD leaf has no stats,
+      // so AQE stops broadcasting the tiny truth side of the grade join
+      // and the full collision set pays a sort-merge shuffle instead.
       val truth = ngramJaccard(s, d, StopShingleDfDefault)
         .select(col("ia"), col("ib"), lit(1L).as("tin"))
       val nTruth = truth.agg(count(lit(1)).as("n_truth"))
@@ -1018,15 +1030,16 @@ object TextSim {
     // key. Shingles with df > StopShingleDf are dropped from the universe
     // BEFORE the join (and from n_sh, so Jaccard is over the guarded
     // universe — the DuckDB oracle mirrors the identical filter, so parity
-    // holds by construction). df is annotated with one count-over-window
-    // pass on g — the same exchange the self-join needs, so AQE can reuse
-    // the partitioning. df = 1 rows additionally skip the join: a shingle
+    // holds by construction). df comes from a map-side-combinable (g, df)
+    // aggregate joined back onto the postings (r18 — see ngramJaccardOf's
+    // note; the earlier count-over-window pass and its WindowExec sort
+    // are gone). df = 1 rows additionally skip the join: a shingle
     // in exactly one doc can never produce an ia < ib pair (result-neutral
     // prune that typically halves the join input).
     //
     // persist(MEMORY_AND_DISK): the guarded shingle table feeds THREE
     // consumers (doc sizes + both join sides); without it the
-    // scan→window→distinct pipeline re-runs once per consumer. Persist —
+    // scan→aggregate→join pipeline re-runs once per consumer. Persist —
     // not localCheckpoint — because persist keeps the lineage: a lost
     // executor recomputes its blocks from the scan, while localCheckpoint
     // truncates lineage into non-reliable executor-local storage and makes
@@ -1401,6 +1414,15 @@ object TextSim {
       // computed once, checkpointed, and BOTH the scored-count and the
       // ranked top-5 read them — same rows, same (cos desc, cand_id)
       // order keys, so n_scored/recall are unchanged by construction.
+      // SCALE NOTE (r18 verdict): `indexed` is CORPUS-sized — unlike the
+      // node-sized graph checkpoints, localCheckpoint here puts the full
+      // (id, embedding, cell) assignment on executor-local storage with
+      // its lineage truncated, so an executor loss under the sweep is
+      // fatal. On a cluster use reliable `checkpoint` (or persist the
+      // assignment as the IVF index table it stands in for — a deployed
+      // IVF stores exactly this frame); locally the trade (one E-step
+      // instead of six) is the measured win and executor loss cannot
+      // happen in local mode.
       val indexed = Ivf.index(emb, centroids).localCheckpoint(true)
       val probes = indexed.filter(col("cand_id") < 10)
         .select(col("cand_id").as("vec_id"), col("e").as("embedding"))
