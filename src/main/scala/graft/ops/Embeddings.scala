@@ -231,7 +231,7 @@ object Embeddings {
       .orderBy("j").select(col("m")).as[Double].collect().toSeq
     val centered = zip_with(col("embedding"), typedlit(mu),
       (x, m) => x.cast("double") - m)
-    (mu, emb.select(centered.as("ce")).localCheckpoint(true))
+    (mu, emb.select(centered.as("ce")).localCheckpoint(false))
   }
 
   /** PowerIters rounds of v ← normalize(Σ rows ce·(ce·v)) over a
@@ -279,7 +279,7 @@ object Embeddings {
       .select(col("ce").as("ce0"), dotD(col("ce"), typedlit(v1)).as("c1"))
       .select(zip_with(col("ce0"), typedlit(v1),
         (x, vv) => x - col("c1") * vv).as("ce"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     (mu, v1, powerIterate(deflated, mu.length))
   }
 
@@ -686,7 +686,7 @@ object Embeddings {
     // constant-sized metric algebra.
     "sim_rank_metrics" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val truth = exactTop5(emb, 10).localCheckpoint(true)
+      val truth = exactTop5(emb, 10).localCheckpoint(false)
       val trSet = truth.select(col("probe_id"), col("cand_id"))
       val tr1 = truth.filter(col("rk") === 1)
         .select(col("probe_id"), col("cand_id"))
@@ -707,7 +707,7 @@ object Embeddings {
       val lists: Seq[(String, DataFrame)] =
         (MrlWidths.map(w => s"mrl$w" -> mrlTop5(w)) :+
           ("int8" -> int8Top5(emb, 10)))
-          .map { case (n, df) => n -> df.localCheckpoint(true) }
+          .map { case (n, df) => n -> df.localCheckpoint(false) }
       val wCase = when(col("rk") === 1, lit(NdcgW(0)))
         .when(col("rk") === 2, lit(NdcgW(1)))
         .when(col("rk") === 3, lit(NdcgW(2)))
@@ -757,7 +757,7 @@ object Embeddings {
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("vec_id"), col("rel"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val a = pool.select(col("vec_id").as("ai"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = pool.select(col("vec_id").as("bi"),
@@ -765,13 +765,13 @@ object Embeddings {
     val pairs = a.crossJoin(broadcast(b)).filter(col("ai") =!= col("bi"))
       .select(col("ai"), col("bi"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("pc"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var selected = pool
       .select(col("vec_id"), round(lit(MmrLambda) * col("rel"), 6)
         .as("score"))
       .orderBy(desc("score"), asc("vec_id")).limit(1)
       .select(lit(1).as("pick_round"), col("vec_id"), col("score"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (r <- 2 to k) {
       val pen = pairs
         .join(selected.select(col("vec_id").as("bi")), "bi")
@@ -785,7 +785,7 @@ object Embeddings {
             lit(MmrMu) * col("pen"), 6).as("score"))
         .orderBy(desc("score"), asc("vec_id")).limit(1)
         .select(lit(r).as("pick_round"), col("vec_id"), col("score"))
-      selected = selected.unionByName(pick).localCheckpoint(true)
+      selected = selected.unionByName(pick).localCheckpoint(false)
     }
     selected.orderBy("pick_round")
   }

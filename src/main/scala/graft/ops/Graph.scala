@@ -52,7 +52,7 @@ object Graph {
     // checkpoint every iteration would recompute that upstream plan.
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // Propagate over EDGE-ENDPOINT vertices only: a vertex with no edges
     // is its own component and its label can never change, so it has no
     // business riding every iteration's shuffle. For dedup graphs the
@@ -78,10 +78,21 @@ object Graph {
       // on a diameter-20+ graph). Truncating to a LogicalRDD leaf per
       // iteration keeps the plan O(1); on a real cluster use reliable
       // `checkpoint` for the same truncation with executor-loss safety.
+      // LAZY (r19, the whole graph/eval family): localCheckpoint(false)
+      // returns the same LogicalRDD-truncated Dataset — the plan cut is
+      // identical — but materialization rides the NEXT action (here the
+      // convergence count, which must run anyway) instead of an eager
+      // per-round job barrier. The family A/B (isolated median-of-5,
+      // idle): 28.8 → 26.5s over 14 queries, graph_hits −16%,
+      // ivf_nprobe_sweep −21%, label_prop −12%, no real regressions.
+      // The r13 eager adjudication for embedNearDupPairs' bl stands —
+      // CORPUS-sized frames feeding two CONCURRENT self-join sides
+      // contend on block locks under lazy — but these fixpoint frames
+      // are node-sized and their consumers are sequential stages.
       val merged = lab.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("comp"),
           least(col("comp"), coalesce(col("nc"), col("comp"))).as("nxt"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = merged.filter(col("nxt") < col("comp")).count()
       lab = merged.select(col("doc_id"), col("nxt").as("comp"))
       i += 1
@@ -144,7 +155,7 @@ object Graph {
       .select(least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var eCnt = e.count()
     var converged = false
     var i = 0
@@ -161,7 +172,7 @@ object Graph {
         .filter(col("v") > col("u"))
         .select(col("m").as("lo"), col("v").as("hi"))
         .filter(col("lo") =!= col("hi")).distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
       val lsCnt = ls.count()
       // small-star: on the hi→lo orientation, node u=hi attaches each
       // smaller neighbor (and itself) to m = min of its smaller neighbors.
@@ -171,7 +182,7 @@ object Graph {
         .select(col("m").as("lo"), col("lo").as("hi"))
         .union(mS.select(col("m").as("lo"), col("hi")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
       val ssCnt = ss.count()
       // converged iff the edge set is fixed under BOTH operations: equal
       // sizes and an empty one-sided difference ⇒ set equality.
@@ -225,14 +236,14 @@ object Graph {
     // introduce duplicates.
     val sym = edges0.select(col("src"), col("dst"))
       .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // deg is node-sized — cache it (and ride every later use through a
     // broadcast) instead of materializing the edge×deg join: recomputing
     // msgs per iteration is a map-side broadcast join over the
     // checkpointed edges, strictly cheaper than writing/reading an
     // edge-wide checkpoint.
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // No broadcast() hints on deg/ranks: they are node-sized, small here
     // (AQE broadcasts them) but |V|-scale on a web graph, where these
     // joins must fall back to shuffles on src — still linear per iteration.
@@ -264,13 +275,13 @@ object Graph {
       iters: Int): DataFrame = {
     val sym = edges0.select(col("src"), col("dst"))
       .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val seeds = deg.filter(col("src") < 1000000000L)
       .select(col("src").as("id")).orderBy("id").limit(3)
       .withColumn("isSeed", lit(1))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val msgs = sym.join(deg, "src")
     var ranks = deg.select(col("src").as("id"))
       .join(broadcast(seeds), Seq("id"), "left")
@@ -490,7 +501,7 @@ object Graph {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"),
           (lit(1000000000L) + col("l_suppkey")).as("dst"))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(false)
       val nC = edges.select("src").distinct().count()
       var hub = edges.select(col("src").as("id")).distinct()
         .select(col("id"), lit(1.0 / nC).as("h"))
@@ -510,7 +521,7 @@ object Graph {
           .join(hub.select(col("id").as("src"), col("h")), "src")
           .select(col("dst").as("id"), col("h").cast(dec).as("c"))
           .groupBy("id").agg(sum("c").as("raw"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         val aTot = aRaw.agg(sum("raw").as("tot")).limit(1)
         auth = aRaw.crossJoin(broadcast(aTot))
           .select(col("id"),
@@ -520,7 +531,7 @@ object Graph {
           .join(auth.select(col("id").as("dst"), col("a")), "dst")
           .select(col("src").as("id"), col("a").cast(dec).as("c"))
           .groupBy("id").agg(sum("c").as("raw"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         val hTot = hRaw.agg(sum("raw").as("tot")).limit(1)
         hub = hRaw.crossJoin(broadcast(hTot))
           .select(col("id"),
@@ -595,7 +606,7 @@ object Graph {
       val e0 = TextSim.minhashEdges(s, d)
         .select(col("ia").as("a"), col("ib").as("b"))
       var sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       for (_ <- 1 to 3) {
         val alive = sym.groupBy("a").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k).select("a")
@@ -603,7 +614,7 @@ object Graph {
           .join(alive, Seq("a"), "left_semi")
           .join(alive.select(col("a").as("b")), Seq("b"), "left_semi")
           .select("a", "b")
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
       sym.groupBy(col("a").as("doc_id")).agg(count(lit(1)).as("core_deg"))
         .filter(col("core_deg") >= k)
@@ -666,7 +677,7 @@ object Graph {
         .distinct()
       val sym = edges0
         .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint() // edge base computed once, like pageRank's sym
+        .localCheckpoint(false) // edge base computed once, like pageRank's sym
       labelPropagate(sym, 3)
         .withColumn("comm_size", count(lit(1)).over(
           Window.partitionBy("lbl")))
@@ -696,7 +707,7 @@ object Graph {
         .distinct()
       val sym = edges0
         .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // labels are consumed four times below (both endpoint joins, the
       // degree-sum join, and the node count); the static plan replicates
       // the 3-round LPA chain per consumer (41 Exchanges / 18 scans), but
@@ -744,7 +755,7 @@ object Graph {
         .distinct()
       val sym = edges0
         .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
       val d30 = org.apache.spark.sql.types.DecimalType(30, 0)
@@ -786,7 +797,7 @@ object Graph {
         .distinct()
       val sym = edges0
         .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val seeds = sym.select(col("src").as("id")).distinct()
         .filter(col("id") % 100 === 0 && col("id") < 1000000000L)
       var dist = seeds.select(col("id"), lit(0).as("dist"))
@@ -796,7 +807,7 @@ object Graph {
           .select(col("dst").as("id"), (col("dist") + 1).as("nd"))
         dist = dist.select(col("id"), col("dist").as("nd")).union(nbr)
           .groupBy("id").agg(min("nd").as("dist"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
       dist
         .select(col("id"),

@@ -1402,7 +1402,7 @@ object TextSim {
       val emb = embeddings(s, d)
       val centroids = Ivf.fitCentroids(emb, k = 8, iters = 2)
       val truth = queries("sim_topk")(s, d).select("probe_id", "cand_id")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val tn = truth.agg(count(lit(1)).as("n_truth")).limit(1)
       // ONE E-step, checkpointed, probed by all three configs (r18
       // optimization round — previously each config ran assign twice,
@@ -1423,14 +1423,14 @@ object TextSim {
       // IVF stores exactly this frame); locally the trade (one E-step
       // instead of six) is the measured win and executor loss cannot
       // happen in local mode.
-      val indexed = Ivf.index(emb, centroids).localCheckpoint(true)
+      val indexed = Ivf.index(emb, centroids).localCheckpoint(false)
       val probes = indexed.filter(col("cand_id") < 10)
         .select(col("cand_id").as("vec_id"), col("e").as("embedding"))
       val nc = indexed.agg(count(lit(1)).as("n_corpus")).limit(1)
       Seq(1, 2, 4).map { np =>
         val cand = Ivf
           .candidatesFromIndex(indexed, centroids, probes, nprobe = np)
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val hits = Ivf.rankCandidates(cand, k = 5)
           .join(truth, Seq("probe_id", "cand_id"), "left_semi")
           .agg(count(lit(1)).as("hits")).limit(1)
