@@ -208,27 +208,48 @@ object Embeddings {
     * localCheckpoint'ed once (each power round otherwise re-derives it
     * from the parquet scan, tripling the fit's scan cost; a lineage cut
     * changes no values — the per-element x − m arithmetic runs
-    * identically either way). The mean and the power rounds keep the
-    * posexplode + (j)-keyed aggregate shape DELIBERATELY: an r16 probe
-    * rewrote both as one shuffle-free global aggregate with dim sum
-    * columns (the dedup_simhash bit-sum trick) and measured the family
-    * 40% SLOWER (5.66s → 8.14s standalone median-of-3) — 65 decimal
-    * aggregate expressions in one HashAggregate blow the generated
-    * method past codegen limits, and the interpreted fallback costs far
-    * more than the 64-group exchange it saved. The exchange here is 64
-    * dim-keyed rows per partition — partial aggregation does the real
-    * work map-side either way. */
+    * identically either way). Aggregate-shape history: the r16 probe's
+    * single shuffle-free aggregate with 64 dim sum columns measured the
+    * family 40% SLOWER (5.66s → 8.14s) — 65 decimal aggregate
+    * expressions in one HashAggregate blow the generated method past
+    * codegen limits and fall back to interpreted. r18 kept the 64×
+    * posexplode + (j)-keyed form; r19 lands the middle point the r18
+    * verdict asked to probe — 8 slice-CHUNKS of ≤8 dims, 8 decimal sums
+    * per chunk group (see the notes at the mean below and in
+    * [[powerIterate]]): 8× fewer exploded rows, every HashAggregate
+    * under codegen limits, identical decimal-exact values. Isolated
+    * median-of-7 at sf0.1: whiten 3.07 → 2.60s, pca_power 1.54 → 1.37s,
+    * abtt 1.59 → 1.46s vs the posexplode form. */
   private def centeredCheckpoint(s: SparkSession, d: String)
       : (Seq[Double], DataFrame) = {
-    import s.implicits._
     val emb = Tables.embeddings(s, d)
     val dec = org.apache.spark.sql.types.DecimalType(30, 8)
+    // Chunked like powerIterate (r19 — see its note): 8 slice-chunks of
+    // ≤8 dims instead of a 64× posexplode; each chunk group carries 8
+    // decimal sums over exactly the addends the per-j groups summed
+    // (decimal addition exact, order-free ⇒ identical means), and
+    // count(element_at(seg, i)) counts non-null elements exactly as
+    // posexplode's per-position group counts did, so ragged embeddings
+    // keep their per-position denominators.
+    val cw = 8
+    val mAggs = (1 to cw).map(i =>
+      (sum(element_at(col("seg"), i).cast("double").cast(dec))
+        .cast("double") /
+        count(element_at(col("seg"), i))).as(s"m$i"))
     val mu: Seq[Double] = emb
-      .select(posexplode(col("embedding")).as(Seq("j", "x")))
-      .groupBy("j")
-      .agg((sum(col("x").cast("double").cast(dec)).cast("double") /
-        count(lit(1))).as("m"))
-      .orderBy("j").select(col("m")).as[Double].collect().toSeq
+      .select(posexplode(transform(
+        sequence(lit(0),
+          ((size(col("embedding")) + cw - 1) / cw).cast("int") - 1),
+        ci => slice(col("embedding"), ci * cw + 1, lit(cw))))
+        .as(Seq("ci", "seg")))
+      .groupBy("ci").agg(mAggs.head, mAggs.tail: _*)
+      .orderBy("ci").collect().toSeq
+      .flatMap { r =>
+        val ci = r.getInt(0)
+        (1 to cw).collect { case i if !r.isNullAt(i) =>
+          (ci * cw + (i - 1)) -> r.getDouble(i)
+        }
+      }.sortBy(_._1).map(_._2)
     val centered = zip_with(col("embedding"), typedlit(mu),
       (x, m) => x.cast("double") - m)
     (mu, emb.select(centered.as("ce")).localCheckpoint(false))
@@ -242,16 +263,40 @@ object Embeddings {
     * explode/group shape stays). */
   private def powerIterate(cloud: DataFrame, dim: Int): Seq[Double] = {
     val s = cloud.sparkSession
-    import s.implicits._
     val dec = org.apache.spark.sql.types.DecimalType(30, 8)
+    // CHUNKED accumulation (r19, re-probing the r16 adjudication): the
+    // r16 single-aggregate rewrite put 65 decimal sums in ONE
+    // HashAggregate and fell out of codegen (40% slower); the original
+    // posexplode form multiplied every row 64× just to key the sums.
+    // Middle form: explode 8 slice-chunks of ≤8 dims per row and give
+    // each (chunk)-group 8 decimal sum columns — 8× fewer exploded rows,
+    // every generated update function well under codegen limits. Values
+    // are bit-identical: each w_j still sums the same CAST(e_j·c AS
+    // DECIMAL(30,8)) addends (decimal addition is exact and
+    // order-independent), so the oracle contract is untouched. sum()
+    // ignores the nulls a ragged tail chunk pads with; those (ci, i)
+    // slots fall outside j < dim and are dropped on reassembly.
+    val cw = 8
+    val nCh = (dim + cw - 1) / cw
     var v: Seq[Double] = Seq.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     for (_ <- 1 to PowerIters) {
-      val w: Seq[Double] = cloud
+      val segs = cloud
         .select(dotD(col("ce"), typedlit(v)).as("c"),
-          posexplode(col("ce")).as(Seq("j", "ej")))
-        .groupBy("j")
-        .agg(sum((col("ej") * col("c")).cast(dec)).cast("double").as("wd"))
-        .orderBy("j").select(col("wd")).as[Double].collect().toSeq
+          posexplode(transform(sequence(lit(0), lit(nCh - 1)),
+            ci => slice(col("ce"), ci * cw + 1, lit(cw))))
+            .as(Seq("ci", "seg")))
+      val sums = (1 to cw).map(i =>
+        sum((element_at(col("seg"), i) * col("c")).cast(dec))
+          .cast("double").as(s"w$i"))
+      val w: Seq[Double] = segs.groupBy("ci").agg(sums.head, sums.tail: _*)
+        .orderBy("ci").collect().toSeq
+        .flatMap { r =>
+          val ci = r.getInt(0)
+          (1 to cw).collect {
+            case i if ci * cw + (i - 1) < dim =>
+              (ci * cw + (i - 1)) -> r.getDouble(i)
+          }
+        }.sortBy(_._1).map(_._2)
       val nrm = math.sqrt(w.map(x => BigDecimal(x * x)
           .setScale(8, BigDecimal.RoundingMode.HALF_UP))
         .sum.toDouble)
