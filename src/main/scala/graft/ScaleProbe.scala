@@ -86,7 +86,12 @@ object ScaleProbe {
     // exchange), the checkpointed HITS fixpoint, the five-pass rank
     // scorecard, and the single-E-step IVF sweep
     "dedup_band_sweep", "dedup_simhash", "graph_hits", "sim_rank_metrics",
-    "ivf_nprobe_sweep")
+    "ivf_nprobe_sweep",
+    // r19 optimization round: the remaining queries the lazy-checkpoint
+    // conversion and the chunked PCA aggregates touched that had no
+    // decade row yet — the two PageRank fixpoints, the power-iteration
+    // fit's published-model form, and the greedy MMR selection loop
+    "graph_pagerank", "graph_ppr", "embed_pca_power", "sim_mmr")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
